@@ -1,13 +1,337 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.SpreadAggregator
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.pipeline.FanPipeline
+import graft.sources.CountryLut
+import graft.streaming.Streaming
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator surface (SURVEY §2B): one
+  * entry per operator family, each a DataFrame program over the
+  * `/root/testdata/sf*` tables. `oracleSql` carries the DuckDB-equivalent
+  * SQL for every query whose semantics are SQL-expressible; entries
+  * deliberately absent (hash-seeded LSH variants, streaming append mode,
+  * the reference-input parity pipeline) get the driver's rows-only check
+  * and are instead validated by ScalaTest suites.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core -------------------------------------------------
+    "q_pricing_summary" -> (Relational.pricingSummary(_, _)),
+    "q_filter_project" -> (Relational.filterProject(_, _)),
+    "q_revenue_by_nation" -> (Relational.revenueByNation(_, _)),
+    "q_revenue_by_priority" -> (Relational.revenueByPriority(_, _)),
+    "q_semi_join" -> (Relational.customersWithOrders(_, _)),
+    "q_anti_join" -> (Relational.customersWithoutOrders(_, _)),
+    "q_distinct_agg" -> (Relational.distinctCustomers(_, _)),
+    "q_approx_distinct" -> (Relational.approxDistinct(_, _)),
+    "q_rollup" -> (Relational.rollupOrders(_, _)),
+    "q_cube" -> (Relational.cubeLineitem(_, _)),
+    "q_grouping_sets" -> (Relational.groupingSets(_, _)),
+    "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
+    "q_window_running" -> (Relational.runningUserAggregates(_, _)),
+    "q_sort_limit" -> (Relational.topLineitems(_, _)),
+    "q_except" -> (Relational.exceptCustomers(_, _)),
+    "q_intersect" -> (Relational.intersectCustomers(_, _)),
+    "q_union_agg" -> (Relational.unionKeys(_, _)),
+    "q_string_fns" -> (Relational.stringFunctions(_, _)),
+    "q_raceid_norm" -> (Relational.raceIdNormalization(_, _)),
+    "q_events_per_hour" -> (Relational.eventsPerHour(_, _)),
+    "q_orders_by_month" -> (Relational.ordersByMonth(_, _)),
+    "q_math_fns" -> (Relational.mathFunctions(_, _)),
+    "q_array_fns" -> (Relational.arrayFunctions(_, _)),
+    "q_json_fns" -> (Relational.jsonFunctions(_, _)),
+    "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
+    "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
+    "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
+    // --- dedup -----------------------------------------------------------
+    "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
+    "q_dedup_survivors" -> (Dedup.exactDedupSurvivors(_, _)),
+    "q_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
+    "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    // --- similarity search ----------------------------------------------
+    "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
+    // --- text analysis ---------------------------------------------------
+    "q_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    "q_token_stats" -> (TextAnalysis.tokenStats(_, _)),
+    "q_lang_id" -> (TextAnalysis.languageId(_, _)),
+    "q_quality_score" -> (TextAnalysis.qualityScore(_, _)),
+    "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    // --- multimodal ------------------------------------------------------
+    "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
+    "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
+    // --- streaming -------------------------------------------------------
+    "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
+    "q_stream_sliding" -> (Streaming.slidingCounts(_, _)),
+    "q_stream_watermarked" -> (Streaming.watermarkedCounts(_, _)),
+    "q_stream_session" -> (Streaming.sessionCounts(_, _)),
+    "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
+    // --- reference-pipeline parity (golden test drives exact compare) ----
+    "q_pipeline_parity" -> ((s, _) =>
+      FanPipeline.transform(
+        FanPipeline.readEvents(s, "/root/reference/input/*fan_engagement-000-of-001.json"),
+        CountryLut.df(s, "/root/reference/input_side/country_data_v2.csv"))))
+
+  // Shared SQL fragments for the oracle side (DuckDB dialect).
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+  private def raceIdSql(x: String): String = {
+    val word = s"regexp_replace(trim($x), '[^A-Za-z]+', '', 'g')"
+    val digits = s"regexp_replace(trim($x), '[^0-9]+', '', 'g')"
+    s"CASE WHEN $word <> '' AND $digits <> '' THEN lower($word) || $digits " +
+      s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
+  }
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($discPriceSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.08""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_revenue_by_priority" ->
+      s"""SELECT o_orderpriority, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q_semi_join" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')",
+    "q_distinct_agg" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderstatus) AS n_status,
+        |  COUNT(*) AS n_orders FROM orders""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+        |  LAG(event_id, 1) OVER w AS prev_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
+    "q_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "q_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+    "q_union_agg" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer UNION ALL SELECT o_custkey AS k FROM orders)
+        |GROUP BY k""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey, UPPER(p_name) AS upper_name, SUBSTRING(p_name, 1, 4) AS prefix4,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+        |FROM part""".stripMargin,
+    "q_raceid_norm" ->
+      s"""SELECT p_partkey,
+         |  ${raceIdSql("p_name || ' ' || CAST(p_partkey AS VARCHAR)")} AS norm_name_key,
+         |  ${raceIdSql("p_brand")} AS norm_brand,
+         |  ${raceIdSql("p_type")} AS norm_type
+         |FROM part""".stripMargin,
+    "q_events_per_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y, CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+        |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS abs_disc_delta,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  l_quantity % 7 AS qty_mod7,
+        |  GREATEST(l_tax, l_discount) AS max_rate, LEAST(l_tax, l_discount) AS min_rate
+        |FROM lineitem""".stripMargin,
+    "q_array_fns" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm
+        |FROM embeddings""".stripMargin,
+    "q_json_fns" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "q_range_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, l.event_id AS prior_signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
+    "q_udaf_spread" ->
+      """SELECT o_orderstatus, MAX(o_totalprice) - MIN(o_totalprice) AS price_spread,
+        |  COUNT(*) AS n FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_survivors" ->
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q_ngram_jaccard" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+        |FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+        |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5""".stripMargin,
+    "q_embedding_neardups" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE vec_id < 300),
+        |p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum(list_transform(x.embedding,
+        |      (v, i) -> CAST(v AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.norm * y.norm) AS cosine
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cosine FROM p WHERE cosine >= 0.999""".stripMargin,
+    "q_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(e.embedding,
+        |      (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) / (e.norm * q.q_norm) AS cosine
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id AS neighbor_id, rank FROM (
+        |  SELECT q_id, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q_top_tokens" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+         |  CAST(LEN(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |  CASE WHEN LEN(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+         |    ELSE NULL END AS avg_token_len
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CAST(LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS INTEGER) AS en_hits,
+         |  CAST(LEN(list_filter(toks, x -> x = 'el' OR x = 'la' OR x = 'de' OR x = 'y' OR x = 'que' OR x = 'en' OR x = 'los')) AS INTEGER) AS es_hits,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN LEN(list_filter(toks, x -> x = 'el' OR x = 'la' OR x = 'de' OR x = 'y' OR x = 'que' OR x = 'en' OR x = 'los'))
+         |          > LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) THEN 'es'
+         |       ELSE 'en' END AS pred_lang
+         |FROM (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars,
+         |  CAST(LEN(toks) AS INTEGER) AS n_tokens,
+         |  CASE WHEN LENGTH(text) > 0
+         |    THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN LENGTH(text) > 0
+         |    THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+         |    ELSE 0.0 END AS upper_ratio,
+         |  ((CASE WHEN LEN(toks) >= 10 AND LEN(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality_score
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |FROM documents""".stripMargin,
+    "q_binary_meta" ->
+      "SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, sha256(text) AS sha256 FROM documents",
+    "q_byte_histogram" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+        |chars AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) % 8 AS bucket FROM pos),
+        |cnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM chars GROUP BY doc_id, bucket)
+        |SELECT d.doc_id, CAST(strlen(d.text) AS INTEGER) AS n_bytes,
+        |  CAST(b.b AS INTEGER) AS bucket, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS count
+        |FROM documents d CROSS JOIN generate_series(0, 7) b(b)
+        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bucket = b.b""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT ws AS window_start, COUNT(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+        |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws
+        |  FROM events) GROUP BY ws""".stripMargin,
+    "q_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events GROUP BY user_id""".stripMargin)
 }

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column-level entry points for graft's custom Catalyst expressions, plus
+  * SQL registration. Keep every custom scalar here so sessions register one
+  * set of functions.
+  */
+object GraftFunctions {
+
+  /** `standardize_race_id` as a native codegen'd Catalyst expression. */
+  def standardize_race_id(c: Column): Column =
+    ColumnBridge.column(StandardizeRaceId(ColumnBridge.expression(c)))
+
+  /** Same semantics as [[standardize_race_id]] but composed purely from
+    * built-in Column functions — the differential-test partner for the
+    * custom expression (SURVEY §4.2) and proof the op needs no UDF at all.
+    */
+  def standardizeRaceIdColumns(c: Column): Column = {
+    val t = trim(c)
+    val word = lower(regexp_replace(t, "[^A-Za-z]+", ""))
+    val digits = regexp_replace(t, "[^0-9]+", "")
+    when(length(word) > 0 && length(digits) > 0, concat(word, digits))
+      .otherwise(lower(regexp_replace(t, "[^0-9a-zA-Z]+", "")))
+  }
+
+  /** Register all custom functions for SQL use (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "standardize_race_id", exprs => StandardizeRaceId(exprs.head), "scala_udf")
+  }
+}

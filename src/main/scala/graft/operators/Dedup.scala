@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale text corpora (SURVEY §2B,
+  * LLM-pipeline family): exact hash dedup, exact n-gram Jaccard on
+  * candidate pairs, MinHash+LSH near-dedup, and SimHash near-dedup.
+  *
+  * Scale posture: every variant is shuffle-bounded — exact dedup is one
+  * hash aggregation on a digest; the near-dup variants generate candidates
+  * by shingle/band/bucket join (never an all-pairs product), which is the
+  * standard way these run over 100 TB corpora. The `docIdCap` arguments on
+  * the *exact pairwise* queries exist only to give the DuckDB oracle a
+  * fixed-size all-pairs workload to check against; the LSH paths have no
+  * such cap.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: digest, group size,
+    * surviving (minimum) doc_id. One map-side-combined hash agg — the
+    * cheapest possible full-corpus dedup.
+    */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .filter(col("n") > 1)
+
+  /** Exact dedup survivors: min doc_id per digest. */
+  def exactDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** Character 15-gram shingles, one row per distinct (doc_id, shingle).
+    * Pure higher-order functions — stays in whole-stage codegen.
+    */
+  private def shingles(docs: DataFrame, width: Int = 15): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1))),
+        i => substring_index_free(col("text"), i, width))).as("sh"))
+      .distinct()
+
+  /** `substring(text, i, width)` with a Column start position (the
+    * 3-arg `substring` function wants a literal start).
+    */
+  private def substring_index_free(text: Column, i: Column, width: Int): Column =
+    text.substr(i, lit(width))
+
+  /** Exact n-gram Jaccard similarity over all pairs of a bounded slice
+    * (doc_id < 200 at every scale factor — this is the oracle-checkable
+    * exact computation; LSH below is the unbounded-scale path). Pairs with
+    * J ≥ 0.5. The shingle equi-join generates only co-shingled pairs.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+    val sh = shingles(docs).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a"), col("sh"))
+    val b = sh.select(col("doc_id").as("b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val MinhashK = 64
+  private val LshBands = 16 // 16 bands × 4 rows
+  private val LshRows = MinhashK / LshBands
+  // 2^31-1: keeps a*h + b < 2^63 (ANSI mode would error on long overflow)
+  private val MinhashPrime = 2147483647L
+
+  /** Deterministic per-hash affine coefficients (seeded — reproducible
+    * across runs and partitionings).
+    */
+  private lazy val (coefA, coefB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(MinhashK)(math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1)
+    val b = Array.fill(MinhashK)(math.abs(rnd.nextLong()) % MinhashPrime)
+    (a, b)
+  }
+
+  /** MinHash signatures: doc_id → array of K minimums of affine-permuted
+    * shingle hashes. Base hash is `xxhash64` (codegen'd built-in); the K
+    * permutations are evaluated per shingle with a `transform` HOF and
+    * reduced with K positional `min` aggregates — one shuffle by doc_id.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val hashed = sh.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), lit(MinhashK - 1)),
+        i =>
+          pmod(
+            element_at(lit(coefA), (i + 1).cast("int")) * pmod(xxhash64(col("sh")), lit(MinhashPrime))
+              + element_at(lit(coefB), (i + 1).cast("int")),
+            lit(MinhashPrime))).as("hs"))
+    val minCols = (0 until MinhashK).map(i =>
+      min(element_at(col("hs"), i + 1)).as(s"m$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard
+    * ≥ threshold. Banding: signature split into 16 bands of 4; docs
+    * sharing any band-hash become candidates (equi-join on (band, hash) —
+    * never an all-pairs product); estimate = fraction of equal signature
+    * positions. No oracle (depends on xxhash64); validated in ScalaTest
+    * against exact Jaccard.
+    */
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sigs = minhashSignatures(docs).cache()
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until LshBands).map(b =>
+        hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document from token `xxhash64`s: bit j of the
+    * fingerprint is the sign of Σ_tokens (±1 on bit j of the token hash).
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(
+      col("doc_id"),
+      explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+    val h = xxhash64(col("tok"))
+    // per-token contribution: array of 64 ±1s
+    val contrib = array((0 until 64).map(j =>
+      when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+    val sumCols = (0 until 64).map(j => sum(element_at(col("c"), j + 1)).as(s"s$j"))
+    tokens.select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
+    * 4×16-bit band buckets (a pair within distance 3 must agree on at
+    * least one of 4 bands — pigeonhole). Rows-only check (hash-seeded).
+    */
+  def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val fp = simhashFingerprints(docs).cache()
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("simhash").as("fa"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fa"), col("fb")).distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicates: cosine similarity ≥ 0.999 over a bounded
+    * slice (vec_id < 300) — exact all-pairs for the oracle; the ANN path
+    * for unbounded scale is [[Similarity.annCosine]].
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY §2B): aggregation, joins of every
+  * flavor, rollup/cube/grouping-sets, window functions, sort/limit, set
+  * ops, and the scalar function families — each as a declarative DataFrame
+  * query so Catalyst owns the physical plan (pushdown, pruning, join
+  * strategy, whole-stage codegen, AQE).
+  *
+  * Numeric-determinism note: money aggregates go through
+  * `DECIMAL(12,2)` so sums are exact and order-independent — a double sum
+  * would differ between engines (and between partitionings of the same 100
+  * TB input) in the last bits. Final results cast back to double for a
+  * stable cross-engine comparison surface.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** TPC-H Q1-style pricing summary: filter → partial+final hash agg.
+    * The shipdate predicate reaches the parquet scan (PushedFilters); the
+    * aggregation is map-side partial then 2-key shuffle — the canonical
+    * "scales to any input size" shape.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    // exact: price*(1-disc) has true scale 4 and fits DECIMAL(18,4)
+    val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    val charge = discPrice * (lit(1) + dec(col("l_tax")))
+    li.filter(col("l_shipdate") <= lit(LocalDateTime.of(1998, 9, 2, 0, 0)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Filter + projection only — exists to prove scan-level pushdown and
+    * column pruning (ReadSchema shows 4 of 11 columns, PushedFilters shows
+    * both predicates).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+        col("l_discount") > 0.08)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+
+  /** Revenue by nation: orders ⋈ customer ⋈ nation with the two dimension
+    * tables broadcast — zero shuffle on the fact side until the final
+    * 25-key aggregation.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Fact-to-fact join (lineitem ⋈ orders) — shuffle/sort-merge territory;
+    * AQE picks the final shape at runtime. Revenue per order priority.
+    */
+  def revenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    li.join(orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Left-anti join: customers with no finished (`F`) order (NOT EXISTS).
+    * The status filter makes the result non-trivially non-empty at every
+    * scale factor (plain "no orders at all" is empty — key coverage is
+    * dense in the generator).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Exact + grouped distinct aggregation. */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+
+  /** approx_count_distinct (HLL++) — no exact oracle by construction; the
+    * ScalaTest asserts relative error vs the exact count instead.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
+  /** ROLLUP over order status × priority. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+
+  /** CUBE over lineitem flags. */
+  def cubeLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** GROUPING SETS via the SQL surface. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Top-3 orders per customer — row_number window with a deterministic
+    * tie-break. One shuffle on the partition key; no global sort.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Running aggregates + lag over an ordered per-user event stream. */
+  def runningUserAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(order).as("rn"),
+        sum(dec(col("value"))).over(running).cast("double").as("running_value"),
+        lag(col("event_id"), 1).over(order).as("prev_event_id"))
+  }
+
+  /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * per-partition heaps + a k-row driver merge, never a full sort.
+    */
+  def topLineitems(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** EXCEPT (distinct) — set-op surface (same F-status trick as the anti
+    * join so the result is non-empty).
+    */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .except(Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")))
+
+  /** INTERSECT (distinct). */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .intersect(Tables(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** UNION ALL + distinct count — completes the set-op family. */
+  def unionKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .unionByName(Tables(spark, dir, "orders").select(col("o_custkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** String function family over part names. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("upper_name"),
+      substring(col("p_name"), 1, 4).as("prefix4"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+
+  /** The custom `standardize_race_id` Catalyst expression in an
+    * oracle-checkable query (the SQL equivalent is spelled out in
+    * SparkEntry.oracleSql): exercises both the letters+digits branch and
+    * the fallback branch on synthetic strings built from part columns.
+    */
+  def raceIdNormalization(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.standardize_race_id
+    Tables(spark, dir, "part").select(
+      col("p_partkey"),
+      standardize_race_id(concat(col("p_name"), lit(" "), col("p_partkey").cast("string")))
+        .as("norm_name_key"),
+      standardize_race_id(col("p_brand")).as("norm_brand"),
+      standardize_race_id(col("p_type")).as("norm_type"))
+  }
+
+  /** Date/time family: per-hour event counts (date_trunc bucketing). */
+  def eventsPerHour(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+
+  /** Date extraction + arithmetic over orders. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  /** Math function family (only exactly-reproducible ops: abs, floor,
+    * ceil, modulo, greatest/least — no transcendentals whose libm rounding
+    * differs across engines).
+    */
+  def mathFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - 0.05).as("abs_disc_delta"),
+      floor(col("l_extendedprice")).cast("long").as("floor_price"),
+      ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+      (col("l_quantity") % 7).as("qty_mod7"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+      least(col("l_tax"), col("l_discount")).as("min_rate"))
+
+  /** Array/higher-order-function family over the embedding column — all
+    * codegen-friendly built-ins, no UDF.
+    */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_val"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"))
+
+  /** JSON function family: extract from the events.props JSON string. */
+  def jsonFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Range (equi + interval band) join: lineitems shipped within 60 days
+    * of their order date. The equi key keeps it a hash/merge join with a
+    * residual band filter — not a cross product.
+    */
+  def shippedWithin60Days(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    li.join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"))
+  }
+
+  /** As-of join: for every `purchase` event, the nearest prior-or-equal
+    * `signup` event of the same user.
+    *
+    * Implemented the scale-friendly way: tag and UNION both sides, one
+    * shuffle on `user_id`, then a running `last(ignoreNulls)` window
+    * carries the most recent signup to each purchase row — no join
+    * explosion, no per-row subquery, cost O(n log n) in each user's
+    * events regardless of total data size.
+    */
+  def purchaseAfterSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val tagged = ev
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("event_id")).as("signup_id"))
+    // signups sort before purchases at identical ts (is_signup desc)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, (col("event_type") === "signup").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("prior_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_signup_id"))
+  }
+}

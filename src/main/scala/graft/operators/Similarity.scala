@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over an `Array[Float]` embedding column (SURVEY §2B).
+  *
+  * Two tiers, as a 100 TB engine needs:
+  *   - [[knnBrute]]: exact top-k — broadcast the (small) query set, score
+  *     map-side with codegen'd higher-order functions, take per-query
+  *     top-k. Cost O(|corpus| × |queries|), the right tool when queries
+  *     are few; it is one scan, zero corpus shuffles before the top-k.
+  *   - [[annCosine]]: approximate top-k via random-hyperplane LSH —
+  *     bucket the corpus by sign bits, probe only matching buckets
+  *     (multi-probe on 1-bit flips), exact re-rank inside the candidate
+  *     set. Corpus side scales out by bucket; no all-pairs product.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries),
+    * self-match excluded. Output (q_id, neighbor_id, rank) — ranks are
+    * deterministic via the (cosine desc, vec_id asc) tie-break.
+    */
+  def knnBrute(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded): nBits × dim. */
+  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-table LSH bucket: `bits` sign bits of hyperplane projections,
+    * packed into an int.
+    */
+  private def lshBucket(emb: Column, planes: Array[Array[Double]],
+      table: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(dot(emb, lit(planes(table * bits + j)).cast("array<double>")) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** ANN top-k via multi-table random-hyperplane LSH: L independent
+    * tables of `bits` hyperplane sign bits each; candidates = corpus
+    * vectors sharing any table's bucket with the query; exact cosine
+    * re-rank on the candidates.
+    *
+    * Multiple small tables (L=8 × 4 bits) rather than one big key: a
+    * neighbor at cosine θ agrees with a 4-bit bucket with prob p(θ)^4,
+    * and missing all 8 independent tables is (1−p^4)^8 — high recall
+    * with strong pruning on clustered data. Corpus-side cost is L rows
+    * per vector in the bucket join (equi-join, shuffle-partitioned by
+    * bucket — no all-pairs product at any scale). Approximate by
+    * construction → rows-only driver check; ScalaTest measures recall
+    * against [[knnBrute]].
+    */
+  def annCosine(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nTables: Int = 8, bitsPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val banded = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("embedding"), planes, t, bitsPerTable)): _*)))
+      .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val candidates = banded.join(broadcast(queries), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("norm"),
+        col("q_emb"), col("q_norm")).distinct()
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

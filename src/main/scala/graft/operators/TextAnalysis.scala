@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2B):
+  * tokenization + term frequencies, per-document token statistics,
+  * heuristic language ID, quality scoring, and content fingerprinting.
+  * Everything is built from codegen'd built-ins / higher-order functions —
+  * no UDFs — so the per-document work is embarrassingly parallel and the
+  * only shuffles are the final aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (split on `\s+` leaves a
+    * leading "" for texts with leading whitespace — filter it).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Corpus-wide top-20 terms, deterministic tie-break (count desc, token
+    * asc). Explode → map-side-combined count → top-k: the classic word
+    * count, shuffle is |vocabulary|-sized, not corpus-sized.
+    */
+  def topTokens(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document token statistics: counts, distincts, mean token length
+    * (null for empty docs — no divide-by-zero).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      when(size(t) > 0,
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+        .otherwise(lit(null)).as("avg_token_len"))
+  }
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val EsStop = Seq("el", "la", "de", "y", "que", "en", "los")
+
+  /** Heuristic n-gram/stopword language ID: count distinctive stopword
+    * hits per language; CJK codepoints short-circuit to "zh". Deliberately
+    * simple and fully deterministic (oracle-checkable); a production
+    * pipeline would swap in a fastText-style model via the same column
+    * contract.
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val enHits = size(filter(t, x => x.isin(EnStop.map(s => s: Any): _*)))
+    val esHits = size(filter(t, x => x.isin(EsStop.map(s => s: Any): _*)))
+    val hasCjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    Tables(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      enHits.as("en_hits"), esHits.as("es_hits"),
+      when(hasCjk, "zh")
+        .when(esHits > enHits, "es")
+        .otherwise("en").as("pred_lang"))
+  }
+
+  /** Quality scoring: char/token counts, punctuation + uppercase ratios,
+    * and a composite keep/drop score in [0,1] — the usual cheap pre-filter
+    * before expensive model-based scoring.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nChars = length(col("text"))
+    val nPunct = nChars - length(regexp_replace(col("text"), "[.,;:!?'\"()\\-]", ""))
+    val nUpper = nChars - length(regexp_replace(col("text"), "[A-Z]", ""))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val upperRatio = when(nChars > 0, nUpper.cast("double") / nChars).otherwise(0.0)
+    val lenScore = when(size(t) >= 10 && size(t) <= 1000, 1.0).otherwise(0.0)
+    val score = (lenScore
+      + when(punctRatio <= 0.2, 1.0).otherwise(0.0)
+      + when(upperRatio <= 0.3, 1.0).otherwise(0.0)) / 3.0
+    Tables(spark, dir, "documents").select(
+      col("doc_id"), nChars.as("n_chars"), size(t).as("n_tokens"),
+      punctRatio.as("punct_ratio"), upperRatio.as("upper_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set — an
+    * order/whitespace-insensitive document identity, the cheap "same bag
+    * of words" dedup key.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary"))
+        .as("fingerprint"))
+}

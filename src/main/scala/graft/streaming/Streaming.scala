@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables
+
+/** Structured Streaming surface (SURVEY §2B): tumbling / sliding / session
+  * windows, watermarked late-data handling, and custom state via
+  * `mapGroupsWithState` — each runnable as a bounded replay of the
+  * `events` parquet through a file stream source so results are
+  * batch-equivalent and oracle-checkable.
+  *
+  * The replay uses `Trigger.AvailableNow` + a memory sink: the file source
+  * feeds the parquet through the streaming engine (real state store, real
+  * window semantics) and stops when caught up. In production the same
+  * queries run unchanged off kafka/files with a processing-time trigger.
+  */
+object Streaming {
+
+  private def rawSchema(spark: SparkSession, dir: String): StructType =
+    Tables.raw(spark, dir, "events").schema
+
+  /** File-stream replay of the events table; ts arrives as long nanos
+    * (see Tables.raw) and is converted to TIMESTAMP_NTZ before windowing.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema(spark, dir))
+      // file-stream source wants a directory; filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr(Tables.tsFromNanosExpr))
+
+  /** Run a bounded streaming query to completion into a memory sink and
+    * return the final table.
+    */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 5-minute windows: count + exact (decimal) value sum per
+    * (window, event_type). Complete mode so every window is emitted at
+    * end-of-replay — numerically identical to the batch computation.
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"),
+        col("total_value"))
+  }
+
+  /** Sliding windows (10-minute length, 5-minute slide): each event lands
+    * in 2 windows.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("window_start"), col("n"))
+  }
+
+  /** Watermarked tumbling windows in Append mode — the production shape
+    * for unbounded streams: state for windows older than the watermark is
+    * emitted and dropped, bounding memory forever. On a bounded replay the
+    * windows still open when the source dries up stay unemitted — so this
+    * query is rows-only checked; [[tumblingCounts]] is the exact-equality
+    * one.
+    */
+  def watermarkedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+      // reinterpretation is identity
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Append())
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  /** Session windows: per-user sessions closed by a 10-minute gap. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+  }
+
+  /** Custom keyed state via `mapGroupsWithState`: a per-user running
+    * engagement accumulator (event count + exact cent-denominated value
+    * total). With AvailableNow the final state snapshot equals the batch
+    * group-by — the oracle checks exactly that.
+    */
+  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val updated = src
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (userId, n, c)
+      }
+    runToTable(updated.toDF("user_id", "n_events", "total_cents"), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("total_cents")).as("total_cents"))
+      .withColumn("total_value", (col("total_cents").cast("double") / 100))
+      .drop("total_cents")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup family: exact invariants plus the approximate paths validated
+  * against the exact Jaccard computation (the parts no SQL oracle covers).
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("exact dedup: survivors + dup-group sizes partition the corpus") {
+    val total = graft.sources.Tables(spark, sf, "documents").count()
+    val survivors = Dedup.exactDedupSurvivors(spark, sf).count()
+    val groups = Dedup.exactDupGroups(spark, sf)
+      .agg(sum(col("n") - 1)).collect().head
+    val extra = if (groups.isNullAt(0)) 0L else groups.getLong(0)
+    assert(survivors + extra == total)
+  }
+
+  test("minhash estimate tracks exact jaccard on synthetic near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (0L, base),
+      (1L, base), // identical
+      (2L, base.replace("lazy", "sleepy")), // near-dup
+      (3L, "completely different content with nothing shared here at all " * 5))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / sigs(a).size
+    assert(est(0L, 1L) == 1.0) // identical docs → identical signatures
+    assert(est(0L, 2L) > 0.5) // near-dup → high estimate
+    assert(est(0L, 3L) < 0.3) // unrelated → low estimate
+  }
+
+  test("minhash LSH finds the seeded near-dup pairs at sf0.001") {
+    val pairs = Dedup.minhashNearDups(spark, sf).collect()
+    // estimates are bounded and symmetric-free (a < b)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhash: identical docs collide, near-dups within distance") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val docs = Seq(
+      (0L, base), (1L, base),
+      (2L, base.replace("delta", "kappa")))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 16)
+  }
+
+  test("ngram jaccard pairs: bounded, ordered, in [0.5, 1]") {
+    val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.FanPipeline
+import graft.sources.CountryLut
+
+/** Golden end-to-end parity with the reference
+  * (`/root/reference/output/sample0-00000-of-00001.jsonl`): the Spark
+  * pipeline on the reference's own inputs must reproduce the 237-row
+  * golden output as a canonicalized-JSON multiset (ordering and JSON
+  * whitespace are non-goals per SURVEY §7.3).
+  */
+class FanPipelineSpec extends AnyFunSuite {
+
+  private val refGlob = "/root/reference/input/*fan_engagement-000-of-001.json"
+  private val refCsv = "/root/reference/input_side/country_data_v2.csv"
+  private val golden = "/root/reference/output/sample0-00000-of-00001.jsonl"
+
+  private lazy val result = {
+    val spark = TestSpark.spark
+    FanPipeline.transform(
+      FanPipeline.readEvents(spark, refGlob),
+      CountryLut.df(spark, refCsv))
+  }
+
+  /** Canonical form: to_json over the full row (schema field order is
+    * identical on both sides), collected and sorted.
+    */
+  private def canonical(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(to_json(struct(df.columns.map(col): _*), Map("ignoreNullFields" -> "false")))
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  test("golden multiset parity: 237 rows, byte-canonical JSON match") {
+    val spark = TestSpark.spark
+    val goldenDf = spark.read.schema(FanPipeline.inputSchema
+      .filter(_.name != "ViewerLocationCountry")
+      .foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))
+      .add("LocationData", FanPipeline.locationSchema))
+      .json(golden)
+      .select(result.columns.map(col): _*)
+    val got = canonical(result)
+    val want = canonical(goldenDf)
+    assert(got.size == 237)
+    assert(got == want)
+  }
+
+  test("filter semantics: 63 'Other' rows dropped from 300") {
+    val spark = TestSpark.spark
+    val all = FanPipeline.readEvents(spark, refGlob)
+    assert(all.count() == 300)
+    assert(all.filter(FanPipeline.deviceFilter).count() == 237)
+  }
+
+  test("UK/USA alias-miss quirk: 28 fallback rows with empty capital") {
+    val n = result.filter(col("LocationData.capital") === "" &&
+      col("LocationData.country").isin("UK", "USA")).count()
+    assert(n == 28)
+  }
+
+  test("RaceID fully normalized in output") {
+    val vals = result.select(col("RaceID")).distinct().collect().map(_.getString(0)).sorted
+    assert(vals.toSeq == Seq("cup25", "league04", "race11"))
+  }
+
+  test("JSONL sink writes Beam shard naming") {
+    val out = java.nio.file.Files.createTempDirectory("graft-golden-").toString
+    val path = graft.sources.JsonlSink.write(result, out, "sample0")
+    assert(path.endsWith("sample0-00000-of-00001.jsonl"))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size() == 237)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs and returns rows at sf0.001 (the DuckDB
+  * hash-match itself is the driver's t2 gate; this pins "nothing in the
+  * surface is broken or silently empty").
+  */
+class OperatorsSmokeSpec extends AnyFunSuite {
+
+  // anti/except can be legitimately small but must not throw; all others
+  // must be non-empty at sf0.001.
+  private val mayBeEmpty = Set("q_dedup_exact_groups", "q_embedding_neardups",
+    "q_minhash_neardups", "q_ngram_jaccard")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(TestSpark.spark, TestSpark.sf0001).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    val approx = graft.operators.Relational.approxDistinct(spark, TestSpark.sf0001)
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("multimodal decode stub: features sum to ~1 for non-empty docs") {
+    val rows = graft.operators.Multimodal.decodeStub(spark = TestSpark.spark,
+      dir = TestSpark.sf0001).collect()
+    rows.filter(_.getInt(1) > 0).take(20).foreach { r =>
+      val s = r.getSeq[Float](2).sum
+      assert(math.abs(s - 1.0f) < 1e-3, s"doc ${r.getLong(0)} features sum $s")
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** ANN quality vs the exact brute-force path (rows-only at the driver —
+  * recall is the real acceptance criterion).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("knn brute: 5 neighbors per query, no self-matches") {
+    val rows = Similarity.knnBrute(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries × 5
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)))
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq)
+    assert(perQuery.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("ann lsh: recall@5 ≥ 0.4 vs brute force") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // random-hyperplane LSH with 8 bits + 1-bit multiprobe on random
+    // uniform vectors: modest recall expected; the contract is "finds a
+    // meaningful fraction at a fraction of the cost", not exactness.
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}

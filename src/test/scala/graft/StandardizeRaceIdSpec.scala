@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, StandardizeRaceId}
+
+/** Unit + property tests for the RaceID normalization
+  * (`/root/reference/src/pipeline.py:21-36` semantics).
+  */
+class StandardizeRaceIdSpec extends AnyFunSuite {
+
+  private def n(s: String) = StandardizeRaceId.normalize(s)
+
+  /** Seeded random strings over a hostile alphabet. */
+  private def randomStrings(count: Int): Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aAzZ09 _-:.!±ö§\t 漢"
+    Seq.fill(count)(
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+  }
+
+  test("reference docstring examples") {
+    assert(n("Cup 25") == "cup25")
+    assert(n("league:04") == "league04") // leading zero kept
+    assert(n("race_11") == "race11")
+  }
+
+  test("fallback branch: no digits / no letters / empty") {
+    assert(n("GrandPrix") == "grandprix")
+    assert(n("2024") == "2024")
+    assert(n("") == "")
+    assert(n("  !!  ") == "")
+    assert(n("-_:;") == "")
+  }
+
+  test("whitespace trimmed, runs concatenated") {
+    assert(n("  Cup  25  ") == "cup25")
+    assert(n("a1b2") == "ab12")
+    assert(n("A-1-B-2") == "ab12")
+  }
+
+  test("property: output only alphanumerics, lowercase; idempotent") {
+    randomStrings(500).foreach { s =>
+      val out = n(s)
+      assert(out.forall(c => (c >= 'a' && c <= 'z') || Character.isDigit(c)), s"input=$s out=$out")
+      assert(n(out) == out, s"not idempotent on $s")
+    }
+  }
+
+  test("differential: custom Expression == Column composition") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fromParts = graft.sources.Tables(spark, TestSpark.sf0001, "part")
+      .select(concat(col("p_name"), lit(" "), col("p_partkey")).as("s"))
+    val edge = (Seq("Cup 25", "league:04", "race_11", "", "  x  ", "123", "ABC") ++
+      randomStrings(200).filter(s => !s.contains('漢') && !s.contains('ö'))).toDF("s")
+    // (non-ASCII letters excluded: Python lower() and the Column fallback
+    //  lower() disagree with the reference only on exotic case mappings the
+    //  reference never sees — the custom Expression is the spec.)
+    val mismatches = fromParts.union(edge).select(
+      GraftFunctions.standardize_race_id(col("s")).as("a"),
+      GraftFunctions.standardizeRaceIdColumns(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
+  test("SQL registration works") {
+    val spark = TestSpark.spark
+    GraftSession.register(spark)
+    val r = spark.sql("SELECT standardize_race_id('Cup 25') AS x").collect().head.getString(0)
+    assert(r == "cup25")
+  }
+}

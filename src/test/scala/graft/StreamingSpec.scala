@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.Streaming
+
+/** Streaming results must equal their batch equivalents (the defining
+  * property of a bounded replay through the streaming engine).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("tumbling windows == batch group-by") {
+    val streamed = Streaming.tumblingCounts(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("sliding windows: every event in exactly 2 windows") {
+    val total = Streaming.slidingCounts(spark, sf).agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == 2 * Tables(spark, sf, "events").count())
+  }
+
+  test("session windows == batch session_window group-by") {
+    val streamed = Streaming.sessionCounts(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("stateful running totals == batch aggregation") {
+    val streamed = Streaming.statefulUserTotals(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100).as("total_value"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("watermarked append emits complete windows only (subset of batch)") {
+    val streamed = Streaming.watermarkedCounts(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    val batchN = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type")).count().count()
+    assert(streamed.length <= batchN)
+  }
+}
