@@ -36,16 +36,19 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
-  /** Character 15-gram shingles, one row per distinct (doc_id, shingle).
-    * Pure higher-order functions — stays in whole-stage codegen.
+  /** Character 15-gram shingles. `distinct = true` gives one row per
+    * distinct (doc_id, shingle) — needed for exact Jaccard counting;
+    * MinHash skips the dedup shuffle entirely (min over a multiset equals
+    * min over its set).
     */
-  private def shingles(docs: DataFrame, width: Int = 15): DataFrame =
-    docs.select(
+  private def shingles(docs: DataFrame, width: Int = 15, distinct: Boolean = true): DataFrame = {
+    val sh = docs.select(
       col("doc_id"),
       explode(transform(
         sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1))),
         i => substring_index_free(col("text"), i, width))).as("sh"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
+  }
 
   /** `substring(text, i, width)` with a Column start position (the
     * 3-arg `substring` function wants a literal start).
@@ -94,23 +97,18 @@ object Dedup {
   }
 
   /** MinHash signatures: doc_id → array of K minimums of affine-permuted
-    * shingle hashes. Base hash is `xxhash64` (codegen'd built-in); the K
-    * permutations are evaluated per shingle with a `transform` HOF and
-    * reduced with K positional `min` aggregates — one shuffle by doc_id.
+    * shingle hashes. One `xxhash64` per shingle, then the K permutations
+    * as flat scalar expressions inside K partial `min` aggregates — all
+    * whole-stage-codegen'd (an array-HOF formulation would fall back to
+    * interpreted eval and cost ~10× — measured). Map-side partial
+    * aggregation means the shuffle is K longs per document, not per
+    * shingle.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val hashed = sh.select(
-      col("doc_id"),
-      transform(
-        sequence(lit(0), lit(MinhashK - 1)),
-        i =>
-          pmod(
-            element_at(lit(coefA), (i + 1).cast("int")) * pmod(xxhash64(col("sh")), lit(MinhashPrime))
-              + element_at(lit(coefB), (i + 1).cast("int")),
-            lit(MinhashPrime))).as("hs"))
+    val hashed = shingles(docs, distinct = false)
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
     val minCols = (0 until MinhashK).map(i =>
-      min(element_at(col("hs"), i + 1)).as(s"m$i"))
+      min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(MinhashPrime))).as(s"m$i"))
     hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -148,17 +146,16 @@ object Dedup {
 
   /** 64-bit SimHash per document from token `xxhash64`s: bit j of the
     * fingerprint is the sign of Σ_tokens (±1 on bit j of the token hash).
+    * The 64 bit-sums are flat scalar aggregates over one hash column —
+    * codegen'd, map-side combined (no per-token array materialization).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val tokens = docs.select(
       col("doc_id"),
       explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
-    val h = xxhash64(col("tok"))
-    // per-token contribution: array of 64 ±1s
-    val contrib = array((0 until 64).map(j =>
-      when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
-    val sumCols = (0 until 64).map(j => sum(element_at(col("c"), j + 1)).as(s"s$j"))
-    tokens.select(col("doc_id"), contrib.as("c"))
+    val sumCols = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sumCols.head, sumCols.tail: _*)
       .select(col("doc_id"),
