@@ -40,6 +40,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
     "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
     "q_window_running" -> (Relational.runningUserAggregates(_, _)),
+    "q_window_rank" -> (Relational.rankingFunctions(_, _)),
     "q_sort_limit" -> (Relational.topLineitems(_, _)),
     "q_except" -> (Relational.exceptCustomers(_, _)),
     "q_intersect" -> (Relational.intersectCustomers(_, _)),
@@ -51,6 +52,8 @@ object SparkEntry {
     "q_math_fns" -> (Relational.mathFunctions(_, _)),
     "q_array_fns" -> (Relational.arrayFunctions(_, _)),
     "q_json_fns" -> (Relational.jsonFunctions(_, _)),
+    "q_map_fns" -> (Relational.mapFunctions(_, _)),
+    "q_timestamp_fns" -> (Relational.timestampFunctions(_, _)),
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
@@ -158,6 +161,15 @@ object SparkEntry {
         |  LAG(event_id, 1) OVER w AS prev_event_id
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(RANK() OVER c AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER c AS INTEGER) AS drnk,
+        |  CAST(NTILE(4) OVER u AS INTEGER) AS quartile,
+        |  LEAD(o_orderkey, 1) OVER u AS next_okey
+        |FROM orders
+        |WINDOW c AS (PARTITION BY o_orderstatus ORDER BY MONTH(o_orderdate) ASC),
+        |       u AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
@@ -204,6 +216,17 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "q_json_fns" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "q_map_fns" ->
+      """SELECT event_id, k AS key, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""".stripMargin,
+    "q_timestamp_fns" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(day(o_orderdate) AS INTEGER) AS day_of_month,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP) AS parsed_back
+        |FROM orders""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -164,6 +164,23 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** The rest of the ranking family: rank/dense_rank over a coarse
+    * ordering (real ties, so peer semantics are exercised), ntile + lead
+    * over a unique ordering (deterministic tiling).
+    */
+  def rankingFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(month(col("o_orderdate")).asc)
+    val unique = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      rank().over(coarse).as("rnk"),
+      dense_rank().over(coarse).as("drnk"),
+      ntile(4).over(unique).as("quartile"),
+      lead(col("o_orderkey"), 1).over(unique).as("next_okey"))
+  }
+
   /** Running aggregates + lag over an ordered per-user event stream. */
   def runningUserAggregates(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -278,6 +295,30 @@ object Relational {
     Tables(spark, dir, "events").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Map function family: parse the JSON props into a map and explode to
+    * (key, value) rows — `from_json` + `explode` on MapType.
+    */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        explode(from_json(col("props"), MapType(StringType, LongType))))
+      .select(col("event_id"), col("key"), col("value").as("v"))
+
+  /** Timestamp/format family: string round-trips, epoch seconds, field
+    * extraction, interval arithmetic — all reproducible in the oracle
+    * (ISO day-of-week used because the engines disagree on week origin).
+    */
+  def timestampFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+      col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"),
+      dayofmonth(col("o_orderdate")).as("day_of_month"),
+      (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"),
+      to_timestamp_ntz(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("yyyy-MM-dd"))
+        .as("parsed_back"))
 
   /** Range (equi + interval band) join: lineitems shipped within 60 days
     * of their order date. The equi key keeps it a hash/merge join with a
