@@ -42,19 +42,15 @@ object Dedup {
     * min over its set).
     */
   private def shingles(docs: DataFrame, width: Int = 15, distinct: Boolean = true): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1))),
-        i => substring_index_free(col("text"), i, width))).as("sh"))
+    // explode the position range first, then slice — Substring with a
+    // Column start stays in whole-stage codegen, where a transform() HOF
+    // over the same range would run interpreted (CodegenFallback)
+    val sh = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(width)).as("sh"))
     if (distinct) sh.distinct() else sh
   }
-
-  /** `substring(text, i, width)` with a Column start position (the
-    * 3-arg `substring` function wants a literal start).
-    */
-  private def substring_index_free(text: Column, i: Column, width: Int): Column =
-    text.substr(i, lit(width))
 
   /** Exact n-gram Jaccard similarity over all pairs of a bounded slice
     * (doc_id < 200 at every scale factor — this is the oracle-checkable

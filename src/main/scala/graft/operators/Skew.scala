@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is pathological
+  * (one user with 10⁹ events joining a dimension row lands every copy on
+  * one reducer).
+  *
+  * AQE's skew-join handling (enabled in GraftSession) fixes this at
+  * runtime for sort-merge joins; [[saltedJoin]] is the explicit,
+  * planner-independent variant: the big side gets a uniform salt in
+  * [0, n), the small side is replicated n times, and the join key becomes
+  * (key, salt) — the hot key's rows spread over n reducers at the cost of
+  * an n× blowup of the SMALL side only.
+  */
+object Skew {
+
+  /** Inner equi-join with an n-way salt on the hot (left/big) side. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      n: Int = 16): DataFrame = {
+    // uniform, cheap salt; independent of the key so the hot key spreads
+    val salted = big.withColumn("_graft_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(n.toLong)).cast("int"))
+    val replicated = small.withColumn("_graft_salt",
+      explode(array((0 until n).map(i => lit(i)): _*)))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          salted("_graft_salt") === replicated("_graft_salt"))
+      .drop("_graft_salt")
+  }
+
+  /** Two-phase distinct count for a skewed group key: pre-aggregate on
+    * (key, value-hash-salt) partials, then combine — bounds any single
+    * reducer's state even when one key dominates.
+    */
+  def skewSafeDistinctCount(df: DataFrame, key: Column, value: Column, n: Int = 64): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("_salt", pmod(xxhash64(col("v")), lit(n.toLong)).cast("int"))
+      .groupBy(col("k"), col("_salt"))
+      .agg(countDistinct(col("v")).as("partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("n_distinct"))
+}
