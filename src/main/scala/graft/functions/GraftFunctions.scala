@@ -26,9 +26,18 @@ object GraftFunctions {
       .otherwise(lower(regexp_replace(t, "[^0-9a-zA-Z]+", "")))
   }
 
+  /** The same normalization as a classic Scala UDF — the general escape
+    * hatch when logic can't be a Column expression. Exists to complete the
+    * UDF surface (and as a benchmark foil: the Expression version stays in
+    * codegen, this one pays serialization per row — prefer the Expression).
+    */
+  val standardizeRaceIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) null else StandardizeRaceId.normalize(s))
+
   /** Register all custom functions for SQL use (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "standardize_race_id", exprs => StandardizeRaceId(exprs.head), "scala_udf")
+    spark.udf.register("standardize_race_id_udf", standardizeRaceIdUdf)
   }
 }

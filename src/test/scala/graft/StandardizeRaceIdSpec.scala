@@ -71,4 +71,17 @@ class StandardizeRaceIdSpec extends AnyFunSuite {
     val r = spark.sql("SELECT standardize_race_id('Cup 25') AS x").collect().head.getString(0)
     assert(r == "cup25")
   }
+
+  test("classic UDF path agrees with the native Expression") {
+    val spark = TestSpark.spark
+    GraftSession.register(spark)
+    import org.apache.spark.sql.functions._
+    val mismatches = graft.sources.Tables(spark, TestSpark.sf0001, "part")
+      .select(concat(col("p_name"), lit(" "), col("p_partkey")).as("s"))
+      .select(
+        GraftFunctions.standardize_race_id(col("s")).as("a"),
+        GraftFunctions.standardizeRaceIdUdf(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
 }
