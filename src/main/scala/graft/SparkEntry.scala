@@ -67,6 +67,7 @@ object SparkEntry {
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
     // --- text analysis ---------------------------------------------------
     "q_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "q_token_stats" -> (TextAnalysis.tokenStats(_, _)),

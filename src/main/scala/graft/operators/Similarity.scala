@@ -99,4 +99,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nLists` Voronoi
+    * cells via a small k-means (trained on a bounded deterministic sample,
+    * centroids live on the driver — they are k×dim floats, tiny), then
+    * search only the `nProbe` cells whose centroids are nearest each
+    * query; exact cosine re-rank inside.
+    *
+    * The 100 TB shape: one pass to assign cells (broadcast centroids,
+    * map-side argmin — no shuffle), candidate generation is an equi-join
+    * on cell id, and recall/cost trades via nProbe. Complements
+    * [[annCosine]]: IVF adapts to the data distribution (clustered
+    * embeddings → tight cells), LSH is oblivious but needs no training.
+    */
+  def ivfCosine(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      sampleSize: Int = 256, iterations: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+
+    // --- train: deterministic sample (lowest vec_ids), tiny driver k-means
+    val sample = emb.orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = sample.take(nLists)
+    for (_ <- 0 until iterations) {
+      val assigned = sample.map { v => (nearestCentroid(v, centroids), v) }
+      centroids = centroids.indices.map { c =>
+        val members = assigned.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) centroids(c)
+        else {
+          val dim = members.head.length
+          val mean = new Array[Double](dim)
+          members.foreach(m => (0 until dim).foreach(i => mean(i) += m(i)))
+          (0 until dim).foreach(i => mean(i) /= members.length)
+          mean
+        }
+      }.toArray
+    }
+
+    // --- assign: broadcast centroids, map-side argmax — no shuffle.
+    // (array_position over the sims array keeps the expression linear; a
+    // nested when()-reduce would duplicate subtrees exponentially.)
+    def simsTo(v: Column): Column = array(centroids.map(c =>
+      dot(v, lit(c).cast("array<double>")) / math.sqrt(c.map(x => x * x).sum)): _*)
+    def cellOf(v: Column): Column = {
+      val sims = simsTo(v)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    val binned = emb.withColumn("cell", cellOf(col("embedding")))
+
+    // --- probe: nProbe nearest cells per query, equi-join on cell id
+    val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((dot(col("embedding"), lit(c).cast("array<double>")) * -1
+        / math.sqrt(c.map(x => x * x).sum)).as("negsim"), lit(i).as("cell"))
+    }: _*)
+    val queries = binned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        posexplode(slice(sort_array(probeStructs), 1, nProbe)))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("col.cell").as("cell"))
+    val candidates = binned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("norm"),
+        col("q_emb"), col("q_norm")).distinct()
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    cs.indices.foreach { i =>
+      val c = cs(i)
+      var d = 0.0
+      (0 until v.length).foreach(j => d += v(j) * c(j))
+      val sim = d / (nv * math.sqrt(c.map(x => x * x).sum))
+      if (sim > bestSim) { bestSim = sim; best = i }
+    }
+    best
+  }
 }

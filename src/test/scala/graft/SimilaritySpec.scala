@@ -19,6 +19,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("ann ivf: recall@5 ≥ 0.4 vs brute force") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("ann lsh: recall@5 ≥ 0.4 vs brute force") {
     val brute = Similarity.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
