@@ -38,6 +38,9 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupOrders(_, _)),
     "q_cube" -> (Relational.cubeLineitem(_, _)),
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
+    "q_pivot" -> (Relational.pivotRevenue(_, _)),
+    "q_percentiles" -> (Relational.percentiles(_, _)),
+    "q_topk_aggregator" -> ((s, d) => graft.functions.TopKAggregator.topOrdersPerCustomer(s, d)),
     "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
     "q_window_running" -> (Relational.runningUserAggregates(_, _)),
     "q_window_rank" -> (Relational.rankingFunctions(_, _)),
@@ -150,6 +153,25 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p3,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS p4,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

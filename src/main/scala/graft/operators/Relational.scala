@@ -141,6 +141,30 @@ object Relational {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Pivot: order revenue by status × priority, priorities as columns.
+    * Explicit value list so the plan is a single pass (no extra distinct
+    * job to discover pivot values).
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      .toDF("o_orderstatus" +: priorities.map(p => "p" + p.charAt(0)): _*)
+  }
+
+  /** Exact interpolated percentiles per group (both engines implement the
+    * same continuous-quantile definition).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25"),
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"))
+
   /** GROUPING SETS via the SQL surface. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")

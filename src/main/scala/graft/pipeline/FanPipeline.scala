@@ -40,6 +40,13 @@ object FanPipeline {
   /** NDJSON scan with permissive-drop semantics: unparseable lines and
     * non-object JSON vanish, matching `ParseJson`
     * (`/root/reference/src/pipeline.py:136-144`).
+    *
+    * Known divergence (documented, not observed in any reference input):
+    * DROPMALFORMED also drops a well-formed object whose field value
+    * contradicts the schema type (e.g. a string in
+    * `EngagementMetric_secondswatched`); the schemaless reference would
+    * carry such a value through untouched. All 300 reference rows are
+    * type-clean, so golden parity is unaffected.
     */
   def readEvents(spark: SparkSession, glob: String): DataFrame =
     spark.read.schema(inputSchema).option("mode", "DROPMALFORMED").json(glob)
