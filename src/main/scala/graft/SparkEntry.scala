@@ -86,6 +86,9 @@ object SparkEntry {
     "q_stream_watermarked" -> (Streaming.watermarkedCounts(_, _)),
     "q_stream_session" -> (Streaming.sessionCounts(_, _)),
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
+    "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
+    "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- reference-pipeline parity (golden test drives exact compare) ----
     "q_pipeline_parity" -> ((s, _) =>
       FanPipeline.transform(
@@ -379,5 +382,26 @@ object SparkEntry {
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id AS user_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
+    "q_word_ngrams" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |pos AS (SELECT t, unnest(range(1, LEN(t) - 1)) AS i FROM docs WHERE LEN(t) >= 3),
+         |grams AS (SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] || ' ' || t[CAST(i AS INTEGER) + 2] AS ngram FROM pos)
+         |SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram
+         |ORDER BY cnt DESC, ngram ASC LIMIT 15""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.token,
+         |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+         |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+         |WHERE tf.doc_id < 50""".stripMargin)
 }

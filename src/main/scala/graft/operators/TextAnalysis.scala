@@ -88,6 +88,42 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** Corpus-wide word trigram counts, top 15 (count desc, ngram asc).
+    * Positions exploded with `sequence` + `element_at` — codegen'd, no
+    * array-HOF fallback. Docs under 3 tokens contribute nothing.
+    */
+  def wordNgrams(spark: SparkSession, dir: String, n: Int = 3, k: Int = 15): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+    docs
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(concat_ws(" ",
+        (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** TF-IDF per (document, term) over a bounded doc slice (oracle-sized;
+    * the computation itself is corpus-wide and shuffle-bounded: one
+    * (doc,term) aggregation, one |vocab| aggregation, one broadcast of the
+    * single corpus-size row). Scores rounded to 4 dp so the ln() libm
+    * rounding difference between engines cannot surface.
+    */
+  def tfidf(spark: SparkSession, dir: String, docCap: Int = 50): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < docCap)
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set — an
     * order/whitespace-insensitive document identity, the cheap "same bag
     * of words" dedup key.

@@ -104,6 +104,30 @@ object Streaming {
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
   }
 
+  /** Stream-stream inner join: purchases matched to same-user signups
+    * within the preceding hour. Watermarks + the time-bound condition let
+    * the engine expire join state (without them a stream-stream join
+    * buffers forever); on a bounded replay the inner join emits every
+    * match, so the result equals the batch join — the oracle checks that.
+    */
+  def purchasesWithRecentSignup(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String): DataFrame =
+      eventsStream(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 minutes")
+    val purchases = side("purchase", "p")
+    val signups = side("signup", "s")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"))
+    runToTable(joined, OutputMode.Append())
+      .select(col("p_id").as("purchase_id"), col("s_id").as("signup_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: a per-user running
     * engagement accumulator (event count + exact cent-denominated value
     * total). With AvailableNow the final state snapshot equals the batch
