@@ -48,6 +48,7 @@ object SparkEntry {
     "q_except" -> (Relational.exceptCustomers(_, _)),
     "q_intersect" -> (Relational.intersectCustomers(_, _)),
     "q_union_agg" -> (Relational.unionKeys(_, _)),
+    "q_collect_set" -> (Relational.eventTypesPerUser(_, _)),
     "q_string_fns" -> (Relational.stringFunctions(_, _)),
     "q_raceid_norm" -> (Relational.raceIdNormalization(_, _)),
     "q_events_per_hour" -> (Relational.eventsPerHour(_, _)),
@@ -207,6 +208,10 @@ object SparkEntry {
       """SELECT k, COUNT(*) AS n FROM (
         |  SELECT c_custkey AS k FROM customer UNION ALL SELECT o_custkey AS k FROM orders)
         |GROUP BY k""".stripMargin,
+    "q_collect_set" ->
+      """SELECT user_id, CAST(LEN(list_distinct(list(event_type))) AS INTEGER) AS n_types,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_string_fns" ->
       """SELECT p_partkey, UPPER(p_name) AS upper_name, SUBSTRING(p_name, 1, 4) AS prefix4,
         |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,

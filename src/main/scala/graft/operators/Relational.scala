@@ -239,6 +239,19 @@ object Relational {
     Tables(spark, dir, "customer").select(col("c_custkey"))
       .intersect(Tables(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
 
+  /** collect_set / array aggregation, made deterministic by sorting and
+    * flattening to CSV (collect order is partitioning-dependent; the
+    * sorted-set projection is not).
+    */
+  def eventTypesPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(
+        col("user_id"),
+        size(col("types")).cast("int").as("n_types"),
+        concat_ws(",", array_sort(col("types"))).as("types_csv"))
+
   /** UNION ALL + distinct count — completes the set-op family. */
   def unionKeys(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer").select(col("c_custkey").as("k"))

@@ -36,19 +36,32 @@ object Streaming {
       .parquet(dir)
       .withColumn("ts", expr(Tables.tsFromNanosExpr))
 
+  /** State-store partition count for the bounded replays. A streaming
+    * query pays per-partition state-store setup every micro-batch; 8 is
+    * plenty for a replay of one parquet file. Production streams keep the
+    * session's shuffle-partition setting — this constant is the replay
+    * harness's knob, not the engine's.
+    */
+  private val ReplayStatePartitions = "8"
+
   /** Run a bounded streaming query to completion into a memory sink and
     * return the final table.
     */
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    spark.conf.set("spark.sql.shuffle.partitions", ReplayStatePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Tumbling 5-minute windows: count + exact (decimal) value sum per
