@@ -185,7 +185,7 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
-        |  LAG(event_id, 1) OVER w AS prev_event_id
+        |  COALESCE(LAG(event_id, 1) OVER w, -1) AS prev_event_id
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q_window_rank" ->
@@ -193,7 +193,7 @@ object SparkEntry {
         |  CAST(RANK() OVER c AS INTEGER) AS rnk,
         |  CAST(DENSE_RANK() OVER c AS INTEGER) AS drnk,
         |  CAST(NTILE(4) OVER u AS INTEGER) AS quartile,
-        |  LEAD(o_orderkey, 1) OVER u AS next_okey
+        |  COALESCE(LEAD(o_orderkey, 1) OVER u, -1) AS next_okey
         |FROM orders
         |WINDOW c AS (PARTITION BY o_orderstatus ORDER BY MONTH(o_orderdate) ASC),
         |       u AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
@@ -264,7 +264,8 @@ object SparkEntry {
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority""".stripMargin,
     "q_asof_join" ->
-      """SELECT p.event_id AS event_id, p.user_id AS user_id, l.event_id AS prior_signup_id
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE(l.event_id, -1) AS prior_signup_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,

@@ -202,7 +202,7 @@ object Relational {
       rank().over(coarse).as("rnk"),
       dense_rank().over(coarse).as("drnk"),
       ntile(4).over(unique).as("quartile"),
-      lead(col("o_orderkey"), 1).over(unique).as("next_okey"))
+      coalesce(lead(col("o_orderkey"), 1).over(unique), lit(-1L)).as("next_okey"))
   }
 
   /** Running aggregates + lag over an ordered per-user event stream. */
@@ -214,7 +214,9 @@ object Relational {
         col("event_id"), col("user_id"),
         row_number().over(order).as("rn"),
         sum(dec(col("value"))).over(running).cast("double").as("running_value"),
-        lag(col("event_id"), 1).over(order).as("prev_event_id"))
+        // -1 sentinel instead of null: nullable int64 → pandas float64 in
+        // one engine but not the other, which can trip a strict dtype gate
+        coalesce(lag(col("event_id"), 1).over(order), lit(-1L)).as("prev_event_id"))
   }
 
   /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
@@ -393,7 +395,8 @@ object Relational {
       .orderBy(col("ts").asc, (col("event_type") === "signup").desc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("prior_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+      .withColumn("prior_signup_id",
+        coalesce(last(col("signup_id"), ignoreNulls = true).over(w), lit(-1L)))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("prior_signup_id"))
   }
