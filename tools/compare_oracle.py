@@ -74,6 +74,18 @@ def main():
         else:
             results[name] = f"MATCH ({len(gr)} rows)"
 
+    # Cross-check against the declared manifest: a query that threw in
+    # Verify (missing or partial dump) must FAIL, not silently vanish
+    # (ADVICE r01). Applied last so it overrides any partial-dump PASS.
+    manifest_p = Path(out_dir, "queries.json")
+    declared = set(json.loads(manifest_p.read_text())) if manifest_p.exists() else set()
+    failures_p = Path(out_dir, "_failures.json")
+    failures = json.loads(failures_p.read_text()) if failures_p.exists() else {}
+    for name in sorted(declared - set(results)):
+        results[name] = f"MISSING DUMP: {failures.get(name, 'query not dumped by Verify')}"
+    for name, msg in failures.items():
+        results[name] = f"VERIFY FAILURE: {msg}"
+
     width = max(len(k) for k in results)
     n_bad = 0
     for k in sorted(results):
