@@ -263,11 +263,16 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    // Signups deduped to max(event_id) per (user_id, ts): DuckDB's ASOF
+    // leaves equal-ts ties unspecified, while the Spark window picks the
+    // highest event_id — pin the oracle to the same tie-break (ADVICE r01).
     "q_asof_join" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
         |  COALESCE(l.event_id, -1) AS prior_signup_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+        |                FROM events WHERE event_type = 'signup'
+        |                GROUP BY user_id, ts) l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
     "q_udaf_spread" ->
       """SELECT o_orderstatus, MAX(o_totalprice) - MIN(o_totalprice) AS price_spread,

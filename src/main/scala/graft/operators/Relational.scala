@@ -382,6 +382,11 @@ object Relational {
     * carries the most recent signup to each purchase row — no join
     * explosion, no per-row subquery, cost O(n log n) in each user's
     * events regardless of total data size.
+    *
+    * Tie-break: among signups sharing a user's exact ts, the highest
+    * event_id wins (`last` over the event_id-asc window) — the oracle's
+    * ASOF join dedupes its signup side to MAX(event_id) per (user_id, ts)
+    * to pin the same choice.
     */
   def purchaseAfterSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")

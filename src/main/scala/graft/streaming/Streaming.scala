@@ -44,23 +44,32 @@ object Streaming {
     */
   private val ReplayStatePartitions = "8"
 
+  /** Child session for one replay: shares the SparkContext (and thus
+    * executors/cache) but carries its own conf, so right-sizing the
+    * state-store partition count can't race with concurrent queries on
+    * the shared session (ADVICE r01). The streaming query must be BUILT
+    * from this session — state-store partitioning is fixed from the
+    * owning session's conf at query start.
+    */
+  private def replaySession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", ReplayStatePartitions)
+    s
+  }
+
   /** Run a bounded streaming query to completion into a memory sink and
     * return the final table.
     */
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    spark.conf.set("spark.sql.shuffle.partitions", ReplayStatePartitions)
-    try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(name)
   }
 
@@ -69,7 +78,7 @@ object Streaming {
     * end-of-replay — numerically identical to the batch computation.
     */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(replaySession(spark), dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
@@ -82,7 +91,7 @@ object Streaming {
     * in 2 windows.
     */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(replaySession(spark), dir)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
     runToTable(agg, OutputMode.Complete())
@@ -97,7 +106,7 @@ object Streaming {
     * one.
     */
   def watermarkedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(replaySession(spark), dir)
       // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
       // reinterpretation is identity
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -110,7 +119,7 @@ object Streaming {
 
   /** Session windows: per-user sessions closed by a 10-minute gap. */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(replaySession(spark), dir)
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
     runToTable(agg, OutputMode.Complete())
@@ -124,8 +133,9 @@ object Streaming {
     * match, so the result equals the batch join — the oracle checks that.
     */
   def purchasesWithRecentSignup(spark: SparkSession, dir: String): DataFrame = {
+    val replay = replaySession(spark) // one session: both join sides must share it
     def side(tpe: String, prefix: String): DataFrame =
-      eventsStream(spark, dir)
+      eventsStream(replay, dir)
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
           col("ts").cast("timestamp").as(s"${prefix}_ts"))
@@ -148,7 +158,7 @@ object Streaming {
     */
   def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val src = eventsStream(spark, dir)
+    val src = eventsStream(replaySession(spark), dir)
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long)]
     val updated = src
@@ -161,9 +171,15 @@ object Streaming {
           state.update((n, c))
           (userId, n, c)
       }
+    // Update-mode sink holds one state snapshot per (user, micro-batch);
+    // the final state is the row with the highest n_events (monotonic per
+    // user), so pair total_cents to it with max_by rather than taking an
+    // independent max — independent maxes would pick a stale total if a
+    // multi-batch replay ever saw negative values (ADVICE r01).
     runToTable(updated.toDF("user_id", "n_events", "total_cents"), OutputMode.Update())
       .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"), max(col("total_cents")).as("total_cents"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("total_cents"), col("n_events")).as("total_cents"))
       .withColumn("total_value", (col("total_cents").cast("double") / 100))
       .drop("total_cents")
   }
