@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
 import graft.pipeline.FanPipeline
-import graft.sources.CountryLut
+import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -81,6 +81,16 @@ object SparkEntry {
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
+    "q_image_resize" -> (Multimodal.resizeStub(_, _)),
+    "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
+    // --- skew toolkit ----------------------------------------------------
+    "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
+    "q_skew_distinct" -> (Skew.distinctUsersPerType(_, _)),
+    // --- source/sink format roundtrips -----------------------------------
+    "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
+    "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
+    "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
+    "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
     "q_stream_sliding" -> (Streaming.slidingCounts(_, _)),
@@ -360,6 +370,61 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "q_binary_meta" ->
       "SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, sha256(text) AS sha256 FROM documents",
+    "q_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS in_h
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, len, in_h, CAST(unnest(range(0, in_h, 2)) AS INTEGER) AS rr FROM d),
+        |cells AS (
+        |  SELECT doc_id, text, len, in_h, rr * 16 + cc.cc AS pos
+        |  FROM r CROSS JOIN (SELECT CAST(unnest(range(0, 16, 2)) AS INTEGER) AS cc) cc),
+        |s AS (
+        |  SELECT doc_id, MIN(in_h) AS in_h, COUNT(*) AS n_sampled,
+        |    SUM(ascii(substr(text, pos + 1, 1))) AS pixel_sum
+        |  FROM cells WHERE pos < len GROUP BY doc_id)
+        |SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST((in_h + 1) // 2 AS INTEGER) AS out_h,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled, CAST(pixel_sum AS BIGINT) AS pixel_sum
+        |FROM s""".stripMargin,
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx FROM d)
+        |SELECT doc_id, frame_idx,
+        |  CAST(strlen(substr(text, frame_idx * 64 + 1, 64)) AS INTEGER) AS frame_len,
+        |  md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM f""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_skew_distinct" ->
+      "SELECT event_type AS k, COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_byte_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, CAST(unnest(range(1, strlen(text) + 1)) AS INTEGER) AS i
+        |  FROM documents),
+        |b AS (SELECT doc_id, ascii(substr(text, i, 1)) AS b FROM pos),
+        |c AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+        |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - clogc / n, 6) AS entropy_nats FROM e""".stripMargin,
     "q_byte_histogram" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM documents),

@@ -100,16 +100,24 @@ object Dedup {
     * aggregation means the shuffle is K longs per document, not per
     * shingle.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** Flat signature table: doc_id + K scalar columns m0..m63, one per
+    * permutation minimum. Kept flat (not an array) on purpose: 64 long
+    * columns cache columnarly for ~nothing, while caching an
+    * ArrayType(long) column costs seconds of nested-encoding work at
+    * sf0.1 — measured 3.9 s vs ~0.1 s — and flat columns keep every
+    * downstream comparison inside whole-stage codegen.
+    */
+  private def minhashFlat(docs: DataFrame): DataFrame = {
     val hashed = shingles(docs, distinct = false)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
     val minCols = (0 until MinhashK).map(i =>
       min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(MinhashPrime))).as(s"m$i"))
-    hashed.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+    hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
+
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashFlat(docs).select(col("doc_id"),
+      array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
 
   /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard
     * ≥ threshold. Banding: signature split into 16 bands of 4; docs
@@ -120,20 +128,29 @@ object Dedup {
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val sigs = minhashSignatures(docs).cache()
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
+    val flat = minhashFlat(docs).cache()
+    // Candidate generation over NARROW rows — only (doc_id, band, bucket)
+    // travels through the band shuffle; signatures rejoin afterwards, so
+    // the 16× banding blow-up never duplicates the 64-column payload.
+    val banded = flat.select(
+      col("doc_id"),
       posexplode(array((0 until LshBands).map(b =>
-        hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
+        hash((b * LshRows until (b + 1) * LshRows).map(i => col(s"m$i")): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / MinhashK)
+    val cand = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    // Position-match count as a flat codegen'd sum — the zip_with/
+    // aggregate HOF formulation runs interpreted (CodegenFallback).
+    val matches = (0 until MinhashK)
+      .map(i => (col(s"A.m$i") === col(s"B.m$i")).cast("int"))
+      .reduce(_ + _)
+    cand
+      .join(flat.as("A"), col("a") === col("A.doc_id"))
+      .join(flat.as("B"), col("b") === col("B.doc_id"))
+      .withColumn("est_jaccard", matches.cast("double") / MinhashK)
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
   }

@@ -70,4 +70,65 @@ object Multimodal {
       .withColumn("count",
         round(col("col").cast("double") * greatest(col("n_bytes"), lit(1))).cast("long"))
       .drop("col")
+
+  /** Image-resize pipeline over opaque payloads.
+    *
+    * STUB DECODE: a real implementation decodes e.g. JPEG bytes to a
+    * pixel matrix and resamples; this fake treats the payload as a
+    * `FakeW`-wide grayscale image (one byte per pixel, last row ragged)
+    * and "resizes" by nearest-neighbor 2× decimation — keeping every
+    * even (row, col). The Spark-side contract is real: executor-local
+    * per-row transform, typed fixed-shape output (out dims + a pixel
+    * checksum standing in for the resized buffer), no driver round-trip.
+    */
+  def resizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FakeW = 16
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    src.map { case (docId, payload) =>
+      val inH = (payload.length + FakeW - 1) / FakeW
+      val outW = FakeW / 2
+      val outH = (inH + 1) / 2
+      var sum = 0L; var n = 0L
+      var r = 0
+      while (r < inH) {
+        var c = 0
+        while (c < FakeW) {
+          val pos = r * FakeW + c
+          if (pos < payload.length) { sum += payload(pos) & 0xFF; n += 1 }
+          c += 2
+        }
+        r += 2
+      }
+      (docId, outW, outH, n, sum)
+    }.toDF("doc_id", "out_w", "out_h", "n_sampled", "pixel_sum")
+  }
+
+  /** Video frame-sampling pipeline over opaque payloads.
+    *
+    * STUB DECODE: a real implementation demuxes container bytes and
+    * decodes every k-th frame; this fake treats the payload as fixed
+    * 64-byte "frames" and samples every 4th, emitting the frame's length
+    * and MD5 (standing in for decoded frame features). Pure column
+    * functions — sequence/explode/substr/md5 — so the whole sample +
+    * "decode" runs inside whole-stage codegen with no UDF.
+    */
+  def frameSampleStub(spark: SparkSession, dir: String): DataFrame = {
+    val FrameBytes = 64
+    val Stride = 4
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(Stride))))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        length(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes)))
+          .as("frame_len"),
+        md5(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes)))
+          .as("frame_md5"))
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew mitigation for joins whose key distribution is pathological
   * (one user with 10⁹ events joining a dimension row lands every copy on
@@ -43,4 +45,21 @@ object Skew {
       .agg(countDistinct(col("v")).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("n_distinct"))
+
+  /** Declared-surface query: revenue per market segment through the
+    * salted orders⋈customer join. The salt must not change the result —
+    * the oracle is the plain join — only the reducer distribution.
+    */
+  def saltedRevenueBySegment(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+        "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+
+  /** Declared-surface query: distinct users per event type via the
+    * two-phase salted distinct.
+    */
+  def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    skewSafeDistinctCount(Tables(spark, dir, "events"), col("event_type"), col("user_id"))
 }

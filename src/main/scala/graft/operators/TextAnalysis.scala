@@ -133,4 +133,26 @@ object TextAnalysis {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary"))
         .as("fingerprint"))
+
+  /** Per-document Shannon entropy in nats (natural log) over byte
+    * values: the classic cheap gibberish/compression-quality signal. Two
+    * map-side-combined aggregations — (doc, byte) counts then the per-doc
+    * entropy sum; position explosion stays codegen'd (sequence + substr,
+    * no array HOF). Rounded to 6 dp so libm ln() rounding can't differ
+    * between engines.
+    */
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)))).as("i"))
+      .select(col("doc_id"), ascii(col("text").substr(col("i"), lit(1))).as("b"))
+    bytes
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      // H = ln n − (Σ c·ln c)/n  — algebraically −Σ (c/n)·ln(c/n)
+      .select(col("doc_id"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n"), 6).as("entropy_nats"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format matrix beyond parquet: ORC, CSV, and JSON-lines
+  * write→read roundtrips. Each query writes a projected table slice to a
+  * fresh temp directory in the engine's native writer, reads it back
+  * through the matching reader with an explicit schema, and aggregates —
+  * the DuckDB oracle computes the same aggregate over the ORIGINAL
+  * parquet, so the roundtrip proves bit-exact fidelity of the format
+  * path (doubles survive via shortest-repr text in CSV/JSON; ORC is
+  * binary-exact).
+  *
+  * Scale posture: writer and reader are both plain distributed jobs (one
+  * output split per partition — no coalesce, no driver collect), so the
+  * same code is the 100 TB export/import path.
+  */
+object Roundtrip {
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft_rt_$tag").toString
+
+  /** lineitem → ORC → read → pricing-style aggregate. */
+  def orcLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("orc")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+  }
+
+  /** orders → CSV (header, explicit read schema) → aggregate by status. */
+  def csvOrders(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("csv")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
+  /** events → JSON lines → aggregate per event_type. */
+  def jsonEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("json")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Skew, TextAnalysis}
+import graft.sources.{Roundtrip, Tables}
+
+/** Semantics of the round-2 breadth operators: multimodal resize /
+  * frame-sample stubs, byte entropy, skew toolkit, format roundtrips.
+  * (The DuckDB hash gate checks full-result equality; these pin the
+  * algebraic invariants that hold at any scale.)
+  */
+class BreadthOpsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sf0001
+
+  test("resize stub: output dims follow ceil-halving of the fake geometry") {
+    val rows = Multimodal.resizeStub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 8) // out_w = FakeW/2
+      assert(r.getInt(2) >= 1)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 8L * r.getInt(2))
+    }
+  }
+
+  test("frame sample: strided frame set matches direct substring digests") {
+    val doc = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1).collect().head
+    val text = doc.getString(1)
+    val expected = (0 until (text.length + 63) / 64 by 4).map { i =>
+      val frame = text.substring(i * 64, math.min((i + 1) * 64, text.length))
+      (i, frame.length)
+    }
+    val got = Multimodal.frameSampleStub(spark, dir)
+      .filter(col("doc_id") === doc.getLong(0))
+      .orderBy(col("frame_idx"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == expected)
+  }
+
+  test("byte entropy: within [0, ln 256] and 0 for single-byte docs") {
+    val rows = TextAnalysis.byteEntropy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(1)
+      assert(h >= 0.0 && h <= math.log(256.0) + 1e-9, s"doc ${r.getLong(0)} entropy $h")
+    }
+  }
+
+  test("salted join result equals the unsalted join") {
+    val plain = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedRevenueBySegment(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("skew-safe distinct equals plain countDistinct") {
+    val plain = Tables(spark, dir, "events")
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val safe = Skew.distinctUsersPerType(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(safe == plain)
+  }
+
+  test("orc/csv/json roundtrips preserve the source aggregate") {
+    val orc = Roundtrip.orcLineitem(spark, dir).collect()
+    assert(orc.nonEmpty)
+    val direct = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(orc.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet == direct)
+    assert(Roundtrip.csvOrders(spark, dir).count() > 0)
+    assert(Roundtrip.jsonEvents(spark, dir).count() > 0)
+  }
+}
