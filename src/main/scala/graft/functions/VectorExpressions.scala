@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric array columns.
+  *
+  * The `functions.aggregate`/`zip_with` formulation of a dot product is a
+  * higher-order function — `CodegenFallback`, so every row pays
+  * interpreted expression-tree walks per element. This expression is the
+  * preference-order-(b) replacement (custom Catalyst expression, not a
+  * UDF): a fused primitive loop over the two `ArrayData`, with
+  * `doGenCode` emitting the same loop inline inside whole-stage codegen —
+  * no boxing, no per-element virtual dispatch, no fallback.
+  *
+  * Accumulation is always `double` regardless of element type (matches
+  * the HOF version it replaces and the DuckDB oracle's arithmetic).
+  * Unequal lengths dot the common prefix; null elements contribute 0 —
+  * embedding columns are dense fixed-width, so neither occurs in practice.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric array columns, got ${left.dataType} and ${right.dataType}")
+  }
+
+  private def elemType(e: Expression): NumericType =
+    e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  private def getter(dt: NumericType): (ArrayData, Int) => Double = dt match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case ShortType => (a, i) => a.getShort(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
+    case other => (a, i) => a.get(i, other).asInstanceOf[Number].doubleValue()
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val ga = getter(elemType(left))
+    val gb = getter(elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += ga(a, i) * gb(b, i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Java accessor for one element as double, e.g. `(double) a.getFloat(i)`. */
+  private def genGet(dt: NumericType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+    case _ => s"((Number) $arr.get($i, null)).doubleValue()" // unreachable for checked types
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (${genGet(elemType(left), a, i)}) * (${genGet(elemType(right), b, i)});
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the vector expressions. */
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Squared L2 norm as a self-dot — one fused loop. */
+  def sqNorm(a: Column): Column = dot(a, a)
+}

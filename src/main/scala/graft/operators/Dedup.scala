@@ -202,16 +202,13 @@ object Dedup {
     * for unbounded scale is [[Similarity.annCosine]].
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, sqNorm}
     val emb = Tables(spark, dir, "embeddings").filter(col("vec_id") < 300)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("dot", aggregate(
-        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", dot(col("ea"), col("eb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

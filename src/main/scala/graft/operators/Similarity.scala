@@ -20,12 +20,12 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  // Native codegen'd loops (see functions.DotProduct) — the HOF
+  // aggregate/zip_with formulation is CodegenFallback and ran ~10×
+  // slower on the brute-force scoring path.
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  private def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  private def sqNorm(a: Column): Column = graft.functions.VectorFunctions.sqNorm(a)
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries),
     * self-match excluded. Output (q_id, neighbor_id, rank) — ranks are
