@@ -57,19 +57,41 @@ object Streaming {
     s
   }
 
+  /** Replay checkpoints are throwaway: put them on tmpfs when available
+    * so per-batch state-store snapshots don't pay ext4 fsync latency.
+    * Production streams MUST keep checkpoints on durable shared storage —
+    * this shortcut is only valid because a bounded replay is rerunnable
+    * from scratch.
+    */
+  private def checkpointRoot: java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) new java.io.File(shm, "graft_ckpt")
+               else new java.io.File(sys.props("java.io.tmpdir"), "graft_ckpt")
+    root.mkdirs()
+    root
+  }
+
   /** Run a bounded streaming query to completion into a memory sink and
     * return the final table.
     */
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(checkpointRoot, name)
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // bounded replay done — the checkpoint has no further value
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(ckpt)
     spark.table(name)
   }
 
