@@ -59,6 +59,7 @@ object SparkEntry {
     "q_map_fns" -> (Relational.mapFunctions(_, _)),
     "q_timestamp_fns" -> (Relational.timestampFunctions(_, _)),
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
+    "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
     // --- dedup -----------------------------------------------------------
@@ -273,6 +274,19 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_sql_text" ->
+      s"""SELECT o_orderkey,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
     // Signups deduped to max(event_id) per (user_id, ts): DuckDB's ASOF
     // leaves equal-ts ties unspecified, while the Spark window picks the
     // highest event_id — pin the oracle to the same tie-break (ADVICE r01).

@@ -388,6 +388,32 @@ object Relational {
     * ASOF join dedupes its signup side to MAX(event_id) per (user_id, ts)
     * to pin the same choice.
     */
+  /** The full SQL surface end-to-end: temp views + `spark.sql` text (the
+    * other queries declare plans through the DataFrame API; this one goes
+    * through the SQL parser → same Catalyst pipeline). TPC-H Q3's shape —
+    * segment filter, 3-way join, grouped revenue, top-10 — with the
+    * date split adjusted to the synthetic data's 1995–2001 range.
+    */
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_customer
+        |JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
+
   def purchaseAfterSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     val tagged = ev
