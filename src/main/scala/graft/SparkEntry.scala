@@ -79,6 +79,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.languageId(_, _)),
     "q_quality_score" -> (TextAnalysis.qualityScore(_, _)),
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_stream_watermarked" -> (Streaming.watermarkedCounts(_, _)),
     "q_stream_session" -> (Streaming.sessionCounts(_, _)),
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
+    "q_stream_custom_session" -> ((s, d) => Streaming.customSessionCounts(s, d)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -429,6 +431,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(p) AS INTEGER) AS n_pieces,
+        |  CAST(LEN(list_distinct(p)) AS INTEGER) AS n_distinct_pieces
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS p
+        |      FROM documents)""".stripMargin,
     "q_byte_entropy" ->
       """WITH pos AS (
         |  SELECT doc_id, text, CAST(unnest(range(1, strlen(text) + 1)) AS INTEGER) AS i
@@ -459,6 +468,19 @@ object SparkEntry {
         |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws
         |  FROM events) GROUP BY ws""".stripMargin,
     "q_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    // Same gaps-and-islands oracle as q_stream_session — the custom
+    // flatMapGroupsWithState sessionizer must reproduce session_window.
+    "q_stream_custom_session" ->
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

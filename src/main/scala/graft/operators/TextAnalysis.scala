@@ -134,6 +134,20 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary"))
         .as("fingerprint"))
 
+  /** BPE-style pre-tokenization count: pieces are letter runs, digit
+    * runs, or non-alphanumeric-non-space runs (the coarse shape GPT-2's
+    * pre-tokenizer splits on before merges). Complements the whitespace
+    * tokenizer in [[tokenStats]]; counting pieces ≈ the cheap token-cost
+    * estimate a data pipeline budgets corpora with.
+    */
+  def bpePieceStats(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(pieces).as("n_pieces"),
+      size(array_distinct(pieces)).as("n_distinct_pieces"))
+  }
+
   /** Per-document Shannon entropy in nats (natural log) over byte
     * values: the classic cheap gibberish/compression-quality signal. Two
     * map-side-combined aggregations — (doc, byte) counts then the per-doc

@@ -205,4 +205,51 @@ object Streaming {
       .withColumn("total_value", (col("total_cents").cast("double") / 100))
       .drop("total_cents")
   }
+
+  /** Custom sessionization via `flatMapGroupsWithState` — the API for
+    * session logic `session_window` can't express (per-session emit of
+    * arbitrary shape, explicit open-session state). State per user is
+    * the open session tail (start, last, n) in epoch-micros; each batch
+    * merges its (sorted) events into the tail, emits every session
+    * closed by a >gap jump plus a snapshot of the still-open one, and
+    * stores the tail back. Update-mode sink + max(n) per (user, start)
+    * reconstructs the final session set: a session's start never moves,
+    * so its last snapshot carries its final count.
+    *
+    * Equals the batch gaps-and-islands computation at end of replay —
+    * the oracle (same SQL as [[sessionCounts]]) checks that. Timestamps
+    * ride as micros longs end-to-end, so no sub-millisecond truncation
+    * can drift from the oracle's MIN(ts).
+    */
+  def customSessionCounts(spark: SparkSession, dir: String, gapMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val src = eventsStream(replaySession(spark), dir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+    val sessions = src
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          // per-user batch slice is bounded (one user's events in one
+          // micro-batch); sort once — arrival order within a batch is
+          // not time order
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          ts.foreach { t =>
+            if (start < 0) { start = t; last = t; n = 1 }
+            else if (t - last >= gapMicros) { out += ((userId, start, n)); start = t; last = t; n = 1 }
+            else { last = t; n += 1 }
+          }
+          if (start >= 0) { state.update((start, last, n)); out += ((userId, start, n)) }
+          out.result().iterator
+      }
+    runToTable(sessions.toDF("user_id", "start_us", "n"), OutputMode.Update())
+      .groupBy(col("user_id"), col("start_us"))
+      .agg(max(col("n")).as("n"))
+      .select(timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        col("user_id"), col("n"))
+  }
 }
