@@ -82,17 +82,25 @@ object Similarity {
     val planes = hyperplanes(nTables * bitsPerTable, dim)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
-    val banded = emb.select(col("vec_id"), col("embedding"), col("norm"),
+    // Candidate generation over NARROW rows: only (vec_id, table, bucket)
+    // rides the band join and the dedup shuffle — carrying the 64-float
+    // embedding through the L× banding and hashing it in distinct() is
+    // exactly the payload blow-up that breaks at corpus scale. Vectors
+    // rejoin for the exact re-rank afterwards.
+    val banded = emb.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
         lshBucket(col("embedding"), planes, t, bitsPerTable)): _*)))
       .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
-    val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("table_id"), col("bucket"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val candidates = banded.join(broadcast(queries), Seq("table_id", "bucket"))
+    val qBand = banded.filter(col("vec_id") < nQueries)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("q_id"))
+    val cand = banded.join(broadcast(qBand), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("norm"),
-        col("q_emb"), col("q_norm")).distinct()
+      .select(col("q_id"), col("vec_id")).distinct()
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val candidates = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     candidates.withColumn("rank", row_number().over(w))
@@ -155,14 +163,22 @@ object Similarity {
       struct((dot(col("embedding"), lit(c).cast("array<double>")) * -1
         / math.sqrt(c.map(x => x * x).sum)).as("negsim"), lit(i).as("cell"))
     }: _*)
-    val queries = binned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"),
+    // As in annCosine: narrow (q_id, cell) probes and (q_id, vec_id)
+    // candidate pairs through the joins/dedup; embeddings rejoin only for
+    // the exact re-rank.
+    val probes = binned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
         posexplode(slice(sort_array(probeStructs), 1, nProbe)))
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("col.cell").as("cell"))
-    val candidates = binned.join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("col.cell").as("cell"))
+    val cand = binned.select(col("cell"), col("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("norm"),
-        col("q_emb"), col("q_norm")).distinct()
+      .select(col("q_id"), col("vec_id")).distinct()
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val candidates = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     candidates.withColumn("rank", row_number().over(w))
