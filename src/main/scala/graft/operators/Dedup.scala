@@ -106,13 +106,20 @@ object Dedup {
     * ArrayType(long) column costs seconds of nested-encoding work at
     * sf0.1 — measured 3.9 s vs ~0.1 s — and flat columns keep every
     * downstream comparison inside whole-stage codegen.
+    *
+    * The K minima come from ONE [[graft.functions.MinHashSketch]]
+    * aggregate (primitive long[K] buffer, tight JVM loop) rather than K
+    * declarative min() columns — identical values, but no K-buffer
+    * generated aggregate for janino to compile (~3 s one-time cost per
+    * fresh JVM with K=64).
     */
   private def minhashFlat(docs: DataFrame): DataFrame = {
     val hashed = shingles(docs, distinct = false)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
-    val minCols = (0 until MinhashK).map(i =>
-      min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(MinhashPrime))).as(s"m$i"))
-    hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketch.sketch(col("h"), MinhashPrime, coefA, coefB).as("sig"))
+      .select(col("doc_id") +: (0 until MinhashK).map(i =>
+        element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
 
   def minhashSignatures(docs: DataFrame): DataFrame =
