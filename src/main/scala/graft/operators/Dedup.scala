@@ -173,15 +173,11 @@ object Dedup {
     val tokens = docs.select(
       col("doc_id"),
       explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
-    val sumCols = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    // one primitive-buffer aggregate instead of 64 declarative sums —
+    // see functions.SimHashSketch (identical bits, no 64-buffer codegen)
     tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sumCols.head, sumCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+      .agg(graft.functions.SimHashSketch.sketch(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
