@@ -17,6 +17,10 @@ object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     .config("spark.sql.adaptive.enabled", "true")
+    // object-hash aggregates (MinHash/SimHash sketches) keep hashing up to
+    // 4096 groups per partition before the sort-based fallback — each
+    // sketch buffer is ~0.5 KiB, so this is ~2 MiB of agg state per task
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
