@@ -69,6 +69,7 @@ object SparkEntry {
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
@@ -322,6 +323,29 @@ object SparkEntry {
         |SELECT a, b, CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
         |FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
         |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5""".stripMargin,
+    // Connected components over the same exact-Jaccard edges, as a
+    // recursive transitive closure (bounded slice keeps it small).
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pos AS (
+        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |jp AS (
+        |  SELECT a, b
+        |  FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+        |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS v FROM documents WHERE doc_id < 200
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
     "q_embedding_neardups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

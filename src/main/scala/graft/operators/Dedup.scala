@@ -200,6 +200,49 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Near-duplicate clusters: connected components over the similarity
+    * edge set, by iterative min-label propagation — the step that turns
+    * pairwise near-dup hits into "keep one per cluster" decisions.
+    *
+    * Scale posture: each round is one edge⋈label join + min-aggregate
+    * (all shuffle-bounded, no driver-side graph); rounds needed =
+    * O(component diameter), which for near-dup clusters is tiny. The
+    * driver loop only checks a convergence count. Edges here are the
+    * exact n-gram Jaccard pairs on the bounded oracle slice; singleton
+    * docs keep their own id as cluster.
+    */
+  def dupClusters(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
+    val nodes = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"))
+    val pairs = ngramJaccardPairs(spark, dir).select(col("a"), col("b")).cache()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v").cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
+        .groupBy(col("u")).agg(min(col("cluster")).as("nbr_min"))
+        .withColumnRenamed("u", "doc_id")
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(); pairs.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicates: cosine similarity ≥ 0.999 over a bounded
     * slice (vec_id < 300) — exact all-pairs for the oracle; the ANN path
     * for unbounded scale is [[Similarity.annCosine]].

@@ -70,6 +70,20 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(safe == plain)
   }
 
+  test("dup clusters: edge endpoints share a cluster; reps are component minima") {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.operators.Dedup.dupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    // every representative is a member of its own cluster and is minimal
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep, s"cluster $rep min is ${members.keySet.min}")
+    }
+  }
+
   test("orc/csv/json roundtrips preserve the source aggregate") {
     val orc = Roundtrip.orcLineitem(spark, dir).collect()
     assert(orc.nonEmpty)
