@@ -81,6 +81,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore(_, _)),
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
+    "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -462,6 +463,13 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS p
         |      FROM documents)""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9800 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q_byte_entropy" ->
       """WITH pos AS (
         |  SELECT doc_id, text, CAST(unnest(range(1, strlen(text) + 1)) AS INTEGER) AS i

@@ -148,6 +148,21 @@ object TextAnalysis {
       size(array_distinct(pieces)).as("n_distinct_pieces"))
   }
 
+  /** Deterministic train/validation/test assignment by content hash:
+    * the first 8 hex digits of md5(doc_id) bucket each doc into 0..9999,
+    * split 98/1/1. Hash-based (not `df.sample`) so the split is
+    * reproducible across partitionings, cluster sizes, and engines —
+    * the property a training pipeline needs for stable held-out sets.
+    */
+  def deterministicSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10000).cast("int")
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 9800, "train").when(bucket < 9900, "val").otherwise("test").as("split"))
+  }
+
   /** Per-document Shannon entropy in nats (natural log) over byte
     * values: the classic cheap gibberish/compression-quality signal. Two
     * map-side-combined aggregations — (doc, byte) counts then the per-doc
