@@ -60,6 +60,7 @@ object SparkEntry {
     "q_timestamp_fns" -> (Relational.timestampFunctions(_, _)),
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
+    "q_summary_stats" -> (Relational.summaryStats(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
     // --- dedup -----------------------------------------------------------
@@ -302,6 +303,14 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup'
         |                GROUP BY user_id, ts) l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
+    "q_summary_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(AVG(l_extendedprice), 4) AS mean_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_udaf_spread" ->
       """SELECT o_orderstatus, MAX(o_totalprice) - MIN(o_totalprice) AS price_spread,
         |  COUNT(*) AS n FROM orders GROUP BY o_orderstatus""".stripMargin,

@@ -388,6 +388,22 @@ object Relational {
     * ASOF join dedupes its signup side to MAX(event_id) per (user_id, ts)
     * to pin the same choice.
     */
+  /** Describe-style column profiling per group: count, mean, sample
+    * stddev, min/max, and Pearson correlation — the quick data-quality
+    * scan a pipeline runs before training. Rounded to 4 dp so the
+    * one-pass variance formulations of different engines agree.
+    */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_extendedprice")), 4).as("mean_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+
   /** The full SQL surface end-to-end: temp views + `spark.sql` text (the
     * other queries declare plans through the DataFrame API; this one goes
     * through the SQL parser → same Catalyst pipeline). TPC-H Q3's shape —
