@@ -29,11 +29,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two numeric array columns, got ${left.dataType} and ${right.dataType}")
+  /** Fixed-width numeric element types only: DecimalType is a
+    * NumericType but has no primitive ArrayData accessor, so admitting
+    * it would type-check and then crash at runtime — reject it here.
+    */
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType | ByteType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(left.dataType) && supported(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two fixed-width numeric array columns, got ${left.dataType} and ${right.dataType}")
 
   private def elemType(e: Expression): NumericType =
     e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
@@ -45,14 +53,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case LongType => (a, i) => a.getLong(i).toDouble
     case ShortType => (a, i) => a.getShort(i).toDouble
     case ByteType => (a, i) => a.getByte(i).toDouble
-    case other => (a, i) => a.get(i, other).asInstanceOf[Number].doubleValue()
+    case other => (a, i) => a.get(i, other).asInstanceOf[Number].doubleValue() // unreachable: checkInputDataTypes
   }
+
+  // child types are fixed at analysis time — resolve accessors once, not per row
+  @transient private lazy val leftGetter = getter(elemType(left))
+  @transient private lazy val rightGetter = getter(elemType(right))
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val ga = getter(elemType(left))
-    val gb = getter(elemType(right))
+    val ga = leftGetter
+    val gb = rightGetter
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0

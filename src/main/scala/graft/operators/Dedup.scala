@@ -240,6 +240,10 @@ object Dedup {
       round += 1
     }
     edges.unpersist(); pairs.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds rounds — a component's " +
+          "diameter exceeds the bound; raise maxRounds (labels would be wrong, not partial)")
     labels
   }
 

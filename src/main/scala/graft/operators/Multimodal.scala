@@ -86,6 +86,9 @@ object Multimodal {
     val FakeW = 16
     val src = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // empty payload → no pixels, no output row (the oracle's pos < len
+      // filter likewise drops the doc entirely)
+      .filter(length(col("payload")) > 0)
       .as[(Long, Array[Byte])]
     src.map { case (docId, payload) =>
       val inH = (payload.length + FakeW - 1) / FakeW
@@ -122,6 +125,9 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("n_frames",
         ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      // empty payload → no frames (sequence(0,-1) would throw); the
+      // oracle's range(0, 0) agrees by being empty
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(Stride))))
       .select(

@@ -374,20 +374,6 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"))
   }
 
-  /** As-of join: for every `purchase` event, the nearest prior-or-equal
-    * `signup` event of the same user.
-    *
-    * Implemented the scale-friendly way: tag and UNION both sides, one
-    * shuffle on `user_id`, then a running `last(ignoreNulls)` window
-    * carries the most recent signup to each purchase row — no join
-    * explosion, no per-row subquery, cost O(n log n) in each user's
-    * events regardless of total data size.
-    *
-    * Tie-break: among signups sharing a user's exact ts, the highest
-    * event_id wins (`last` over the event_id-asc window) — the oracle's
-    * ASOF join dedupes its signup side to MAX(event_id) per (user_id, ts)
-    * to pin the same choice.
-    */
   /** Describe-style column profiling per group: count, mean, sample
     * stddev, min/max, and Pearson correlation — the quick data-quality
     * scan a pipeline runs before training. Rounded to 4 dp so the
@@ -430,6 +416,20 @@ object Relational {
         |LIMIT 10""".stripMargin)
   }
 
+  /** As-of join: for every `purchase` event, the nearest prior-or-equal
+    * `signup` event of the same user.
+    *
+    * Implemented the scale-friendly way: tag and UNION both sides, one
+    * shuffle on `user_id`, then a running `last(ignoreNulls)` window
+    * carries the most recent signup to each purchase row — no join
+    * explosion, no per-row subquery, cost O(n log n) in each user's
+    * events regardless of total data size.
+    *
+    * Tie-break: among signups sharing a user's exact ts, the highest
+    * event_id wins (`last` over the event_id-asc window) — the oracle's
+    * ASOF join dedupes its signup side to MAX(event_id) per (user_id, ts)
+    * to pin the same choice.
+    */
   def purchaseAfterSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     val tagged = ev

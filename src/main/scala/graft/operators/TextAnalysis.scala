@@ -171,9 +171,13 @@ object TextAnalysis {
     * between engines.
     */
   def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // empty docs drop out (no bytes → no entropy row), matching the
+    // oracle's empty range(1, 1); a greatest()-style guard would instead
+    // fabricate a zero-byte row the oracle doesn't have
     val bytes = Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")), lit(1)))).as("i"))
+        explode(sequence(lit(1), length(col("text")))).as("i"))
       .select(col("doc_id"), ascii(col("text").substr(col("i"), lit(1))).as("b"))
     bytes
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Roundtrip {
 
+  /** One fixed directory per format: overwrite mode truncates it on each
+    * run, so repeated bench/verify invocations don't accumulate table
+    * copies in the temp filesystem.
+    */
   private def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft_rt_$tag").toString
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_rt_$tag").getAbsolutePath
 
   /** lineitem → ORC → read → pricing-style aggregate. */
   def orcLineitem(spark: SparkSession, dir: String): DataFrame = {
