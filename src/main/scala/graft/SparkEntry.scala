@@ -61,6 +61,7 @@ object SparkEntry {
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
+    "q_window_range" -> (Relational.rollingHourValue(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
     // --- dedup -----------------------------------------------------------
@@ -303,6 +304,12 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup'
         |                GROUP BY user_id, ts) l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS hour_sum
+        |FROM events""".stripMargin,
     "q_summary_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  round(AVG(l_extendedprice), 4) AS mean_price,

@@ -374,6 +374,25 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"))
   }
 
+  /** RANGE-framed window: per user, the rolling sum of event values over
+    * the trailing hour (value-range frame over event time, not a row
+    * count — peers at the same instant aggregate together regardless of
+    * row order). Spark's rangeBetween needs a numeric sort key, so the
+    * frame runs over epoch micros; cents arithmetic keeps the sum exact.
+    */
+  def rollingHourValue(spark: SparkSession, dir: String): DataFrame = {
+    val hourMicros = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-hourMicros, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hour_sum", (sum(col("cents")).over(w).cast("double") / 100))
+      .select(col("event_id"), col("user_id"), col("hour_sum"))
+  }
+
   /** Describe-style column profiling per group: count, mean, sample
     * stddev, min/max, and Pearson correlation — the quick data-quality
     * scan a pipeline runs before training. Rounded to 4 dp so the
