@@ -218,6 +218,12 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("u", "v").cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    // labels only ever decrease, so the label sum is strictly monotone
+    // until fixpoint — comparing sums detects convergence with one tiny
+    // aggregate per round instead of a self-join diff
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -230,13 +236,11 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       round += 1
     }
     edges.unpersist(); pairs.unpersist()
