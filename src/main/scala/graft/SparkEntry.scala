@@ -104,6 +104,7 @@ object SparkEntry {
     "q_stream_session" -> (Streaming.sessionCounts(_, _)),
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
     "q_stream_custom_session" -> ((s, d) => Streaming.customSessionCounts(s, d)),
+    "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -526,6 +527,8 @@ object SparkEntry {
         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM o)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     // Same gaps-and-islands oracle as q_stream_session — the custom
     // flatMapGroupsWithState sessionizer must reproduce session_window.
     "q_stream_custom_session" ->

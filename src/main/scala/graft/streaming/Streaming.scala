@@ -120,6 +120,22 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("n"))
   }
 
+  /** Streaming deduplication: `dropDuplicates` on the event key holds a
+    * seen-keys state store, so re-delivered events (at-least-once
+    * sources) count once — composed with a Complete-mode aggregate the
+    * result equals the batch COUNT(DISTINCT). Production streams bound
+    * the dedup state with `dropDuplicatesWithinWatermark`; the bounded
+    * replay keeps the unbounded form so the oracle equality is exact.
+    */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(replaySession(spark), dir)
+      .select(col("event_id"), col("event_type"))
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+  }
+
   /** Watermarked tumbling windows in Append mode — the production shape
     * for unbounded streams: state for windows older than the watermark is
     * emitted and dropped, bounding memory forever. On a bounded replay the
