@@ -105,6 +105,7 @@ object SparkEntry {
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
     "q_stream_custom_session" -> ((s, d) => Streaming.customSessionCounts(s, d)),
     "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
+    "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -529,6 +530,12 @@ object SparkEntry {
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
+    // Same final-state-equals-batch contract as q_stream_stateful, on the
+    // transformWithState API.
+    "q_stream_tws" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     // Same gaps-and-islands oracle as q_stream_session — the custom
     // flatMapGroupsWithState sessionizer must reproduce session_window.
     "q_stream_custom_session" ->

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.Tables
@@ -214,6 +214,54 @@ object Streaming {
     // user), so pair total_cents to it with max_by rather than taking an
     // independent max — independent maxes would pick a stale total if a
     // multi-batch replay ever saw negative values (ADVICE r01).
+    runToTable(updated.toDF("user_id", "n_events", "total_cents"), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("total_cents"), col("n_events")).as("total_cents"))
+      .withColumn("total_value", (col("total_cents").cast("double") / 100))
+      .drop("total_cents")
+  }
+
+  /** Per-user totals processor for [[twsUserTotals]]: explicit
+    * `ValueState` via the Spark 4 `transformWithState` arbitrary-state
+    * API (the successor to mapGroupsWithState: composable typed state
+    * variables, timers, TTL — here one ValueState and no timers).
+    */
+  private class TotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; c += r._2 }
+      totals.update((n, c))
+      Iterator.single((userId, n, c))
+    }
+  }
+
+  /** Per-user engagement totals via `transformWithState` — same contract
+    * as [[statefulUserTotals]] (final state == batch group-by, checked by
+    * the oracle) on the new arbitrary-state API. Requires the RocksDB
+    * state store provider, set on this query's replay session only.
+    */
+  def twsUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val replay = replaySession(spark)
+    replay.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = eventsStream(replay, dir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val updated = src
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
     runToTable(updated.toDF("user_id", "n_events", "total_cents"), OutputMode.Update())
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
