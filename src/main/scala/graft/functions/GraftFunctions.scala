@@ -39,5 +39,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "standardize_race_id", exprs => StandardizeRaceId(exprs.head), "scala_udf")
     spark.udf.register("standardize_race_id_udf", standardizeRaceIdUdf)
+    // SQL text surface for the vector expression: SELECT dot_product(a, b)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
   }
 }

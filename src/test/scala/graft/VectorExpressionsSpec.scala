@@ -44,6 +44,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.select(VectorFunctions.sqNorm(col("b"))).collect().head.getDouble(0) == 25.0)
   }
 
+  test("dot_product is callable from SQL text after registration") {
+    graft.GraftSession.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("agrees with the HOF formulation on real embeddings") {
     val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
     val both = emb.select(
