@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Roundtrip {
 
-  /** One fixed directory per format: overwrite mode truncates it on each
-    * run, so repeated bench/verify invocations don't accumulate table
-    * copies in the temp filesystem.
+  /** One directory per (JVM, format): stable within a JVM so overwrite
+    * mode truncates instead of accumulating copies across repeated runs,
+    * but unique across JVMs so concurrent Bench/Verify processes can't
+    * clobber each other's roundtrip files mid-read.
     */
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
   private def tempDir(tag: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_rt_$tag").getAbsolutePath
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_rt_${jvmTag}_$tag").getAbsolutePath
 
   /** lineitem → ORC → read → pricing-style aggregate. */
   def orcLineitem(spark: SparkSession, dir: String): DataFrame = {
