@@ -51,9 +51,16 @@ object Streaming {
     * from this session — state-store partitioning is fixed from the
     * owning session's conf at query start.
     */
-  private def replaySession(spark: SparkSession): SparkSession = {
+  /** @param noDataBatches keep the trailing no-data micro-batch. Only
+    *   watermark-driven APPEND emission needs it (the final watermark
+    *   advance is what flushes closed windows); Complete/Update replays
+    *   and inner stream-stream joins emit everything in the data batch,
+    *   so skipping it saves one state-store round per query.
+    */
+  private def replaySession(spark: SparkSession, noDataBatches: Boolean = false): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", ReplayStatePartitions)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     s
   }
 
@@ -144,7 +151,9 @@ object Streaming {
     * one.
     */
   def watermarkedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(replaySession(spark), dir)
+    // append emission is watermark-driven: keep the no-data batch that
+    // advances the final watermark and flushes closed windows
+    val agg = eventsStream(replaySession(spark, noDataBatches = true), dir)
       // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
       // reinterpretation is identity
       .withColumn("ts", col("ts").cast("timestamp"))
