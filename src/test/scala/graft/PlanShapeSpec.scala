@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: no query may plan a CartesianProduct,
+  * and BroadcastNestedLoopJoin is allowed only where it is the designed
+  * shape (tiny broadcast side scored against every corpus row). Guards
+  * the 100 TB posture against an accidental join-condition regression
+  * silently turning a candidate join into an all-pairs product.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  // executed-on-build queries (streaming replays, roundtrip writes,
+  // iterative clustering, driver-trained IVF) are covered by their own
+  // suites; this spec audits every lazily-planned query.
+  private val skip: String => Boolean = name =>
+    name.startsWith("q_stream") || name.endsWith("_roundtrip") ||
+      name == "q_dedup_clusters" || name == "q_ann_ivf" || name == "q_pipeline_parity"
+
+  // designed broadcast-nested-loop shapes: a handful of broadcast rows
+  // (query vectors / the 1-row corpus count) against the corpus scan
+  private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf", "q_ann_lsh")
+
+  SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
+    test(s"$name plans without cartesian products") {
+      val plan = fn(TestSpark.spark, TestSpark.sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+}
