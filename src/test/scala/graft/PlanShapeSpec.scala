@@ -19,7 +19,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // designed broadcast-nested-loop shapes: a handful of broadcast rows
   // (query vectors / the 1-row corpus count) against the corpus scan
-  private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf", "q_ann_lsh")
+  private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf")
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
