@@ -7,7 +7,8 @@ import graft.sources.Tables
 
 /** Deduplication operators for large-scale text corpora (SURVEY §2B,
   * LLM-pipeline family): exact hash dedup, exact n-gram Jaccard on
-  * candidate pairs, MinHash+LSH near-dedup, and SimHash near-dedup.
+  * candidate pairs, MinHash+LSH and SimHash near-dedup, embedding
+  * near-dup, and connected-component clustering of the resulting pairs.
   *
   * Scale posture: every variant is shuffle-bounded — exact dedup is one
   * hash aggregation on a digest; the near-dup variants generate candidates

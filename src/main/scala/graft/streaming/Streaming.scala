@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.StructType
 
 import graft.sources.Tables
 
-/** Structured Streaming surface (SURVEY §2B): tumbling / sliding / session
-  * windows, watermarked late-data handling, and custom state via
-  * `mapGroupsWithState` — each runnable as a bounded replay of the
+/** Structured Streaming surface (SURVEY §2B/§2C): tumbling / sliding /
+  * session windows, watermarked late-data handling, streaming dedup,
+  * stream-stream join, and custom state via all three APIs —
+  * `mapGroupsWithState`, `flatMapGroupsWithState`, and Spark 4's
+  * `transformWithState` — each runnable as a bounded replay of the
   * `events` parquet through a file stream source so results are
   * batch-equivalent and oracle-checkable.
   *
