@@ -93,14 +93,6 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signatures: doc_id → array of K minimums of affine-permuted
-    * shingle hashes. One `xxhash64` per shingle, then the K permutations
-    * as flat scalar expressions inside K partial `min` aggregates — all
-    * whole-stage-codegen'd (an array-HOF formulation would fall back to
-    * interpreted eval and cost ~10× — measured). Map-side partial
-    * aggregation means the shuffle is K longs per document, not per
-    * shingle.
-    */
   /** Flat signature table: doc_id + K scalar columns m0..m63, one per
     * permutation minimum. Kept flat (not an array) on purpose: 64 long
     * columns cache columnarly for ~nothing, while caching an

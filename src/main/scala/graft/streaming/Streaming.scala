@@ -52,8 +52,8 @@ object Streaming {
     * the shared session (ADVICE r01). The streaming query must be BUILT
     * from this session — state-store partitioning is fixed from the
     * owning session's conf at query start.
-    */
-  /** @param noDataBatches keep the trailing no-data micro-batch. Only
+    *
+    * @param noDataBatches keep the trailing no-data micro-batch. Only
     *   watermark-driven APPEND emission needs it (the final watermark
     *   advance is what flushes closed windows); Complete/Update replays
     *   and inner stream-stream joins emit everything in the data batch,
