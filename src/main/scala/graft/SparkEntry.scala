@@ -84,6 +84,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
+    "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -474,6 +475,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_stopword_ratio" ->
+      s"""SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+         |  CAST(LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS INTEGER) AS n_stopwords,
+         |  CASE WHEN LEN(toks) > 0
+         |    THEN CAST(LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS DOUBLE) / LEN(toks)
+         |    ELSE 0.0 END AS stopword_ratio
+         |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(p) AS INTEGER) AS n_pieces,

@@ -134,6 +134,21 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary"))
         .as("fingerprint"))
 
+  /** Stopword ratio: fraction of tokens that are (English) stopwords —
+    * with length and punctuation the third classic cheap quality signal;
+    * natural prose sits in a stable band, keyword-stuffed or boilerplate
+    * text falls outside it.
+    */
+  def stopwordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val hits = size(filter(t, x => x.isin(EnStop.map(s => s: Any): _*)))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      hits.as("n_stopwords"),
+      when(size(t) > 0, hits.cast("double") / size(t)).otherwise(0.0).as("stopword_ratio"))
+  }
+
   /** BPE-style pre-tokenization count: pieces are letter runs, digit
     * runs, or non-alphanumeric-non-space runs (the coarse shape GPT-2's
     * pre-tokenizer splits on before merges). Complements the whitespace
