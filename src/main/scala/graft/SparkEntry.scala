@@ -581,5 +581,20 @@ object SparkEntry {
          |SELECT tf.doc_id, tf.token,
          |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
          |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
-         |WHERE tf.doc_id < 50""".stripMargin)
+         |WHERE tf.doc_id < 50""".stripMargin,
+    // Parity oracle: the reference's own checked-in golden output (237
+    // deterministic rows). Verify flattens LocationData via to_json, so
+    // the oracle emits the identical compact JSON text; read_json gets
+    // explicit column types so Timestamp stays VARCHAR like the Spark
+    // side (/root/reference/output/sample0-00000-of-00001.jsonl).
+    "q_pipeline_parity" ->
+      """SELECT FanID, RaceID, Timestamp, DeviceType,
+        |  EngagementMetric_secondswatched, PredictionClicked, MerchandisingClicked,
+        |  to_json(LocationData)::VARCHAR AS LocationData
+        |FROM read_json('/root/reference/output/sample0-00000-of-00001.jsonl',
+        |  format='newline_delimited',
+        |  columns={'FanID':'VARCHAR','RaceID':'VARCHAR','Timestamp':'VARCHAR',
+        |           'DeviceType':'VARCHAR','EngagementMetric_secondswatched':'BIGINT',
+        |           'PredictionClicked':'BOOLEAN','MerchandisingClicked':'BOOLEAN',
+        |           'LocationData':'STRUCT(country VARCHAR, capital VARCHAR, continent VARCHAR, "official language" VARCHAR, currency VARCHAR)'})""".stripMargin)
 }
