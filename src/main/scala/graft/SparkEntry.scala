@@ -72,6 +72,7 @@ object SparkEntry {
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q_dedup_clusters_lsh" -> ((s, d) => Dedup.dupClustersLsh(s, d)),
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),

@@ -204,10 +204,34 @@ object Dedup {
     * exact n-gram Jaccard pairs on the bounded oracle slice; singleton
     * docs keep their own id as cluster.
     */
-  def dupClusters(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
-    val nodes = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
-      .select(col("doc_id"))
-    val pairs = ngramJaccardPairs(spark, dir).select(col("a"), col("b")).cache()
+  def dupClusters(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame =
+    connectedComponents(
+      Tables(spark, dir, "documents").filter(col("doc_id") < 200).select(col("doc_id")),
+      ngramJaccardPairs(spark, dir).select(col("a"), col("b")),
+      maxRounds)
+
+  /** Full-corpus near-dup clusters: connected components over the
+    * MinHash-LSH edge set — the composition a real dedup run needs
+    * (unbounded candidate generation feeding the keep-one-per-cluster
+    * decision). Rows-only at the driver gate (edges are xxhash64-seeded);
+    * cluster consistency vs the exact-Jaccard clusters is pinned in
+    * `DedupSpec`.
+    */
+  def dupClustersLsh(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
+    connectedComponents(
+      Tables(spark, dir, "documents").select(col("doc_id")),
+      minhashNearDups(spark, dir, threshold).select(col("a"), col("b")),
+      maxRounds)
+
+  /** Min-label propagation over an undirected edge list (`a`,`b`) until
+    * fixpoint. Every node in `nodes` gets a cluster label (singletons keep
+    * their own id).
+    */
+  private def connectedComponents(
+      nodes: DataFrame, pairDf: DataFrame, maxRounds: Int): DataFrame = {
+    val pairs = pairDf.cache()
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("u", "v").cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).cache()

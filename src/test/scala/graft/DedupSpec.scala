@@ -59,6 +59,29 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 16)
   }
 
+  test("LSH clusters: full coverage, minimal reps, consistent with exact jaccard") {
+    val labels = Dedup.dupClustersLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = graft.sources.Tables(spark, sf, "documents").count()
+    assert(labels.size == total, "every document gets exactly one cluster label")
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep, s"cluster $rep min is ${members.keySet.min}")
+    }
+    // LSH edge endpoints must co-cluster
+    Dedup.minhashNearDups(spark, sf).collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+    // high-confidence exact pairs (J >= 0.8 on the bounded slice) must land
+    // in one LSH cluster: at J=0.8 the 16x4 banding misses a candidate with
+    // probability (1 - 0.8^4)^16 ~ 2e-4, and the run is seed-42 deterministic
+    val strong = Dedup.ngramJaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong.nonEmpty, "test data must contain strong near-dups")
+    strong.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"strong pair ($a,$b) split across LSH clusters")
+    }
+  }
+
   test("ngram jaccard pairs: bounded, ordered, in [0.5, 1]") {
     val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
     rows.foreach { r =>
