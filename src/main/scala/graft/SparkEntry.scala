@@ -107,6 +107,7 @@ object SparkEntry {
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
     "q_stream_custom_session" -> ((s, d) => Streaming.customSessionCounts(s, d)),
     "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
+    "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
@@ -538,6 +539,10 @@ object SparkEntry {
         |      FROM o)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
+      "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
+    // Single-data-batch replay: within-watermark dedup sees every copy of
+    // a key while its state is live, so the bounded-state form is exact.
+    "q_stream_dedup_wm" ->
       "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     // Same final-state-equals-batch contract as q_stream_stateful, on the
     // transformWithState API.

@@ -50,6 +50,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("within-watermark dedup == batch count-distinct on one-batch replay") {
+    val streamed = Streaming.dedupedCountsWithinWatermark(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("watermarked append emits complete windows only (subset of batch)") {
     val streamed = Streaming.watermarkedCounts(spark, sf).collect()
     assert(streamed.nonEmpty)
