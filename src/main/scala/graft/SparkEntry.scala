@@ -86,6 +86,8 @@ object SparkEntry {
     "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
     "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
+    "q_repetition" -> (TextAnalysis.repetitionStats(_, _)),
+    "q_token_chunks" -> ((s, d) => TextAnalysis.tokenChunks(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -95,6 +97,7 @@ object SparkEntry {
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
     "q_skew_distinct" -> (Skew.distinctUsersPerType(_, _)),
     // --- source/sink format roundtrips -----------------------------------
+    "q_bucketed_join" -> (graft.sources.BucketedParquetSink.colocatedOrdersJoin(_, _)),
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
@@ -464,6 +467,11 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "q_skew_distinct" ->
       "SELECT event_type AS k, COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
+    // Bucketed-table join must equal the plain parquet join — the layout
+    // is an optimization, never a semantic.
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -484,6 +492,27 @@ object SparkEntry {
          |    THEN CAST(LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS DOUBLE) / LEN(toks)
          |    ELSE 0.0 END AS stopword_ratio
          |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin,
+    "q_repetition" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(1, LEN(t))) AS i FROM docs WHERE LEN(t) >= 2)),
+         |cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM big GROUP BY doc_id, gram),
+         |top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS total FROM cnt GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(LEN(t) AS INTEGER) AS n_tokens,
+         |  CASE WHEN LEN(t) > 0
+         |    THEN round(1.0 - CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t), 6)
+         |    ELSE NULL END AS dup_token_ratio,
+         |  round(CAST(mx AS DOUBLE) / total, 6) AS top_bigram_frac
+         |FROM docs d LEFT JOIN top ON d.doc_id = top.doc_id""".stripMargin,
+    "q_token_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |ks AS (SELECT doc_id, t, CAST(unnest(range(0, (LEN(t) - 1) // 24 + 1)) AS INTEGER) AS k
+         |       FROM docs WHERE LEN(t) > 0),
+         |c AS (SELECT doc_id, k, t[k * 24 + 1 : k * 24 + 32] AS chunk FROM ks)
+         |SELECT doc_id, k AS chunk_idx, CAST(LEN(chunk) AS INTEGER) AS n_in_chunk,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(p) AS INTEGER) AS n_pieces,

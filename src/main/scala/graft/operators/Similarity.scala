@@ -108,15 +108,34 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Argmax-cosine cell id against broadcast centroid literals — pure
+    * map-side expression, no shuffle. (array_position over the sims array
+    * keeps the expression linear; a nested when()-reduce would duplicate
+    * subtrees exponentially. ||v|| is constant across cells, so plain
+    * dot/||c|| preserves the cosine argmax.)
+    */
+  private def cellOf(centroids: Array[Array[Double]])(v: Column): Column = {
+    val sims = array(centroids.map(c =>
+      dot(v, lit(c).cast("array<double>")) / math.sqrt(c.map(x => x * x).sum)): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` Voronoi
-    * cells via a small k-means (trained on a bounded deterministic sample,
-    * centroids live on the driver — they are k×dim floats, tiny), then
-    * search only the `nProbe` cells whose centroids are nearest each
-    * query; exact cosine re-rank inside.
+    * cells via k-means, then search only the `nProbe` cells whose
+    * centroids are nearest each query; exact cosine re-rank inside.
     *
-    * The 100 TB shape: one pass to assign cells (broadcast centroids,
-    * map-side argmin — no shuffle), candidate generation is an equi-join
-    * on cell id, and recall/cost trades via nProbe. Complements
+    * Training is distributed Lloyd's over a bounded deterministic sample
+    * that never leaves the executors: each iteration assigns cells
+    * map-side against broadcast centroid literals, then reduces
+    * per-(cell, dimension) partial sums — only k×dim aggregated doubles
+    * reach the driver per iteration (the centroids themselves, which must
+    * be driver-resident to be re-broadcast). At 100 TB the sample filter
+    * becomes a hash-sample of the corpus; the per-iteration cost stays
+    * one scan of the sample plus a k×dim-row aggregate.
+    *
+    * The 100 TB search shape: one pass to assign cells (broadcast
+    * centroids, map-side argmax — no shuffle), candidate generation is an
+    * equi-join on cell id, and recall/cost trades via nProbe. Complements
     * [[annCosine]]: IVF adapts to the data distribution (clustered
     * embeddings → tight cells), LSH is oblivious but needs no training.
     */
@@ -127,36 +146,30 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
 
-    // --- train: deterministic sample (lowest vec_ids), tiny driver k-means
-    val sample = emb.orderBy(col("vec_id")).limit(sampleSize)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var centroids = sample.take(nLists)
+    // --- train: distributed Lloyd's on the deterministic sample
+    val sampleDf = emb.filter(col("vec_id") < sampleSize)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // Seeds: the nLists lowest vec_ids. These k rows ARE the initial
+    // centroids — the k×dim floats that must live on the driver to be
+    // broadcast into expressions; no raw corpus vectors are collected.
+    var centroids: Array[Array[Double]] = sampleDf.filter(col("vec_id") < nLists)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iterations) {
-      val assigned = sample.map { v => (nearestCentroid(v, centroids), v) }
-      centroids = centroids.indices.map { c =>
-        val members = assigned.filter(_._1 == c).map(_._2)
-        if (members.isEmpty) centroids(c)
-        else {
-          val dim = members.head.length
-          val mean = new Array[Double](dim)
-          members.foreach(m => (0 until dim).foreach(i => mean(i) += m(i)))
-          (0 until dim).foreach(i => mean(i) /= members.length)
-          mean
-        }
-      }.toArray
+      val stats = sampleDf
+        .select(cellOf(centroids)(col("v")).as("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cells keep their centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
     }
 
     // --- assign: broadcast centroids, map-side argmax — no shuffle.
-    // (array_position over the sims array keeps the expression linear; a
-    // nested when()-reduce would duplicate subtrees exponentially.)
-    def simsTo(v: Column): Column = array(centroids.map(c =>
-      dot(v, lit(c).cast("array<double>")) / math.sqrt(c.map(x => x * x).sum)): _*)
-    def cellOf(v: Column): Column = {
-      val sims = simsTo(v)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-    val binned = emb.withColumn("cell", cellOf(col("embedding")))
+    val binned = emb.withColumn("cell", cellOf(centroids)(col("embedding")))
 
     // --- probe: nProbe nearest cells per query, equi-join on cell id
     val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -184,18 +197,5 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
-  }
-
-  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
-    var best = 0; var bestSim = Double.NegativeInfinity
-    val nv = math.sqrt(v.map(x => x * x).sum)
-    cs.indices.foreach { i =>
-      val c = cs(i)
-      var d = 0.0
-      (0 until v.length).foreach(j => d += v(j) * c(j))
-      val sim = d / (nv * math.sqrt(c.map(x => x * x).sum))
-      if (sim > bestSim) { bestSim = sim; best = i }
-    }
-    best
   }
 }

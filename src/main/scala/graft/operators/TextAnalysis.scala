@@ -178,6 +178,56 @@ object TextAnalysis {
       when(bucket < 9800, "train").when(bucket < 9900, "val").otherwise("test").as("split"))
   }
 
+  /** Gopher-style repetition signals: the fraction of tokens that are
+    * repeats (1 − distinct/total) and the fraction of all word bigrams
+    * taken by the single most frequent bigram. Boilerplate, keyword
+    * stuffing, and degenerate generations spike both; natural prose
+    * stays low. One bigram explode + two map-side-combined aggregations
+    * per doc — the shuffle carries (doc, bigram) counts, not text.
+    * Ratios rounded to 6 dp so double division can't differ between
+    * engines. Docs with <2 tokens have no bigrams → null fraction.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val top = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("total"))
+    docs.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        when(size(col("t")) > 0,
+          round(lit(1.0) - size(array_distinct(col("t"))).cast("double") / size(col("t")), 6))
+          .otherwise(lit(null)).as("dup_token_ratio"),
+        round(col("mx").cast("double") / col("total"), 6).as("top_bigram_frac"))
+  }
+
+  /** Fixed-size token chunking with overlap — the pretraining/RAG
+    * chunker: windows of `chunkSize` tokens starting every `stride`
+    * tokens while a start position remains in the doc (the tail chunk
+    * may be short). Pure per-document flatMap — `sequence` + `slice`
+    * stay codegen'd, output rows carry an md5 instead of the chunk text
+    * so downstream joins move 16 bytes, not documents.
+    */
+  def tokenChunks(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val chunk = slice(col("t"), col("k") * stride + 1, lit(chunkSize))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int"))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        size(chunk).as("n_in_chunk"),
+        md5(concat_ws(" ", chunk).cast("binary")).as("chunk_md5"))
+  }
+
   /** Per-document Shannon entropy in nats (natural log) over byte
     * values: the classic cheap gibberish/compression-quality signal. Two
     * map-side-combined aggregations — (doc, byte) counts then the per-doc

@@ -56,4 +56,29 @@ class BucketingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaBuckets == direct)
   }
+
+  test("BucketedParquetSink co-located join plans with ZERO exchanges and no sorts") {
+    import spark.implicits._
+    val joined = graft.sources.BucketedParquetSink
+      .colocatedOrdersJoin(spark, TestSpark.sf0001)
+
+    val plan = joined.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"co-located bucketed join still shuffles:\n$plan")
+    // both sides are sortBy'd at write time, so the merge join needs no
+    // runtime sort either — the scan IS the join input
+    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"co-located bucketed join re-sorts:\n$plan")
+
+    // and the layout never changes the answer
+    val viaBuckets = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val direct = Tables(spark, TestSpark.sf0001, "orders")
+      .join(Tables(spark, TestSpark.sf0001, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"c_mktsegment", $"o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(viaBuckets == direct)
+  }
 }
