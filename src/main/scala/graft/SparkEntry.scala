@@ -88,6 +88,7 @@ object SparkEntry {
     "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
     "q_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "q_token_chunks" -> ((s, d) => TextAnalysis.tokenChunks(s, d)),
+    "q_pack_offsets" -> ((s, d) => TextAnalysis.packedOffsets(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_skew_distinct" -> (Skew.distinctUsersPerType(_, _)),
     // --- source/sink format roundtrips -----------------------------------
     "q_bucketed_join" -> (graft.sources.BucketedParquetSink.colocatedOrdersJoin(_, _)),
+    "q_partition_pruned" -> (graft.sources.ParquetSink.partitionPrunedEvents(_, _)),
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
@@ -472,6 +474,12 @@ object SparkEntry {
     "q_bucketed_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // Partitioned-layout read-back must equal the unpartitioned scan —
+    // like bucketing, layout is an optimization, never a semantic.
+    "q_partition_pruned" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -513,6 +521,18 @@ object SparkEntry {
          |SELECT doc_id, k AS chunk_idx, CAST(LEN(chunk) AS INTEGER) AS n_in_chunk,
          |  md5(array_to_string(chunk, ' ')) AS chunk_md5
          |FROM c""".stripMargin,
+    // The oracle computes the same packing as ONE global running sum —
+    // the engine's two-phase sharded prefix sum must be indistinguishable.
+    "q_pack_offsets" ->
+      s"""WITH d AS (SELECT doc_id, CAST(LEN($toksSql) AS INTEGER) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (
+         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS global_offset
+         |      FROM d)
+         |SELECT doc_id, n_tokens, global_offset,
+         |  CAST(global_offset // 512 AS BIGINT) AS pack_id
+         |FROM o""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(p) AS INTEGER) AS n_pieces,

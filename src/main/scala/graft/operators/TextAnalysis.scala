@@ -228,6 +228,40 @@ object TextAnalysis {
         md5(concat_ws(" ", chunk).cast("binary")).as("chunk_md5"))
   }
 
+  /** Global token offsets for concat-and-slice packing: pretraining
+    * pipelines concatenate the corpus in a deterministic order and cut
+    * fixed-budget windows; each doc's placement is the running token
+    * total before it. A single global running sum would be a
+    * one-partition window — the classic scale-killer — so this is the
+    * two-phase distributed prefix sum: docs shard by contiguous doc_id
+    * ranges (order-preserving), phase 1 computes within-shard running
+    * sums under a per-shard window, phase 2 computes shard base offsets
+    * over the tiny shard-totals relation (|corpus|/shardSize rows — at
+    * 1 B docs and shardSize 1 M, a thousand rows) and broadcasts them
+    * back. pack_id = offset ÷ budget is the training-file assignment.
+    */
+  def packedOffsets(spark: SparkSession, dir: String,
+      shardSize: Int = 100, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        expr(s"doc_id DIV $shardSize").as("shard"))
+    val withinW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(withinW), lit(0L)))
+    val shardW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = docs.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .withColumn("shard_base", coalesce(sum(col("shard_total")).over(shardW), lit(0L)))
+      .select(col("shard"), col("shard_base"))
+    within.join(broadcast(shardOffsets), Seq("shard"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("shard_base") + col("local_off")).as("global_offset"),
+        expr(s"(shard_base + local_off) DIV $budget").as("pack_id"))
+  }
+
   /** Per-document Shannon entropy in nats (natural log) over byte
     * values: the classic cheap gibberish/compression-quality signal. Two
     * map-side-combined aggregations — (doc, byte) counts then the per-doc

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet sink (SURVEY §2B source/sink inventory): thin, deliberate
   * wrapper so callers state partitioning intent explicitly — at 100 TB
@@ -17,4 +18,26 @@ object ParquetSink {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Engine query for the partitioned layout: write events partitioned
+    * by event_type, read back filtered to ONE partition value, and
+    * aggregate. The filter resolves against directory names before any
+    * file opens (PartitionFilters on the scan, asserted by
+    * `ScanPruningSpec`) — the 100 TB reader touches 1/|event types| of
+    * the files; the oracle checks the aggregate over the unpartitioned
+    * original, pinning that layout never changes results.
+    */
+  def partitionPrunedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_part_$jvmTag").getAbsolutePath
+    write(Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value")),
+      out, partitionBy = Seq("event_type"))
+    read(spark, out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+  }
 }
