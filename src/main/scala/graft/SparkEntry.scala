@@ -63,6 +63,8 @@ object SparkEntry {
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
     "q_window_range" -> (Relational.rollingHourValue(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
+    "q_full_outer" -> ((s, d) => Relational.customerOrdersFullOuter(s, d)),
+    "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
     // --- dedup -----------------------------------------------------------
     "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
@@ -314,6 +316,22 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup'
         |                GROUP BY user_id, ts) l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  COALESCE(n_orders, 0) AS n_orders, total
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey""".stripMargin,
+    // Same md5-bucket recipe as q_split_assign, keyed by event_id, with
+    // per-class keep thresholds (click 10%, view 5%, rare classes 100%).
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, user_id
+        |FROM events
+        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |  < CASE event_type WHEN 'click' THEN 1000 WHEN 'view' THEN 500 ELSE 10000 END""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (

@@ -108,6 +108,27 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Full-outer join: a bounded customer slice against per-customer
+    * order rollups, keeping unmatched rows from BOTH sides (customers
+    * with no orders on the left, orders whose customer falls outside the
+    * slice on the right). Same shuffle-join physics as the inner join —
+    * outer-ness only changes null handling at the merge, not the plan
+    * shape — so this scales exactly like [[revenueByPriority]].
+    */
+  def customerOrdersFullOuter(spark: SparkSession, dir: String, keyCap: Int = 1000): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= keyCap)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("total"))
+  }
+
   /** Exact + grouped distinct aggregation. */
   def distinctCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
