@@ -40,6 +40,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
     "q_percentiles" -> (Relational.percentiles(_, _)),
+    "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "q_topk_aggregator" -> ((s, d) => graft.functions.TopKAggregator.topOrdersPerCustomer(s, d)),
     "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
     "q_window_running" -> (Relational.runningUserAggregates(_, _)),

@@ -186,6 +186,23 @@ object Relational {
         expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
         expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"))
 
+  /** Approximate percentiles per group (Greenwald-Khanna sketch) — the
+    * 100 TB path next to [[percentiles]]: bounded-memory mergeable
+    * sketch state per group instead of buffering every value, with rank
+    * error ≤ 1/accuracy. Approximate by construction → rows-only driver
+    * check; `BreadthOpsSpec` asserts the value-error bound against the
+    * exact quantiles.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"))
+
   /** GROUPING SETS via the SQL surface. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")

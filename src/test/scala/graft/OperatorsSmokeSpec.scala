@@ -39,6 +39,16 @@ class OperatorsSmokeSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("approx percentiles within 1% of exact per group") {
+    val exact = graft.operators.Relational.percentiles(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.operators.Relational.approxPercentiles(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, aqs) <- approx; (a, e) <- aqs.zip(exact(flag)))
+      assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
+  }
+
   test("multimodal decode stub: features sum to ~1 for non-empty docs") {
     val rows = graft.operators.Multimodal.decodeStub(spark = TestSpark.spark,
       dir = TestSpark.sf0001).collect()
