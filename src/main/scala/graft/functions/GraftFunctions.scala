@@ -34,6 +34,16 @@ object GraftFunctions {
   val standardizeRaceIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => if (s == null) null else StandardizeRaceId.normalize(s))
 
+  /** Deterministic hash bucket in [0, buckets): first 8 hex digits of
+    * md5(key as string). THE shared contract for reproducible splits and
+    * samples (`TextAnalysis.deterministicSplit`, `Sampling`) — every
+    * DuckDB oracle replicates this exact arithmetic, so there must be
+    * one copy of it.
+    */
+  def md5Bucket(key: Column, buckets: Int = 10000): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
   /** Register all custom functions for SQL use (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

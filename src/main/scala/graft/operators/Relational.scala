@@ -190,8 +190,8 @@ object Relational {
     * 100 TB path next to [[percentiles]]: bounded-memory mergeable
     * sketch state per group instead of buffering every value, with rank
     * error ≤ 1/accuracy. Approximate by construction → rows-only driver
-    * check; `BreadthOpsSpec` asserts the value-error bound against the
-    * exact quantiles.
+    * check; `OperatorsSmokeSpec` asserts the value-error bound against
+    * the exact quantiles.
     */
   def approxPercentiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
     Tables(spark, dir, "lineitem")

@@ -16,13 +16,6 @@ import graft.sources.Tables
   */
 object Sampling {
 
-  /** md5-derived bucket in [0, 10000) — same recipe as
-    * `TextAnalysis.deterministicSplit`, keyed here by event_id.
-    */
-  private def bucket(key: org.apache.spark.sql.Column) =
-    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 10000).cast("int")
-
   /** Stratified (per-class) downsampling: abundant classes keep a small
     * deterministic fraction, rare classes keep everything — the class
     * rebalancing step before training on heavily skewed event logs.
@@ -34,7 +27,7 @@ object Sampling {
       .when(col("event_type") === "view", 500)
       .otherwise(10000)
     Tables(spark, dir, "events")
-      .filter(bucket(col("event_id")) < threshold)
+      .filter(graft.functions.GraftFunctions.md5Bucket(col("event_id")) < threshold)
       .select(col("event_id"), col("event_type"), col("user_id"))
   }
 }

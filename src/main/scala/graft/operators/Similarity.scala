@@ -129,9 +129,9 @@ object Similarity {
     * map-side against broadcast centroid literals, then reduces
     * per-(cell, dimension) partial sums — only k×dim aggregated doubles
     * reach the driver per iteration (the centroids themselves, which must
-    * be driver-resident to be re-broadcast). At 100 TB the sample filter
-    * becomes a hash-sample of the corpus; the per-iteration cost stays
-    * one scan of the sample plus a k×dim-row aggregate.
+    * be driver-resident to be re-broadcast). At 100 TB the sample
+    * selection becomes a hash-sample of the corpus; the per-iteration
+    * cost stays one scan of the sample plus a k×dim-row aggregate.
     *
     * The 100 TB search shape: one pass to assign cells (broadcast
     * centroids, map-side argmax — no shuffle), candidate generation is an
@@ -146,14 +146,18 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
 
-    // --- train: distributed Lloyd's on the deterministic sample
-    val sampleDf = emb.filter(col("vec_id") < sampleSize)
+    // --- train: distributed Lloyd's on the deterministic sample — the
+    // sampleSize lowest vec_ids regardless of id distribution (sparse or
+    // offset ids included; a `vec_id < N` filter would silently shrink
+    // the sample there). At corpus scale swap the orderBy.limit for a
+    // hash-sample filter; the training plan below is unchanged.
+    val sampleDf = emb.orderBy(col("vec_id")).limit(sampleSize)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // Seeds: the nLists lowest vec_ids. These k rows ARE the initial
+    // Seeds: the nLists lowest sample rows. These k rows ARE the initial
     // centroids — the k×dim floats that must live on the driver to be
-    // broadcast into expressions; no raw corpus vectors are collected.
-    var centroids: Array[Array[Double]] = sampleDf.filter(col("vec_id") < nLists)
-      .orderBy(col("vec_id")).select(col("v")).collect()
+    // broadcast into expressions; no other corpus vectors are collected.
+    var centroids: Array[Array[Double]] = sampleDf
+      .orderBy(col("vec_id")).limit(nLists).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iterations) {
       val stats = sampleDf

@@ -170,8 +170,7 @@ object TextAnalysis {
     * the property a training pipeline needs for stable held-out sets.
     */
   def deterministicSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 10000).cast("int")
+    val bucket = graft.functions.GraftFunctions.md5Bucket(col("doc_id"))
     Tables(spark, dir, "documents").select(
       col("doc_id"),
       bucket.as("bucket"),

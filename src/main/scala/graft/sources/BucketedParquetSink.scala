@@ -35,7 +35,14 @@ object BucketedParquetSink {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
     val sorts = if (sortKeys.nonEmpty) sortKeys else Seq(bucketKey)
-    df.write.mode("overwrite")
+    // Pre-shuffle onto the bucket hash (repartition and bucketBy share
+    // Murmur3 HashPartitioning semantics) so every task holds exactly
+    // one bucket → ONE file per bucket. Without it each write task
+    // emits a file per bucket it sees (tasks × buckets small files at
+    // scale), and readers only elide their merge Sort when a bucket is
+    // a single file.
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketKey))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, bucketKey)
       .sortBy(sorts.head, sorts.tail: _*)
       .format("parquet")
@@ -44,8 +51,9 @@ object BucketedParquetSink {
 
   /** Engine query for the sink: write orders and customer bucketed on
     * the join key, then join the bucketed tables. With both sides
-    * bucketed (and sorted) on the key, the sort-merge join plans with
-    * zero shuffle exchanges and zero sorts — asserted by
+    * bucketed on the key, the sort-merge join plans with ZERO shuffle
+    * exchanges — only partition-local sorts remain (Spark ≥3.0 bucketed
+    * scans don't propagate sortBy ordering), asserted by
     * `BucketingSpec`; result equality vs the plain parquet join is the
     * DuckDB oracle's job. The `merge` hint keeps the small side out of a
     * broadcast so the exchange-free bucketed path is what actually runs.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -13,6 +15,19 @@ import graft.sources.Tables
   */
 class BucketingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+
+  /** Every node in the plan, INCLUDING inside AQE wrappers. Plain
+    * `plan.collect` stops at `AdaptiveSparkPlanExec`/`QueryStageExec`
+    * (both are leaf nodes), which would make a no-exchange assertion
+    * pass vacuously on exactly the plans that do shuffle — AQE wraps a
+    * plan precisely when it contains an exchange.
+    */
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case n => Seq(n)
+    }
 
   test("join of tables bucketed on the key plans with no shuffle exchange") {
     import spark.implicits._
@@ -39,7 +54,7 @@ class BucketingSpec extends AnyFunSuite {
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
 
-    val exchangesBelowJoin = joined.queryExecution.executedPlan.collect {
+    val exchangesBelowJoin = allNodes(joined.queryExecution.executedPlan).collect {
       case e: ShuffleExchangeExec => e
     }
     // one exchange for the final groupBy is fine; the JOIN itself must not
@@ -57,19 +72,21 @@ class BucketingSpec extends AnyFunSuite {
     assert(viaBuckets == direct)
   }
 
-  test("BucketedParquetSink co-located join plans with ZERO exchanges and no sorts") {
+  test("BucketedParquetSink co-located join: ZERO exchanges, only partition-local sorts") {
     import spark.implicits._
     val joined = graft.sources.BucketedParquetSink
       .colocatedOrdersJoin(spark, TestSpark.sf0001)
 
     val plan = joined.queryExecution.executedPlan
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = allNodes(plan).collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty,
       s"co-located bucketed join still shuffles:\n$plan")
-    // both sides are sortBy'd at write time, so the merge join needs no
-    // runtime sort either — the scan IS the join input
-    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
-    assert(sorts.isEmpty, s"co-located bucketed join re-sorts:\n$plan")
+    // Spark ≥3.0 bucketed scans never report sortBy output ordering
+    // (a bucket may span files), so the merge join keeps an
+    // IN-PARTITION sort — O(bucket) local work. What must never appear
+    // is a GLOBAL sort: that would mean a range-partitioning exchange.
+    val sorts = allNodes(plan).collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.forall(!_.global), s"co-located bucketed join sorts globally:\n$plan")
 
     // and the layout never changes the answer
     val viaBuckets = joined.collect()
