@@ -20,17 +20,19 @@ object ParquetSink {
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   // JVM-unique so concurrent processes can't clobber each other's files
-  // mid-read; the shutdown hook keeps repeated Verify/Bench/test JVMs
-  // from accumulating full event-table copies in the (often tmpfs) tmpdir.
+  // mid-read; the (single, lazy) shutdown hook keeps repeated
+  // Verify/Bench/test JVMs from accumulating full event-table copies in
+  // the (often tmpfs) tmpdir.
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
-  private def cleanupOnExit(dir: java.io.File): java.io.File = {
+  private lazy val partDir: String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_part_$jvmTag")
     sys.addShutdownHook {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
       }
       del(dir)
     }
-    dir
+    dir.getAbsolutePath
   }
 
   /** Engine query for the partitioned layout: write events partitioned
@@ -42,8 +44,7 @@ object ParquetSink {
     * original, pinning that layout never changes results.
     */
   def partitionPrunedEvents(spark: SparkSession, dir: String): DataFrame = {
-    val out = cleanupOnExit(
-      new java.io.File(sys.props("java.io.tmpdir"), s"graft_part_$jvmTag")).getAbsolutePath
+    val out = partDir
     write(Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("ts"), col("value")),
       out, partitionBy = Seq("event_type"))
