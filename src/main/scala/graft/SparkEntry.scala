@@ -118,6 +118,7 @@ object SparkEntry {
     "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
+    "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- reference-pipeline parity (golden test drives exact compare) ----
@@ -641,6 +642,10 @@ object SparkEntry {
         |  ON p.user_id = s.user_id
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
+    // Stateless streaming append through the parquet file sink emits
+    // every row — exactly the batch filter+project.
+    "q_stream_file_sink" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
     "q_word_ngrams" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
          |pos AS (SELECT t, unnest(range(1, LEN(t) - 1)) AS i FROM docs WHERE LEN(t) >= 3),

@@ -354,4 +354,38 @@ object Streaming {
       .select(timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
         col("user_id"), col("n"))
   }
+
+  /** Streaming ETL to a parquet FILE sink — the continuous-ingestion
+    * shape of a production lake: stream in, stateless filter + project,
+    * exactly-once parquet out via the sink's `_spark_metadata` commit
+    * log (the read back only sees committed files, so a crashed batch
+    * can never surface partial output). Stateless append emits every
+    * row, so the result is exactly batch-equivalent → full hash oracle.
+    * Output and checkpoint are replay-throwaway (tmpfs + shutdown-hook
+    * cleanup); a production stream points both at durable storage and
+    * swaps the trigger — the query is otherwise unchanged.
+    */
+  def fileSinkPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_fsink_" + UUID.randomUUID().toString.replace("-", "")
+    val outDir = new java.io.File(checkpointRoot, name + "_out")
+    val ckpt = new java.io.File(checkpointRoot, name + "_ckpt")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(outDir); rm(ckpt)
+    }
+    val q = eventsStream(replaySession(spark), dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir.getAbsolutePath)
+  }
 }
