@@ -61,6 +61,10 @@ object SparkEntry {
     "q_timestamp_fns" -> (Relational.timestampFunctions(_, _)),
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
+    "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
+    "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
+    "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
+    "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
     "q_window_range" -> (Relational.rollingHourValue(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
@@ -80,6 +84,7 @@ object SparkEntry {
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
+    "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
     // --- text analysis ---------------------------------------------------
     "q_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "q_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -91,6 +96,7 @@ object SparkEntry {
     "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
     "q_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "q_token_chunks" -> ((s, d) => TextAnalysis.tokenChunks(s, d)),
+    "q_token_chunks_gen" -> ((s, d) => TextAnalysis.tokenChunksGen(s, d)),
     "q_pack_offsets" -> ((s, d) => TextAnalysis.packedOffsets(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
@@ -137,6 +143,14 @@ object SparkEntry {
       s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
   }
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private lazy val tokenChunksSql =
+    s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |ks AS (SELECT doc_id, t, CAST(unnest(range(0, (LEN(t) - 1) // 24 + 1)) AS INTEGER) AS k
+       |       FROM docs WHERE LEN(t) > 0),
+       |c AS (SELECT doc_id, k, t[k * 24 + 1 : k * 24 + 32] AS chunk FROM ks)
+       |SELECT doc_id, k AS chunk_idx, CAST(LEN(chunk) AS INTEGER) AS n_in_chunk,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM c""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -307,6 +321,54 @@ object SparkEntry {
          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    // Correlated EXISTS (TPC-H Q4 shape) — both engines decorrelate to a
+    // semi join; the result is what the compare checks.
+    "q_sql_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // Correlated scalar subquery (TPC-H Q17 shape).
+    "q_sql_scalar" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    // Full global sort: the compare re-sorts rows before hashing, so the
+    // oracle checks CONTENT; the range-partitioned plan (the point of the
+    // query) is pinned by PlanShapeSpec.
+    "q_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    // Keyed upsert: same synthetic re-crawl delta, latest revision per
+    // key wins, non-updated base rows pass through.
+    "q_upsert_refresh" ->
+      """WITH updates AS (
+        |  SELECT doc_id, upper(text) AS text, 'recrawl' AS source, 1 AS rev
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2' AS text, 'recrawl' AS source, 2 AS rev
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, 'recrawl-new' AS source, 1 AS rev
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |latest AS (
+        |  SELECT doc_id, text, source FROM updates
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rev DESC) = 1),
+        |merged AS (
+        |  SELECT doc_id, text, source FROM latest
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM latest))
+        |SELECT doc_id, source, md5(text) AS digest FROM merged""".stripMargin,
     // Signups deduped to max(event_id) per (user_id, ts): DuckDB's ASOF
     // leaves equal-ts ties unspecified, while the Spark window picks the
     // highest event_id — pin the oracle to the same tie-break (ADVICE r01).
@@ -533,14 +595,10 @@ object SparkEntry {
          |    ELSE NULL END AS dup_token_ratio,
          |  round(CAST(mx AS DOUBLE) / total, 6) AS top_bigram_frac
          |FROM docs d LEFT JOIN top ON d.doc_id = top.doc_id""".stripMargin,
-    "q_token_chunks" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |ks AS (SELECT doc_id, t, CAST(unnest(range(0, (LEN(t) - 1) // 24 + 1)) AS INTEGER) AS k
-         |       FROM docs WHERE LEN(t) > 0),
-         |c AS (SELECT doc_id, k, t[k * 24 + 1 : k * 24 + 32] AS chunk FROM ks)
-         |SELECT doc_id, k AS chunk_idx, CAST(LEN(chunk) AS INTEGER) AS n_in_chunk,
-         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-         |FROM c""".stripMargin,
+    "q_token_chunks" -> tokenChunksSql,
+    // The custom chunk_slices Generator must be row-identical to the
+    // built-in composition — same oracle, word for word.
+    "q_token_chunks_gen" -> tokenChunksSql,
     // The oracle computes the same packing as ONE global running sum —
     // the engine's two-phase sharded prefix sum must be indistinguishable.
     "q_pack_offsets" ->

@@ -473,6 +473,69 @@ object Relational {
         |LIMIT 10""".stripMargin)
   }
 
+  /** Correlated EXISTS through the SQL parser (TPC-H Q4's shape, adapted
+    * to the synthetic schema: lineitem has no commit/receipt dates, so
+    * "late" means shipped >30 days after the order date — the
+    * correlation still references the outer table twice, once in the
+    * equi key and once in the comparison, which is the part that
+    * exercises decorrelation). Catalyst must rewrite the subquery into a
+    * LEFT SEMI join — never a per-outer-row execution; PlanShapeSpec
+    * pins that.
+    */
+  def sqlExistsLateOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM graft_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated scalar subquery through the SQL parser (TPC-H Q17's
+    * shape: keep lineitems below half their part's average quantity).
+    * Catalyst decorrelates into one aggregate over lineitem grouped by
+    * l_partkey joined back — the per-part average is computed ONCE, not
+    * per outer row; PlanShapeSpec pins the absence of a live subquery in
+    * the optimized plan.
+    */
+  def sqlScalarAvgQuantity(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    // the outer side MUST be aliased: a bare `l_partkey` inside the
+    // subquery resolves to l2's own column (self-comparison, silently
+    // uncorrelated) — the classic correlated-subquery footgun, and the
+    // same resolution order DuckDB uses, so the oracle aliases too
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM graft_lineitem l1 JOIN graft_part ON p_partkey = l1.l_partkey
+        |WHERE l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                       FROM graft_lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
+  /** Full global sort — ORDER BY with NO limit, the complement of
+    * [[topLineitems]]'s TakeOrderedAndProject: plans as a
+    * range-partitioned Exchange (sampled split points) followed by
+    * partition-local sorts, so every partition sorts its own range in
+    * parallel and the output is globally ordered across partitions —
+    * never a single-partition collapse (PlanShapeSpec pins the
+    * rangepartitioning exchange).
+    */
+  def globalSortLineitems(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
   /** As-of join: for every `purchase` event, the nearest prior-or-equal
     * `signup` event of the same user.
     *

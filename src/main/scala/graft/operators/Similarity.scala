@@ -108,6 +108,63 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Corpus×corpus ANN self-join: per-vector top-k over the WHOLE corpus
+    * — the embedding-dedup shape. [[annCosine]] broadcasts its query-side
+    * bands, which is right when queries are few and wrong when queries =
+    * corpus; here candidate generation is a plain shuffle equi-join of
+    * the banded relation with itself on (table_id, bucket), so both sides
+    * scale out by bucket and nothing is broadcast or collected.
+    *
+    * Bucket width (bitsPerTable) is the cost/recall knob: a self-join's
+    * candidate volume is Σ bucket² per table, so AT SCALE the bits grow
+    * with the corpus (each +1 bit halves expected bucket size, quartering
+    * pair volume) and recall is recouped across the L independent
+    * tables. The default stays at the few-query path's 4 bits because
+    * the synthetic embeddings' nearest neighbors sit near cosine 0.3
+    * (p≈0.6/bit → p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5) — at 8
+    * bits those would be invisible (p^8≈0.02). The ScalaTest measures
+    * recall against [[knnBrute]]. At 100 TB also add a per-bucket cap
+    * (count + filter before the join) as the skew backstop — a bucket
+    * holding 1% of the corpus means those vectors are near-identical
+    * and belong in exact dedup, not ANN.
+    *
+    * Candidates stay NARROW (a_id, b_id) through the join+distinct;
+    * embeddings rejoin per side for the exact cosine re-rank, then a
+    * per-a_id window takes top-k. Pairs materialize once in (a<b) order
+    * and mirror afterwards, halving the join+dedup+score volume.
+    */
+  def annSelfJoin(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val banded = emb.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("embedding"), planes, t, bitsPerTable)): _*)))
+      .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
+    val left = banded.select(col("table_id"), col("bucket"), col("vec_id").as("a_id"))
+    val right = banded.select(col("table_id"), col("bucket"), col("vec_id").as("b_id"))
+    val pairs = left.join(right, Seq("table_id", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), Seq("b_id"))
+      .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .select(col("a_id"), col("b_id"), col("cosine"))
+    // mirror so every vector sees its full neighbor list, then top-k
+    val sym = scored.unionByName(scored.select(col("b_id").as("a_id"),
+      col("a_id").as("b_id"), col("cosine")))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("q_id"), col("b_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Argmax-cosine cell id against broadcast centroid literals — pure
     * map-side expression, no shuffle. (array_position over the sims array
     * keeps the expression linear; a nested when()-reduce would duplicate

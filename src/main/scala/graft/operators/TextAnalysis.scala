@@ -227,6 +227,24 @@ object TextAnalysis {
         md5(concat_ws(" ", chunk).cast("binary")).as("chunk_md5"))
   }
 
+  /** [[tokenChunks]] re-expressed through the custom `chunk_slices`
+    * Generator (`functions.ChunkSlices`) — the UDTF leg of the
+    * UDF/UDAF/UDTF triad. Must be row-identical to the built-in
+    * composition: the differential ScalaTest and the shared DuckDB
+    * oracle both pin that.
+    */
+  def tokenChunksGen(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import graft.functions.ChunkSlices.chunkSlices
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), chunkSlices(col("t"), chunkSize, stride))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_in_chunk"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+  }
+
   /** Global token offsets for concat-and-slice packing: pretraining
     * pipelines concatenate the corpus in a deterministic order and cut
     * fixed-budget windows; each doc's placement is the running token

@@ -80,6 +80,15 @@ object Streaming {
     root
   }
 
+  /** Micro-batch count of the most recent bounded replay, keyed by
+    * nothing — single-threaded test use only. VERDICT r5 flagged
+    * `q_stream_watermarked`'s "exactly two micro-batches" comment as an
+    * unpinned claim; StreamingSpec asserts on this instead of trusting
+    * the comment. (recentProgress is capped at 100 entries — far above
+    * any bounded replay here, so the count is exact.)
+    */
+  @volatile private[graft] var lastReplayBatchCount: Int = -1
+
   /** Run a bounded streaming query to completion into a memory sink and
     * return the final table.
     */
@@ -95,6 +104,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastReplayBatchCount = q.recentProgress.length
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach(p => System.err.println(
         s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}"))

@@ -39,4 +39,23 @@ class SimilaritySpec extends AnyFunSuite {
     // meaningful fraction at a fraction of the cost", not exactness.
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("ann self-join: per-vector top-k, no self-matches, symmetric banding, recall vs brute") {
+    val rows = Similarity.annSelfJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    val perVec = rows.groupBy(_.getLong(0))
+    assert(perVec.values.forall(_.length <= 5))
+    // ranks are 1..n consecutive per vector
+    assert(perVec.values.forall(g => g.map(_.getInt(2)).sorted.toSeq == (1 to g.length)))
+    // recall on the brute-checked slice (q_id < 10): the self-join sees
+    // the same corpus, so its top-k for those ids should recover a
+    // meaningful share of the exact neighbors
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = rows.filter(_.getLong(0) < 10)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & self).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** SQL-parser-path subqueries must DECORRELATE (no per-outer-row
+  * execution), and the full global sort must plan a range-partitioned
+  * parallel sort — the two plan claims VERDICT r5 asked to pin.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("q_sql_exists: correlated EXISTS decorrelates to a left semi join") {
+    val df = Relational.sqlExistsLateOrders(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"), s"no semi join in:\n$optimized")
+    assert(!optimized.contains("exists#"), s"live EXISTS predicate survived optimization:\n$optimized")
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
+  test("q_sql_scalar: correlated scalar subquery decorrelates to an aggregate+join") {
+    val df = Relational.sqlScalarAvgQuantity(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"scalar subquery survived optimization (per-row execution):\n$optimized")
+    assert(optimized.contains("Join"), s"no join in decorrelated plan:\n$optimized")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q_global_sort: range-partitioned global sort, not TakeOrdered, not 1 partition") {
+    val df = Relational.globalSortLineitems(spark, sf)
+    // the exchange is inserted by EnsureRequirements — inspect the
+    // executed (prepared) plan, via toString (it prints through the
+    // AdaptiveSparkPlanExec leaf; see memory: collect() cannot)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("rangepartitioning"), s"no range-partitioned exchange in:\n$plan")
+    // `Sort [...], true, 0` = global sort (per-partition ranges compose
+    // to a total order); `false` would be partition-local only
+    assert(plan.contains("], true, 0"), s"no global Sort in:\n$plan")
+    // the exchange must declare a multi-partition fan-out (AQE may still
+    // coalesce tiny runtime data — that's adaptivity, not a collapse)
+    val fanOut = "rangepartitioning\\([^)]*, (\\d+)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(fanOut.exists(_ > 1), s"range exchange declares $fanOut partitions in:\n$plan")
+  }
+}
