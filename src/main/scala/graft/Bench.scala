@@ -19,6 +19,18 @@ import org.apache.spark.sql.SparkSession
   * identical binaries (r2→r3 evidence in VERDICT.md). A failed query
   * is reported as -1 and listed in `errors` instead of being silently
   * timed as a fast pass.
+  *
+  * Load normalization (VERDICT r5): absolute totals on this host swing
+  * ±50% with background load, so the summary co-measures a PINNED
+  * calibration workload — a fixed lineitem scan-aggregate whose code
+  * never changes across rounds — in the same process, interleaved with
+  * the query reps so both see the same load profile. `calib` (its
+  * median) is a pure host-speed probe; `norm_ratio` = total/calib is
+  * the load-invariant number to trend across rounds: code regressions
+  * move it, host load largely cancels out of it. The summary also
+  * splits `batch_subtotal` / `stream_subtotal` (q_stream_* carries
+  * constant-in-data-size micro-batch machinery, ~25 s of any r5-era
+  * total) so the scan-path trend is visible on its own.
   */
 object Bench {
   import JsonText.{quote => jstr}
@@ -27,6 +39,19 @@ object Bench {
     val s = xs.sorted
     val n = s.length
     if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** The calibration probe: one wide parquet scan + hash aggregate over
+    * lineitem. DO NOT CHANGE IT — cross-round comparability of
+    * `norm_ratio` depends on this workload staying byte-identical.
+    */
+  private def calibration(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("q"), sum(col("l_extendedprice")).as("p"),
+        avg(col("l_discount")).as("d"), count(lit(1)).as("n"))
+      .count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,9 +65,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup so startup cost isn't billed to the first query
+    // (also warms the calibration probe's codegen)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try calibration(spark, sfDir) catch { case _: Throwable => () }
+    val calibTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCalib(): Unit = {
+      val t0 = System.nanoTime()
+      try { calibration(spark, sfDir); calibTimes += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => () }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val qseq = SparkEntry.queries.toSeq
+    // probe host speed at the start, middle and end of the sweep so the
+    // calibration median sees the same load profile as the queries
+    val checkpoints = Set(0, qseq.size / 2)
+    val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (checkpoints(i)) runCalib()
       val times = (1 to reps).flatMap { _ =>
         if (errors.contains(name)) None // don't re-run a query that already failed
         else {
@@ -59,15 +97,24 @@ object Bench {
       }
       name -> median(times)
     }
+    runCalib()
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${if (errors.contains(k)) -1.0 else v}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val ok = results.filter { case (k, _) => !errors.contains(k) }
+    val total = ok.map(_._2).sum
+    val streamSub = ok.collect { case (k, v) if k.startsWith("q_stream") => v }.sum
+    val batchSub = total - streamSub
+    val calib = median(calibTimes.toSeq)
+    val normRatio = if (calib > 0) total / calib else -1.0
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+    def r4(x: Double): Double = math.rint(x * 10000) / 10000
     // long human/detail line first (may be truncated by the driver)...
-    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
-    // ...short machine line LAST so tail truncation can't eat it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"calib_runs":${calibTimes.map(r4).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
+    // ...short machine line LAST so tail truncation can't eat it.
+    // norm_ratio = total / calib is the load-invariant cross-round trend
+    // (the calibration workload is pinned — see `calibration` above).
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"batch_subtotal":${r4(batchSub)},"stream_subtotal":${r4(streamSub)},"calib":${r4(calib)},"norm_ratio":${r4(normRatio)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
