@@ -63,6 +63,7 @@ object SparkEntry {
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
+    "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
@@ -342,6 +343,14 @@ object SparkEntry {
         |                       FROM lineitem l2
         |                       WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY p_brand""".stripMargin,
+    // IN-subquery with grouped HAVING inner (TPC-H Q18 shape) — rewrites
+    // to a semi join against the aggregate in both engines.
+    "q_sql_in" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
     // Full global sort: the compare re-sorts rows before hashing, so the
     // oracle checks CONTENT; the range-partitioned plan (the point of the
     // query) is pinned by PlanShapeSpec.

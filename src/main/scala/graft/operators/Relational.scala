@@ -523,6 +523,25 @@ object Relational {
         |GROUP BY p_brand""".stripMargin)
   }
 
+  /** IN-subquery with a grouped HAVING inner (TPC-H Q18's shape: orders
+    * whose total lineitem quantity exceeds a threshold). The IN rewrites
+    * to a LEFT SEMI join against the aggregated subquery — completing
+    * the parser-path subquery family (EXISTS in [[sqlExistsLateOrders]],
+    * scalar in [[sqlScalarAvgQuantity]]).
+    */
+  def sqlInLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM graft_customer JOIN graft_orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM graft_lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |""".stripMargin)
+  }
+
   /** Full global sort — ORDER BY with NO limit, the complement of
     * [[topLineitems]]'s TakeOrderedAndProject: plans as a
     * range-partitioned Exchange (sampled split points) followed by

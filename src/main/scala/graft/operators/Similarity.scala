@@ -123,10 +123,15 @@ object Similarity {
     * the synthetic embeddings' nearest neighbors sit near cosine 0.3
     * (p≈0.6/bit → p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5) — at 8
     * bits those would be invisible (p^8≈0.02). The ScalaTest measures
-    * recall against [[knnBrute]]. At 100 TB also add a per-bucket cap
-    * (count + filter before the join) as the skew backstop — a bucket
-    * holding 1% of the corpus means those vectors are near-identical
-    * and belong in exact dedup, not ANN.
+    * recall against [[knnBrute]].
+    *
+    * `maxBucket` is the skew backstop: buckets above the cap are
+    * dropped from candidate generation entirely — a bucket holding 1%
+    * of the corpus means those vectors are near-identical and belong in
+    * exact/MinHash dedup, not ANN, and ONE such bucket would otherwise
+    * contribute |bucket|² pairs and stall its task. The cap count rides
+    * the same (table_id, bucket) hash partitioning the self-join needs,
+    * so enforcing it adds no extra exchange.
     *
     * Candidates stay NARROW (a_id, b_id) through the join+distinct;
     * embeddings rejoin per side for the exact cosine re-rank, then a
@@ -136,14 +141,22 @@ object Similarity {
   def annSelfJoin(
       spark: SparkSession, dir: String,
       k: Int = 5, nTables: Int = 8, bitsPerTable: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val planes = hyperplanes(nTables * bitsPerTable, dim)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
-    val banded = emb.select(col("vec_id"),
+    val raw = emb.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
         lshBucket(col("embedding"), planes, t, bitsPerTable)): _*)))
       .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
+    // skew backstop: count per (table, bucket) under a whole-partition
+    // window (same hash partitioning the join consumes) and drop
+    // oversized buckets before any pair materializes
+    val wBucket = Window.partitionBy(col("table_id"), col("bucket"))
+    val banded = raw
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val left = banded.select(col("table_id"), col("bucket"), col("vec_id").as("a_id"))
     val right = banded.select(col("table_id"), col("bucket"), col("vec_id").as("b_id"))
     val pairs = left.join(right, Seq("table_id", "bucket"))

@@ -58,4 +58,15 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute & self).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("ann self-join: per-bucket cap drops oversized buckets from candidates") {
+    // cap=1: no bucket may pair anything → zero candidates, empty result
+    assert(Similarity.annSelfJoin(spark, sf, maxBucket = 1).count() == 0)
+    // a generous cap must not change the result vs the default
+    val default = Similarity.annSelfJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val capped = Similarity.annSelfJoin(spark, sf, maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == default)
+  }
 }
