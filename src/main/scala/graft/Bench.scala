@@ -41,17 +41,30 @@ object Bench {
     if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** The calibration probe: one wide parquet scan + hash aggregate over
-    * lineitem. DO NOT CHANGE IT — cross-round comparability of
-    * `norm_ratio` depends on this workload staying byte-identical.
+  /** Force a full materialization of every output column through the
+    * noop sink. `.count()` is NOT a valid benchmark driver: Catalyst
+    * prunes everything order- and column-irrelevant beneath an
+    * Aggregate(count) — a global sort is eliminated outright
+    * (EliminateSorts) and computed projections never run
+    * (ColumnPruning), so count() times a bare scan-count for exactly
+    * the queries whose work the bench exists to measure. The noop sink
+    * consumes every row with all output columns and discards them —
+    * full execution, no driver transfer, no disk.
     */
-  private def calibration(spark: SparkSession, sfDir: String): Long = {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** The calibration probe: one wide parquet scan + hash aggregate over
+    * lineitem, all aggregate columns materialized via [[force]]. DO NOT
+    * CHANGE IT — cross-round comparability of `norm_ratio` depends on
+    * this workload staying byte-identical.
+    */
+  private def calibration(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    force(spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")).as("q"), sum(col("l_extendedprice")).as("p"),
-        avg(col("l_discount")).as("d"), count(lit(1)).as("n"))
-      .count()
+        avg(col("l_discount")).as("d"), count(lit(1)).as("n")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,7 +79,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup so startup cost isn't billed to the first query
     // (also warms the calibration probe's codegen)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     try calibration(spark, sfDir) catch { case _: Throwable => () }
     val calibTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runCalib(): Unit = {
@@ -85,7 +98,7 @@ object Bench {
         if (errors.contains(name)) None // don't re-run a query that already failed
         else {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch {
             case e: Throwable =>
               errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)

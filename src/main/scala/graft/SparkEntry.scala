@@ -45,6 +45,7 @@ object SparkEntry {
     "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
     "q_window_running" -> (Relational.runningUserAggregates(_, _)),
     "q_window_rank" -> (Relational.rankingFunctions(_, _)),
+    "q_window_dist" -> (Relational.distributionFunctions(_, _)),
     "q_sort_limit" -> (Relational.topLineitems(_, _)),
     "q_except" -> (Relational.exceptCustomers(_, _)),
     "q_intersect" -> (Relational.intersectCustomers(_, _)),
@@ -243,6 +244,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW c AS (PARTITION BY o_orderstatus ORDER BY MONTH(o_orderdate) ASC),
         |       u AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  COALESCE(NTH_VALUE(o_orderkey, 3) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS third_okey,
+        |  FIRST_VALUE(o_orderkey) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_okey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
@@ -353,7 +366,7 @@ object SparkEntry {
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
     // Full global sort: the compare re-sorts rows before hashing, so the
     // oracle checks CONTENT; the range-partitioned plan (the point of the
-    // query) is pinned by PlanShapeSpec.
+    // query) is pinned by SqlSurfaceSpec.
     "q_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,

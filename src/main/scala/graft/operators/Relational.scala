@@ -257,6 +257,30 @@ object Relational {
         coalesce(lag(col("event_id"), 1).over(order), lit(-1L)).as("prev_event_id"))
   }
 
+  /** Distribution-ranking window family — percent_rank / cume_dist /
+    * nth_value — the quantile-position functions [[rankingFunctions]]
+    * doesn't cover. Same single-shuffle window physics: one exchange on
+    * the partition key, partition-local sort, all four functions share
+    * the frame.
+    */
+  def distributionFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        // -1 sentinel: nth_value is null for the first two rows per
+        // group, and nullable int64 → pandas float64 can trip the
+        // strict compare
+        coalesce(nth_value(col("o_orderkey"), 3)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(-1L))
+          .as("third_okey"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_okey"))
+  }
+
   /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     * per-partition heaps + a k-row driver merge, never a full sort.
     */
@@ -479,7 +503,7 @@ object Relational {
     * correlation still references the outer table twice, once in the
     * equi key and once in the comparison, which is the part that
     * exercises decorrelation). Catalyst must rewrite the subquery into a
-    * LEFT SEMI join — never a per-outer-row execution; PlanShapeSpec
+    * LEFT SEMI join — never a per-outer-row execution; SqlSurfaceSpec
     * pins that.
     */
   def sqlExistsLateOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -501,7 +525,7 @@ object Relational {
     * shape: keep lineitems below half their part's average quantity).
     * Catalyst decorrelates into one aggregate over lineitem grouped by
     * l_partkey joined back — the per-part average is computed ONCE, not
-    * per outer row; PlanShapeSpec pins the absence of a live subquery in
+    * per outer row; SqlSurfaceSpec pins the absence of a live subquery in
     * the optimized plan.
     */
   def sqlScalarAvgQuantity(spark: SparkSession, dir: String): DataFrame = {
@@ -547,7 +571,7 @@ object Relational {
     * range-partitioned Exchange (sampled split points) followed by
     * partition-local sorts, so every partition sorts its own range in
     * parallel and the output is globally ordered across partitions —
-    * never a single-partition collapse (PlanShapeSpec pins the
+    * never a single-partition collapse (SqlSurfaceSpec pins the
     * rangepartitioning exchange).
     */
   def globalSortLineitems(spark: SparkSession, dir: String): DataFrame =
