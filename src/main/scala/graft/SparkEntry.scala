@@ -65,6 +65,7 @@ object SparkEntry {
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
+    "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
@@ -103,6 +104,7 @@ object SparkEntry {
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
+    "q_image_decode" -> (Multimodal.imageDecode(_, _)),
     "q_image_resize" -> (Multimodal.resizeStub(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     // --- skew toolkit ----------------------------------------------------
@@ -364,6 +366,17 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
+    // Parser-path window function; o_orderkey tiebreak makes rn exact.
+    "q_sql_window" ->
+      """SELECT c_custkey, o_orderkey, total_price, rn
+        |FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |                            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+        |                                     o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders JOIN customer ON c_custkey = o_custkey) t
+        |WHERE rn <= 3""".stripMargin,
     // Full global sort: the compare re-sorts rows before hashing, so the
     // oracle checks CONTENT; the range-partitioned plan (the point of the
     // query) is pinned by SqlSurfaceSpec.
@@ -557,6 +570,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST((in_h + 1) // 2 AS INTEGER) AS out_h,
         |  CAST(n_sampled AS BIGINT) AS n_sampled, CAST(pixel_sum AS BIGINT) AS pixel_sum
         |FROM s""".stripMargin,
+    // q_image_decode: the engine decodes a real PNG it synthesized from the
+    // doc bytes; PNG gray-8 is lossless, so the decoded raster equals the
+    // space-padded text bytes and DuckDB recomputes the stats directly.
+    "q_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS h
+        |  FROM documents WHERE strlen(text) >= 1),
+        |p AS (
+        |  SELECT doc_id, h, text || repeat(' ', 16 * h - len) AS padded FROM d),
+        |e AS (
+        |  SELECT doc_id, padded, CAST(unnest(range(0, CAST(16 * h AS BIGINT))) AS INTEGER) AS pos FROM p),
+        |s AS (
+        |  SELECT doc_id, SUM(ascii(substr(padded, pos + 1, 1))) AS pix_sum, COUNT(*) AS n
+        |  FROM e GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(16 AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height,
+        |       CAST(16 * p.h AS INTEGER) AS n_pixels,
+        |       sha256(p.padded) AS pixel_sha256,
+        |       CAST(s.pix_sum AS DOUBLE) / s.n AS channel_mean
+        |FROM p JOIN s USING (doc_id)""".stripMargin,
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text, CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames

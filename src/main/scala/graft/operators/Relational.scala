@@ -566,6 +566,30 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Window function through the SQL parser (TPC-H Q18-adjacent: top-3
+    * orders per customer by price). The DataFrame window family is
+    * covered elsewhere ([[rankPerGroup]] etc.); this one exercises the
+    * parser path — `ROW_NUMBER() OVER (PARTITION BY … ORDER BY …)` must
+    * parse, resolve, and plan as the same single hash-partitioned
+    * Exchange + partition-local sort + Window as the DataFrame route.
+    * o_orderkey breaks price ties so row numbers are deterministic.
+    */
+  def sqlWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, total_price, rn
+        |FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |                       ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+        |                                o_orderkey ASC) AS rn
+        |  FROM graft_orders JOIN graft_customer ON c_custkey = o_custkey)
+        |WHERE rn <= 3""".stripMargin)
+  }
+
   /** Full global sort — ORDER BY with NO limit, the complement of
     * [[topLineitems]]'s TakeOrderedAndProject: plans as a
     * range-partitioned Exchange (sampled split points) followed by

@@ -49,12 +49,36 @@ class OperatorsSmokeSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
   }
 
-  test("multimodal decode stub: features sum to ~1 for non-empty docs") {
-    val rows = graft.operators.Multimodal.decodeStub(spark = TestSpark.spark,
+  test("multimodal byte features sum to ~1 for non-empty docs") {
+    val rows = graft.operators.Multimodal.byteFeatures(spark = TestSpark.spark,
       dir = TestSpark.sf0001).collect()
     rows.filter(_.getInt(1) > 0).take(20).foreach { r =>
       val s = r.getSeq[Float](2).sum
       assert(math.abs(s - 1.0f) < 1e-3, s"doc ${r.getLong(0)} features sum $s")
+    }
+  }
+
+  test("image decode: PNG round-trip recovers the exact padded payload") {
+    val rows = graft.operators.Multimodal.imageDecode(TestSpark.spark, TestSpark.sf0001)
+      .orderBy("doc_id").limit(20).collect()
+    assert(rows.nonEmpty)
+    // independently recompute from the source text: the decoded raster must
+    // equal the space-padded UTF-8 bytes (PNG gray-8 is lossless)
+    val texts = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "documents")
+      .orderBy("doc_id").limit(20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val h = (bytes.length + 15) / 16
+      val padded = java.util.Arrays.copyOf(bytes, 16 * h)
+      java.util.Arrays.fill(padded, bytes.length, 16 * h, ' '.toByte)
+      assert(r.getInt(1) == 16 && r.getInt(2) == h && r.getInt(3) == 16 * h)
+      digest.reset()
+      assert(r.getString(4) == digest.digest(padded).map("%02x".format(_)).mkString,
+        s"doc ${r.getLong(0)}: decoded pixels differ from source bytes")
+      val mean = padded.map(_ & 0xFF).sum.toDouble / padded.length
+      assert(math.abs(r.getDouble(5) - mean) < 1e-9)
     }
   }
 }

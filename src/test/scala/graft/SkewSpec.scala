@@ -27,6 +27,51 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE skew join: runtime splits the 95%-hot partition (skew=true)") {
+    // When does the BUILT-IN mitigation suffice vs Skew.saltedJoin?
+    // AQE's OptimizeSkewedJoin splits a sort-merge-join partition at
+    // runtime when its shuffle bytes exceed max(threshold, 5x median) —
+    // no query rewrite needed. Salting remains necessary for (a) joins
+    // AQE won't rewrite (it refuses splits that would add a shuffle,
+    // unless forced) and (b) skewed AGGREGATIONS, which AQE never
+    // splits (state, not shuffle reads — see skewSafeDistinctCount).
+    // This test proves the built-in path actually fires on a 95%-hot key.
+    val confs = Map(
+      // keep it a shuffle join: nothing broadcastable
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // scale the detection thresholds down to test-fixture bytes
+      // (defaults are 256m/64m — right for real executors)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50k")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 100k rows, 95% on key 0, ~64B incompressible payload -> the hot
+      // shuffle partition is MBs while the median partition is ~0
+      val big = spark.range(100000).select(
+        when(col("id") % 100 < 95, 0L).otherwise(col("id") % 100).as("k"),
+        concat(md5(col("id").cast("string")),
+               md5((col("id") + 1).cast("string"))).as("payload"))
+      val small = spark.range(100)
+        .select(col("id").as("k2"), md5(col("id").cast("string")).as("dim"))
+      // aggregate OVER the payload so column pruning can't strip it from
+      // the shuffle — the skew must be in bytes that actually move
+      val agg = big.join(small, col("k") === col("k2"))
+        .groupBy().agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("payload_bytes"))
+      val row = agg.collect()(0)
+      assert(row.getLong(0) == 100000L && row.getLong(1) == 100000L * 64)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not re-plan:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+    } finally {
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+      }
+    }
+  }
+
   test("skewSafeDistinctCount equals plain countDistinct") {
     val events = graft.sources.Tables(spark, TestSpark.sf0001, "events")
     val plain = events.groupBy(col("user_id"))

@@ -29,6 +29,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("q_sql_window: parser-path ROW_NUMBER plans one hash exchange + Window") {
+    val df = Relational.sqlWindowTopOrders(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no Window operator in:\n$plan")
+    // partitioned by the window key, not collapsed to a single partition
+    assert(plan.contains("hashpartitioning(c_custkey"),
+      s"window not hash-partitioned on its PARTITION BY key:\n$plan")
+    // rn <= 3 must prune inside the window machinery (WindowGroupLimit
+    // pushes the limit below the shuffle since Spark 3.5) — never a
+    // post-hoc filter over fully materialized row numbers only
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed into the window (full materialization):\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
+  }
+
   test("q_global_sort: range-partitioned global sort, not TakeOrdered, not 1 partition") {
     val df = Relational.globalSortLineitems(spark, sf)
     // the exchange is inserted by EnsureRequirements — inspect the
