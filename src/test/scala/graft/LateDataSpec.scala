@@ -14,6 +14,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * append mode. (A single AvailableNow replay can't show this: within one
   * first batch the watermark is still 0 and nothing is late.)
   */
+/** One-shot crash injector for the recovery test: armed in the JVM the
+  * local executors share, throws exactly once mid-batch, then disarms so
+  * the checkpoint restart can replay the same file successfully.
+  */
+object CrashOnce {
+  @volatile var armed = false
+  def boom(k: String): Boolean = {
+    if (armed && k == "poison") {
+      armed = false
+      throw new RuntimeException("injected mid-replay crash")
+    }
+    true
+  }
+}
+
 class LateDataSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
@@ -66,5 +81,87 @@ class LateDataSpec extends AnyFunSuite {
     assert(run2.contains("2024-01-01 10:25:00"), run2)
     assert(run2.contains("2024-01-01 10:30:00"), run2)
     assert(!run2.exists(_.startsWith("2024-01-01 09:")), s"late data leaked: $run2")
+  }
+
+  /** Exactly-once under a mid-replay CRASH: batch 2 dies from an injected
+    * task failure (not a graceful stop), the query is restarted from the
+    * same checkpoint, and the file sink's `_spark_metadata`-filtered view
+    * must equal the batch oracle with no duplicate or missing windows —
+    * even though the failed batch may have left stray part files behind.
+    */
+  test("file-sink watermarked agg is exactly-once across a mid-replay crash") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-crash-src-").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt-").toString
+    val out = Files.createTempDirectory("graft-crash-out-").toString
+
+    def addFile(name: String, rows: Seq[(Timestamp, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-crash-stage-").toString
+      rows.toDF("ts", "k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      Files.move(part, java.nio.file.Paths.get(src, name))
+    }
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+    // 3 files -> 3 micro-batches (maxFilesPerTrigger=1); the poison row
+    // rides in file 2 so the crash lands mid-replay, after batch 1 commits
+    addFile("f1.parquet", Seq((t("10:00"), "x"), (t("10:07"), "x"), (t("10:31"), "x")))
+    addFile("f2.parquet", Seq((t("10:26"), "x"), (t("10:33"), "poison"), (t("10:52"), "x")))
+    addFile("f3.parquet", Seq((t("10:41"), "x"), (t("11:30"), "x")))
+
+    val boomUdf = udf(CrashOnce.boom _)
+    def runOnce(): Unit = {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("ts", org.apache.spark.sql.types.TimestampType)
+        .add("k", org.apache.spark.sql.types.StringType)
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .filter(boomUdf(col("k")))
+        .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("ws"), col("n"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    CrashOnce.armed = true
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(crash.getMessage.contains("injected") ||
+      Option(crash.getCause).exists(_.toString.contains("injected")), crash.getMessage)
+    assert(!CrashOnce.armed, "poison batch never executed — crash was not mid-replay")
+
+    runOnce() // restart from the same checkpoint; replays batch 2, then 3
+
+    // batch oracle: same agg over ALL rows in batch mode, append-closed
+    // windows only (window.end <= final watermark = max(ts) - 10 min)
+    val all = spark.read.schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("ts", org.apache.spark.sql.types.TimestampType)
+          .add("k", org.apache.spark.sql.types.StringType))
+      .parquet(src)
+    val maxTs = all.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wmMillis = maxTs.getTime - 10 * 60 * 1000
+    val expected = all
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .filter(col("window.end").cast("long") * 1000 <= wmMillis)
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // the read goes through _spark_metadata: only COMMITTED batches are
+    // visible, so the crashed attempt's stray files (if any) are ignored
+    val sinkRows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sinkRows.length == sinkRows.toSet.size,
+      s"duplicate rows in sink after crash-restart: ${sinkRows.toList.sorted}")
+    assert(sinkRows.toSet == expected,
+      s"sink ${sinkRows.toList.sorted} != batch oracle ${expected.toList.sorted}")
+    assert(Files.exists(java.nio.file.Paths.get(out, "_spark_metadata")),
+      "file sink wrote no transaction log")
   }
 }
