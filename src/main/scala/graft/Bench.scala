@@ -23,11 +23,15 @@ import org.apache.spark.sql.SparkSession
   * Load normalization (VERDICT r5): absolute totals on this host swing
   * ±50% with background load, so the summary co-measures a PINNED
   * calibration workload — a fixed lineitem scan-aggregate whose code
-  * never changes across rounds — in the same process, interleaved with
-  * the query reps so both see the same load profile. `calib` (its
-  * median) is a pure host-speed probe; `norm_ratio` = total/calib is
-  * the load-invariant number to trend across rounds: code regressions
-  * move it, host load largely cancels out of it. The summary also
+  * never changes across rounds — in the same process, interleaved
+  * every ~16 queries so both see the same load profile AND a per-query
+  * load spike is attributable from `calib_runs` without re-running.
+  * `calib` (its median) is a pure host-speed probe; `norm_ratio` =
+  * total/calib is the load-invariant number to trend across rounds:
+  * code regressions move it, host load largely cancels out of it.
+  * `spread_10_slowest` gives per-rep [min,max] for the costliest
+  * queries — a spike shows as one wild rep over a normal min, a real
+  * regression moves the min itself. The summary also
   * splits `batch_subtotal` / `stream_subtotal` (q_stream_* carries
   * constant-in-data-size micro-batch machinery, ~25 s of any r5-era
   * total) so the scan-path trend is visible on its own.
@@ -59,6 +63,9 @@ object Bench {
     * CHANGE IT — cross-round comparability of `norm_ratio` depends on
     * this workload staying byte-identical.
     */
+  private[graft] def calibrationProbe(spark: SparkSession, sfDir: String): Unit =
+    calibration(spark, sfDir)
+
   private def calibration(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     force(spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -89,11 +96,13 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val qseq = SparkEntry.queries.toSeq
-    // probe host speed at the start, middle and end of the sweep so the
-    // calibration median sees the same load profile as the queries
-    val checkpoints = Set(0, qseq.size / 2)
-    val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (checkpoints(i)) runCalib()
+    // probe host speed every ~16 queries (the probe costs ~0.4 s) so a
+    // load spike hitting one query's reps is visible in calib_runs and
+    // the calibration median sees the sweep's whole load profile — one
+    // start/middle/end triple proved too sparse to attribute per-query
+    // anomalies (VERDICT r6 on q_range_join)
+    val rawTimes = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 16 == 0) runCalib()
       val times = (1 to reps).flatMap { _ =>
         if (errors.contains(name)) None // don't re-run a query that already failed
         else {
@@ -108,9 +117,10 @@ object Bench {
           }
         }
       }
-      name -> median(times)
+      name -> times
     }
     runCalib()
+    val results = rawTimes.map { case (k, ts) => k -> median(ts) }
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${if (errors.contains(k)) -1.0 else v}"
     }.mkString("{", ",", "}")
@@ -122,8 +132,15 @@ object Bench {
     val normRatio = if (calib > 0) total / calib else -1.0
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     def r4(x: Double): Double = math.rint(x * 10000) / 10000
-    // long human/detail line first (may be truncated by the driver)...
-    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"calib_runs":${calibTimes.map(r4).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
+    // per-rep [min,max] for the 10 slowest queries: a load spike shows as
+    // one wild rep around a normal min; a real regression moves the min
+    val spreadJson = ok.sortBy(-_._2).take(10).map { case (k, _) =>
+      val ts = rawTimes.find(_._1 == k).get._2
+      s"${jstr(k)}:[${r4(ts.min)},${r4(ts.max)}]"
+    }.mkString("{", ",", "}")
+    // long human/detail line first (may be truncated by the driver, which
+    // keeps line TAILS — spread/calib_runs sit at the end to survive)...
+    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"spread_10_slowest":$spreadJson,"calib_runs":${calibTimes.map(r4).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
     // ...short machine line LAST so tail truncation can't eat it.
     // norm_ratio = total / calib is the load-invariant cross-round trend
     // (the calibration workload is pinned — see `calibration` above).
