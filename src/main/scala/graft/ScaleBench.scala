@@ -107,7 +107,8 @@ object ScaleBench {
     "q_minhash_neardups" -> ((s, d, _) => Dedup.minhashNearDups(s, d)),
     "q_split_assign" -> ((s, d, _) => TextAnalysis.deterministicSplit(s, d)),
     "q_ann_selfjoin" -> ((s, d, f) => Similarity.annSelfJoin(s, d,
-      bitsPerTable = 4 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt)))
+      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(
+        4 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -143,7 +144,10 @@ object ScaleBench {
       })
 
     def r4(x: Double): Double = math.rint(x * 10000) / 10000
-    val rows = targets.map { case (name, fn) =>
+    // SCALE_ONLY=q_a,q_b restricts the sweep; SCALE_ANN_BITS overrides
+    // the ANN bits knob — for occupancy-vs-cost experiments
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
+    val rows = targets.filter(t => only.forall(_(t._1))).map { case (name, fn) =>
       runCalib()
       val t1 = time(fn, sfDir, 1)
       val tN = time(fn, workDir, factor)

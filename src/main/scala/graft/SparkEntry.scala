@@ -105,6 +105,7 @@ object SparkEntry {
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
+    "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
     "q_image_resize" -> (Multimodal.resizeStub(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     // --- skew toolkit ----------------------------------------------------
@@ -590,6 +591,23 @@ object SparkEntry {
         |       sha256(p.padded) AS pixel_sha256,
         |       CAST(s.pix_sum AS DOUBLE) / s.n AS channel_mean
         |FROM p JOIN s USING (doc_id)""".stripMargin,
+    // q_audio_decode: WAV PCM round-trip is lossless, so decoded samples
+    // equal the text bytes and DuckDB recomputes rate/duration/sha/mean.
+    "q_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE strlen(text) >= 1),
+        |e AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, CAST(len AS BIGINT))) AS INTEGER) AS pos FROM d),
+        |s AS (
+        |  SELECT doc_id, SUM(ascii(substr(text, pos + 1, 1))) AS amp_sum, COUNT(*) AS n
+        |  FROM e GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(d.len AS INTEGER) AS n_samples,
+        |       CAST(d.len AS DOUBLE) / 8000 AS duration_sec,
+        |       sha256(d.text) AS pcm_sha256,
+        |       CAST(s.amp_sum AS DOUBLE) / s.n AS amplitude_mean
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text, CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames

@@ -126,6 +126,59 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_pixels", "pixel_sha256", "channel_mean")
   }
 
+  /** Real audio decode through `javax.sound.sampled` (JDK-built-in WAV
+    * codec — the audio twin of [[imageDecode]]).
+    *
+    * Each document's bytes become the PCM samples of a synthesized
+    * 8-bit/mono/8 kHz WAV written by `AudioSystem.write` (a genuine RIFF
+    * container), which the decode path reads back with
+    * `AudioSystem.getAudioInputStream` — format fields (rate, channels,
+    * width) and the PCM stream all come from the DECODER. PCM is
+    * lossless, so DuckDB can recompute every output from the text bytes.
+    * Same 100 TB shape as the image path: scan → decode → project, one
+    * narrow stage, codec state per partition, no shuffle.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SampleRate = 8000f
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        SampleRate, 8, 1, 1, SampleRate, false)
+      batch.map { case (docId, payload) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val wav = bos.toByteArray
+        require(wav.length > 12 && wav(0) == 'R' && wav(1) == 'I' &&
+          wav(2) == 'F' && wav(3) == 'F',
+          s"doc $docId: encoder did not produce a RIFF container")
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val decFmt = ais.getFormat
+        require(decFmt.getSampleRate == SampleRate && decFmt.getChannels == 1 &&
+          decFmt.getSampleSizeInBits == 8,
+          s"doc $docId: decoded format drifted: $decFmt")
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
+        digest.reset()
+        val sha = digest.digest(pcm).map("%02x".format(_)).mkString
+        (docId, decFmt.getSampleRate.toInt, pcm.length,
+          pcm.length / decFmt.getSampleRate.toDouble, sha, sum.toDouble / pcm.length)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "duration_sec",
+      "pcm_sha256", "amplitude_mean")
+  }
+
   /** Image-resize pipeline over opaque payloads.
     *
     * STUB DECODE: a real implementation decodes e.g. JPEG bytes to a

@@ -58,6 +58,24 @@ class OperatorsSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode: WAV round-trip recovers the exact PCM payload") {
+    val rows = graft.operators.Multimodal.audioDecode(TestSpark.spark, TestSpark.sf0001)
+      .orderBy("doc_id").limit(20).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "documents")
+      .orderBy("doc_id").limit(20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getInt(1) == 8000 && r.getInt(2) == bytes.length)
+      assert(math.abs(r.getDouble(3) - bytes.length / 8000.0) < 1e-12)
+      digest.reset()
+      assert(r.getString(4) == digest.digest(bytes).map("%02x".format(_)).mkString,
+        s"doc ${r.getLong(0)}: decoded PCM differs from source bytes")
+    }
+  }
+
   test("image decode: PNG round-trip recovers the exact padded payload") {
     val rows = graft.operators.Multimodal.imageDecode(TestSpark.spark, TestSpark.sf0001)
       .orderBy("doc_id").limit(20).collect()
