@@ -106,7 +106,7 @@ object SparkEntry {
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
-    "q_image_resize" -> (Multimodal.resizeStub(_, _)),
+    "q_image_resize" -> (Multimodal.imageResize(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     // --- skew toolkit ----------------------------------------------------
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
@@ -555,21 +555,29 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "q_binary_meta" ->
       "SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, sha256(text) AS sha256 FROM documents",
+    // q_image_resize: decode-then-resample — the engine decodes its own
+    // PNG and decimates the DECODED raster 2x (even rows/cols); DuckDB
+    // mirrors the explicit kernel on the space-padded text bytes.
     "q_image_resize" ->
       """WITH d AS (
         |  SELECT doc_id, text, strlen(text) AS len,
-        |    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS in_h
-        |  FROM documents),
-        |r AS (SELECT doc_id, text, len, in_h, CAST(unnest(range(0, in_h, 2)) AS INTEGER) AS rr FROM d),
+        |         CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS h
+        |  FROM documents WHERE strlen(text) >= 1),
+        |p AS (
+        |  SELECT doc_id, h, CAST((h + 1) // 2 AS INTEGER) AS out_h,
+        |         text || repeat(' ', 16 * h - len) AS padded FROM d),
+        |rr AS (SELECT doc_id, out_h, padded, CAST(unnest(range(0, CAST(out_h AS BIGINT))) AS INTEGER) AS r FROM p),
         |cells AS (
-        |  SELECT doc_id, text, len, in_h, rr * 16 + cc.cc AS pos
-        |  FROM r CROSS JOIN (SELECT CAST(unnest(range(0, 16, 2)) AS INTEGER) AS cc) cc),
+        |  SELECT doc_id, out_h, r, cc.c AS c,
+        |         substr(padded, (2*r)*16 + 2*cc.c + 1, 1) AS ch
+        |  FROM rr CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS c) cc),
         |s AS (
-        |  SELECT doc_id, MIN(in_h) AS in_h, COUNT(*) AS n_sampled,
-        |    SUM(ascii(substr(text, pos + 1, 1))) AS pixel_sum
-        |  FROM cells WHERE pos < len GROUP BY doc_id)
-        |SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST((in_h + 1) // 2 AS INTEGER) AS out_h,
-        |  CAST(n_sampled AS BIGINT) AS n_sampled, CAST(pixel_sum AS BIGINT) AS pixel_sum
+        |  SELECT doc_id, MIN(out_h) AS out_h,
+        |         string_agg(ch, '' ORDER BY r, c) AS resized,
+        |         SUM(ascii(ch)) AS pix_sum
+        |  FROM cells GROUP BY doc_id)
+        |SELECT doc_id, CAST(8 AS INTEGER) AS out_w, out_h,
+        |       sha256(resized) AS pixel_sha256, CAST(pix_sum AS BIGINT) AS pixel_sum
         |FROM s""".stripMargin,
     // q_image_decode: the engine decodes a real PNG it synthesized from the
     // doc bytes; PNG gray-8 is lossless, so the decoded raster equals the

@@ -9,12 +9,14 @@ import graft.sources.Tables
   * engine as opaque `BinaryType` columns plus typed metadata, and
   * decode/feature-extraction runs as partition-local batch transforms.
   *
-  * [[imageDecode]] is a REAL image decode: each document's bytes are
-  * rendered into a grayscale PNG (a genuine PNG container — zlib-deflated
-  * scanlines, CRC'd chunks) and decoded back through `javax.imageio`, all
-  * executor-local inside `mapPartitions`. The remaining `*Stub` transforms
-  * ([[resizeStub]], [[frameSampleStub]]) keep a synthetic byte layout in
-  * place of a demuxer but run the same distributed contract.
+  * [[imageDecode]] / [[imageResize]] / [[audioDecode]] are REAL codec
+  * paths: genuine PNG / RIFF-WAV containers synthesized from the payload
+  * bytes and decoded back through `javax.imageio` /
+  * `javax.sound.sampled`, all executor-local inside `mapPartitions`,
+  * with every output stat computed from DECODER output. The one
+  * remaining stub is [[frameSampleStub]]: the JDK ships no video
+  * demuxer, so it keeps a synthetic frame layout while running the same
+  * distributed contract.
   */
 object Multimodal {
 
@@ -179,42 +181,61 @@ object Multimodal {
       "pcm_sha256", "amplitude_mean")
   }
 
-  /** Image-resize pipeline over opaque payloads.
+  /** Real image resize: decode-then-resample, built on the same genuine
+    * PNG round-trip as [[imageDecode]].
     *
-    * STUB DECODE: a real implementation decodes e.g. JPEG bytes to a
-    * pixel matrix and resamples; this fake treats the payload as a
-    * `FakeW`-wide grayscale image (one byte per pixel, last row ragged)
-    * and "resizes" by nearest-neighbor 2× decimation — keeping every
-    * even (row, col). The Spark-side contract is real: executor-local
-    * per-row transform, typed fixed-shape output (out dims + a pixel
-    * checksum standing in for the resized buffer), no driver round-trip.
+    * Each document's padded bytes become a grayscale PNG; the resize
+    * stage DECODES the container with `ImageIO.read` and applies a 2×
+    * nearest-neighbor decimation kernel to the decoded raster — keeping
+    * every even (row, col), the deterministic convention a DuckDB oracle
+    * can mirror (Java2D's `AffineTransformOp` NN rounding is
+    * implementation-defined, so the kernel is explicit instead). Output
+    * dims, checksum and sum all come from the RESIZED decoded pixels.
+    * Executor-local per-row transform, no driver round-trip.
     */
-  def resizeStub(spark: SparkSession, dir: String): DataFrame = {
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val FakeW = 16
+    val W = 16
     val src = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      // empty payload → no pixels, no output row (the oracle's pos < len
-      // filter likewise drops the doc entirely)
-      .filter(length(col("payload")) > 0)
+      .filter(length(col("payload")) >= 1)
       .as[(Long, Array[Byte])]
-    src.map { case (docId, payload) =>
-      val inH = (payload.length + FakeW - 1) / FakeW
-      val outW = FakeW / 2
-      val outH = (inH + 1) / 2
-      var sum = 0L; var n = 0L
-      var r = 0
-      while (r < inH) {
-        var c = 0
-        while (c < FakeW) {
-          val pos = r * FakeW + c
-          if (pos < payload.length) { sum += payload(pos) & 0xFF; n += 1 }
-          c += 2
+    src.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map { case (docId, payload) =>
+        val h = (payload.length + W - 1) / W
+        val pixels = java.util.Arrays.copyOf(payload, W * h)
+        java.util.Arrays.fill(pixels, payload.length, W * h, ' '.toByte)
+        val img = new java.awt.image.BufferedImage(
+          W, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, W, h, pixels)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val (bw, bh) = (back.getWidth, back.getHeight)
+        val decoded = new Array[Byte](bw * bh)
+        back.getRaster.getDataElements(0, 0, bw, bh, decoded)
+        val outW = bw / 2
+        val outH = (bh + 1) / 2
+        val resized = new Array[Byte](outW * outH)
+        var r = 0
+        var sum = 0L
+        while (r < outH) {
+          var c = 0
+          while (c < outW) {
+            val p = decoded((2 * r) * bw + 2 * c)
+            resized(r * outW + c) = p
+            sum += p & 0xFF
+            c += 1
+          }
+          r += 1
         }
-        r += 2
+        digest.reset()
+        val sha = digest.digest(resized).map("%02x".format(_)).mkString
+        (docId, outW, outH, sha, sum)
       }
-      (docId, outW, outH, n, sum)
-    }.toDF("doc_id", "out_w", "out_h", "n_sampled", "pixel_sum")
+    }.toDF("doc_id", "out_w", "out_h", "pixel_sha256", "pixel_sum")
   }
 
   /** Video frame-sampling pipeline over opaque payloads.

@@ -15,13 +15,25 @@ class BreadthOpsSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def dir = TestSpark.sf0001
 
-  test("resize stub: output dims follow ceil-halving of the fake geometry") {
-    val rows = Multimodal.resizeStub(spark, dir).collect()
+  test("image resize: decoded-then-decimated pixels match direct source decimation") {
+    val rows = Multimodal.imageResize(spark, dir).orderBy("doc_id").limit(20).collect()
     assert(rows.nonEmpty)
+    val texts = Tables(spark, dir, "documents")
+      .orderBy("doc_id").limit(20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
     rows.foreach { r =>
-      assert(r.getInt(1) == 8) // out_w = FakeW/2
-      assert(r.getInt(2) >= 1)
-      assert(r.getLong(3) >= 1 && r.getLong(3) <= 8L * r.getInt(2))
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val h = (bytes.length + 15) / 16
+      val padded = java.util.Arrays.copyOf(bytes, 16 * h)
+      java.util.Arrays.fill(padded, bytes.length, 16 * h, ' '.toByte)
+      val outH = (h + 1) / 2
+      val resized = Array.tabulate(outH * 8)(i => padded((2 * (i / 8)) * 16 + 2 * (i % 8)))
+      assert(r.getInt(1) == 8 && r.getInt(2) == outH)
+      digest.reset()
+      assert(r.getString(3) == digest.digest(resized).map("%02x".format(_)).mkString,
+        s"doc ${r.getLong(0)}: resized raster differs from direct decimation")
+      assert(r.getLong(4) == resized.map(_ & 0xFF).map(_.toLong).sum)
     }
   }
 
