@@ -248,11 +248,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
         .groupBy(col("u")).agg(min(col("cluster")).as("nbr_min"))
         .withColumnRenamed("u", "doc_id")
+      // localCheckpoint (not cache): TRUNCATES the lineage, so round N's
+      // plan is one join over materialized labels instead of embedding
+      // rounds 1..N-1 — without it, analysis + codegen grow per round
+      // and the driver becomes the bottleneck long before the data does
+      // (eager=true also serves as the round's materialization barrier;
+      // superseded round RDDs are freed by the ContextCleaner)
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val s = labelSum(next)
       labels.unpersist()
       labels = next
