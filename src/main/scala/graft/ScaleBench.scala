@@ -106,9 +106,11 @@ object ScaleBench {
     "q_byte_entropy" -> ((s, d, _) => TextAnalysis.byteEntropy(s, d)),
     "q_minhash_neardups" -> ((s, d, _) => Dedup.minhashNearDups(s, d)),
     "q_split_assign" -> ((s, d, _) => TextAnalysis.deterministicSplit(s, d)),
-    "q_ann_selfjoin" -> ((s, d, f) => Similarity.annSelfJoin(s, d,
-      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(
-        4 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt))))
+    // default -1 = the operator's own self-scaling bits (log2 of corpus
+    // count, constant occupancy) — the production path; SCALE_ANN_BITS
+    // overrides for occupancy-vs-cost experiments
+    "q_ann_selfjoin" -> ((s, d, _) => Similarity.annSelfJoin(s, d,
+      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(-1))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

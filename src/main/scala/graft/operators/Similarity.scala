@@ -119,11 +119,16 @@ object Similarity {
     * candidate volume is Σ bucket² per table, so AT SCALE the bits grow
     * with the corpus (each +1 bit halves expected bucket size, quartering
     * pair volume) and recall is recouped across the L independent
-    * tables. The default stays at the few-query path's 4 bits because
-    * the synthetic embeddings' nearest neighbors sit near cosine 0.3
-    * (p≈0.6/bit → p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5) — at 8
-    * bits those would be invisible (p^8≈0.02). The ScalaTest measures
-    * recall against [[knnBrute]].
+    * tables. The DEFAULT is now self-scaling: `bitsPerTable <= 0` derives
+    * bits = max(4, ⌈log2(n / 125)⌉) from one metadata-cheap corpus count,
+    * holding expected bucket occupancy ≈ constant (≈125, the 4-bit
+    * occupancy the recall numbers below are calibrated against) as the
+    * corpus grows — time stays ∝ n × occupancy, the model the ScaleBench
+    * 1×/10×/100× experiment measured (BASELINE.md r7). At the test SFs
+    * (n ≤ 2000) this resolves to the historical 4 bits (p≈0.6/bit →
+    * p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5 on the synthetic
+    * near-cosine-0.3 neighbors — at 8 bits those would be invisible,
+    * p^8≈0.02). The ScalaTest measures recall against [[knnBrute]].
     *
     * `maxBucket` is the skew backstop: buckets above the cap are
     * dropped from candidate generation entirely — a bucket holding 1%
@@ -140,14 +145,21 @@ object Similarity {
     */
   def annSelfJoin(
       spark: SparkSession, dir: String,
-      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = 4,
+      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = -1,
       dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
-    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        // parquet footer count — no data scan; target occupancy 125/bucket
+        val n = Tables(spark, dir, "embeddings").count().max(1L)
+        math.max(4, math.ceil(math.log(n / 125.0) / math.log(2.0)).toInt)
+      }
+    val planes = hyperplanes(nTables * bits, dim)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
     val raw = emb.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
-        lshBucket(col("embedding"), planes, t, bitsPerTable)): _*)))
+        lshBucket(col("embedding"), planes, t, bits)): _*)))
       .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
     // skew backstop: count per (table, bucket) under a whole-partition
     // window (same hash partitioning the join consumes) and drop
