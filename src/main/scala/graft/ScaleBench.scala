@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Data-dominated scale proof (VERDICT r6 #1): the sf0.1 bench measures
   * mostly per-query fixed cost (scheduling, codegen, micro-batch
   * machinery), so it cannot distinguish "scales linearly" from "constant
   * overhead". This main self-replicates the sf0.1 tables `factor`× into a
-  * work dir and times the 8 scan-dominated queries at 1× and factor×,
+  * work dir and times the 10 data-dominated queries at 1× and factor×,
   * interleaved pairwise with the same pinned calibration probe Bench
   * uses, printing per-query ratios. ~`factor`× growth (or less, as fixed
   * cost amortizes) on rising data is the empirical evidence behind
@@ -28,7 +28,10 @@ import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
   *    matches the original's);
   *  - embeddings: `vec_id` offset + per-replica circular shift of the
   *    vector dims (orthogonal transform: intra-replica geometry is
-  *    EXACTLY preserved, cross-replica cosines decorrelate).
+  *    EXACTLY preserved, cross-replica cosines decorrelate);
+  *  - events: `event_id`/`user_id` offsets — replica users are new
+  *    users, so per-user session/funnel structure is preserved while
+  *    user-partition fan-out grows with the factor.
   *
   * q_ann_selfjoin additionally follows its own documented scale path:
   * `bitsPerTable` grows with log2(corpus) so LSH bucket occupancy stays
@@ -48,11 +51,12 @@ object ScaleBench {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** Decorrelated `factor`× replication of the three tables the scan-path
-    * queries read. Idempotent via a marker file.
+  /** Decorrelated `factor`× replication of the four tables the
+    * data-dominated queries read. Idempotent via a marker file (version
+    * suffix v2: pre-events replicas must regenerate).
     */
   def replicate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_SCALE_READY_$factor")
+    val marker = new java.io.File(s"$outDir/_SCALE_READY_v2_$factor")
     if (marker.exists()) return
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -91,11 +95,25 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // events: replica users are NEW users (user_id offset), so per-user
+    // session/funnel structure inside each replica matches the original
+    // exactly while total user count — and with it the window/shuffle
+    // fan-out — grows with the factor (ts stays raw nanos; Tables
+    // converts at read)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val evSpan = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val userSpan = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("user_id", col("user_id") + lit(i * userSpan))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     marker.createNewFile()
     ()
   }
 
-  /** The 8 scan-dominated queries; the Int is the scale factor of the dir
+  /** The 10 data-dominated queries; the Int is the scale factor of the dir
     * being read (only q_ann_selfjoin uses it, for its log2 bits knob).
     */
   private def targets: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
@@ -106,6 +124,10 @@ object ScaleBench {
     "q_byte_entropy" -> ((s, d, _) => TextAnalysis.byteEntropy(s, d)),
     "q_minhash_neardups" -> ((s, d, _) => Dedup.minhashNearDups(s, d)),
     "q_split_assign" -> ((s, d, _) => TextAnalysis.deterministicSplit(s, d)),
+    // window-function + user-keyed-join families (r7 analytics adds):
+    // sort/state per user partition, joins exchanging |users| rows
+    "q_sessionize" -> ((s, d, _) => Analytics.sessionize(s, d)),
+    "q_funnel" -> ((s, d, _) => Analytics.funnelConversion(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -101,6 +101,12 @@ object SparkEntry {
     "q_token_chunks" -> ((s, d) => TextAnalysis.tokenChunks(s, d)),
     "q_token_chunks_gen" -> ((s, d) => TextAnalysis.tokenChunksGen(s, d)),
     "q_pack_offsets" -> ((s, d) => TextAnalysis.packedOffsets(s, d)),
+    "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
+    "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
+    // --- product analytics ------------------------------------------------
+    "q_funnel" -> (Analytics.funnelConversion(_, _)),
+    "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -692,6 +698,76 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, global_offset,
          |  CAST(global_offset // 512 AS BIGINT) AS pack_id
          |FROM o""".stripMargin,
+    "q_pii_redact" -> {
+      val aug = "text || ' contact u' || CAST(doc_id AS VARCHAR)" +
+        " || '@mail-' || CAST(doc_id % 7 AS VARCHAR)" +
+        " || '.example.com or +1-555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')" +
+        " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+      val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(LEN(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(LEN(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(LEN(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS redacted_md5
+         |FROM a""".stripMargin
+    },
+    "q_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://sub' || CAST(doc_id % 10 AS VARCHAR) || '.example.com:8080/p/'
+        |    || CAST(doc_id AS VARCHAR) || '/item?q=' || lang
+        |    || '&page=' || CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+        |  regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+        |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+        |  regexp_extract(url, '#(.*)$', 1) AS fragment
+        |FROM u""".stripMargin,
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM o)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |            FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, ev.week) // 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(p) AS INTEGER) AS n_pieces,

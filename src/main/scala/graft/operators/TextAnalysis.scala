@@ -304,4 +304,71 @@ object TextAnalysis {
       .select(col("doc_id"),
         round(log(col("n").cast("double")) - col("clogc") / col("n"), 6).as("entropy_nats"))
   }
+
+  // PII patterns shared by redaction and counting. The syntax is the
+  // common Java-regex/RE2 subset so the DuckDB oracle applies the SAME
+  // patterns (no \p classes, no backrefs, no lookaround).
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val PhoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+  private[graft] val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** PII detection + redaction — the scrub every training-data pipeline
+    * runs before anything else. The synthetic corpus contains no PII, so
+    * the query first splices a deterministic email / E.164-ish phone /
+    * IPv4 per document from `doc_id` (the same construction the oracle
+    * SQL performs — the multimodal pattern: synthesize, then prove the
+    * operator on real matches), then counts matches per class and
+    * replaces them with typed placeholder tags. Everything is codegen'd
+    * `regexp_count`/`regexp_replace` over one projection: per-row
+    * narrow work, no shuffle at all, trivially linear at 100 TB.
+    * Redaction order matters and is pinned: emails first (an IPv4-shaped
+    * substring may hide inside a hostname), then phones, then bare IPs.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val augmented = concat(
+      col("text"), lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail-"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example.com or +1-555-"),
+      lpad(pmod(col("doc_id") * 37, lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0."), pmod(col("doc_id") * 3, lit(256)).cast("string"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(augmented, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(augmented, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(augmented, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(augmented, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** URL structural parsing — host / path / query-parameter extraction
+    * for crawl provenance and per-domain corpus stats. Synthesizes a
+    * deterministic URL per document (scheme, subdomain, port, path,
+    * two query params, fragment — every component the parser must
+    * separate), then splits it with Spark's native `parse_url`
+    * expression; the oracle recomputes each component with equivalent
+    * anchored regexes. Pure per-row projection: no shuffle, linear scan.
+    */
+  def urlParse(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit("https://sub"), pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(".example.com:8080/p/"), col("doc_id").cast("string"),
+          lit("/item?q="), col("lang"),
+          lit("&page="), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("#frag")).as("url"))
+      .select(col("doc_id"),
+        expr("parse_url(url, 'PROTOCOL')").as("protocol"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+        expr("parse_url(url, 'QUERY', 'page')").as("page_param"),
+        expr("parse_url(url, 'REF')").as("fragment"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, TextAnalysis}
+
+/** Semantics pins for the product-analytics and PII/URL operators (the
+  * DuckDB hash-match is the driver's gate; these pin the invariants the
+  * SQL can't state).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  test("funnel: stage timestamps strictly ordered, stages monotone-shrinking") {
+    val rows = Analytics.funnelConversion(TestSpark.spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    var nView = 0; var nClick = 0; var nPurchase = 0
+    rows.foreach { r =>
+      // events.ts is TIMESTAMP_NTZ → rows carry java.time.LocalDateTime
+      val tv = Option(r.getAs[java.time.LocalDateTime](1))
+      val tc = Option(r.getAs[java.time.LocalDateTime](2))
+      val tp = Option(r.getAs[java.time.LocalDateTime](3))
+      // a stage is only reachable through the previous one
+      assert(tc.isEmpty || tv.nonEmpty, s"click without view: $r")
+      assert(tp.isEmpty || tc.nonEmpty, s"purchase without click: $r")
+      for (v <- tv; c <- tc) assert(c.isAfter(v), s"click not after view: $r")
+      for (c <- tc; p <- tp) assert(p.isAfter(c), s"purchase not after click: $r")
+      if (tv.nonEmpty) nView += 1
+      if (tc.nonEmpty) nClick += 1
+      if (tp.nonEmpty) nPurchase += 1
+    }
+    assert(nView >= nClick && nClick >= nPurchase, "funnel must shrink stage over stage")
+    assert(nView > 0)
+  }
+
+  test("cohort retention: offset-0 cell equals cohort size, offsets non-negative") {
+    val cells = Analytics.cohortRetention(TestSpark.spark, TestSpark.sf0001).collect()
+    assert(cells.nonEmpty)
+    assert(cells.forall(_.getInt(1) >= 0))
+    // every cohort member is by construction active in their own first week,
+    // and no later cell can exceed the cohort's size
+    val byCohort = cells.groupBy(_.getDate(0))
+    byCohort.foreach { case (week, cs) =>
+      val size0 = cs.find(_.getInt(1) == 0).map(_.getLong(2))
+      assert(size0.nonEmpty, s"cohort $week missing offset-0 cell")
+      cs.foreach(c => assert(c.getLong(2) <= size0.get, s"cell exceeds cohort size: $c"))
+    }
+  }
+
+  test("sessionize: sessions partition the events, split only by >=30min silences") {
+    val sessions = Analytics.sessionize(TestSpark.spark, TestSpark.sf0001).collect()
+    assert(sessions.nonEmpty)
+    val totalEvents = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events").count()
+    assert(sessions.map(_.getLong(4)).sum == totalEvents, "sessions must cover every event")
+    def ldt(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](i)
+    sessions.groupBy(_.getLong(0)).foreach { case (user, ss) =>
+      val ordered = ss.sortBy(s => ldt(s, 2).toString)
+      ordered.foreach(s => assert(!ldt(s, 2).isAfter(ldt(s, 3)), s"start after end: $s"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = java.time.Duration.between(ldt(a, 3), ldt(b, 2))
+          assert(gap.toMinutes >= 30, s"user $user: sessions split by a <30min gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("pii: every doc gains one spliced match per class; redaction removes all") {
+    val df = TextAnalysis.piiRedact(TestSpark.spark, TestSpark.sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, s"no email matched: $r")
+      assert(r.getLong(2) >= 1, s"no phone matched: $r")
+      assert(r.getLong(3) >= 1, s"no ip matched: $r")
+    }
+    // recompute the redacted text and assert the patterns are really gone
+    // (the query only emits its md5)
+    val leftover = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(regexp_replace(regexp_replace(regexp_replace(
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail-"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com or +1-555-"),
+          lpad(pmod(col("doc_id") * 37, lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0."), pmod(col("doc_id") * 3, lit(256)).cast("string")),
+        TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.PhoneRe, "<PHONE>"),
+        TextAnalysis.Ipv4Re, "<IP>").as("red"))
+      .filter(col("red").rlike(TextAnalysis.EmailRe)
+        || col("red").rlike(TextAnalysis.PhoneRe)
+        || col("red").rlike(TextAnalysis.Ipv4Re))
+      .count()
+    assert(leftover == 0, s"$leftover docs still contain PII after redaction")
+  }
+
+  test("url parse: components round-trip the synthesized construction") {
+    val rows = TextAnalysis.urlParse(TestSpark.spark, TestSpark.sf0001)
+      .orderBy(col("doc_id")).limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "https")
+      assert(r.getString(2) == s"sub${id % 10}.example.com", s"host mismatch: $r")
+      assert(r.getString(3) == s"/p/$id/item", s"path mismatch: $r")
+      assert(r.getString(5) == (id % 5).toString, s"page mismatch: $r")
+      assert(r.getString(6) == "frag", s"fragment mismatch: $r")
+    }
+  }
+}
