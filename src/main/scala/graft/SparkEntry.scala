@@ -103,6 +103,8 @@ object SparkEntry {
     "q_pack_offsets" -> ((s, d) => TextAnalysis.packedOffsets(s, d)),
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
+    "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
@@ -114,6 +116,8 @@ object SparkEntry {
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
     "q_image_resize" -> (Multimodal.imageResize(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
+    "q_video_frames" -> ((s, d) => Multimodal.videoFrames(s, d)),
+    "q_zorder" -> (graft.operators.ZOrder.zValuedEvents(_, _)),
     // --- skew toolkit ----------------------------------------------------
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
     "q_skew_distinct" -> (Skew.distinctUsersPerType(_, _)),
@@ -123,6 +127,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
+    "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -163,10 +168,28 @@ object SparkEntry {
        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
        |FROM c""".stripMargin
 
+  // The same 32-term Morton interleave ZOrder.interleave16 builds as a
+  // Column tree, rendered for DuckDB (bit i of x → 2i, of y → 2i+1).
+  private def mortonSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // Z-order: layout is an optimization, never a semantic — the oracle
+    // pins the min/max gridding + Morton math itself (the layout win is
+    // ZOrderLayoutSpec's to prove).
+    "q_zorder" ->
+      s"""WITH b AS (SELECT min(event_id) AS xmin, max(event_id) AS xmax,
+         |                  min(user_id) AS ymin, max(user_id) AS ymax FROM events),
+         |g AS (SELECT event_id,
+         |        (event_id - xmin) * 65535 // greatest(xmax - xmin, 1) AS zx,
+         |        (user_id - ymin) * 65535 // greatest(ymax - ymin, 1) AS zy
+         |      FROM events, b)
+         |SELECT event_id, zx, zy, ${mortonSql("zx", "zy")} AS zval FROM g""".stripMargin,
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -631,6 +654,27 @@ object SparkEntry {
         |  CAST(strlen(substr(text, frame_idx * 64 + 1, 64)) AS INTEGER) AS frame_len,
         |  md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
         |FROM f""".stripMargin,
+    // q_video_frames: the engine muxes a REAL animated GIF from the padded
+    // doc bytes, then demuxes it — frame count from the container parser,
+    // frame stats from DECODED pixels. Identity gray palette → lossless,
+    // so DuckDB recomputes md5/mean from the padded text bytes.
+    "q_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames
+        |  FROM documents WHERE strlen(text) >= 1),
+        |p AS (SELECT doc_id, n_frames, text || repeat(' ', 64 * n_frames - len) AS padded FROM d),
+        |f AS (SELECT doc_id, n_frames,
+        |        substr(padded, frame_idx * 64 + 1, 64) AS fb, frame_idx
+        |      FROM (SELECT doc_id, n_frames, padded,
+        |              CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx FROM p)),
+        |s AS (
+        |  SELECT doc_id, frame_idx, SUM(ascii(substr(fb, pos + 1, 1))) AS bsum
+        |  FROM (SELECT doc_id, frame_idx, fb, CAST(unnest(range(0, 64)) AS INTEGER) AS pos FROM f)
+        |  GROUP BY doc_id, frame_idx)
+        |SELECT f.doc_id, f.frame_idx, f.n_frames, md5(f.fb) AS frame_md5,
+        |       CAST(s.bsum AS DOUBLE) / 64 AS frame_mean
+        |FROM f JOIN s ON f.doc_id = s.doc_id AND f.frame_idx = s.frame_idx""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -659,6 +703,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // Compaction must be invisible to readers: the aggregate through the
+    // fragmented-then-compacted copy equals the aggregate over the source.
+    "q_compaction" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
@@ -716,6 +766,31 @@ object SparkEntry {
          |    '$ipRe', '<IP>', 'g')) AS redacted_md5
          |FROM a""".stripMargin
     },
+    // Decontamination: 8-token shingle overlap between the deterministic
+    // doc_id%17 "benchmark" slice and the rest of the corpus; per-doc
+    // DISTINCT digests on both sides, total verdict per training doc.
+    "q_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ')) AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, LEN(t) - 6)) AS i
+         |        FROM docs WHERE LEN(t) >= 8)),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+         |hits AS (SELECT sh.doc_id, COUNT(*) AS n FROM sh JOIN bench USING (g)
+         |         WHERE sh.doc_id % 17 <> 0 GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+         |       COALESCE(h.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+         |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // Heavy hitters: the MG candidate pass is a superset guarantee; the
+    // exact re-count + threshold filter makes the final set/counts exact,
+    // so the oracle is a plain grouped count vs n/(k+1), k=256.
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |n AS (SELECT COUNT(*) AS total FROM toks),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+         |SELECT token, cnt FROM c CROSS JOIN n WHERE cnt > total / 257.0""".stripMargin,
     "q_url_parse" ->
       """WITH u AS (SELECT doc_id,
         |  'https://sub' || CAST(doc_id % 10 AS VARCHAR) || '.example.com:8080/p/'

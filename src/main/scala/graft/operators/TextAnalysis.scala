@@ -346,6 +346,54 @@ object TextAnalysis {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** Benchmark decontamination — the eval-overlap scrub every serious
+    * pretraining pipeline runs: any training document sharing a word
+    * n-gram with the held-out benchmark set is flagged (and usually
+    * dropped) so eval scores measure generalization, not memorization.
+    *
+    * The held-out set here is the deterministic `doc_id % 17 == 0`
+    * slice (standing in for an external benchmark corpus); overlap is
+    * on 8-token shingles, the published decontamination convention.
+    * Shape at 100 TB:
+    *   - each side emits per-doc DISTINCT shingle digests (md5, 16
+    *     bytes) — the shuffle moves digests, never text;
+    *   - the benchmark side is collapsed to a global DISTINCT digest
+    *     set and BROADCAST: eval corpora are MBs while the training
+    *     corpus is TBs, so the contaminated-gram probe is a map-side
+    *     hash lookup with no shuffle of the big side at all (if the
+    *     benchmark ever outgrew broadcast, dropping the hint degrades
+    *     gracefully to a digest equi-join);
+    *   - zero-hit docs are restored with a left join against the
+    *     training keys so the output is a total verdict per doc.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    decontaminateDocs(Tables(spark, dir, "documents"), n)
+
+  /** [[decontaminate]]'s core over any `(doc_id, text)` relation — the
+    * benchmark slice is `doc_id % 17 == 0`.
+    */
+  def decontaminateDocs(documents: DataFrame, n: Int = 8): DataFrame = {
+    val docs = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    def shingles(df: DataFrame): DataFrame = df
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).cast("binary")).as("g"))
+      .distinct()
+    val isBench = pmod(col("doc_id"), lit(17)) === 0
+    val bench = shingles(docs.filter(isBench)).select(col("g")).distinct()
+    val train = docs.filter(!isBench)
+    val hits = shingles(train)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** URL structural parsing — host / path / query-parameter extraction
     * for crawl provenance and per-domain corpus stats. Synthesizes a
     * deterministic URL per document (scheme, subdomain, port, path,

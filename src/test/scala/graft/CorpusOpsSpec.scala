@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MisraGries
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Semantics pins for the round-7 corpus operators: benchmark
+  * decontamination, two-pass heavy hitters, and the real GIF video
+  * demux (the DuckDB hash-match is the driver's gate; these pin the
+  * invariants the SQL can't state).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import TestSpark.spark.implicits._
+
+  test("decontaminate: verdict covers exactly the training slice; flags are hit-consistent") {
+    val out = TextAnalysis.decontaminate(spark, sf).collect()
+    val trainDocs = graft.sources.Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(17)) =!= 0).count()
+    assert(out.length == trainDocs, "one total verdict per training doc")
+    assert(out.forall(r => r.getLong(0) % 17 != 0), "benchmark docs must not be judged")
+    assert(out.forall(r => (r.getLong(1) > 0) == r.getBoolean(2)))
+    assert(out.exists(_.getBoolean(2)), "corpus has cross-slice dups; some doc must flag")
+  }
+
+  test("decontaminate: planted overlaps are flagged, everything else is clean") {
+    // doc 0 and 34 are benchmark (0%17, 34%17); doc 1 copies doc 0's
+    // sentence verbatim (contaminated), doc 2 shares only 7 of doc 34's
+    // 8-gram (one token short — must NOT flag), doc 3 is disjoint.
+    val bench0 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val bench34 = "india juliet kilo lima mike november oscar papa"
+    val docs = Seq(
+      (0L, bench0),
+      (34L, bench34),
+      (1L, s"noise before $bench0 and after"),
+      (2L, "india juliet kilo lima mike november oscar quebec"),
+      (3L, "romeo sierra tango uniform victor whiskey xray yankee zulu"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "verdicts for exactly the non-benchmark docs")
+    assert(got(1L)._2 && got(1L)._1 == 1, "verbatim 8-gram copy must flag exactly once")
+    assert(got(2L) == ((0L, false)), "7-token overlap is below the 8-gram bar")
+    assert(got(3L) == ((0L, false)), "disjoint doc must stay clean")
+  }
+
+  test("heavy hitters: equals the brute-force grouped count at the same threshold") {
+    val k = 256
+    val got = MisraGries.heavyHitters(spark, sf, k)
+      .as[(String, Long)].collect().toMap
+    val toks = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val brute = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n.toDouble / (k + 1))
+      .as[(String, Long)].collect().toMap
+    assert(got == brute, "two-pass MG result must be EXACT, not approximate")
+    assert(brute.nonEmpty, "threshold too high for the fixture — test proves nothing")
+  }
+
+  test("heavy hitters: small k still yields the exact answer (superset guarantee)") {
+    // k=8 forces heavy counter churn — decrements and merge-cuts happen
+    val got = MisraGries.heavyHitters(spark, sf, k = 8).as[(String, Long)].collect().toMap
+    val toks = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val brute = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n.toDouble / 9)
+      .as[(String, Long)].collect().toMap
+    assert(got == brute)
+  }
+
+  test("video frames: demuxed frame bytes are byte-exact vs the padded payload") {
+    val sample = graft.sources.Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 1).orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val got = Multimodal.videoFrames(spark, sf)
+      .filter(col("doc_id").isin(sample.keys.toSeq.map(x => x: Any): _*)).collect()
+    assert(got.nonEmpty)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { r =>
+      val (docId, idx, nFrames) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val payload = sample(docId).getBytes("UTF-8")
+      assert(nFrames == (payload.length + 63) / 64, s"doc $docId: demuxed frame count")
+      assert(idx % 4 == 0 && idx < nFrames)
+      val padded = java.util.Arrays.copyOf(payload, nFrames * 64)
+      java.util.Arrays.fill(padded, payload.length, padded.length, ' '.toByte)
+      val frame = java.util.Arrays.copyOfRange(padded, idx * 64, (idx + 1) * 64)
+      md5.reset()
+      val expect = md5.digest(frame).map("%02x".format(_)).mkString
+      assert(r.getString(3) == expect,
+        s"doc $docId frame $idx: decoded pixels differ from muxed bytes (GIF round-trip)")
+      assert(math.abs(r.getDouble(4) - frame.map(_ & 0xFF).sum / 64.0) < 1e-9)
+    }
+  }
+
+  test("video frames: agrees with the codegen'd sampling stub on non-tail frames") {
+    // same frame layout, same stride: wherever the stub's frame is a full
+    // 64 bytes the real demux must produce the identical md5
+    val real = Multimodal.videoFrames(spark, sf)
+      .select(col("doc_id"), col("frame_idx"), col("frame_md5").as("real_md5"))
+    val stub = Multimodal.frameSampleStub(spark, sf)
+      .filter(col("frame_len") === 64)
+      .select(col("doc_id"), col("frame_idx"), col("frame_md5").as("stub_md5"))
+    val joined = stub.join(real, Seq("doc_id", "frame_idx"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("real_md5") =!= col("stub_md5")).count() == 0)
+  }
+}
