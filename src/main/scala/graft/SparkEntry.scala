@@ -73,6 +73,9 @@ object SparkEntry {
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_full_outer" -> ((s, d) => Relational.customerOrdersFullOuter(s, d)),
     "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
+    "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
+    "q_snapshot_diff" -> (graft.operators.Upsert.snapshotDiffCorpus(_, _)),
+    "q_schema_evolution" -> (Roundtrip.schemaEvolutionEvents(_, _)),
     "q_udaf_spread" -> (SpreadAggregator.priceSpreadByStatus(_, _)),
     // --- dedup -----------------------------------------------------------
     "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
@@ -461,6 +464,61 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
         |  < CASE event_type WHEN 'click' THEN 1000 WHEN 'view' THEN 500 ELSE 10000 END""".stripMargin,
+    // Mixture resampling: integer keep-rate thresholds (num·total·10000
+    // ÷ den·n_class, floored, capped at 10000) + the shared md5-bucket
+    // contract — both engines compute bit-identical samples.
+    "q_mixture_resample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang,
+        |             SUM(COUNT(*)) OVER () AS total
+        |           FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        least(10000, (CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 3 ELSE 2 END)
+        |                     * total * 10000 // (10 * n_lang)) AS thr
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, r.thr
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |      < r.thr""".stripMargin,
+    // Snapshot diff: version B = the upsert-refresh corpus minus a
+    // deterministic deletion slice; statuses from one digest full-outer.
+    "q_snapshot_diff" ->
+      """WITH updates AS (
+        |  SELECT doc_id, upper(text) AS text, 1 AS rev
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2' AS text, 2 AS rev
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, 1 AS rev
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |latest AS (
+        |  SELECT doc_id, text FROM updates
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rev DESC) = 1),
+        |merged AS (
+        |  SELECT doc_id, text FROM latest
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM latest)),
+        |b AS (SELECT doc_id, md5(text) AS db FROM merged WHERE doc_id % 11 <> 3),
+        |a AS (SELECT doc_id, md5(text) AS da FROM documents)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN da = db THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    // Schema evolution: gen-1 rows (even event_id) predate `value`; the
+    // merged read surfaces NULL there and the aggregate is null-correct.
+    "q_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(NULL AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_type, COUNT(*) AS n, COUNT(v) AS n_with_value,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM m GROUP BY event_type""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (

@@ -30,4 +30,37 @@ object Sampling {
       .filter(graft.functions.GraftFunctions.md5Bucket(col("event_id")) < threshold)
       .select(col("event_id"), col("event_type"), col("user_id"))
   }
+
+  /** Target-mixture resampling — the domain/language-balance control a
+    * pretraining pipeline applies before packing: given target corpus
+    * shares per class (here `lang`: en 5/10, es 3/10, rest 2/10),
+    * compute each class's deterministic keep-rate so the SAMPLED corpus
+    * approaches the target mixture, capped at keeping everything (a
+    * class below its target can't be upsampled by a filter — the cap is
+    * the honest behavior, not silent duplication).
+    *
+    * Two passes, both cheap: (1) per-class counts — one map-side-combined
+    * aggregate, |classes| rows; the class total via an unbounded window
+    * over those few rows (no 1-row crossJoin needed); (2) the keep filter
+    * itself — the same md5-bucket contract as [[stratifiedEvents]] /
+    * `deterministicSplit`, so the sample is reproducible across
+    * partitionings and engines. Threshold arithmetic stays in LONGs
+    * (rate = num·total·10000 ÷ den·n_class, floor) so DuckDB computes
+    * bit-identical thresholds — no double rounding at the boundary.
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("total", sum(col("n_lang")).over(w))
+      .withColumn("thr", least(lit(10000L),
+        expr("(CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 3 ELSE 2 END)" +
+          " * total * 10000 DIV (10 * n_lang)")))
+      .select(col("lang"), col("thr"))
+    Tables(spark, dir, "documents")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(graft.functions.GraftFunctions.md5Bucket(col("doc_id")) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("thr"))
+  }
 }

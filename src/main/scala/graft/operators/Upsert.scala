@@ -65,4 +65,33 @@ object Upsert {
     refresh(base, updates, "doc_id", "rev")
       .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("digest"))
   }
+
+  /** Snapshot diff — dataset versioning's other half: given two corpus
+    * versions keyed by `key` with a content digest, classify every key
+    * as added / removed / changed / unchanged. One full-outer equi-join
+    * on the key moving (key, digest) pairs only — 24 bytes a row no
+    * matter how big the documents are, so diffing two 100 TB snapshots
+    * costs one digest-projection scan of each plus a key shuffle.
+    */
+  def diff(a: DataFrame, b: DataFrame, key: String, digestCol: String): DataFrame =
+    a.select(col(key), col(digestCol).as("__graft_a"))
+      .join(b.select(col(key), col(digestCol).as("__graft_b")), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__graft_a").isNull, "added")
+          .when(col("__graft_b").isNull, "removed")
+          .when(col("__graft_a") === col("__graft_b"), "unchanged")
+          .otherwise("changed").as("status"))
+
+  /** Oracle-checkable diff over the documents corpus: version B is the
+    * [[refreshedCorpus]] re-crawl with a deterministic deletion pass
+    * (every doc_id % 11 == 3 dropped). The construction makes every
+    * status reachable: re-crawled docs are `changed`, spawned docs
+    * `added`, deleted docs `removed`, the rest `unchanged`.
+    */
+  def snapshotDiffCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val b = refreshedCorpus(spark, dir).filter(pmod(col("doc_id"), lit(11)) =!= 3)
+    diff(a, b, "doc_id", "digest")
+  }
 }

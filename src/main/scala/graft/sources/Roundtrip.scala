@@ -66,6 +66,34 @@ object Roundtrip {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  /** Schema-drift read: two writer generations land in one dataset —
+    * generation 1 predates the `value` column, generation 2 carries it
+    * (the normal life of any long-lived ingestion pipeline). A
+    * `mergeSchema` parquet read reconciles the footers into the union
+    * schema, with generation-1 rows surfacing NULL `value`; the
+    * aggregate then has to be null-correct (COUNT(value) counts only
+    * gen-2 rows). At 100 TB schema evolution via footer merge is what
+    * lets a pipeline add columns without rewriting history. Note the
+    * cost model: mergeSchema reconciles footers at planning time — cheap
+    * against a generation count, not against raw file count (compaction
+    * keeps the latter bounded).
+    */
+  def schemaEvolutionEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("evo")
+    val ev = Tables(spark, dir, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_with_value"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+  }
+
   /** events → JSON lines → aggregate per event_type. */
   def jsonEvents(spark: SparkSession, dir: String): DataFrame = {
     val out = tempDir("json")

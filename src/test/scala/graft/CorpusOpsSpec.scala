@@ -97,6 +97,79 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: the contamination probe broadcasts the benchmark digests") {
+    // the 100 TB contract: the training side's shingle relation joins a
+    // BROADCAST benchmark digest set — if this ever planned as a shuffle
+    // join the corpus side would re-exchange on the digest
+    val plan = TextAnalysis.decontaminate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"digest probe shuffled the corpus side:\n$plan")
+  }
+
+  test("mixture resample: rates move the mix toward target, capped classes keep all") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val before = docs.groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val kept = graft.operators.Sampling.mixtureResample(spark, sf).collect()
+    val after = kept.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val total = before.values.sum
+    val target = Map("en" -> 0.5, "es" -> 0.3).withDefaultValue(0.2)
+    before.foreach { case (lang, n) =>
+      val thr = kept.find(_.getString(1) == lang).map(_.getLong(2))
+      if (n.toDouble / total <= target(lang)) {
+        // under-target class: capped at keep-everything
+        assert(thr.forall(_ == 10000L), s"$lang should cap at 10000")
+        assert(after.getOrElse(lang, 0L) == n, s"$lang must keep every doc")
+      } else {
+        // over-target class: kept count ≈ target share of the corpus
+        // (md5 buckets are uniform; ±20% slack on a small fixture)
+        val expect = target(lang) * total
+        val got = after.getOrElse(lang, 0L).toDouble
+        assert(math.abs(got - expect) / expect < 0.2,
+          s"$lang kept $got, expected ≈ $expect")
+      }
+    }
+    // determinism: the sample is a pure function of doc_id
+    val again = graft.operators.Sampling.mixtureResample(spark, sf).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("snapshot diff: every status lands exactly where the construction puts it") {
+    val got = graft.operators.Upsert.snapshotDiffCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseIds = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id")).as[Long].collect().toSet
+    baseIds.foreach { id =>
+      val expect =
+        if (id % 11 == 3) "removed"
+        else if (id % 7 == 0) "changed" // re-crawl rewrites the text (rev 2 wins)
+        else "unchanged"
+      assert(got(id) == expect, s"doc $id: expected $expect, got ${got(id)}")
+    }
+    // spawned docs appear as added unless the deletion slice caught them
+    baseIds.filter(_ % 13 == 0).foreach { id =>
+      val spawned = id + 100000
+      if (spawned % 11 == 3) assert(!got.contains(spawned))
+      else assert(got(spawned) == "added", s"spawned $spawned should be added")
+    }
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(got.values.toSet),
+      "fixture must exercise all four statuses")
+  }
+
+  test("schema evolution: merged read is null-correct per generation") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val rows = graft.sources.Roundtrip.schemaEvolutionEvents(spark, sf).collect()
+    val totals = ev.groupBy(col("event_type")).count().as[(String, Long)].collect().toMap
+    val withValue = ev.filter(col("event_id") % 2 =!= 0)
+      .groupBy(col("event_type")).count().as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == totals(t), s"$t: merged read must see every row")
+      assert(r.getLong(2) == withValue.getOrElse(t, 0L),
+        s"$t: COUNT(value) must count only gen-2 rows")
+      assert(r.getLong(2) < r.getLong(1), s"$t: fixture must have gen-1 rows")
+    }
+  }
+
   test("video frames: agrees with the codegen'd sampling stub on non-tail frames") {
     // same frame layout, same stride: wherever the stub's frame is a full
     // 64 bytes the real demux must produce the identical md5
