@@ -40,6 +40,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
     "q_percentiles" -> (Relational.percentiles(_, _)),
+    "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "q_topk_aggregator" -> ((s, d) => graft.functions.TopKAggregator.topOrdersPerCustomer(s, d)),
     "q_window_topk" -> (Relational.topOrdersPerCustomer(_, _)),
@@ -248,6 +249,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Distributed order-statistics percentile: same answer, same oracle
+    // as q_percentiles — the point is the bounded-state PLAN.
+    "q_percentiles_dist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -186,6 +186,78 @@ object Relational {
         expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
         expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"))
 
+  /** EXACT grouped percentiles that scale — the distributed
+    * order-statistics answer to [[percentiles]]' one honest weakness:
+    * Spark's `percentile` aggregate buffers each group's entire value
+    * multiset in the final reducer, so a group with 10¹⁰ rows OOMs one
+    * task no matter the cluster size. This computes the same numbers
+    * with bounded state everywhere:
+    *
+    *  1. range-partition by (group, value) — each partition owns a
+    *     contiguous value slice of a group; `spark_partition_id()` is
+    *     materialized as a column immediately above that exchange;
+    *  2. per-(partition, group) local ranks via a window whose state is
+    *     one partition-slice, never a whole group;
+    *  3. slice sizes (max local rank) prefix-summed over the tiny
+    *     (partitions × groups) relation → per-slice base offsets →
+    *     global rank = base + local rank;
+    *  4. the target order statistics (floor/ceil of p·(n−1), exact long
+    *     arithmetic from the group-size aggregate, `frac` exact in
+    *     double for binary-fraction p) join back broadcast, select the
+    *     two bracketing values, interpolate — `percentile_cont`
+    *     semantics, identical rounding.
+    *
+    * Both subtrees above the range exchange are canonically identical,
+    * so ReuseExchange keeps pid assignment consistent (pinned by the
+    * differential test in `OperatorsSmokeSpec` — any drift would flip
+    * ranks and fail the exact compare). Shares q_percentiles' oracle:
+    * the point is a better PLAN for the same answer.
+    */
+  def distributedPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val src = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+
+    // target order statistics per (group, p): 1-based lo/hi bracketing
+    // ranks and the interpolation fraction
+    val targets = src.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"), explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("pos", col("p") * (col("n") - 1))
+      .withColumn("lo", floor(col("pos")).cast("long") + 1)
+      .withColumn("hi", least(col("lo") + 1, col("n")))
+      .withColumn("frac", col("pos") - floor(col("pos")))
+      .select(col("g").as("tg"), col("p"), col("lo"), col("hi"), col("frac"))
+
+    val withPid = src.repartitionByRange(parts, col("g"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    val rn = withPid.withColumn("rn",
+      row_number().over(Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))))
+    // slice sizes → base offsets: |partitions × groups| rows, a window
+    // over pennies
+    val bases = rn.groupBy(col("pid"), col("g")).agg(max(col("rn")).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("g"), col("base"))
+    val picked = rn.join(broadcast(bases), Seq("pid", "g"))
+      .withColumn("grank", col("base") + col("rn"))
+      .join(broadcast(targets),
+        col("g") === col("tg") && (col("grank") === col("lo") || col("grank") === col("hi")))
+      .groupBy(col("g"), col("p"), col("frac"))
+      .agg(max(when(col("grank") === col("lo"), col("v"))).as("lov"),
+        max(when(col("grank") === col("hi"), col("v"))).as("hiv"))
+      .withColumn("value",
+        round(col("lov") + col("frac") * (col("hiv") - col("lov")), 4))
+    picked.groupBy(col("g"))
+      .agg(
+        max(when(col("p") === ps(0), col("value"))).as("p25"),
+        max(when(col("p") === ps(1), col("value"))).as("p50"),
+        max(when(col("p") === ps(2), col("value"))).as("p75"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
   /** Approximate percentiles per group (Greenwald-Khanna sketch) — the
     * 100 TB path next to [[percentiles]]: bounded-memory mergeable
     * sketch state per group instead of buffering every value, with rank

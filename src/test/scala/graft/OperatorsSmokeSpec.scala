@@ -49,6 +49,21 @@ class OperatorsSmokeSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
   }
 
+  test("distributed percentiles equal percentile_cont exactly; plan is range-partitioned") {
+    val exact = graft.operators.Relational.percentiles(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val dist = graft.operators.Relational.distributedPercentiles(TestSpark.spark, TestSpark.sf0001)
+    val got = dist.collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // EXACT equality — the whole point: same numbers, bounded-state plan.
+    // Any pid inconsistency between the two exchange consumers would
+    // shift a global rank and break this.
+    assert(got == exact, s"distributed $got vs buffered $exact")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+    assert(!plan.contains("percentile"), s"fell back to the buffering aggregate:\n$plan")
+  }
+
   test("multimodal byte features sum to ~1 for non-empty docs") {
     val rows = graft.operators.Multimodal.byteFeatures(spark = TestSpark.spark,
       dir = TestSpark.sf0001).collect()
