@@ -134,6 +134,12 @@ object ScaleBench {
     // sketch scan + bounded re-count (rotation disjoins replica vocabs, so
     // the n/(k+1) bar rises with n — the timed work is the two scans);
     // zorder is the 1-row bounds pass + a pure codegen'd projection
+    // the buffering-vs-bounded-state exact-quantile pair: percentile_cont
+    // holds each group's whole multiset in one reducer, the distributed
+    // form holds one range slice per task — same numbers, different
+    // memory story as groups grow
+    "q_percentiles" -> ((s, d, _) => Relational.percentiles(s, d)),
+    "q_percentiles_dist" -> ((s, d, _) => Relational.distributedPercentiles(s, d)),
     "q_decontaminate" -> ((s, d, _) => TextAnalysis.decontaminate(s, d)),
     "q_heavy_hitters" -> ((s, d, _) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_zorder" -> ((s, d, _) => graft.operators.ZOrder.zValuedEvents(s, d)),
@@ -180,7 +186,14 @@ object ScaleBench {
     // SCALE_ONLY=q_a,q_b restricts the sweep; SCALE_ANN_BITS overrides
     // the ANN bits knob — for occupancy-vs-cost experiments
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
-    val rows = targets.filter(t => only.forall(_(t._1))).map { case (name, fn) =>
+    // q_percentiles (the buffering twin) is MEASURED to OOM the JVM at
+    // 100× (BASELINE.md) — that demonstration is q_percentiles_dist's
+    // reason to exist, but it must not kill an unattended full sweep;
+    // an explicit SCALE_ONLY still runs it at any factor
+    val skipAtScale = if (factor > 10) Set("q_percentiles") else Set.empty[String]
+    val rows = targets
+      .filter(t => only.map(_(t._1)).getOrElse(!skipAtScale(t._1)))
+      .map { case (name, fn) =>
       runCalib()
       val t1 = time(fn, sfDir, 1)
       val tN = time(fn, workDir, factor)
