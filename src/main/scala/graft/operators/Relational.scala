@@ -196,16 +196,17 @@ object Relational {
     *  1. range-partition by (group, value) — each partition owns a
     *     contiguous value slice of a group; `spark_partition_id()` is
     *     materialized as a column immediately above that exchange;
-    *  2. per-(partition, group) local ranks via a window whose state is
-    *     one partition-slice, never a whole group;
-    *  3. slice sizes (max local rank) prefix-summed over the tiny
-    *     (partitions × groups) relation → per-slice base offsets →
-    *     global rank = base + local rank;
-    *  4. the target order statistics (floor/ceil of p·(n−1), exact long
-    *     arithmetic from the group-size aggregate, `frac` exact in
-    *     double for binary-fraction p) join back broadcast, select the
-    *     two bracketing values, interpolate — `percentile_cont`
-    *     semantics, identical rounding.
+    *  2. slice sizes from a plain hash aggregate (no sort), prefix-summed
+    *     over the tiny (partitions × groups) relation → per-slice base
+    *     offsets;
+    *  3. each target order statistic (floor/ceil of p·(n−1), exact long
+    *     arithmetic; `frac` exact in double for binary-fraction p) is
+    *     LOCATED in its slice (rank − base = in-slice position), and only
+    *     those few slices get ranked — the per-slice sort window touches
+    *     ~|targets| partitions, not the relation;
+    *  4. the in-slice matches pick the two bracketing values per
+    *     (group, p) and interpolate — `percentile_cont` semantics,
+    *     identical rounding.
     *
     * Both subtrees above the range exchange are canonically identical,
     * so ReuseExchange keeps pid assignment consistent (pinned by the
@@ -232,22 +233,34 @@ object Relational {
 
     val withPid = src.repartitionByRange(parts, col("g"), col("v"))
       .withColumn("pid", spark_partition_id())
-    val rn = withPid.withColumn("rn",
-      row_number().over(Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))))
-    // slice sizes → base offsets: |partitions × groups| rows, a window
-    // over pennies
-    val bases = rn.groupBy(col("pid"), col("g")).agg(max(col("rn")).as("c"))
+    // slice sizes from a hash aggregate (no sort), prefix-summed over the
+    // tiny |partitions × groups| relation
+    val bases = withPid.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
       .withColumn("base", coalesce(sum(col("c")).over(
         Window.partitionBy(col("g")).orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("g"), col("base"))
-    val picked = rn.join(broadcast(bases), Seq("pid", "g"))
-      .withColumn("grank", col("base") + col("rn"))
-      .join(broadcast(targets),
-        col("g") === col("tg") && (col("grank") === col("lo") || col("grank") === col("hi")))
-      .groupBy(col("g"), col("p"), col("frac"))
-      .agg(max(when(col("grank") === col("lo"), col("v"))).as("lov"),
-        max(when(col("grank") === col("hi"), col("v"))).as("hiv"))
+      .select(col("pid"), col("g"), col("base"), col("c"))
+    // locate each bracketing rank's slice and in-slice position — only
+    // those few slices need ranking, so the expensive per-slice sort
+    // touches ~|targets| partitions, not the whole relation
+    def locate(rank: Column, which: String) = targets
+      .join(bases, col("tg") === bases("g") &&
+        rank > col("base") && rank <= col("base") + col("c"))
+      .select(col("tg"), col("p"), col("frac"), col("pid").as("tpid"),
+        (rank - col("base")).as("lrn"), lit(which).as("which"))
+    val sliceTargets = locate(col("lo"), "lo").unionByName(locate(col("hi"), "hi"))
+    val sliceKeys = sliceTargets
+      .select(col("tpid").as("pid"), col("tg").as("g")).distinct()
+    val ranked = withPid
+      .join(broadcast(sliceKeys), Seq("pid", "g"), "left_semi")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))))
+    val picked = ranked
+      .join(broadcast(sliceTargets),
+        col("g") === col("tg") && col("pid") === col("tpid") && col("rn") === col("lrn"))
+      .groupBy(col("tg").as("g"), col("p"), col("frac"))
+      .agg(max(when(col("which") === "lo", col("v"))).as("lov"),
+        max(when(col("which") === "hi", col("v"))).as("hiv"))
       .withColumn("value",
         round(col("lov") + col("frac") * (col("hiv") - col("lov")), 4))
     picked.groupBy(col("g"))
