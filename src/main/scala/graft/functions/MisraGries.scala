@@ -30,6 +30,32 @@ import graft.sources.Tables
   */
 object MisraGries {
 
+  /** The MG update step, exposed for the property tests: increment a
+    * live counter, open one if a slot is free, otherwise decrement all
+    * (amortized O(1) — each decrement retires k+1 arrivals).
+    */
+  private[graft] def mgReduce(m: Map[String, Long], t: String, k: Int): Map[String, Long] =
+    m.get(t) match {
+      case Some(c) => m.updated(t, c + 1)
+      case None if m.size < k => m.updated(t, 1L)
+      case None => m.collect { case (s, c) if c > 1 => s -> (c - 1) }
+    }
+
+  /** The mergeable-summaries combine: add pointwise, then subtract the
+    * (k+1)-th largest count and drop the non-positive — preserves the
+    * "any item with true count > n/(k+1) survives" guarantee across
+    * arbitrary partitionings.
+    */
+  private[graft] def mgMerge(x: Map[String, Long], y: Map[String, Long], k: Int): Map[String, Long] = {
+    val sum = (x.keySet ++ y.keySet).iterator
+      .map(s => s -> (x.getOrElse(s, 0L) + y.getOrElse(s, 0L))).toMap
+    if (sum.size <= k) sum
+    else {
+      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      sum.collect { case (s, c) if c > cut => s -> (c - cut) }
+    }
+  }
+
   /** Heavy-hitter tokens over `documents.text`: every token whose
     * frequency exceeds n_tokens/(k+1), with its exact count.
     */
@@ -43,28 +69,10 @@ object MisraGries {
     // rides along in the same scan instead of costing a third pass
     val sketch = new Aggregator[String, (Map[String, Long], Long), (Map[String, Long], Long)] {
       override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
-      override def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) = {
-        val (m, n) = b
-        val m2 = m.get(t) match {
-          case Some(c) => m.updated(t, c + 1)
-          case None if m.size < k => m.updated(t, 1L)
-          // k counters full and t absent: decrement all, drop zeros —
-          // amortized O(1) per input (each decrement retires k+1 arrivals)
-          case None => m.collect { case (s, c) if c > 1 => s -> (c - 1) }
-        }
-        (m2, n + 1)
-      }
-      override def merge(x: (Map[String, Long], Long), y: (Map[String, Long], Long)): (Map[String, Long], Long) = {
-        val sum = (x._1.keySet ++ y._1.keySet).iterator
-          .map(s => s -> (x._1.getOrElse(s, 0L) + y._1.getOrElse(s, 0L))).toMap
-        val capped =
-          if (sum.size <= k) sum
-          else {
-            val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-            sum.collect { case (s, c) if c > cut => s -> (c - cut) }
-          }
-        (capped, x._2 + y._2)
-      }
+      override def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+        (mgReduce(b._1, t, k), b._2 + 1)
+      override def merge(x: (Map[String, Long], Long), y: (Map[String, Long], Long)): (Map[String, Long], Long) =
+        (mgMerge(x._1, y._1, k), x._2 + y._2)
       override def finish(b: (Map[String, Long], Long)): (Map[String, Long], Long) = b
       override def bufferEncoder: Encoder[(Map[String, Long], Long)] = implicitly
       override def outputEncoder: Encoder[(Map[String, Long], Long)] = implicitly

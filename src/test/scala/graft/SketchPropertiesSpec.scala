@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{MinHashSketch, SimHashSketch}
+import graft.functions.{MinHashSketch, MisraGries, SimHashSketch}
 
 /** Partition-independence of the sketch aggregates: for any split of the
   * input into partial buffers, update-then-merge must equal one
@@ -70,6 +70,55 @@ class SketchPropertiesSpec extends AnyFunSuite {
       (0 until 64).foreach { j =>
         assert(((fp >>> j) & 1L) == (if (one(j) > 0) 1L else 0L))
       }
+    }
+  }
+
+  // --- Misra-Gries: the frequent-items guarantee under ANY partitioning ---
+
+  /** Run a stream through MG split into random partial buffers merged in
+    * a random binary-tree order — the shape Spark's partial aggregation
+    * actually produces.
+    */
+  private def mgSketch(stream: Seq[String], k: Int, rnd: scala.util.Random): Map[String, Long] = {
+    val nParts = 1 + rnd.nextInt(6)
+    val parts = stream.grouped(math.max(1, (stream.size + nParts - 1) / nParts)).toVector
+    val buffers = parts.map(_.foldLeft(Map.empty[String, Long])(MisraGries.mgReduce(_, _, k)))
+    buffers.reduceOption((x, y) => MisraGries.mgMerge(x, y, k)).getOrElse(Map.empty)
+  }
+
+  test("misra-gries: any item above n/(k+1) survives every split/merge shape") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val k = 1 + rnd.nextInt(12)
+      val vocab = 1 + rnd.nextInt(40)
+      val stream = rnd.shuffle(Seq.fill(rnd.nextInt(400))(s"t${rnd.nextInt(vocab)}"))
+      val sketch = mgSketch(stream, k, rnd)
+      assert(sketch.size <= k, s"k=$k sketch overflowed: ${sketch.size}")
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val bar = stream.size.toDouble / (k + 1)
+      exact.filter(_._2 > bar).foreach { case (t, c) =>
+        assert(sketch.contains(t),
+          s"k=$k n=${stream.size}: $t (count $c > $bar) evicted from ${sketch.keySet}")
+      }
+      // counts never OVERestimate (MG only decrements)
+      sketch.foreach { case (t, c) =>
+        assert(c <= exact.getOrElse(t, 0L), s"$t sketch count $c exceeds exact")
+      }
+    }
+  }
+
+  test("misra-gries: two-pass answer equals brute force for any stream") {
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val k = 1 + rnd.nextInt(12)
+      val stream = Seq.fill(rnd.nextInt(300))(s"t${rnd.nextInt(25)}")
+      val candidates = mgSketch(stream, k, rnd).keySet
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bar = stream.size.toDouble / (k + 1)
+      val twoPass = candidates.toSeq.map(t => t -> exact.getOrElse(t, 0L))
+        .filter(_._2 > bar).toMap
+      val brute = exact.filter(_._2 > bar)
+      assert(twoPass == brute, s"k=$k: $twoPass vs $brute")
     }
   }
 }
