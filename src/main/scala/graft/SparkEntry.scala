@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
     "q_dedup_survivors" -> (Dedup.exactDedupSurvivors(_, _)),
     "q_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "q_fuzzy_edit" -> ((s, d) => Dedup.fuzzyEditPairs(s, d)),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
@@ -564,6 +565,27 @@ object SparkEntry {
         |SELECT a, b, CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
         |FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
         |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5""".stripMargin,
+    // Edit-distance tier: co-shingle candidates refined by exact
+    // Levenshtein with a 20%-of-longer-text budget (levenshtein is the
+    // classic DP distance in both engines).
+    "q_fuzzy_edit" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        |t AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |scored AS (
+        |  SELECT a, b,
+        |    CAST(floor(GREATEST(LENGTH(ta.text), LENGTH(tb.text)) * 0.2) AS INTEGER) AS budget,
+        |    CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist
+        |  FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b
+        |  WHERE abs(LENGTH(ta.text) - LENGTH(tb.text))
+        |        <= floor(GREATEST(LENGTH(ta.text), LENGTH(tb.text)) * 0.2))
+        |SELECT a, b, edit_dist FROM scored WHERE edit_dist <= budget""".stripMargin,
     // Connected components over the same exact-Jaccard edges, as a
     // recursive transitive closure (bounded slice keeps it small).
     "q_dedup_clusters" ->

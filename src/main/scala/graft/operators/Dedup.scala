@@ -75,6 +75,37 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Edit-distance near-dup tier — the final arbiter of the dedup
+    * ladder (exact md5 → shingle Jaccard → MinHash/SimHash → embedding):
+    * candidate pairs come from the same co-shingle equi-join (never
+    * all-pairs), and the expensive exact Levenshtein runs only on that
+    * candidate set, keeping pairs whose edit distance is ≤ `maxFrac` of
+    * the longer text. A pre-filter drops candidates whose LENGTH
+    * difference alone already exceeds the budget (|len(a)−len(b)| is a
+    * Levenshtein lower bound) before any O(n·m) work runs. Bounded
+    * slice for the oracle, same contract as [[ngramJaccardPairs]]; at
+    * scale the candidate tier swaps to MinHash banding and this
+    * refinement stage is unchanged.
+    */
+  def fuzzyEditPairs(spark: SparkSession, dir: String, maxFrac: Double = 0.2): DataFrame = {
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+    val sh = shingles(docs)
+    val candidates = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    val budget = floor(greatest(length(col("ta")), length(col("tb"))) * maxFrac).cast("int")
+    candidates
+      .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= budget)
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"), budget.as("budget"))
+      .filter(col("edit_dist") <= col("budget"))
+      .select(col("a"), col("b"), col("edit_dist"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private val MinhashK = 64

@@ -89,4 +89,45 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("fuzzy edit pairs: exact dups score 0; every pair respects its budget") {
+    import org.apache.spark.sql.functions.{col, length, md5}
+    val rows = Dedup.fuzzyEditPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "slice has exact dups; the tier must find them")
+    rows.foreach { case (a, b, _) => assert(a < b) }
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute the distance in the JVM for every RETURNED pair — the
+    // full-slice equality is the DuckDB oracle's job
+    def lev(s: String, t: String): Int = {
+      val prev = Array.tabulate(t.length + 1)(identity)
+      val cur = new Array[Int](t.length + 1)
+      for (i <- 1 to s.length) {
+        cur(0) = i
+        for (j <- 1 to t.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, t.length + 1)
+      }
+      prev(t.length)
+    }
+    rows.foreach { case (a, b, d) =>
+      val budget = math.floor(math.max(docs(a).length, docs(b).length) * 0.2).toInt
+      assert(d <= budget, s"($a,$b) dist $d over budget $budget")
+      assert(d == lev(docs(a), docs(b)), s"($a,$b) engine dist $d != reference DP")
+    }
+    // exact duplicates inside the slice must surface with distance 0
+    val dupPair = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 200).filter(length(col("text")) >= 15)
+      .groupBy(md5(col("text"))).agg(
+        org.apache.spark.sql.functions.collect_list(col("doc_id")).as("ids"))
+      .collect().map(_.getSeq[Long](1)).find(_.size >= 2)
+    dupPair.foreach { ids =>
+      val (a, b) = (ids.min, ids.sorted.apply(1))
+      assert(rows.contains((a, b, 0)), s"exact dup pair ($a,$b) missing or nonzero")
+    }
+  }
 }
