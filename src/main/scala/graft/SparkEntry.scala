@@ -575,8 +575,9 @@ object SparkEntry {
         |sh AS (
         |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= 10),
         |t AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |scored AS (
         |  SELECT a, b,

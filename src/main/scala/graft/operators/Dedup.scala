@@ -78,22 +78,27 @@ object Dedup {
   /** Edit-distance near-dup tier — the final arbiter of the dedup
     * ladder (exact md5 → shingle Jaccard → MinHash/SimHash → embedding):
     * candidate pairs come from the same co-shingle equi-join (never
-    * all-pairs), and the expensive exact Levenshtein runs only on that
-    * candidate set, keeping pairs whose edit distance is ≤ `maxFrac` of
-    * the longer text. A pre-filter drops candidates whose LENGTH
-    * difference alone already exceeds the budget (|len(a)−len(b)| is a
-    * Levenshtein lower bound) before any O(n·m) work runs. Bounded
-    * slice for the oracle, same contract as [[ngramJaccardPairs]]; at
-    * scale the candidate tier swaps to MinHash banding and this
-    * refinement stage is unchanged.
+    * all-pairs) and must share ≥ `minShared` distinct shingles — one
+    * common 15-gram is a boilerplate-grade signal that would send
+    * unrelated documents into the O(n·m) DP — and the expensive exact
+    * Levenshtein runs only on that candidate set, keeping pairs whose
+    * edit distance is ≤ `maxFrac` of the longer text. A pre-filter
+    * drops candidates whose LENGTH difference alone already exceeds the
+    * budget (|len(a)−len(b)| is a Levenshtein lower bound) before any
+    * DP runs. Bounded slice for the oracle, same contract as
+    * [[ngramJaccardPairs]]; at scale the candidate tier swaps to
+    * MinHash banding and this refinement stage is unchanged.
     */
-  def fuzzyEditPairs(spark: SparkSession, dir: String, maxFrac: Double = 0.2): DataFrame = {
+  def fuzzyEditPairs(spark: SparkSession, dir: String, maxFrac: Double = 0.2,
+      minShared: Int = 10): DataFrame = {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
     val sh = shingles(docs)
     val candidates = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a"), col("b"))
     val texts = docs.select(col("doc_id"), col("text"))
     val budget = floor(greatest(length(col("ta")), length(col("tb"))) * maxFrac).cast("int")
     candidates

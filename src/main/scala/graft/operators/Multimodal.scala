@@ -9,14 +9,15 @@ import graft.sources.Tables
   * engine as opaque `BinaryType` columns plus typed metadata, and
   * decode/feature-extraction runs as partition-local batch transforms.
   *
-  * [[imageDecode]] / [[imageResize]] / [[audioDecode]] are REAL codec
-  * paths: genuine PNG / RIFF-WAV containers synthesized from the payload
-  * bytes and decoded back through `javax.imageio` /
-  * `javax.sound.sampled`, all executor-local inside `mapPartitions`,
-  * with every output stat computed from DECODER output. The one
-  * remaining stub is [[frameSampleStub]]: the JDK ships no video
-  * demuxer, so it keeps a synthetic frame layout while running the same
-  * distributed contract.
+  * [[imageDecode]] / [[imageResize]] / [[audioDecode]] /
+  * [[videoFrames]] are REAL codec paths: genuine PNG / RIFF-WAV /
+  * animated-GIF containers synthesized from the payload bytes and
+  * decoded back through `javax.imageio` / `javax.sound.sampled`, all
+  * executor-local inside `mapPartitions`, with every output stat
+  * computed from DECODER output ([[videoFrames]] additionally takes its
+  * frame COUNT from the container parser — a real demux).
+  * [[frameSampleStub]] remains as the codegen'd no-decode sampling
+  * shape of the same frame layout.
   */
 object Multimodal {
 
