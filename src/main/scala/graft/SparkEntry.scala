@@ -146,6 +146,7 @@ object SparkEntry {
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
+    "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- reference-pipeline parity (golden test drives exact compare) ----
@@ -1026,6 +1027,15 @@ object SparkEntry {
     // every row — exactly the batch filter+project.
     "q_stream_file_sink" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    // foreachBatch CDC-apply: the merged table after the full replay is
+    // exactly "latest event per user" — the max-merge makes it
+    // batch-order-independent, so one QUALIFY reproduces it.
+    "q_stream_upsert_sink" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  CAST(value AS DOUBLE) AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "q_word_ngrams" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
          |pos AS (SELECT t, unnest(range(1, LEN(t) - 1)) AS i FROM docs WHERE LEN(t) >= 3),

@@ -71,4 +71,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streaming.lastReplayBatchCount <= 2 && Streaming.lastReplayBatchCount >= 1,
       s"watermarked replay ran ${Streaming.lastReplayBatchCount} micro-batches, expected ≤2")
   }
+
+  test("upsert sink: merges across 3 real micro-batches to the batch answer") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Streaming.upsertSinkLatestEvents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the staging splits events into 3 files fed one per trigger — if
+    // this ever collapses to a single batch the test proves nothing
+    assert(Streaming.lastReplayBatchCount == 3,
+      s"expected 3 micro-batches, ran ${Streaming.lastReplayBatchCount}")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expect = graft.sources.Tables.raw(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, "cross-batch merge must equal the batch latest-per-user")
+  }
 }
