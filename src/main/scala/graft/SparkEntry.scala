@@ -132,6 +132,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
+    "q_binaryfile_source" -> ((s, d) => graft.sources.BinaryFiles.ingestDocs(s, d)),
     "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
@@ -797,6 +798,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // binaryFile ingestion: metadata length + content digest must match
+    // the table-resident truth over the same slice.
+    "q_binaryfile_source" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, sha256(text) AS sha256
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     // Compaction must be invisible to readers: the aggregate through the
     // fragmented-then-compacted copy equals the aggregate over the source.
     "q_compaction" ->

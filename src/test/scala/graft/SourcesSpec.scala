@@ -84,4 +84,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.size() == 2)
     assert(lines.stream().anyMatch(_.contains("\"v\":null")))
   }
+  test("binaryFile ingestion: glob prunes at listing, metadata length is exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.sources.BinaryFiles.ingestDocs(spark, TestSpark.sf0001, docCap = 20)
+      .collect()
+    assert(rows.length == 20)
+    // plant a non-matching file next to the staged .bin files; the glob
+    // filter must exclude it at LISTING time (re-run sees the same 20)
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(graft.sources.BinaryFiles.stageDir, "cap20"),
+        "decoy.tmp").toPath,
+      "not media".getBytes("UTF-8"))
+    val again = graft.sources.BinaryFiles.ingestDocs(spark, TestSpark.sf0001, docCap = 20)
+    assert(again.count() == 20, "pathGlobFilter must prune the decoy at listing time")
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getInt(1) == docs(r.getLong(0)).getBytes("UTF-8").length,
+        s"doc ${r.getLong(0)}: binaryFile length metadata wrong")
+    }
+  }
 }
