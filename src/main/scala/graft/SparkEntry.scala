@@ -67,6 +67,7 @@ object SparkEntry {
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
+    "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
@@ -411,6 +412,15 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
+    // Custom Catalyst expressions through SQL text: the oracle
+    // recomputes the raceid normalization and the self-dot (double
+    // accumulation in array order — identical on both engines).
+    "q_sql_custom_fn" -> {
+      val norm = raceIdSql("p_brand")
+      s"""SELECT p_partkey, $norm AS norm_brand,
+         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm
+         |FROM part JOIN embeddings ON p_partkey = vec_id""".stripMargin
+    },
     // Parser-path window function; o_orderkey tiebreak makes rn exact.
     "q_sql_window" ->
       """SELECT c_custkey, o_orderkey, total_price, rn

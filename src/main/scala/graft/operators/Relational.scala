@@ -675,6 +675,27 @@ object Relational {
         |WHERE rn <= 3""".stripMargin)
   }
 
+  /** Custom Catalyst expressions through the SQL TEXT surface: the
+    * native `standardize_race_id` and `dot_product` expressions resolve
+    * by name inside `spark.sql` — the last leg of the custom-function
+    * story (Column API and `expr()` are covered elsewhere). Resolution
+    * comes from the function registry: per-session via
+    * `GraftSession.register` (idempotent, called here) or cluster-wide
+    * via `spark.sql.extensions=graft.plans.GraftExtensions`
+    * (`GraftExtensionsSpec` pins that route). Both functions stay
+    * codegen'd Catalyst expressions — no UDF wrapping on the SQL path.
+    */
+  def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.register(spark)
+    Tables(spark, dir, "part").createOrReplaceTempView("graft_part")
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT p_partkey,
+        |  standardize_race_id(p_brand) AS norm_brand,
+        |  dot_product(embedding, embedding) AS sq_norm
+        |FROM graft_part JOIN graft_embeddings ON p_partkey = vec_id""".stripMargin)
+  }
+
   /** Full global sort — ORDER BY with NO limit, the complement of
     * [[topLineitems]]'s TakeOrderedAndProject: plans as a
     * range-partitioned Exchange (sampled split points) followed by

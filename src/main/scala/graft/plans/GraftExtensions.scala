@@ -23,10 +23,25 @@ object CollapseStandardizeRaceId extends Rule[LogicalPlan] {
   *
   * Use either programmatically —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or via
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Unlike the
+  * temp-function fallback (`GraftSession.register`), injected functions
+  * are part of the session's catalog from birth — every new session on a
+  * cluster configured with the extension resolves them in SQL text with
+  * no per-session setup call.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseStandardizeRaceId)
+    e.injectFunction((
+      FunctionIdentifier("standardize_race_id"),
+      new ExpressionInfo(classOf[StandardizeRaceId].getName, "standardize_race_id"),
+      exprs => StandardizeRaceId(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1))))
   }
 }

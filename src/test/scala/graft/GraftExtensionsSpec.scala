@@ -41,4 +41,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("injected functions resolve in SQL text with no per-session register call") {
+    val prior = SparkSession.getActiveSession.orElse(Some(TestSpark.spark))
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+        .createOrReplaceTempView("ext_emb")
+      // deliberately NO GraftSession.register(spark): resolution must come
+      // from the injected catalog entries alone
+      val rows = spark.sql(
+        """SELECT standardize_race_id('Cup 25') AS norm,
+          |  dot_product(embedding, embedding) AS sq
+          |FROM ext_emb LIMIT 5""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getString(0) == "cup25"))
+      assert(rows.forall(_.getDouble(1) > 0))
+    } finally {
+      prior.foreach { s =>
+        SparkSession.setActiveSession(s)
+        SparkSession.setDefaultSession(s)
+      }
+    }
+  }
 }
