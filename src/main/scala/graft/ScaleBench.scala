@@ -143,6 +143,12 @@ object ScaleBench {
     "q_decontaminate" -> ((s, d, _) => TextAnalysis.decontaminate(s, d)),
     "q_heavy_hitters" -> ((s, d, _) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_zorder" -> ((s, d, _) => graft.operators.ZOrder.zValuedEvents(s, d)),
+    // streaming replays: the events replica multiplies USERS (new ids per
+    // replica), so windowed-aggregate and per-user state-store volume both
+    // grow with the factor — this measures the state path, not just the
+    // scan (micro-batch machinery is the constant term)
+    "q_stream_tumbling" -> ((s, d, _) => graft.streaming.Streaming.tumblingCounts(s, d)),
+    "q_stream_stateful" -> ((s, d, _) => graft.streaming.Streaming.statefulUserTotals(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments

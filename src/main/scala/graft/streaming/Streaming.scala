@@ -29,13 +29,22 @@ object Streaming {
 
   /** File-stream replay of the events table; ts arrives as long nanos
     * (see Tables.raw) and is converted to TIMESTAMP_NTZ before windowing.
+    *
+    * The source path is `$dir/events.parquet` itself (the file source
+    * accepts globs): testdata ships the table as a single FILE, while
+    * Spark-written replicas (ScaleBench) are a DIRECTORY of part files —
+    * a `pathGlobFilter=events.parquet` over the parent matched only the
+    * file layout and silently replayed an EMPTY stream for directory
+    * layouts (caught when the 10× streaming scale numbers came back
+    * faster than 1×); `recursiveFileLookup` + a data-file filter covers
+    * both.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema(spark, dir))
-      // file-stream source wants a directory; filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr(Tables.tsFromNanosExpr))
 
   /** State-store partition count for the bounded replays. A streaming
