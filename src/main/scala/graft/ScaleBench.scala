@@ -22,13 +22,15 @@ import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
   * decorrelated, preserving per-row size and distribution shape:
   *  - lineitem: `l_orderkey` offset per replica (columns used by the
   *    scan/agg/sort queries are key-independent);
-  *  - documents: `doc_id` offset + per-replica Caesar rotation of the
-  *    text (byte/length/entropy distributions survive; shingles and
-  *    MinHash signatures decorrelate, so near-dup structure per replica
-  *    matches the original's);
-  *  - embeddings: `vec_id` offset + per-replica circular shift of the
-  *    vector dims (orthogonal transform: intra-replica geometry is
-  *    EXACTLY preserved, cross-replica cosines decorrelate);
+  *  - documents: `doc_id` offset + per-replica affine letter
+  *    substitution, distinct for factor ≤ 312 (byte/length/entropy
+  *    distributions survive; shingles and MinHash signatures
+  *    decorrelate, so near-dup structure per replica matches the
+  *    original's);
+  *  - embeddings: `vec_id` offset + per-replica circular shift ∘
+  *    sign-flip diagonal of the vector dims (orthogonal transforms:
+  *    intra-replica geometry is EXACTLY preserved, cross-replica
+  *    cosines decorrelate, distinct for factor < dim·2²⁰);
   *  - events: `event_id`/`user_id` offsets — replica users are new
   *    users, so per-user session/funnel structure is preserved while
   *    user-partition fan-out grows with the factor.
@@ -53,11 +55,17 @@ object ScaleBench {
 
   /** Decorrelated `factor`× replication of the four tables the
     * data-dominated queries read. Idempotent via a marker file (version
-    * suffix v2: pre-events replicas must regenerate).
+    * suffix v3: v2 replicas collapsed above factor 26/64, below). Any
+    * marker from a DIFFERENT factor is deleted before regenerating, so
+    * exactly one marker ever exists — re-running a factor used earlier
+    * in the same workDir regenerates instead of silently benchmarking
+    * the other factor's tables (r7 review).
     */
   def replicate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_SCALE_READY_v2_$factor")
+    val marker = new java.io.File(s"$outDir/_SCALE_READY_v3_$factor")
     if (marker.exists()) return
+    Option(new java.io.File(outDir).listFiles())
+      .foreach(_.filter(_.getName.startsWith("_SCALE_READY")).foreach(_.delete()))
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val okSpan = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1
@@ -69,15 +77,25 @@ object ScaleBench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docSpan = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
     val lower = "abcdefghijklmnopqrstuvwxyz"
+    // per-replica AFFINE substitution j → (a·j + b) mod 26 with a coprime
+    // to 26: 12 multipliers × 26 offsets = 312 distinct ciphers (a plain
+    // Caesar rot = i % 26 repeats texts byte-identically past factor 26,
+    // reintroducing the |copies|² near-dup pathology at the recorded
+    // factor-100 runs; r7 review). Identity at i = 0; distinct for
+    // factor ≤ 312 — guarded below rather than silently collapsing.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(factor <= coprimes.length * 26,
+      s"document decorrelation supports factor ≤ ${coprimes.length * 26}, got $factor")
     (0 until factor).map { i =>
-      val rot = i % 26
-      val shifted = lower.drop(rot) + lower.take(rot)
+      val a = coprimes((i / 26) % coprimes.length)
+      val b = i % 26
+      val mapped = (0 until 26).map(j => lower((a * j + b) % 26)).mkString
       docs
         .withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text",
-          if (rot == 0) col("text")
+          if (i == 0) col("text")
           else translate(col("text"), lower + lower.toUpperCase,
-            shifted + shifted.toUpperCase))
+            mapped + mapped.toUpperCase))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
@@ -85,13 +103,24 @@ object ScaleBench {
     val vecSpan = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     (0 until factor).map { i =>
+      // circular shift composed with a ±1 diagonal — both orthogonal, so
+      // intra-replica geometry is EXACTLY preserved. The shift alone
+      // cycles with period `dim` (replicas i and i+dim were identical at
+      // factor 100 with dim 64; r7 review); the sign mask is the binary
+      // expansion of r = i / dim tiled over the first 20 dims, distinct
+      // for every r < 2²⁰ → distinct transforms for factor < dim·2²⁰.
       val shift = (i * 13) % dim
+      val r = i / dim
+      val shifted =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      val signs = (0 until dim).map(j => if (((r >> (j % 20)) & 1) == 1) -1.0f else 1.0f)
       emb
         .withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
         .withColumn("embedding",
-          if (shift == 0) col("embedding")
-          else concat(slice(col("embedding"), shift + 1, dim - shift),
-            slice(col("embedding"), 1, shift)))
+          if (r == 0) shifted
+          else zip_with(shifted, array(signs.map(lit(_)): _*), (x, s) => x * s))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
@@ -113,21 +142,21 @@ object ScaleBench {
     ()
   }
 
-  /** The 13 data-dominated queries; the Int is the scale factor of the dir
-    * being read (only q_ann_selfjoin uses it, for its log2 bits knob).
+  /** The data-dominated queries (each reads only the dir it is given —
+    * q_ann_selfjoin self-scales its bits knob from the corpus it sees).
     */
-  private def targets: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
-    "q_pricing_summary" -> ((s, d, _) => Relational.pricingSummary(s, d)),
-    "q_filter_project" -> ((s, d, _) => Relational.filterProject(s, d)),
-    "q_global_sort" -> ((s, d, _) => Relational.globalSortLineitems(s, d)),
-    "q_dedup_survivors" -> ((s, d, _) => Dedup.exactDedupSurvivors(s, d)),
-    "q_byte_entropy" -> ((s, d, _) => TextAnalysis.byteEntropy(s, d)),
-    "q_minhash_neardups" -> ((s, d, _) => Dedup.minhashNearDups(s, d)),
-    "q_split_assign" -> ((s, d, _) => TextAnalysis.deterministicSplit(s, d)),
+  private def targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q_filter_project" -> ((s, d) => Relational.filterProject(s, d)),
+    "q_global_sort" -> ((s, d) => Relational.globalSortLineitems(s, d)),
+    "q_dedup_survivors" -> ((s, d) => Dedup.exactDedupSurvivors(s, d)),
+    "q_byte_entropy" -> ((s, d) => TextAnalysis.byteEntropy(s, d)),
+    "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "q_split_assign" -> ((s, d) => TextAnalysis.deterministicSplit(s, d)),
     // window-function + user-keyed-join families (r7 analytics adds):
     // sort/state per user partition, joins exchanging |users| rows
-    "q_sessionize" -> ((s, d, _) => Analytics.sessionize(s, d)),
-    "q_funnel" -> ((s, d, _) => Analytics.funnelConversion(s, d)),
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnelConversion(s, d)),
     // corpus-hygiene family (late r7 adds): decontaminate is a per-doc
     // distinct + broadcast digest probe (Caesar-rotated replicas keep the
     // per-replica contamination rate constant); heavy hitters is the O(k)
@@ -138,21 +167,21 @@ object ScaleBench {
     // holds each group's whole multiset in one reducer, the distributed
     // form holds one range slice per task — same numbers, different
     // memory story as groups grow
-    "q_percentiles" -> ((s, d, _) => Relational.percentiles(s, d)),
-    "q_percentiles_dist" -> ((s, d, _) => Relational.distributedPercentiles(s, d)),
-    "q_decontaminate" -> ((s, d, _) => TextAnalysis.decontaminate(s, d)),
-    "q_heavy_hitters" -> ((s, d, _) => graft.functions.MisraGries.heavyHitters(s, d)),
-    "q_zorder" -> ((s, d, _) => graft.operators.ZOrder.zValuedEvents(s, d)),
+    "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
+    "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
+    "q_zorder" -> ((s, d) => graft.operators.ZOrder.zValuedEvents(s, d)),
     // streaming replays: the events replica multiplies USERS (new ids per
     // replica), so windowed-aggregate and per-user state-store volume both
     // grow with the factor — this measures the state path, not just the
     // scan (micro-batch machinery is the constant term)
-    "q_stream_tumbling" -> ((s, d, _) => graft.streaming.Streaming.tumblingCounts(s, d)),
-    "q_stream_stateful" -> ((s, d, _) => graft.streaming.Streaming.statefulUserTotals(s, d)),
+    "q_stream_tumbling" -> ((s, d) => graft.streaming.Streaming.tumblingCounts(s, d)),
+    "q_stream_stateful" -> ((s, d) => graft.streaming.Streaming.statefulUserTotals(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments
-    "q_ann_selfjoin" -> ((s, d, _) => Similarity.annSelfJoin(s, d,
+    "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d,
       bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(-1))))
 
   def main(args: Array[String]): Unit = {
@@ -181,10 +210,10 @@ object ScaleBench {
       catch { case _: Throwable => () }
     }
 
-    def time(fn: (SparkSession, String, Int) => DataFrame, dir: String, f: Int): Double =
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double =
       median((1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        force(fn(spark, dir, f))
+        force(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       })
 
@@ -201,8 +230,8 @@ object ScaleBench {
       .filter(t => only.map(_(t._1)).getOrElse(!skipAtScale(t._1)))
       .map { case (name, fn) =>
       runCalib()
-      val t1 = time(fn, sfDir, 1)
-      val tN = time(fn, workDir, factor)
+      val t1 = time(fn, sfDir)
+      val tN = time(fn, workDir)
       (name, t1, tN)
     }
     runCalib()

@@ -52,11 +52,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the manifest and oracle set honor the same filter as the dumps —
+    // otherwise a SPARK_GRAFT_ONLY dev run declares the full surface and
+    // compare_oracle.py drowns the one result in MISSING-DUMP failures
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.filter(k => only.forall(_.contains(k)))
+        .toSeq.sorted.map(q).mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()

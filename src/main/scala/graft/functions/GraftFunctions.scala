@@ -44,13 +44,24 @@ object GraftFunctions {
     (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % buckets).cast("int")
 
+  // mirror of GraftExtensions' arity guard: wrong-arity SQL calls get an
+  // invalid-arguments message, not an IndexOutOfBoundsException
+  private def arity[A](name: String, exprs: Seq[A], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected $n, got ${exprs.length}")
+
   /** Register all custom functions for SQL use (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "standardize_race_id", exprs => StandardizeRaceId(exprs.head), "scala_udf")
+      "standardize_race_id",
+      exprs => { arity("standardize_race_id", exprs, 1); StandardizeRaceId(exprs.head) },
+      "scala_udf")
     spark.udf.register("standardize_race_id_udf", standardizeRaceIdUdf)
     // SQL text surface for the vector expression: SELECT dot_product(a, b)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+      "dot_product",
+      exprs => { arity("dot_product", exprs, 2); DotProduct(exprs.head, exprs(1)) },
+      "scala_udf")
   }
 }

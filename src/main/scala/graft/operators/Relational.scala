@@ -193,30 +193,39 @@ object Relational {
     * task no matter the cluster size. This computes the same numbers
     * with bounded state everywhere:
     *
-    *  1. range-partition by (group, value) — each partition owns a
-    *     contiguous value slice of a group; `spark_partition_id()` is
-    *     materialized as a column immediately above that exchange;
-    *  2. slice sizes from a plain hash aggregate (no sort), prefix-summed
-    *     over the tiny (partitions × groups) relation → per-slice base
-    *     offsets;
+    *  1. slice the value range per group along DRIVER-COLLECTED
+    *     approximate split points (|groups| × (parts−1) doubles — a
+    *     percentile-sized result, not data; requires bounded group
+    *     cardinality, which is this query's shape). Each row's slice id
+    *     is a pure codegen'd expression over those literals, so every
+    *     consumer below derives IDENTICAL ids by construction — no
+    *     reliance on `spark_partition_id()` atop a range exchange
+    *     staying in sync across two consumers via ReuseExchange (a
+    *     sampling-dependent assignment that silently breaks under
+    *     `spark.sql.exchange.reuse=false`; r7 review). Split quality
+    *     only affects balance, never correctness;
+    *  2. slice sizes from a plain hash aggregate (no row shuffle — only
+    *     (slice, group, count) rows move), prefix-summed over the tiny
+    *     (slices × groups) relation → per-slice base offsets;
     *  3. each target order statistic (floor/ceil of p·(n−1), exact long
     *     arithmetic; `frac` exact in double for binary-fraction p) is
     *     LOCATED in its slice (rank − base = in-slice position), and only
-    *     those few slices get ranked — the per-slice sort window touches
-    *     ~|targets| partitions, not the relation;
+    *     those few slices get ranked — rows outside target slices are
+    *     dropped by a broadcast semi-join BEFORE the sort shuffle;
     *  4. the in-slice matches pick the two bracketing values per
     *     (group, p) and interpolate — `percentile_cont` semantics,
     *     identical rounding.
     *
-    * Both subtrees above the range exchange are canonically identical,
-    * so ReuseExchange keeps pid assignment consistent (pinned by the
-    * differential test in `OperatorsSmokeSpec` — any drift would flip
-    * ranks and fail the exact compare). Shares q_percentiles' oracle:
-    * the point is a better PLAN for the same answer.
+    * Pinned by the differential test in `OperatorsSmokeSpec`, which
+    * asserts exact equality with the buffering aggregate under BOTH
+    * exchange-reuse settings. Shares q_percentiles' oracle: the point
+    * is a better PLAN for the same answer.
     */
   def distributedPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.distinct == ps && ps.forall(p => p >= 0 && p <= 1),
+      s"ps must be distinct fractions in [0,1]: $ps")
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val src = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
@@ -231,8 +240,19 @@ object Relational {
       .withColumn("frac", col("pos") - floor(col("pos")))
       .select(col("g").as("tg"), col("p"), col("lo"), col("hi"), col("frac"))
 
-    val withPid = src.repartitionByRange(parts, col("g"), col("v"))
-      .withColumn("pid", spark_partition_id())
+    // deterministic slice ids: count of split points ≤ v, per group
+    // (monotonic in v, so slices are value-ordered and boundary ties
+    // land whole in one slice)
+    val splitPs = (1 until parts).map(_.toDouble / parts)
+    val bounds: Map[String, Seq[Double]] = src.groupBy(col("g"))
+      .agg(percentile_approx(col("v"), array(splitPs.map(lit(_)): _*), lit(100)).as("bs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val pidExpr = bounds.toSeq.sortBy(_._1).foldLeft(lit(-1)) { case (acc, (gv, bs)) =>
+      when(col("g") === gv,
+        bs.foldLeft(lit(0))((a, b) => a + when(col("v") >= b, 1).otherwise(0)))
+        .otherwise(acc)
+    }
+    val withPid = src.withColumn("pid", pidExpr)
     // slice sizes from a hash aggregate (no sort), prefix-summed over the
     // tiny |partitions × groups| relation
     val bases = withPid.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
@@ -263,11 +283,14 @@ object Relational {
         max(when(col("which") === "hi", col("v"))).as("hiv"))
       .withColumn("value",
         round(col("lov") + col("frac") * (col("hiv") - col("lov")), 4))
+    // pivot columns derived from ps (default → p25/p50/p75); p.toString
+    // sidesteps double-multiply drift (0.99*100 = 98.999…)
+    def pName(p: Double): String =
+      "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m")
+    val pivots = ps.map(p => max(when(col("p") === p, col("value"))).as(pName(p)))
     picked.groupBy(col("g"))
-      .agg(
-        max(when(col("p") === ps(0), col("value"))).as("p25"),
-        max(when(col("p") === ps(1), col("value"))).as("p50"),
-        max(when(col("p") === ps(2), col("value"))).as("p75"))
+      .agg(pivots.head, pivots.tail: _*)
       .withColumnRenamed("g", "l_returnflag")
   }
 

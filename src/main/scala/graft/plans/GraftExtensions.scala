@@ -33,15 +33,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  // explicit arity check: a bare exprs.head/exprs(1) surfaces an
+  // IndexOutOfBoundsException from the resolver where every built-in
+  // gives a clear invalid-arguments analysis error
+  private def arity[A](name: String, exprs: Seq[A], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected $n, got ${exprs.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseStandardizeRaceId)
     e.injectFunction((
       FunctionIdentifier("standardize_race_id"),
       new ExpressionInfo(classOf[StandardizeRaceId].getName, "standardize_race_id"),
-      exprs => StandardizeRaceId(exprs.head)))
+      exprs => { arity("standardize_race_id", exprs, 1); StandardizeRaceId(exprs.head) }))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
-      exprs => graft.functions.DotProduct(exprs.head, exprs(1))))
+      exprs => { arity("dot_product", exprs, 2)
+        graft.functions.DotProduct(exprs.head, exprs(1)) }))
   }
 }

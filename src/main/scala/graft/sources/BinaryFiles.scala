@@ -34,6 +34,19 @@ object BinaryFiles {
     dir
   }
 
+  /** One staging subtree per (corpus, cap): different-cap calls in one
+    * JVM (the smoke suites run the default; SourcesSpec runs a small
+    * one) must not see each other's files, and neither may two corpora
+    * at the same cap — a doc_id present only in the earlier corpus's
+    * slice would otherwise survive staging and be re-ingested into the
+    * later corpus's result (r7 review).
+    */
+  private[graft] def stageFor(dir: String, docCap: Int): java.io.File = {
+    val corpusKey = java.lang.Integer.toHexString(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString.hashCode)
+    new java.io.File(stageDir, s"src${corpusKey}_cap$docCap")
+  }
+
   /** Stage a bounded doc slice as raw files, ingest them back through
     * `binaryFile`, emit (doc_id, n_bytes, sha256) — n_bytes from the
     * source's file-metadata column, sha from the content bytes, doc_id
@@ -42,10 +55,7 @@ object BinaryFiles {
     */
   def ingestDocs(spark: SparkSession, dir: String, docCap: Int = 100): DataFrame = {
     import spark.implicits._
-    // one staging subtree per cap: different-cap calls in one JVM (the
-    // smoke suites run the default; SourcesSpec runs a small one) must
-    // not see each other's files
-    val stage = new java.io.File(stageDir, s"cap$docCap")
+    val stage = stageFor(dir, docCap)
     stage.mkdirs()
     Tables(spark, dir, "documents")
       .filter(col("doc_id") < docCap)

@@ -479,14 +479,22 @@ object Streaming {
             .filter(col("__rn") === 1).drop("__rn")
         val next = new java.io.File(root, s"table_next_$batchId")
         merged.write.mode("overwrite").parquet(next.getAbsolutePath)
-        // swap: bounded replay runs batches sequentially, so a plain
-        // delete+rename is safe (a production apply uses a table format)
+        // swap by renaming the live table ASIDE first: if either rename
+        // fails the previous state is restored/intact, whereas a plain
+        // delete-then-rename destroys every earlier batch's merge the
+        // moment the rename refuses (r7 review). Bounded replay runs
+        // batches sequentially; a production apply uses a table format.
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
-        rm(tableDir)
-        if (!next.renameTo(tableDir))
+        val prev = new java.io.File(root, s"table_prev_$batchId")
+        if (tableDir.exists() && !tableDir.renameTo(prev))
+          throw new IllegalStateException(s"could not set aside table for batch $batchId")
+        if (!next.renameTo(tableDir)) {
+          prev.renameTo(tableDir)
           throw new IllegalStateException(s"swap failed for batch $batchId")
+        }
+        rm(prev)
         ()
       }
       .option("checkpointLocation", ckpt.getAbsolutePath)

@@ -49,19 +49,34 @@ class OperatorsSmokeSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
   }
 
-  test("distributed percentiles equal percentile_cont exactly; plan is range-partitioned") {
-    val exact = graft.operators.Relational.percentiles(TestSpark.spark, TestSpark.sf0001)
+  test("distributed percentiles equal percentile_cont exactly, under BOTH exchange-reuse settings") {
+    val spark = TestSpark.spark
+    val exact = graft.operators.Relational.percentiles(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val dist = graft.operators.Relational.distributedPercentiles(TestSpark.spark, TestSpark.sf0001)
-    val got = dist.collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    // EXACT equality — the whole point: same numbers, bounded-state plan.
-    // Any pid inconsistency between the two exchange consumers would
-    // shift a global rank and break this.
-    assert(got == exact, s"distributed $got vs buffered $exact")
-    val plan = dist.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
-    assert(!plan.contains("percentile"), s"fell back to the buffering aggregate:\n$plan")
+    // slice ids come from driver-collected split-point literals, so the
+    // answer must not depend on ReuseExchange keeping consumers in sync
+    // (a spark_partition_id-over-range-exchange design breaks here)
+    for (reuse <- Seq("true", "false")) {
+      val before = spark.conf.get("spark.sql.exchange.reuse", "true")
+      spark.conf.set("spark.sql.exchange.reuse", reuse)
+      try {
+        val dist = graft.operators.Relational.distributedPercentiles(spark, TestSpark.sf0001)
+        val got = dist.collect()
+          .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+        // EXACT equality — the whole point: same numbers, bounded-state plan
+        assert(got == exact, s"reuse=$reuse: distributed $got vs buffered $exact")
+        val plan = dist.queryExecution.executedPlan.toString
+        assert(!plan.contains("percentile"), s"fell back to the buffering aggregate:\n$plan")
+        assert(!plan.contains("rangepartitioning"),
+          s"sampling-dependent range exchange reappeared in:\n$plan")
+      } finally spark.conf.set("spark.sql.exchange.reuse", before)
+    }
+    // the ps parameter drives the pivot: non-default fractions get
+    // matching column names and values (was hardcoded to 3 entries)
+    val custom = graft.operators.Relational.distributedPercentiles(
+      spark, TestSpark.sf0001, ps = Seq(0.1, 0.9))
+    assert(custom.columns.toSeq == Seq("l_returnflag", "p10", "p90"), custom.columns.mkString(","))
+    assert(custom.collect().forall(r => r.getDouble(1) <= r.getDouble(2)))
   }
 
   test("multimodal byte features sum to ~1 for non-empty docs") {

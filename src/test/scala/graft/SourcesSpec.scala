@@ -92,11 +92,15 @@ class SourcesSpec extends AnyFunSuite {
     // plant a non-matching file next to the staged .bin files; the glob
     // filter must exclude it at LISTING time (re-run sees the same 20)
     java.nio.file.Files.write(
-      new java.io.File(new java.io.File(graft.sources.BinaryFiles.stageDir, "cap20"),
+      new java.io.File(graft.sources.BinaryFiles.stageFor(TestSpark.sf0001, 20),
         "decoy.tmp").toPath,
       "not media".getBytes("UTF-8"))
     val again = graft.sources.BinaryFiles.ingestDocs(spark, TestSpark.sf0001, docCap = 20)
     assert(again.count() == 20, "pathGlobFilter must prune the decoy at listing time")
+    // staging is keyed by corpus too: a second source dir at the same cap
+    // must not inherit the first corpus's staged files
+    assert(graft.sources.BinaryFiles.stageFor("/root/testdata/sf0.01", 20).getAbsolutePath
+      != graft.sources.BinaryFiles.stageFor(TestSpark.sf0001, 20).getAbsolutePath)
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
       .filter(col("doc_id") < 20).select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
