@@ -61,7 +61,13 @@ object ScaleBench {
     * in the same workDir regenerates instead of silently benchmarking
     * the other factor's tables (r7 review).
     */
+  // affine-cipher multipliers coprime to 26: 12 × 26 offsets = 312
+  // distinct document substitutions (see the documents block below)
+  private val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
   def replicate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+    require(factor <= coprimes.length * 26,
+      s"document decorrelation supports factor ≤ ${coprimes.length * 26}, got $factor")
     val marker = new java.io.File(s"$outDir/_SCALE_READY_v3_$factor")
     if (marker.exists()) return
     Option(new java.io.File(outDir).listFiles())
@@ -82,10 +88,7 @@ object ScaleBench {
     // Caesar rot = i % 26 repeats texts byte-identically past factor 26,
     // reintroducing the |copies|² near-dup pathology at the recorded
     // factor-100 runs; r7 review). Identity at i = 0; distinct for
-    // factor ≤ 312 — guarded below rather than silently collapsing.
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(factor <= coprimes.length * 26,
-      s"document decorrelation supports factor ≤ ${coprimes.length * 26}, got $factor")
+    // factor ≤ 312 — guarded at entry rather than silently collapsing.
     (0 until factor).map { i =>
       val a = coprimes((i / 26) % coprimes.length)
       val b = i % 26

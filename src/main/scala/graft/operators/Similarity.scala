@@ -140,8 +140,15 @@ object Similarity {
     *
     * Candidates stay NARROW (a_id, b_id) through the join+distinct;
     * embeddings rejoin per side for the exact cosine re-rank, then a
-    * per-a_id window takes top-k. Pairs materialize once in (a<b) order
-    * and mirror afterwards, halving the join+dedup+score volume.
+    * BOUNDED top-k aggregate (O(k) state per vector, map-side partials)
+    * picks each vector's neighbors. Pairs materialize once in (a<b)
+    * order and mirror afterwards, halving the join+dedup+score volume.
+    * The first cut took top-k with a row_number window, which sorts the
+    * ENTIRE mirrored pair list (n × occupancy × L rows) in sort
+    * buffers before keeping k per vector — at 100× sf0.1 that sort was
+    * the allocation that pushed a multi-query JVM over the 8 GiB heap
+    * (r7). The aggregate collapses the pair list map-side before the
+    * shuffle, so memory is O(groups × k) and spillable.
     */
   def annSelfJoin(
       spark: SparkSession, dir: String,
@@ -181,13 +188,52 @@ object Similarity {
         col("norm").as("b_norm")), Seq("b_id"))
       .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .select(col("a_id"), col("b_id"), col("cosine"))
-    // mirror so every vector sees its full neighbor list, then top-k
+    // mirror so every vector sees its full neighbor list, then bounded
+    // top-k (same ordering contract as the old window: cosine desc,
+    // neighbor id asc on ties)
     val sym = scored.unionByName(scored.select(col("b_id").as("a_id"),
       col("a_id").as("b_id"), col("cosine")))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)
-    sym.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("a_id").as("q_id"), col("b_id").as("neighbor_id"), col("rank"), col("cosine"))
+    boundedTopK(sym, k)
+  }
+
+  /** Bounded per-key top-k over (a_id, b_id, cosine) rows: a typed
+    * `Aggregator` holding at most k (cosine, id) pairs per key —
+    * `functions.TopKAggregator`'s pattern applied to the ANN tail.
+    * Hash aggregation with map-side partials replaces the full-relation
+    * sort a row_number window needs; the buffer stays sorted so most
+    * rows short-circuit without re-sorting.
+    */
+  private[graft] def boundedTopK(sym: DataFrame, k: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      private def cap(s: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+        val m = s.sortWith(better); if (m.size > k) m.take(k) else m
+      }
+      override def zero: Seq[(Double, Long)] = Seq.empty
+      override def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] = {
+        val cand = (a._3, a._2)
+        if (b.size >= k && !better(cand, b.last)) b else cap(b :+ cand)
+      }
+      override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        cap(x ++ y)
+      override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        newProductSeqEncoder
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        newProductSeqEncoder
+    }
+    sym.select(col("a_id"), col("b_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
   }
 
   /** Argmax-cosine cell id against broadcast centroid literals — pure

@@ -69,4 +69,31 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(capped == default)
   }
+
+  test("bounded top-k aggregate is row-identical to the window formulation") {
+    // the ANN tail replaced row_number-over-full-pair-list with an O(k)
+    // aggregator (the window sort was the 100×-sweep heap hazard) — the
+    // two must pick the same neighbors with the same tie-breaks,
+    // including ties on cosine (same score, lower id wins) and groups
+    // smaller than k
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sym = (1 to 2000).map { _ =>
+      // coarse scores force real ties
+      (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, rnd.nextInt(12) / 10.0)
+    }.toDF("a_id", "b_id", "cosine").distinct()
+    val k = 5
+    val viaWindow = sym
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("q_id"), col("b_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val viaAgg = graft.operators.Similarity.boundedTopK(sym, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
 }
