@@ -39,6 +39,8 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeLineitem(_, _)),
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotOrderMetrics(s, d)),
+    "q_hll_merge" -> ((s, d) => Relational.hllMergedDistinct(s, d)),
     "q_percentiles" -> (Relational.percentiles(_, _)),
     "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
@@ -67,6 +69,7 @@ object SparkEntry {
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
+    "q_sql_lateral" -> (Relational.sqlLateralTopOrders(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
@@ -115,6 +118,8 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_scd2" -> ((s, d) => Analytics.scd2UserState(s, d)),
+    "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -926,6 +931,48 @@ object SparkEntry {
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |       LEFT JOIN c ON u.user_id = c.user_id
         |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |    MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.total_price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey ASC
+        |         LIMIT 2) t""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hour_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS hour
+        |          FROM spans)
+        |SELECT s.user_id, s.hour,
+        |  last_value(h.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |  h.hour_value IS NOT NULL AS is_observed
+        |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

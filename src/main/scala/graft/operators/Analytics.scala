@@ -90,4 +90,61 @@ object Analytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Slowly-changing-dimension Type 2 from a change log: each user's
+    * event stream collapses to the intervals over which their state
+    * (the event_type) held — consecutive same-state rows compact away,
+    * then each surviving change opens [valid_from, valid_to) with NULL
+    * valid_to marking the current row. The verb a corpus/feature store
+    * uses to turn an append-only log into point-in-time-queryable
+    * history (the batch complement of `Upsert.refreshedCorpus`, which
+    * keeps only the latest row).
+    *
+    * One exchange: the lag window, the change filter, and the lead
+    * window all share the (user_id × ts, event_id) sort, and a filter
+    * preserves ordering — Catalyst plans a single shuffle+sort with
+    * both Window nodes on it. State per task is one user's run, never
+    * the log.
+    */
+  def scd2UserState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Time-spine gap filling with last-observation-carried-forward: the
+    * event log aggregates to per-(user, hour) sums, each user's hour
+    * spine materializes densely from their min to max hour
+    * (`sequence` + explode — generated per user on the executor, never
+    * a driver-side calendar), missing hours left-join to NULL, and a
+    * running `last(ignoreNulls)` window carries the previous
+    * observation forward. The standard regularization step before any
+    * windowed/sequence model trains on irregular telemetry.
+    *
+    * Scale: the heavy input collapses to |users × active hours| before
+    * the spine ever exists, and the spine is |users × span hours| —
+    * both user-bounded, both partitioned by user_id; the fill window
+    * reuses the join's hash partitioning and holds one user's hours.
+    */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("hour_value"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("hour_value").isNotNull)
+      .select(col("user_id"), col("hour"), col("filled_value"), col("is_observed"))
+  }
 }

@@ -763,4 +763,77 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("prior_signup_id"))
   }
+
+  /** Wide→long unpivot (melt) — the inverse verb of `pivotRevenue`: a
+    * per-priority metrics row explodes into one (priority, metric,
+    * value) row per metric. `Dataset.unpivot` plans a narrow Expand —
+    * each wide row emits |metrics| rows in place, no shuffle and no
+    * join against a metric list — so melting N metric columns off a
+    * 100 TB wide table costs the one scan the projection already pays.
+    * All value columns are pre-cast to one double type (the unpivot
+    * contract) on the exact decimal path.
+    */
+  def unpivotOrderMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("n_orders"), col("total_price"), col("max_price")),
+      "metric", "value")
+  }
+
+  /** Correlated LATERAL derived table through the SQL parser: each
+    * customer's two priciest orders written as "run this subquery per
+    * customer row" (`, LATERAL (... ORDER BY ... LIMIT 2)`). Catalyst
+    * must decorrelate the per-row subquery into one window-ranked pass
+    * over orders joined back on the equi key — never nested-loop
+    * re-execution per outer row (SqlSurfaceSpec pins the optimized
+    * plan), so the lateral surface costs the same as the explicit
+    * `sqlWindowTopOrders` formulation at any scale.
+    */
+  def sqlLateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.total_price
+        |FROM graft_customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |         FROM graft_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey ASC
+        |         LIMIT 2) t""".stripMargin)
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg` / `hll_union_agg`): per-month customer sketches
+    * build in one map-side-combined pass (~KBs of state per group at
+    * the default lgK=12), and the all-time total is a sketch UNION of
+    * the 12 monthly buffers — the orders table is scanned exactly once.
+    * This is the incremental-rollup pattern a 100 TB pipeline needs:
+    * persist per-partition sketches and answer any window's distinct
+    * count by merging stored state instead of recounting the raw data
+    * (`approx_count_distinct` gives no such re-aggregatable state).
+    * Sketch estimates are deterministic per engine but engine-specific
+    * → rows-only at the driver; SketchPropertiesSpec pins that the
+    * merged estimate equals a direct whole-table sketch and lands
+    * within 2% of the exact distinct count.
+    */
+  def hllMergedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val perMonth = monthly.select(
+      date_format(col("m"), "yyyy-MM").as("scope"),
+      hll_sketch_estimate(col("sk")).as("est_customers"))
+    val total = monthly
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"))
+      .select(lit("total").as("scope"), col("est_customers"))
+    perMonth.unionByName(total)
+  }
 }

@@ -121,4 +121,25 @@ class SketchPropertiesSpec extends AnyFunSuite {
       assert(twoPass == brute, s"k=$k: $twoPass vs $brute")
     }
   }
+
+  test("hll: union of monthly sketches equals one whole-table sketch, near exact count") {
+    // the q_hll_merge contract: merging stored per-partition sketch
+    // state must lose NOTHING vs re-scanning — same estimate as a
+    // single sketch over all rows, and both within 2% of the truth
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val orders = graft.sources.Tables(spark, TestSpark.sf0001, "orders")
+    val direct = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .collect()(0).getLong(0)
+    val out = graft.operators.Relational.hllMergedDistinct(spark, TestSpark.sf0001).collect()
+    val merged = out.filter(_.getString(0) == "total").map(_.getLong(1)).head
+    assert(merged == direct, s"merged sketch estimate $merged != direct $direct")
+    val exact = orders.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.02,
+      s"estimate $merged vs exact $exact beyond 2%")
+    // every month row estimates a nonempty set and no month exceeds the total's support
+    val months = out.filter(_.getString(0) != "total")
+    assert(months.nonEmpty && months.forall(_.getLong(1) > 0))
+  }
 }

@@ -62,4 +62,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .findFirstMatchIn(plan).map(_.group(1).toInt)
     assert(fanOut.exists(_ > 1), s"range exchange declares $fanOut partitions in:\n$plan")
   }
+
+  test("q_sql_lateral: correlated LATERAL LIMIT decorrelates to one windowed pass") {
+    val df = Relational.sqlLateralTopOrders(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // no per-outer-row lateral execution may survive optimization
+    assert(!optimized.contains("LateralJoin"),
+      s"LateralJoin survived optimization (per-row subquery execution):\n$optimized")
+    // the ORDER BY ... LIMIT inside the subquery must become a window
+    // rank over ONE pass of orders, joined back on the equi key
+    assert(optimized.contains("Window"), s"no Window in decorrelated plan:\n$optimized")
+    assert(optimized.contains("Join"), s"no join back to the outer side:\n$optimized")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per customer: at most 2 rows, and they are that customer's top-2
+    // prices (the hash gate pins exact values; this pins the contract)
+    val top2 = graft.sources.Tables(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.max("o_totalprice").as("p1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (c, rs) =>
+      assert(rs.length <= 2, s"customer $c got ${rs.length} lateral rows")
+      assert(rs.map(_.getDouble(2)).max == top2(c),
+        s"customer $c: lateral top rows miss the max price")
+    }
+  }
 }
