@@ -143,6 +143,7 @@ object SparkEntry {
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
+    "q_stream_static_join" -> (Streaming.staticEnrichedSegments(_, _)),
     "q_stream_sliding" -> (Streaming.slidingCounts(_, _)),
     "q_stream_watermarked" -> (Streaming.watermarkedCounts(_, _)),
     "q_stream_session" -> (Streaming.sessionCounts(_, _)),
@@ -1035,6 +1036,11 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_stream_sliding" ->
       """SELECT ws AS window_start, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

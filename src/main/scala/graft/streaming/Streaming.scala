@@ -98,6 +98,12 @@ object Streaming {
     */
   @volatile private[graft] var lastReplayBatchCount: Int = -1
 
+  /** Executed physical plan of the last replay's final micro-batch —
+    * lets suites pin streaming plan shapes (e.g. the stream-static join
+    * must broadcast the dimension, never a stateful symmetric join).
+    */
+  @volatile private[graft] var lastReplayPlan: String = ""
+
   /** Run a bounded streaming query to completion into a memory sink and
     * return the final table.
     */
@@ -114,6 +120,11 @@ object Streaming {
       .start()
     q.awaitTermination()
     lastReplayBatchCount = q.recentProgress.length
+    lastReplayPlan = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString).getOrElse("")
+      case _ => ""
+    }
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach(p => System.err.println(
         s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}"))
@@ -138,6 +149,30 @@ object Streaming {
     runToTable(agg, OutputMode.Complete())
       .select(col("window.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
+  }
+
+  /** Stream–static enrichment join: the event stream joins the CUSTOMER
+    * dimension read as a plain batch DataFrame — the standard streaming
+    * enrichment shape (dimension in a table/lake, facts on the wire).
+    * Spark re-plans the static side per micro-batch (it is below the
+    * broadcast threshold here, so each batch broadcasts the dimension —
+    * no stream-side shuffle and NO state store: unlike a stream-stream
+    * join, the static side needs no watermark and holds no join state).
+    * Left join keeps fact rows with no dimension match (segment NULL),
+    * then a Complete-mode rollup per segment makes the replay
+    * order-insensitive and equal to the batch join by construction.
+    */
+  def staticEnrichedSegments(spark: SparkSession, dir: String): DataFrame = {
+    val session = replaySession(spark)
+    val dim = Tables(session, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(session, dir)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("c_mktsegment"), col("n"), col("total_value"))
   }
 
   /** Sliding windows (10-minute length, 5-minute slide): each event lands

@@ -88,4 +88,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expect, "cross-batch merge must equal the batch latest-per-user")
   }
+
+  test("stream-static join is stateless: no symmetric hash join, no watermark needed") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.staticEnrichedSegments(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // equality with the batch left join (the oracle pins full values;
+    // this pins it inside the suite where the plan is also inspected)
+    val expect = Tables(spark, sf, "events")
+      .join(Tables(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got == expect)
+    // stateless by construction: a static side is re-read per batch and
+    // broadcast — any StreamingSymmetricHashJoin here means the planner
+    // treated both sides as streams (state store + watermark semantics)
+    assert(Streaming.lastReplayBatchCount >= 1)
+    val plan = Streaming.lastReplayPlan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"static dimension not broadcast in:\n$plan")
+    assert(!plan.contains("StreamingSymmetricHashJoin"),
+      s"stream-static join planned stateful symmetric join:\n$plan")
+  }
 }
