@@ -78,6 +78,8 @@ object SparkEntry {
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
     "q_full_outer" -> ((s, d) => Relational.customerOrdersFullOuter(s, d)),
     "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
+    "q_group_sample" -> ((s, d) => graft.operators.Sampling.groupSample(s, d)),
+    "q_outliers" -> (Relational.outlierEvents(_, _)),
     "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
     "q_snapshot_diff" -> (graft.operators.Upsert.snapshotDiffCorpus(_, _)),
     "q_schema_evolution" -> (Roundtrip.schemaEvolutionEvents(_, _)),
@@ -932,6 +934,20 @@ object SparkEntry {
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |       LEFT JOIN c ON u.user_id = c.user_id
         |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    "q_group_sample" ->
+      """SELECT doc_id, lang, draw_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS draw_rank
+        |  FROM documents)
+        |WHERE draw_rank <= 20""".stripMargin,
+    "q_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE e.value IS NOT NULL AND abs(round((e.value - s.mu) / s.sd, 4)) > 2.5""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -579,6 +579,25 @@ object Relational {
         max(col("l_extendedprice")).as("max_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
 
+  /** Z-score outlier detection per class — the screening pass a pipeline
+    * runs before training on numeric telemetry: per-event-type mean and
+    * sample stddev (one map-side-combined aggregate, |types| rows), the
+    * tiny stats relation broadcast back onto the stream, and rows
+    * flagged where |z| > 2.5. Two narrow passes at any scale — never a
+    * window over the full table, so no type's rows ever co-locate.
+    * z rounds to 4 dp (the `summaryStats` convention) so one-pass
+    * variance formulations of different engines agree.
+    */
+  def outlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
   /** The full SQL surface end-to-end: temp views + `spark.sql` text (the
     * other queries declare plans through the DataFrame API; this one goes
     * through the SQL parser → same Catalyst pipeline). TPC-H Q3's shape —

@@ -63,4 +63,26 @@ object Sampling {
       .filter(graft.functions.GraftFunctions.md5Bucket(col("doc_id")) < col("thr"))
       .select(col("doc_id"), col("lang"), col("thr"))
   }
+
+  /** Fixed-SIZE deterministic sample per group (the complement of the
+    * fraction-based samplers above): exactly min(n, |group|) documents
+    * per language, chosen by md5-hash rank — a reproducible "reservoir"
+    * whose membership is a pure function of the keys, independent of
+    * partitioning, cluster size, or engine (the oracle draws the
+    * identical sample). The eval-set / human-review draw verb.
+    *
+    * Scale: rank-by-hash is a window top-k, so WindowGroupLimit pushes
+    * the per-group limit below the shuffle — each map task forwards at
+    * most n rows per group it sees, and no group's full row set is ever
+    * sorted in one task.
+    */
+  def groupSample(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= n)
+  }
 }

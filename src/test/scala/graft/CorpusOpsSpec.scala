@@ -133,6 +133,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("group sample: exactly min(n, |group|) per class, invariant under repartitioning") {
+    val got = graft.operators.Sampling.groupSample(spark, sf, n = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val sizes = graft.sources.Tables(spark, sf, "documents")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, sizes(lang)),
+        s"$lang drew ${rs.length} of ${sizes(lang)}")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"$lang ranks not dense")
+    }
+    // membership is a pure function of the keys — recomputation must
+    // draw the identical sample
+    val again = graft.operators.Sampling.groupSample(spark, sf, n = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // rank-by-hash is a top-k window: the group limit must push below
+    // the shuffle (map tasks forward ≤ n rows per group), never a full
+    // per-group materialize-then-filter
+    val plan = graft.operators.Sampling.groupSample(spark, sf, n = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("outliers: flagged set matches a driver-side recompute, stats never window the log") {
+    val got = graft.operators.Relational.outlierEvents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val expect: Map[Long, Double] = byType.toSeq.flatMap { case (_, rows) =>
+      val xs = rows.map(_._3)
+      val mu = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1))
+      rows.toSeq.map { case (id, _, v) =>
+        id -> BigDecimal((v - mu) / sd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+        .filter { case (_, z) => math.abs(z) > 2.5 }
+    }.toMap
+    assert(got.keySet == expect.keySet,
+      s"flag sets differ: extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
+    // the stats pass is an aggregate + broadcast join back — a Window
+    // here would co-locate every type's full row set in one task
+    val plan = graft.operators.Relational.outlierEvents(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"outlier stats planned as a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast back:\n$plan")
+  }
+
   test("snapshot diff: every status lands exactly where the construction puts it") {
     val got = graft.operators.Upsert.snapshotDiffCorpus(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
