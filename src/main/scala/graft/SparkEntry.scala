@@ -80,6 +80,7 @@ object SparkEntry {
     "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
     "q_group_sample" -> ((s, d) => graft.operators.Sampling.groupSample(s, d)),
     "q_outliers" -> (Relational.outlierEvents(_, _)),
+    "q_winsorize" -> (Relational.winsorizedEvents(_, _)),
     "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
     "q_snapshot_diff" -> (graft.operators.Upsert.snapshotDiffCorpus(_, _)),
     "q_schema_evolution" -> (Roundtrip.schemaEvolutionEvents(_, _)),
@@ -948,6 +949,14 @@ object SparkEntry {
         |  round((e.value - s.mu) / s.sd, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE e.value IS NOT NULL AND abs(round((e.value - s.mu) / s.sd, 4)) > 2.5""".stripMargin,
+    "q_winsorize" ->
+      """WITH s AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p5,
+        |                  round(quantile_cont(value, 0.95), 4) AS p95
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, s.p5), s.p95) AS value_w
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -222,13 +222,25 @@ object Relational {
     * is a better PLAN for the same answer.
     */
   def distributedPercentiles(spark: SparkSession, dir: String,
-      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    distributedPercentilesOf(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")), ps)
+      .withColumnRenamed("g", "l_returnflag")
+
+  /** The generic core of [[distributedPercentiles]]: exact grouped
+    * percentile_cont over any (g: string, v: double) relation with
+    * bounded state per task — reusable wherever a pipeline needs exact
+    * quantiles of a group too big to buffer (see [[winsorizedEvents]]).
+    * Returns one row per group with a `pNN` column per requested p.
+    */
+  private[graft] def distributedPercentilesOf(src: DataFrame,
+      ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty && ps.distinct == ps && ps.forall(p => p >= 0 && p <= 1),
       s"ps must be distinct fractions in [0,1]: $ps")
+    val spark = src.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val src = Tables(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
 
     // target order statistics per (group, p): 1-based lo/hi bracketing
     // ranks and the interpolation fraction
@@ -291,7 +303,24 @@ object Relational {
     val pivots = ps.map(p => max(when(col("p") === p, col("value"))).as(pName(p)))
     picked.groupBy(col("g"))
       .agg(pivots.head, pivots.tail: _*)
-      .withColumnRenamed("g", "l_returnflag")
+  }
+
+  /** Percentile winsorization (clip to [p5, p95] per class) — the
+    * outlier-robust normalization step before training on heavy-tailed
+    * telemetry, composed from [[distributedPercentilesOf]]: the exact
+    * per-class quantiles come back as a |classes|-row relation with
+    * bounded state everywhere (never a buffered `percentile` group),
+    * broadcast back onto the log, and applied as pure
+    * `least`/`greatest` — two narrow passes at any scale, same shape
+    * as [[outlierEvents]].
+    */
+  def winsorizedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+    val qs = distributedPercentilesOf(
+      ev.select(col("event_type").as("g"), col("value").as("v")), Seq(0.05, 0.95))
+    ev.join(broadcast(qs), col("event_type") === qs("g"))
+      .withColumn("value_w", least(greatest(col("value"), col("p5")), col("p95")))
+      .select(col("event_id"), col("event_type"), col("value"), col("value_w"))
   }
 
   /** Approximate percentiles per group (Greenwald-Khanna sketch) — the

@@ -156,6 +156,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("winsorize: clips to the exact per-class [p5, p95], touches nothing inside") {
+    val rows = graft.operators.Relational.winsorizedEvents(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.exists(r => r._2 != r._3), "fixture has no tail — vacuous")
+    // bounds per class from the buffered exact aggregate (the semantic
+    // twin the distributed plan is differentially pinned against)
+    val bounds = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("round(percentile(value, 0.05), 4)").as("p5"),
+        expr("round(percentile(value, 0.95), 4)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (tpe, v, w) =>
+      val (p5, p95) = bounds(tpe)
+      assert(w >= p5 && w <= p95, s"$tpe: clipped $w outside [$p5, $p95]")
+      if (v >= p5 && v <= p95) assert(w == v, s"$tpe: in-range $v rewritten to $w")
+      else assert(w == p5 || w == p95, s"$tpe: tail $v clipped to $w, not a bound")
+    }
+  }
+
   test("outliers: flagged set matches a driver-side recompute, stats never window the log") {
     val got = graft.operators.Relational.outlierEvents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(3))).toMap
