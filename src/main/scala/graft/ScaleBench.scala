@@ -160,6 +160,13 @@ object ScaleBench {
     // sort/state per user partition, joins exchanging |users| rows
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnelConversion(s, d)),
+    // temporal/screening verbs (late r7): scd2 is the one-exchange
+    // lag-filter-lead stack; gap_fill's spine grows with |users × span
+    // hours| (replicas add users, so the spine scales linearly); winsorize
+    // is the bounded-state quantile core + a broadcast clip pass
+    "q_scd2" -> ((s, d) => Analytics.scd2UserState(s, d)),
+    "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
+    "q_winsorize" -> ((s, d) => Relational.winsorizedEvents(s, d)),
     // corpus-hygiene family (late r7 adds): decontaminate is a per-doc
     // distinct + broadcast digest probe (Caesar-rotated replicas keep the
     // per-replica contamination rate constant); heavy hitters is the O(k)

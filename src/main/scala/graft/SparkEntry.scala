@@ -95,6 +95,7 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_clusters_lsh" -> ((s, d) => Dedup.dupClustersLsh(s, d)),
+    "q_cluster_reps" -> ((s, d) => Dedup.clusterRepresentatives(s, d)),
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
@@ -631,6 +632,39 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE pos AS (
+         |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+         |  FROM documents WHERE doc_id < 200),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |jp AS (
+         |  SELECT a, b
+         |  FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+         |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+         |edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS u, doc_id AS v FROM documents WHERE doc_id < 200
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
+         |q AS (SELECT doc_id,
+         |        ((CASE WHEN LEN(toks) >= 10 AND LEN(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality_score
+         |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+         |j AS (SELECT cl.cluster, cl.doc_id, q.quality_score FROM cl JOIN q ON cl.doc_id = q.doc_id),
+         |r AS (SELECT cluster, COUNT(*) AS cluster_size FROM j GROUP BY 1),
+         |b AS (SELECT cluster, doc_id AS rep_id, quality_score AS rep_quality,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |      FROM j)
+         |SELECT b.cluster, r.cluster_size, b.rep_id, b.rep_quality
+         |FROM b JOIN r ON b.cluster = r.cluster WHERE b.rn = 1""".stripMargin,
     "q_embedding_neardups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

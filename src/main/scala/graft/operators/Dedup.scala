@@ -246,6 +246,29 @@ object Dedup {
       ngramJaccardPairs(spark, dir).select(col("a"), col("b")),
       maxRounds)
 
+  /** Keep-BEST dedup — the decision step a real curation run makes after
+    * clustering: per near-dup cluster, keep the member with the highest
+    * quality score (tie-break: lower doc_id). Production dedup keeps the
+    * best exemplar, not the first-seen; this composes [[dupClusters]]
+    * with `TextAnalysis.qualityScore` to close that loop.
+    *
+    * The argmax is a struct-max aggregate — O(1) state per cluster with
+    * map-side partials (struct comparison is field-ordered, so
+    * (quality, -doc_id) max IS "best quality, then lowest id") — never a
+    * per-cluster sort or window over the cluster's members.
+    */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster"), col("cluster_size"),
+        (-col("b.neg_id")).as("rep_id"), col("b.quality_score").as("rep_quality"))
+  }
+
   /** Full-corpus near-dup clusters: connected components over the
     * MinHash-LSH edge set — the composition a real dedup run needs
     * (unbounded candidate generation feeding the keep-one-per-cluster

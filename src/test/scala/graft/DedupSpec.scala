@@ -130,4 +130,26 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.contains((a, b, 0)), s"exact dup pair ($a,$b) missing or nonzero")
     }
   }
+
+  test("cluster reps: one rep per cluster, member of it, argmax by (quality, -id)") {
+    val members = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reps = graft.operators.Dedup.clusterRepresentatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly the cluster set, sizes partition the node slice
+    assert(reps.map(_._1).toSet == members.map(_._2).toSet)
+    assert(reps.map(_._2).sum == members.length)
+    val byCluster = members.groupBy(_._2)
+    reps.foreach { case (cl, size, repId, repQ) =>
+      val ids = byCluster(cl).map(_._1)
+      assert(ids.length.toLong == size)
+      assert(ids.contains(repId), s"cluster $cl rep $repId not a member")
+      val best = ids.map(id => (quality(id), id)).sortBy { case (q, id) => (-q, id) }.head
+      assert((repQ, repId) == best,
+        s"cluster $cl: rep ($repQ, $repId) != argmax $best")
+    }
+  }
 }
