@@ -177,6 +177,41 @@ object SparkEntry {
       s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
   }
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Shared oracle fragment: the exact-Jaccard near-dup cluster chain
+    * (doc_id < 200 slice) ending at the `reach` closure — used by both
+    * `q_dedup_clusters` and `q_cluster_reps`, so the dedup definition
+    * (15-char shingles, 0.5 Jaccard) cannot drift between oracles.
+    */
+  private val clustersReachSql =
+    """pos AS (
+      |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+      |  FROM documents WHERE doc_id < 200),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id),
+      |jp AS (
+      |  SELECT a, b
+      |  FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+      |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS v FROM documents WHERE doc_id < 200
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
+  /** Shared oracle fragment: the document quality score over a relation
+    * exposing (text, toks) — the single source of truth for
+    * `q_quality_score` and `q_cluster_reps`' argmax key.
+    */
+  private val qualityScoreSql =
+    """((CASE WHEN LEN(toks) >= 10 AND LEN(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+      |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
+      |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0""".stripMargin
   private lazy val tokenChunksSql =
     s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
        |ks AS (SELECT doc_id, t, CAST(unnest(range(0, (LEN(t) - 1) // 24 + 1)) AS INTEGER) AS k
@@ -612,51 +647,12 @@ object SparkEntry {
     // Connected components over the same exact-Jaccard edges, as a
     // recursive transitive closure (bounded slice keeps it small).
     "q_dedup_clusters" ->
-      """WITH RECURSIVE pos AS (
-        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
-        |  FROM documents WHERE doc_id < 200),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
-        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id),
-        |jp AS (
-        |  SELECT a, b
-        |  FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-        |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
-        |edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
-        |reach AS (
-        |  SELECT doc_id AS u, doc_id AS v FROM documents WHERE doc_id < 200
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-        |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
+      s"""WITH RECURSIVE $clustersReachSql
+         |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
     "q_cluster_reps" ->
-      s"""WITH RECURSIVE pos AS (
-         |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
-         |  FROM documents WHERE doc_id < 200),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
-         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id),
-         |jp AS (
-         |  SELECT a, b
-         |  FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-         |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
-         |edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
-         |reach AS (
-         |  SELECT doc_id AS u, doc_id AS v FROM documents WHERE doc_id < 200
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      s"""WITH RECURSIVE $clustersReachSql,
          |cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
-         |q AS (SELECT doc_id,
-         |        ((CASE WHEN LEN(toks) >= 10 AND LEN(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
-         |         + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
-         |         + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality_score
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality_score
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
          |j AS (SELECT cl.cluster, cl.doc_id, q.quality_score FROM cl JOIN q ON cl.doc_id = q.doc_id),
          |r AS (SELECT cluster, COUNT(*) AS cluster_size FROM j GROUP BY 1),
@@ -720,9 +716,7 @@ object SparkEntry {
          |  CASE WHEN LENGTH(text) > 0
          |    THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text)
          |    ELSE 0.0 END AS upper_ratio,
-         |  ((CASE WHEN LEN(toks) >= 10 AND LEN(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
-         |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END)
-         |   + (CASE WHEN (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / LENGTH(text) ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
@@ -978,7 +972,8 @@ object SparkEntry {
         |WHERE draw_rank <= 20""".stripMargin,
     "q_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1
+        |           HAVING stddev_samp(value) > 0)
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - s.mu) / s.sd, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
@@ -1031,7 +1026,7 @@ object SparkEntry {
         |SELECT s.user_id, s.hour,
         |  last_value(h.hour_value IGNORE NULLS) OVER (
         |    PARTITION BY s.user_id ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled_value,
-        |  h.hour_value IS NOT NULL AS is_observed
+        |  h.hour IS NOT NULL AS is_observed
         |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (

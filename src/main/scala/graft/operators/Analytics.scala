@@ -133,9 +133,13 @@ object Analytics {
     * reuses the join's hash partitioning and holds one user's hours.
     */
   def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    // has_events marks spine hours backed by a real hourly row —
+    // distinct from hour_value's nullness, so an hour whose events all
+    // carry NULL values still reads as observed (it IS telemetry)
     val hourly = Tables(spark, dir, "events")
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("hour_value"))
+      .withColumn("has_events", lit(true))
     val spine = hourly.groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("user_id"),
@@ -144,7 +148,7 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(hourly, Seq("user_id", "hour"), "left")
       .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
-      .withColumn("is_observed", col("hour_value").isNotNull)
+      .withColumn("is_observed", coalesce(col("has_events"), lit(false)))
       .select(col("user_id"), col("hour"), col("filled_value"), col("is_observed"))
   }
 }

@@ -619,8 +619,12 @@ object Relational {
     */
   def outlierEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+    // sd > 0 also drops NULL sd (single-row classes): a constant or
+    // singleton class has no outliers, and engines disagree on double
+    // x/0 (Spark NULL-or-error vs IEEE NaN/inf) — never divide by it
     val stats = ev.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      .filter(col("sd") > 0)
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
       .filter(abs(col("z")) > 2.5)

@@ -196,9 +196,9 @@ object Similarity {
     boundedTopK(sym, k)
   }
 
-  /** Bounded per-key top-k over (a_id, b_id, cosine) rows: a typed
-    * `Aggregator` holding at most k (cosine, id) pairs per key —
-    * `functions.TopKAggregator`'s pattern applied to the ANN tail.
+  /** Bounded per-key top-k over (a_id, b_id, cosine) rows — the shared
+    * `functions.TopKAggregator.topK` aggregator (O(k) state, NaN-aware
+    * window-order-compatible comparator) applied to the ANN tail.
     * Hash aggregation with map-side partials replaces the full-relation
     * sort a row_number window needs; the buffer stays sorted so most
     * rows short-circuit without re-sorting.
@@ -206,30 +206,10 @@ object Similarity {
   private[graft] def boundedTopK(sym: DataFrame, k: Int): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
-    val agg = new org.apache.spark.sql.expressions.Aggregator[
-        (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
-      private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-      private def cap(s: Seq[(Double, Long)]): Seq[(Double, Long)] = {
-        val m = s.sortWith(better); if (m.size > k) m.take(k) else m
-      }
-      override def zero: Seq[(Double, Long)] = Seq.empty
-      override def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] = {
-        val cand = (a._3, a._2)
-        if (b.size >= k && !better(cand, b.last)) b else cap(b :+ cand)
-      }
-      override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-        cap(x ++ y)
-      override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
-      override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
-        newProductSeqEncoder
-      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
-        newProductSeqEncoder
-    }
-    sym.select(col("a_id"), col("b_id"), col("cosine"))
-      .as[(Long, Long, Double)]
+    sym.select(col("a_id"), col("cosine"), col("b_id"))
+      .as[(Long, Double, Long)]
       .groupByKey(_._1)
-      .agg(agg.toColumn.name("top"))
+      .agg(graft.functions.TopKAggregator.topK(k).toColumn.name("top"))
       .toDF("q_id", "top")
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col._2").as("neighbor_id"),

@@ -82,18 +82,29 @@ class SimilaritySpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val sym = (1 to 2000).map { _ =>
-      // coarse scores force real ties
-      (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, rnd.nextInt(12) / 10.0)
+      // coarse scores force real ties; NaN (a zero-norm embedding's
+      // cosine) and -0.0 pin the comparator's total order against
+      // Spark's sort order (NaN largest, -0.0 == 0.0)
+      val score = rnd.nextInt(14) match {
+        case 12 => Double.NaN
+        case 13 => -0.0
+        case n  => n / 10.0
+      }
+      (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, score)
     }.toDF("a_id", "b_id", "cosine").distinct()
     val k = 5
+    // NaN-safe row identity: compare the score's raw bits (Scala tuple
+    // equality has NaN != NaN, which would fail on AGREEING results)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))
     val viaWindow = sym
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)))
       .filter(col("rank") <= k)
       .select(col("a_id").as("q_id"), col("b_id").as("neighbor_id"), col("rank"), col("cosine"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      .collect().map(key).toSet
     val viaAgg = graft.operators.Similarity.boundedTopK(sym, k)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      .collect().map(key).toSet
     assert(viaAgg == viaWindow)
   }
 }
