@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Relational}
+
+/** The r7 review found three latent data-dependent behaviors that the
+  * shipped testdata never exercises (no NULL values, no constant
+  * classes, no single-event users). This spec builds a SYNTHETIC events
+  * table containing exactly those shapes and pins the intended
+  * semantics, so the operators' edge contracts no longer depend on what
+  * the fixture happens to contain.
+  */
+class EdgeFixtureSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  /** Writes an events.parquet with the production layout (ts as long
+    * nanos) into a fresh dir usable as a `Tables` sfDir.
+    */
+  private lazy val dir: String = {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // one hour of nanos
+    val t0 = 1700000000L * 1000000000L
+    // (event_id, ts_nanos, user_id, event_type, value, props)
+    val rows = Seq(
+      // user 1: three active hours with a one-hour gap; hour t0+2h has
+      // ONLY null-valued events (observed, but nothing to sum)
+      (1L, t0, 1L, "view", Some(10.0), "{}"),
+      (2L, t0 + 10, 1L, "view", Some(2.0), "{}"),
+      (3L, t0 + 2 * h, 1L, "view", None, "{}"),
+      (4L, t0 + 3 * h, 1L, "view", Some(7.0), "{}"),
+      // user 2: a single event (singleton spine; scd2 single interval)
+      (5L, t0 + 5 * h, 2L, "click", Some(1.0), "{}"),
+      // user 3: state flip-flop for scd2 compaction (A A B A)
+      (6L, t0 + 1, 3L, "view", Some(1.0), "{}"),
+      (7L, t0 + 2, 3L, "view", Some(1.0), "{}"),
+      (8L, t0 + 3, 3L, "click", Some(1.0), "{}"),
+      (9L, t0 + 4, 3L, "view", Some(1.0), "{}"),
+      // "purchase" is a CONSTANT class (sd = 0) and "signup" a singleton
+      // (sd undefined) — neither may produce outliers or errors
+      (10L, t0, 4L, "purchase", Some(5.0), "{}"),
+      (11L, t0 + 1, 5L, "purchase", Some(5.0), "{}"),
+      (12L, t0 + 2, 6L, "purchase", Some(5.0), "{}"),
+      (13L, t0 + 3, 7L, "signup", Some(9.0), "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-edge-").toFile
+    d.deleteOnExit()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+    d.getAbsolutePath
+  }
+
+  test("outliers: constant and singleton classes yield no rows and no error") {
+    val byType = Relational.outlierEvents(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!byType.contains("purchase"), s"sd=0 class flagged: $byType")
+    assert(!byType.contains("signup"), s"singleton class flagged: $byType")
+  }
+
+  test("gap fill: all-NULL hour is observed; gap hour is not; LOCF carries across both") {
+    val u1 = Analytics.gapFillHourly(spark, dir).collect()
+      .filter(_.getLong(0) == 1L)
+      .sortBy(_.getTimestamp(1).getTime)
+      .map(r => (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    // hours: t0 (12.0, observed), t0+1h (gap), t0+2h (null sum, OBSERVED),
+    // t0+3h (7.0, observed) — 4 spine rows
+    assert(u1.length == 4, s"expected a 4-hour spine, got ${u1.toSeq}")
+    assert(u1(0) == (Some(12.0), true))
+    assert(u1(1) == (Some(12.0), false), "gap hour must carry 12.0, unobserved")
+    assert(u1(2) == (Some(12.0), true),
+      "the all-NULL-value hour HAS events: observed, value carried forward")
+    assert(u1(3) == (Some(7.0), true))
+  }
+
+  test("gap fill: singleton user gets a one-row spine") {
+    val u2 = Analytics.gapFillHourly(spark, dir).collect().filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getBoolean(3) && u2(0).getDouble(2) == 1.0)
+  }
+
+  test("scd2: flip-flop compacts runs only (A A B A -> A B A); singleton is current") {
+    val rows = Analytics.scd2UserState(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2), r.getBoolean(4)))
+    val u3 = rows.filter(_._1 == 3L).sortWith((a, b) => a._3.isBefore(b._3))
+      .map(r => (r._2, r._4)).toSeq
+    assert(u3 == Seq(("view", false), ("click", false), ("view", true)),
+      s"flip-flop history wrong: $u3")
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._4)).toSeq == Seq(("click", true)))
+  }
+}
