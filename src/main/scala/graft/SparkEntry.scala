@@ -117,6 +117,7 @@ object SparkEntry {
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
@@ -649,6 +650,23 @@ object SparkEntry {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clustersReachSql
          |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
+    "q_substring_dupes" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, CAST(unnest(range(0, LEN(t) - 20 + 1)) AS INTEGER) AS pos, t
+         |       FROM docs WHERE LEN(t) >= 20),
+         |hx AS (SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 20], ' ')) AS h FROM sh),
+         |dup AS (SELECT h FROM hx GROUP BY h HAVING COUNT(*) > 1),
+         |hits AS (SELECT doc_id, pos FROM hx WHERE h IN (SELECT h FROM dup)),
+         |runs AS (SELECT doc_id, pos,
+         |           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+         |             THEN 0 ELSE 1 END AS new_run
+         |         FROM hits),
+         |rid AS (SELECT doc_id, pos,
+         |          SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+         |        FROM runs)
+         |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 20 AS INTEGER) AS span_end,
+         |  COUNT(*) AS n_windows
+         |FROM rid GROUP BY doc_id, run_id""".stripMargin,
     "q_cluster_reps" ->
       s"""WITH RECURSIVE $clustersReachSql,
          |cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),

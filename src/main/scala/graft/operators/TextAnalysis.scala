@@ -214,6 +214,47 @@ object TextAnalysis {
     * stay codegen'd, output rows carry an md5 instead of the chunk text
     * so downstream joins move 16 bytes, not documents.
     */
+  /** Substring-level exact-duplicate spans — the token-window analogue
+    * of "dedup any repeated 20-token substring" (doc-level dedup misses
+    * boilerplate embedded in otherwise-unique documents; this is the
+    * verb that finds it). Every w-token window hashes to a narrow
+    * (hash, doc, pos) row; windows whose hash repeats ANYWHERE in the
+    * corpus (across or within docs) are duplicated, and per doc the
+    * overlapping-or-touching duplicated windows (gap ≤ w) merge to
+    * maximal spans via gaps-and-islands.
+    *
+    * Scale: the window relation is Σ n_tokens narrow rows — the honest
+    * linear cost of substring dedup; the repeat filter is one
+    * map-side-combined count on the 16-byte hash, the rejoin a semi
+    * join on the same key, and the span merge a per-doc window over
+    * only the DUPLICATED positions. Nothing materializes a |corpus|²
+    * comparison, and no doc's full text co-locates anywhere.
+    */
+  def substringDupes(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("t")) - w).cast("int"))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))).cast("binary")).as("h"))
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val hits = sh.join(dup.select(col("h")), Seq("h"), "left_semi")
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("new_run",
+        when(col("pos") - lag(col("pos"), 1).over(ord) <= w, 0).otherwise(1))
+      .withColumn("run_id", sum(col("new_run")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).cast("int").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   def tokenChunks(spark: SparkSession, dir: String,
       chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     val chunk = slice(col("t"), col("k") * stride + 1, lit(chunkSize))

@@ -156,6 +156,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("substring dupes: span windows genuinely repeat; spans disjoint with gap > w") {
+    val w = 20
+    val spans = TextAnalysis.substringDupes(spark, sf, w).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture has no repeated 20-token windows — test is vacuous")
+    val toks = graft.sources.Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)).toMap
+    val windowCounts = toks.values.flatMap(t =>
+      t.sliding(w).filter(_.length == w).map(_.mkString(" "))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    spans.foreach { case (d, s, e, n) =>
+      assert(e - s >= w, s"doc $d: span [$s,$e) shorter than one window")
+      assert(n >= 1 && n <= e - s - w + 1, s"doc $d: $n windows can't fit in [$s,$e)")
+      // the span's first window must occur ≥2 times corpus-wide —
+      // that's the definition of duplicated
+      val first = toks(d).slice(s, s + w).mkString(" ")
+      assert(windowCounts(first) >= 2, s"doc $d: span-start window is unique")
+    }
+    // runs split only on gaps > w, so per-doc spans are strictly disjoint
+    spans.groupBy(_._1).foreach { case (d, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, s"doc $d: spans [$a,$b] overlap")
+        case _ => ()
+      }
+    }
+  }
+
   test("winsorize: clips to the exact per-class [p5, p95], touches nothing inside") {
     val rows = graft.operators.Relational.winsorizedEvents(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
