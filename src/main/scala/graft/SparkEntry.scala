@@ -80,7 +80,9 @@ object SparkEntry {
     "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
     "q_group_sample" -> ((s, d) => graft.operators.Sampling.groupSample(s, d)),
     "q_outliers" -> (Relational.outlierEvents(_, _)),
+    "q_mad_outliers" -> (Relational.madOutlierEvents(_, _)),
     "q_winsorize" -> (Relational.winsorizedEvents(_, _)),
+    "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),
     "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
     "q_snapshot_diff" -> (graft.operators.Upsert.snapshotDiffCorpus(_, _)),
     "q_schema_evolution" -> (Roundtrip.schemaEvolutionEvents(_, _)),
@@ -118,6 +120,8 @@ object SparkEntry {
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
@@ -125,6 +129,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2UserState(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
+    "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -667,6 +672,38 @@ object SparkEntry {
          |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 20 AS INTEGER) AS span_end,
          |  COUNT(*) AS n_windows
          |FROM rid GROUP BY doc_id, run_id""".stripMargin,
+    "q_bm25" ->
+      s"""WITH d AS (SELECT doc_id, t, CAST(LEN(t) AS DOUBLE) AS dl
+         |           FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |           WHERE LEN(t) > 0),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(t) AS token FROM d)
+         |       WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |  round(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
+         |GROUP BY doc_id""".stripMargin,
+    "q_cooccurrence" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tokpos AS (SELECT doc_id, unnest(t) AS tok,
+         |             CAST(unnest(range(1, LEN(t) + 1)) AS INTEGER) AS pos
+         |           FROM docs),
+         |pr AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+         |       FROM tokpos x JOIN tokpos y
+         |         ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos <= x.pos + 3),
+         |pc AS (SELECT a, b, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM tokpos GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM pr) AS pp,
+         |               (SELECT COUNT(*) FROM tokpos) AS tt)
+         |SELECT a, b, n_ab,
+         |  round(ln((n_ab / pp) / ((ua.c / tt) * (ub.c / tt))), 4) AS pmi
+         |FROM pc JOIN uni ua ON pc.a = ua.tok
+         |        JOIN uni ub ON pc.b = ub.tok
+         |        CROSS JOIN tot
+         |WHERE n_ab >= 10""".stripMargin,
     "q_cluster_reps" ->
       s"""WITH RECURSIVE $clustersReachSql,
          |cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
@@ -988,6 +1025,20 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS draw_rank
         |  FROM documents)
         |WHERE draw_rank <= 20""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             CAST(LEN($toksSql) AS INTEGER) AS w
+         |           FROM documents),
+         |k AS (SELECT doc_id, lang, w,
+         |        ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              % 1000000 AS DOUBLE) + 1) / 1000001.0) / w AS key
+         |      FROM d WHERE w > 0)
+         |SELECT doc_id, lang, w, round(key, 6) AS draw_key, draw_rank FROM (
+         |  SELECT doc_id, lang, w, key,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY key DESC, doc_id) AS INTEGER) AS draw_rank
+         |  FROM k)
+         |WHERE draw_rank <= 20""".stripMargin,
     "q_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
         |           FROM events WHERE value IS NOT NULL GROUP BY 1
@@ -996,6 +1047,19 @@ object SparkEntry {
         |  round((e.value - s.mu) / s.sd, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE e.value IS NOT NULL AND abs(round((e.value - s.mu) / s.sd, 4)) > 2.5""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |a AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |        abs(e.value - m.med) AS absdev
+        |      FROM events e JOIN m ON e.event_type = m.event_type
+        |      WHERE e.value IS NOT NULL),
+        |d AS (SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad
+        |      FROM a GROUP BY 1 HAVING round(quantile_cont(absdev, 0.5), 4) > 0)
+        |SELECT a.event_id, a.event_type, a.value,
+        |  round(0.6745 * (a.value - a.med) / d.mad, 4) AS rz
+        |FROM a JOIN d ON a.event_type = d.event_type
+        |WHERE abs(round(0.6745 * (a.value - a.med) / d.mad, 4)) > 3.5""".stripMargin,
     "q_winsorize" ->
       """WITH s AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p5,
         |                  round(quantile_cont(value, 0.95), 4) AS p95
@@ -1046,6 +1110,16 @@ object SparkEntry {
         |    PARTITION BY s.user_id ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled_value,
         |  h.hour IS NOT NULL AS is_observed
         |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
+    "q_markov" ->
+      """WITH s AS (SELECT event_type AS cur_type,
+        |             LAG(event_type) OVER (
+        |               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |c AS (SELECT prev_type, cur_type, COUNT(*) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, cur_type, n,
+        |  round(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+        |FROM c""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -151,4 +151,29 @@ object Analytics {
       .withColumn("is_observed", coalesce(col("has_events"), lit(false)))
       .select(col("user_id"), col("hour"), col("filled_value"), col("is_observed"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * each user's events in (ts, event_id) order yield (previous type →
+    * current type) bigrams; counts normalize to P(cur | prev) within
+    * each predecessor. The sequence-flow verb behind "what do users do
+    * after X" — one `lag` window partitioned by user (each user's
+    * history sorts independently inside its shuffle partition; no
+    * global order), then a map-side-combined count whose output is
+    * |event types|², a constant — at 100 TB the only full-data work is
+    * the one user-keyed exchange the window needs.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("cur_type"))
+    val counts = pairs.groupBy(col("prev_type"), col("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
+      .select(col("prev_type"), col("cur_type"), col("n"), col("p"))
+  }
 }

@@ -323,6 +323,35 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), col("value_w"))
   }
 
+  /** Robust outlier screening by median/MAD — the heavy-tail-safe twin
+    * of [[outlierEvents]] (one extreme value drags a mean/sd z-score's
+    * own baseline; the median and the median absolute deviation ignore
+    * it). Two passes through [[distributedPercentilesOf]]: the per-class
+    * median, broadcast back to form |value − median|, then the median of
+    * those deviations — every intermediate is bounded state, never a
+    * buffered `percentile` group. Flags events with modified z-score
+    * `0.6745 (v − med) / mad` beyond 3.5 (Iglewicz–Hoaglin cutoff);
+    * `mad > 0` classes only, for the same engine-division-semantics
+    * reason as the sd > 0 guard in [[outlierEvents]].
+    */
+  def madOutlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+    val med = distributedPercentilesOf(
+      ev.select(col("event_type").as("g"), col("value").as("v")), Seq(0.5))
+      .select(col("g"), col("p50").as("med"))
+    val withDev = ev.join(broadcast(med), col("event_type") === med("g"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = distributedPercentilesOf(
+      withDev.select(col("event_type").as("g"), col("absdev").as("v")), Seq(0.5))
+      .select(col("g"), col("p50").as("mad"))
+      .filter(col("mad") > 0)
+    withDev.drop("g")
+      .join(broadcast(mad), col("event_type") === mad("g"))
+      .withColumn("rz", round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+      .filter(abs(col("rz")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("rz"))
+  }
+
   /** Approximate percentiles per group (Greenwald-Khanna sketch) — the
     * 100 TB path next to [[percentiles]]: bounded-memory mergeable
     * sketch state per group instead of buffering every value, with rank

@@ -85,4 +85,34 @@ object Sampling {
       .withColumn("draw_rank", row_number().over(w))
       .filter(col("draw_rank") <= n)
   }
+
+  /** Weight-proportional deterministic sample (Efraimidis–Spirakis
+    * A-Res): per language, the `n` documents maximizing `ln(u) / w`
+    * where `u` is the md5-hash uniform and `w` the token count — a
+    * without-replacement draw where P(selected) ∝ weight, so quality- or
+    * length-weighted training mixtures are reproducible instead of
+    * `rand()`-dependent. Same engine-independence contract as
+    * [[groupSample]] (`u` from [[graft.functions.GraftFunctions.md5Bucket]],
+    * the shared hash arithmetic the oracle replicates); same scale shape
+    * (one narrow pass, `WindowGroupLimit` keeps only `n` rows per
+    * partition below the shuffle). The key is rounded to 6 dp in the
+    * OUTPUT only — ranking uses the raw double, where the libm `ln`
+    * difference between engines is ~1 ulp, far below any realistic
+    * key gap.
+    */
+  def weightedSample(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") > 0)
+    val u = (graft.functions.GraftFunctions.md5Bucket(col("doc_id"), 1000000)
+      .cast("double") + 1) / lit(1000001.0)
+    val key = log(u) / col("w")
+    val win = Window.partitionBy(col("lang")).orderBy(key.desc, col("doc_id").asc)
+    d.withColumn("draw_key", round(key, 6))
+      .withColumn("draw_rank", row_number().over(win))
+      .filter(col("draw_rank") <= n)
+      .select(col("doc_id"), col("lang"), col("w"), col("draw_key"), col("draw_rank"))
+  }
 }

@@ -124,6 +124,77 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
   }
 
+  /** BM25 relevance scores for a fixed term query — the retrieval verb
+    * on top of the [[tfidf]] statistics (Robertson/Okapi with the
+    * Lucene-style non-negative idf `ln((N - df + 0.5)/(df + 0.5) + 1)`).
+    * Per-document term frequencies only materialize for the query terms
+    * (the `isin` filter sits under the aggregation), document-frequency
+    * and corpus stats are |terms|- and 1-row broadcasts, so the heavy
+    * relation is the narrow (doc, term, tf) slice — at 100 TB this is
+    * one token scan plus a |matching docs| aggregation, nothing
+    * vocabulary-wide. `avgdl` stays engine-exact because token counts
+    * are integers and their double sum is exact below 2^53.
+    */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("hash", "join", "scan"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"), size(col("t")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms.map(s => s: Any): _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+  }
+
+  /** Windowed token co-occurrence with PMI — the phrase-mining /
+    * association verb: every unordered token pair within `w` positions,
+    * counted corpus-wide, scored `ln(p(a,b) / (p(a) p(b)))`. The pair
+    * relation is built WITHOUT a positional self-join: for each offset
+    * j ≤ w, `zip_with(t, shift_j(t))` pairs the array with itself —
+    * narrow per-document work — so the only shuffles are the pair and
+    * unigram counts (both map-side combined, vocabulary²-bounded after
+    * the `minCount` cut, never corpus-sized). The corpus totals are two
+    * 1-row broadcasts.
+    */
+  def cooccurrencePmi(spark: SparkSession, dir: String,
+      w: Int = 3, minCount: Long = 10L): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def pairsAt(j: Int): Column = {
+      val len = greatest(size(col("t")) - j, lit(0))
+      zip_with(slice(col("t"), lit(1), len), slice(col("t"), lit(j + 1), len),
+        (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+    }
+    val prs = d.select(explode(flatten(array((1 to w).map(pairsAt): _*))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    val pairCounts = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val uni = d.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totPairs = prs.agg(count(lit(1)).as("pp"))
+    val totToks = d.agg(sum(size(col("t"))).as("tt"))
+    pairCounts.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totPairs))
+      .crossJoin(broadcast(totToks))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab") / col("pp")) /
+          ((col("ca") / col("tt")) * (col("cb") / col("tt")))), 4).as("pmi"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set — an
     * order/whitespace-insensitive document identity, the cheap "same bag
     * of words" dedup key.

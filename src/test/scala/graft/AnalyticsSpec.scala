@@ -66,6 +66,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov: exact bigram counts per user order; P(.|prev) normalizes") {
+    val rows = Analytics.markovTransitions(TestSpark.spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e =>
+        (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+      sorted.sliding(2).collect { case Array(a, b) => (a._4, b._4) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.keySet == expect.keySet)
+    rows.foreach { case (k, (n, _)) => assert(n == expect(k), s"count mismatch at $k") }
+    // probabilities: n/total within each predecessor, and they sum to ~1
+    rows.toSeq.groupBy(_._1._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._2._1).sum.toDouble
+      rs.foreach { case ((_, cur), (n, p)) =>
+        assert(math.abs(p - n / tot) < 5e-5, s"P($cur|$prev) off: $p vs ${n / tot}")
+      }
+      val s = rs.map(_._2._2).sum
+      assert(math.abs(s - 1.0) < 5e-4 * rs.size, s"P(.|$prev) sums to $s")
+    }
+  }
+
   test("pii: every doc gains one spliced match per class; redaction removes all") {
     val df = TextAnalysis.piiRedact(TestSpark.spark, TestSpark.sf0001)
     val rows = df.collect()

@@ -184,6 +184,122 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: matches a driver-side recompute of the Okapi formula") {
+    val got = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty, "no doc matched any query term — test is vacuous")
+    val docs = graft.sources.Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val n = docs.length
+    val avgdl = docs.map(_._2.length.toDouble).sum / n
+    val terms = Seq("hash", "join", "scan")
+    val df = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expect = docs.flatMap { case (id, toks) =>
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else Some(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl)))
+      }
+      if (contribs.isEmpty) None else Some(id -> contribs.sum)
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-3, s"doc $id: $s vs ${expect(id)}")
+    }
+  }
+
+  test("cooccurrence: pair counts equal brute force; PMI matches the ratio") {
+    val minC = 2L
+    val got = TextAnalysis.cooccurrencePmi(spark, sf, w = 3, minCount = minC).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val toks = graft.sources.Tables(spark, sf, "documents").collect()
+      .map(_.getAs[String]("text").split("\\s+").filter(_.nonEmpty))
+    val pairs = collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach { t =>
+      for (i <- t.indices; j <- (i + 1) to math.min(i + 3, t.length - 1)) {
+        val k = if (t(i) <= t(j)) (t(i), t(j)) else (t(j), t(i))
+        pairs(k) = pairs.getOrElse(k, 0L) + 1
+      }
+    }
+    val expect = pairs.filter(_._2 >= minC).toMap
+    assert(got.keySet == expect.keySet,
+      s"pair sets differ: ${(got.keySet diff expect.keySet).take(3)} / ${(expect.keySet diff got.keySet).take(3)}")
+    got.foreach { case (k, (nab, _)) => assert(nab == expect(k), s"count mismatch at $k") }
+    val bigT = toks.map(_.length).sum.toDouble
+    val bigP = pairs.values.sum.toDouble
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { case ((a, b), (nab, pmi)) =>
+      val e = math.log((nab / bigP) / ((uni(a) / bigT) * (uni(b) / bigT)))
+      assert(math.abs(pmi - e) < 1e-3, s"pmi($a,$b): $pmi vs $e")
+    }
+  }
+
+  test("weighted sample: exact A-Res draw, deterministic, bounded per class") {
+    import graft.operators.Sampling
+    def run() = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    val got = run()
+    assert(got.nonEmpty)
+    assert(got.toSeq == run().toSeq, "draw must be a pure function of the keys")
+    got.groupBy(_._2).foreach { case (l, rs) =>
+      assert(rs.length <= 20, s"lang $l drew ${rs.length} > n")
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length), s"lang $l ranks not 1..k")
+    }
+    // replicate the md5Bucket + ln(u)/w key and the per-class argmax draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Int): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val b = java.lang.Long.parseLong(hex, 16) % 1000000
+      math.log((b + 1).toDouble / 1000001.0) / w
+    }
+    val docs = graft.sources.Tables(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split("\\s+").count(_.nonEmpty)))
+      .filter(_._3 > 0)
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      ds.sortBy(d => (-key(d._1, d._3), d._1)).take(20).zipWithIndex
+        .map { case ((id, l, w), i) => (id, l, w, i + 1) }.toSeq
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._5)).toSet == expect)
+  }
+
+  test("mad outliers: flagged set matches a driver-side median/MAD recompute") {
+    val got = graft.operators.Relational.madOutlierEvents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def q50(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      val hi = math.min(lo + 1, s.length - 1)
+      BigDecimal(s(lo) + frac * (s(hi) - s(lo)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val expect: Map[Long, Double] = ev.groupBy(_._2).values.flatMap { es =>
+      val med = q50(es.map(_._3).toSeq)
+      val mad = q50(es.map(e => math.abs(e._3 - med)).toSeq)
+      if (mad <= 0) Seq.empty[(Long, Double)]
+      else es.toSeq.flatMap { case (id, _, v) =>
+        val rz = BigDecimal(0.6745 * (v - med) / mad)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(rz) > 3.5) Some(id -> rz) else None
+      }
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, rz) =>
+      assert(math.abs(rz - expect(id)) < 1e-9, s"event $id: $rz vs ${expect(id)}")
+    }
+    assert(got.nonEmpty, "fixture flags no robust outliers — test is vacuous")
+  }
+
   test("winsorize: clips to the exact per-class [p5, p95], touches nothing inside") {
     val rows = graft.operators.Relational.winsorizedEvents(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

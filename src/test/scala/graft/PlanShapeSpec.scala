@@ -20,8 +20,11 @@ class PlanShapeSpec extends AnyFunSuite {
   // designed broadcast-nested-loop shapes: a handful of broadcast rows
   // (query vectors / the 1-row corpus count) against the corpus scan
   // q_zorder joins a broadcast single-row min/max bounds relation (the
-  // same 1-row-stats crossJoin shape as q_tfidf's corpus count)
-  private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf", "q_zorder")
+  // same 1-row-stats crossJoin shape as q_tfidf's corpus count);
+  // q_bm25 broadcasts the 1-row (N, avgdl) stats, q_cooccurrence the
+  // two 1-row corpus totals
+  private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf",
+    "q_zorder", "q_bm25", "q_cooccurrence")
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
