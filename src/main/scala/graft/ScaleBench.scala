@@ -179,6 +179,24 @@ object ScaleBench {
     // memory story as groups grow
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
+    // retrieval/association/sequence verbs (this round): bm25's term
+    // filter sits under its agg, so the 100× scan feeds a ~1×-sized tf
+    // relation (replica ciphers rotate the vocab away from the query
+    // terms — exactly the selective-retrieval shape); cooccurrence's
+    // pair relation is narrow zip_with arithmetic, counts shuffle
+    // |replica vocab²|; substring_dupes' window relation is Σ tokens
+    // narrow rows through one count + semi join; mad_outliers is two
+    // bounded-state quantile passes; weighted_sample and markov ride
+    // the WindowGroupLimit / user-keyed-window shapes already proven
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),
+    "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
+    "q_mad_outliers" -> ((s, d) => Relational.madOutlierEvents(s, d)),
+    "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),
+    "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
+    // the typed-path sequential fold: per-group buffer is one user's
+    // history; replicas add USERS, so groups multiply, sizes don't
+    "q_ewma" -> ((s, d) => Analytics.ewmaUserValues(s, d)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_zorder" -> ((s, d) => graft.operators.ZOrder.zValuedEvents(s, d)),

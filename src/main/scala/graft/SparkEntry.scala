@@ -130,6 +130,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Analytics.scd2UserState(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
     "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
+    "q_ewma" -> ((s, d) => Analytics.ewmaUserValues(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -1120,6 +1121,18 @@ object SparkEntry {
         |SELECT prev_type, cur_type, n,
         |  round(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
         |FROM c""".stripMargin,
+    "q_ewma" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.value, o.rn,
+        |    CAST(0.25 AS DOUBLE) * o.value + CAST(0.75 AS DOUBLE) * r.ewma
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, ewma FROM r""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -162,6 +162,39 @@ object Analytics {
     * |event types|², a constant — at 100 TB the only full-data work is
     * the one user-keyed exchange the window needs.
     */
+  /** Per-user EWMA smoothing of the value series — genuinely sequential
+    * per-key state (each output depends on the FULL prefix), which no
+    * window frame expresses: windows aggregate over frames, they don't
+    * thread state. This is the batch `groupByKey`/`flatMapGroups` typed
+    * surface (the batch dual of `mapGroupsWithState`): one user-keyed
+    * exchange, then each user's history sorts and folds in memory —
+    * per-group state is one user's rows, the same bound every per-user
+    * window in this file already assumes. α = 0.25 keeps α and 1−α
+    * binary-exact, and the fold order is pinned by (ts, event_id), so
+    * the oracle's recursive-CTE arithmetic is bit-identical — the ewma
+    * is emitted RAW (a round() here can disagree across engines on
+    * half-boundary doubles; identical bits need no rounding).
+    */
+  def ewmaUserValues(spark: SparkSession, dir: String, alpha: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.time.LocalDateTime, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e =>
+          (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+        var s = 0.0
+        var first = true
+        sorted.iterator.map { e =>
+          s = if (first) { first = false; e._4 } else alpha * e._4 + (1 - alpha) * s
+          (uid, e._3, e._4, s)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "ewma")
+  }
+
   def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val pairs = Tables(spark, dir, "events")

@@ -339,8 +339,14 @@ object Relational {
     val med = distributedPercentilesOf(
       ev.select(col("event_type").as("g"), col("value").as("v")), Seq(0.5))
       .select(col("g"), col("p50").as("med"))
+    // the quantile core walks its src several times (bounds probe,
+    // slice-id pass, targeted rank pass) — pin the joined+derived
+    // relation once so pass 2 doesn't re-run the join per walk (same
+    // lineage-truncation move as the dup-clusters rounds; at production
+    // scale this is a narrow 5-column relation, reliable-checkpoint it)
     val withDev = ev.join(broadcast(med), col("event_type") === med("g"))
       .withColumn("absdev", abs(col("value") - col("med")))
+      .localCheckpoint()
     val mad = distributedPercentilesOf(
       withDev.select(col("event_type").as("g"), col("absdev").as("v")), Seq(0.5))
       .select(col("g"), col("p50").as("mad"))

@@ -92,6 +92,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma: folds the exact per-user prefix recurrence, bit-identical") {
+    val got = Analytics.ewmaUserValues(TestSpark.spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e =>
+        (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+      var s = 0.0; var first = true
+      sorted.map { e =>
+        s = if (first) { first = false; e._4 } else 0.25 * e._4 + 0.75 * s
+        (e._1, e._3) -> s
+      }.toSeq
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    // Scala tuple/Double equality has NaN pitfalls and == on boxed
+    // doubles — compare raw bits: the recurrence must be reproduced
+    // EXACTLY (that is the q_ewma oracle's premise)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(expect(k)), s"$k: $v vs ${expect(k)}")
+    }
+  }
+
   test("pii: every doc gains one spliced match per class; redaction removes all") {
     val df = TextAnalysis.piiRedact(TestSpark.spark, TestSpark.sf0001)
     val rows = df.collect()
