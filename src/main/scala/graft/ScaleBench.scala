@@ -197,6 +197,10 @@ object ScaleBench {
     // the typed-path sequential fold: per-group buffer is one user's
     // history; replicas add USERS, so groups multiply, sizes don't
     "q_ewma" -> ((s, d) => Analytics.ewmaUserValues(s, d)),
+    // PIT join: both sides grow with the factor, the join stays
+    // user-keyed (q_profile reads orders, which the replica set does
+    // not carry — its one-Expand-pass shape needs no sweep)
+    "q_pit_join" -> ((s, d) => Analytics.pitEnrichedPurchases(s, d)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_zorder" -> ((s, d) => graft.operators.ZOrder.zValuedEvents(s, d)),

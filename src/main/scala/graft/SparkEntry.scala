@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
     "q_dedup_survivors" -> (Dedup.exactDedupSurvivors(_, _)),
     "q_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "q_jaccard_prefix" -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
     "q_fuzzy_edit" -> ((s, d) => Dedup.fuzzyEditPairs(s, d)),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
@@ -131,6 +132,8 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
     "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
     "q_ewma" -> ((s, d) => Analytics.ewmaUserValues(s, d)),
+    "q_pit_join" -> ((s, d) => Analytics.pitEnrichedPurchases(s, d)),
+    "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -184,6 +187,22 @@ object SparkEntry {
       s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
   }
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
+  // q_jaccard_prefix (AllPairs prefix filter) must return the same rows
+  private val jaccardOracleSql =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+      |  FROM documents WHERE doc_id < 200),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT a, b, CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+      |FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+      |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5""".stripMargin
 
   /** Shared oracle fragment: the exact-Jaccard near-dup cluster chain
     * (doc_id < 200 slice) ending at the `reach` closure — used by both
@@ -615,20 +634,8 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
     "q_dedup_survivors" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
-    "q_ngram_jaccard" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
-        |  FROM documents WHERE doc_id < 200),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
-        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
-        |SELECT a, b, CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
-        |FROM pairs JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-        |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5""".stripMargin,
+    "q_ngram_jaccard" -> jaccardOracleSql,
+    "q_jaccard_prefix" -> jaccardOracleSql,
     // Edit-distance tier: co-shingle candidates refined by exact
     // Levenshtein with a 20%-of-longer-text budget (levenshtein is the
     // classic DP distance in both engines).
@@ -1133,6 +1140,46 @@ object SparkEntry {
         |    CAST(0.25 AS DOUBLE) * o.value + CAST(0.75 AS DOUBLE) * r.ewma
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, event_id, value, ewma FROM r""".stripMargin,
+    "q_pit_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |        FROM c)
+        |SELECT e.event_id, e.user_id, e.value, d.state AS state_at,
+        |  d.valid_from AS state_since
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |  AND d.valid_from <= e.ts AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*),
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_totalprice),
+        |  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*),
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

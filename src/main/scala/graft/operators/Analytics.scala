@@ -162,6 +162,31 @@ object Analytics {
     * |event types|², a constant — at 100 TB the only full-data work is
     * the one user-keyed exchange the window needs.
     */
+  /** Point-in-time (PIT) enrichment join — each purchase event picks
+    * the [[scd2UserState]] dimension version valid AT its timestamp
+    * (`valid_from ≤ ts < valid_to`, open current versions included):
+    * the leakage-free feature join every temporal feature store needs
+    * (joining today's dimension row onto last month's events is the
+    * classic training-data bug; the interval predicate makes it
+    * impossible). Equi-join on `user_id` with the interval as a
+    * residual — never an interval cross product — so at 100 TB it
+    * shuffles like any user-keyed join; a purchase that begins an
+    * interval maps to its own version (inclusive-start convention).
+    */
+  def pitEnrichedPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2UserState(spark, dir)
+      .select(col("user_id").as("d_user"), col("state"),
+        col("valid_from"), col("valid_to"))
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("state").as("state_at"), col("valid_from").as("state_since"))
+  }
+
   /** Per-user EWMA smoothing of the value series — genuinely sequential
     * per-key state (each output depends on the FULL prefix), which no
     * window frame expresses: windows aggregate over frames, they don't

@@ -75,6 +75,50 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin prefix filter)
+    * — the SAME answer as [[ngramJaccardPairs]] from a plan that
+    * survives where the full co-shingle join drowns: shingles sort
+    * into a global rarest-first canonical order (frequency asc, value
+    * asc), each document keeps only its prefix of length
+    * `n − ⌈τ·n⌉ + 1`, and candidate pairs must share a PREFIX shingle
+    * — the classical guarantee (two τ-similar sets' prefixes must
+    * intersect) makes the filter lossless, while common boilerplate
+    * shingles (the co-shingle join's quadratic hot keys) sort to the
+    * suffix and never generate candidates. Exact verification then
+    * intersects full sets for the candidate pairs only. The
+    * percentiles/percentiles_dist pattern applied to dedup: one
+    * oracle, two plans, this one bounded. Same bounded doc slice and
+    * oracle SQL as [[ngramJaccardPairs]].
+    */
+  def prefixJaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+    val sh = shingles(docs).localCheckpoint()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    val ranked = sh.join(freq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f").asc, col("sh").asc)))
+      .join(counts, "doc_id")
+      .filter(col("r") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = ranked.select(col("doc_id").as("a"), col("sh"))
+      .join(ranked.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val shared = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Edit-distance near-dup tier — the final arbiter of the dedup
     * ladder (exact md5 → shingle Jaccard → MinHash/SimHash → embedding):
     * candidate pairs come from the same co-shingle equi-join (never

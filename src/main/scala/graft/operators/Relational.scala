@@ -323,6 +323,43 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), col("value_w"))
   }
 
+  /** Column-profile / data-quality report over `orders` — per column:
+    * row count, null count, exact distinct count, numeric min/max (NULL
+    * for non-numerics). The "expectations" snapshot every ingestion
+    * pipeline diffs between loads. ONE pass: a single aggregate
+    * computes every column's metrics (the multi-column exact distincts
+    * plan as one Expand — a ×|columns| row multiplier inside one scan,
+    * never |columns| scans), and the 1-row wide result explodes to the
+    * long (column, metrics) report — driver never aggregates anything.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+        countDistinct(col(c)).as(s"${c}__nd")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        else
+          Seq(lit(null).cast("double").as(s"${c}__min"),
+            lit(null).cast("double").as(s"${c}__max")))
+    }
+    Tables(spark, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"),
+        col(s"${c}__null").as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_num"),
+        col(s"${c}__max").as("max_num"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Robust outlier screening by median/MAD — the heavy-tail-safe twin
     * of [[outlierEvents]] (one extreme value drags a mean/sd z-score's
     * own baseline; the median and the median absolute deviation ignore

@@ -92,6 +92,49 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pit join: every purchase maps to exactly one containing interval") {
+    val got = Analytics.pitEnrichedPurchases(TestSpark.spark, TestSpark.sf0001).collect()
+    val purchases = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(got.length == purchases.toInt,
+      s"${got.length} enriched vs $purchases purchases — PIT join must be 1:1")
+    // the joined interval genuinely contains the event: re-derive the
+    // dimension and check containment + that it's the LATEST valid_from ≤ ts
+    val dim = Analytics.scd2UserState(TestSpark.spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getString(1)))
+    val ev = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[java.time.LocalDateTime](2)))).toMap
+    got.foreach { r =>
+      val (uid, ts) = ev(r.getLong(0))
+      val since = r.getAs[java.time.LocalDateTime](4)
+      assert(!since.isAfter(ts), s"state_since after event ts: $r")
+      val versions = dim.filter(d => d._1 == uid && !d._2.isAfter(ts))
+      assert(versions.nonEmpty && versions.maxBy(d =>
+        (d._2.toEpochSecond(java.time.ZoneOffset.UTC), d._2.getNano))._2 == since,
+        s"not the latest version at ts: $r")
+    }
+  }
+
+  test("profile: one row per column, exact counts vs driver recompute") {
+    val got = graft.operators.Relational.columnProfile(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val o = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "orders").collect()
+    assert(got.size == 5)
+    def check(c: String, vals: Seq[Any]): Unit = {
+      val (n, nn, nd) = got(c)
+      assert(n == o.length, s"$c n_rows")
+      assert(nn == vals.count(_ == null), s"$c n_null")
+      assert(nd == vals.filter(_ != null).distinct.size, s"$c n_distinct")
+    }
+    check("o_orderkey", o.map(_.getAs[Any]("o_orderkey")).toSeq)
+    check("o_orderstatus", o.map(_.getAs[Any]("o_orderstatus")).toSeq)
+    check("o_totalprice", o.map(_.getAs[Any]("o_totalprice")).toSeq)
+  }
+
   test("ewma: folds the exact per-user prefix recurrence, bit-identical") {
     val got = Analytics.ewmaUserValues(TestSpark.spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

@@ -90,6 +90,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix jaccard: bit-identical to the co-shingle brute force") {
+    val brute = graft.operators.Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    val pref = graft.operators.Dedup.prefixJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(brute.nonEmpty, "fixture has no >=0.5 pairs — differential is vacuous")
+    assert(pref == brute,
+      s"prefix filter dropped/added pairs: ${(brute.keySet diff pref.keySet).take(3)} / ${(pref.keySet diff brute.keySet).take(3)}")
+  }
+
+  test("prefix jaccard: the filter is lossless on adversarial boilerplate") {
+    // three docs sharing a long boilerplate run (their co-shingle join
+    // explodes) but pairwise-dissimilar overall, plus one true near-dup
+    // pair: the prefix plan must keep exactly the near-dup pair
+    import spark.implicits._
+    val boiler = (1 to 15).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler alpha bravo charlie delta echo " + (1 to 60).map("x" + _).mkString(" ")),
+      (1L, s"$boiler foxtrot golf hotel india juliet " + (1 to 60).map("y" + _).mkString(" ")),
+      (2L, s"$boiler kilo lima mike november oscar " + (1 to 60).map("z" + _).mkString(" ")),
+      (3L, "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one"),
+      (4L, "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu two"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppjoin-").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.prefixJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = graft.operators.Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == brute.keySet, s"got ${got.keySet}, brute ${brute.keySet}")
+    assert(got.contains((3L, 4L)), "the seeded near-dup pair must survive")
+    assert(!got.keySet.exists(p => p._1 <= 2 && p._2 <= 2),
+      "boilerplate-only overlap must stay below the threshold")
+  }
+
   test("fuzzy edit pairs: exact dups score 0; every pair respects its budget") {
     import org.apache.spark.sql.functions.{col, length, md5}
     val rows = Dedup.fuzzyEditPairs(spark, sf).collect()
