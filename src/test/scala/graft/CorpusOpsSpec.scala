@@ -266,6 +266,11 @@ class CorpusOpsSpec extends AnyFunSuite {
         .map { case ((id, l, w), i) => (id, l, w, i + 1) }.toSeq
     }.toSet
     assert(got.map(r => (r._1, r._2, r._3, r._5)).toSet == expect)
+    // same scale contract as groupSample: the per-class limit must push
+    // below the shuffle
+    val plan = Sampling.weightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
   test("mad outliers: flagged set matches a driver-side median/MAD recompute") {

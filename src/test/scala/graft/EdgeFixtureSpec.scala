@@ -88,4 +88,45 @@ class EdgeFixtureSpec extends AnyFunSuite {
       s"flip-flop history wrong: $u3")
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._4)).toSeq == Seq(("click", true)))
   }
+
+  test("markov: singleton users emit no bigram; flip-flop counts every step") {
+    val rows = Analytics.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // users 4-7 and 2 are single-event: only users 1 (view×4) and
+    // 3 (view view click view) produce bigrams
+    assert(rows == Map(
+      ("view", "view") -> 4L,   // u1: 3 steps + u3: view→view
+      ("view", "click") -> 1L,  // u3
+      ("click", "view") -> 1L)) // u3
+  }
+
+  test("ewma: null values drop; singleton series returns its own value") {
+    val rows = Analytics.ewmaUserValues(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // u1's null-valued event 3 must not appear (no NaN propagation)
+    assert(!rows.exists(_._2 == 3L), "null-valued event leaked into the fold")
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(u1 == Seq(10.0, 0.25 * 2.0 + 0.75 * 10.0,
+      0.25 * 7.0 + 0.75 * (0.25 * 2.0 + 0.75 * 10.0)))
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(1.0))
+  }
+
+  test("pit join: the single purchase maps to its own interval start") {
+    val got = Analytics.pitEnrichedPurchases(spark, dir).collect()
+    // fixture purchases: events 10-12 (users 4-6) — each user's ONLY
+    // event, so each starts its own current interval
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getString(3) == "purchase", s"state_at: $r")
+      val uid = r.getLong(1)
+      assert(Set(4L, 5L, 6L)(uid), s"unexpected user: $r")
+    }
+  }
+
+  test("mad outliers: constant class (MAD = 0) yields no rows and no error") {
+    val byType = Relational.madOutlierEvents(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!byType.contains("purchase"), s"MAD=0 class flagged: $byType")
+    assert(!byType.contains("signup"), s"singleton class flagged: $byType")
+  }
 }
