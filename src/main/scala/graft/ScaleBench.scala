@@ -190,6 +190,7 @@ object ScaleBench {
     // the WindowGroupLimit / user-keyed-window shapes already proven
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),
+    "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
     "q_mad_outliers" -> ((s, d) => Relational.madOutlierEvents(s, d)),
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),

@@ -123,6 +123,7 @@ object SparkEntry {
     "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),
+    "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q_ewma" -> ((s, d) => Analytics.ewmaUserValues(s, d)),
     "q_pit_join" -> ((s, d) => Analytics.pitEnrichedPurchases(s, d)),
     "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
+    "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -286,6 +288,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.08""".stripMargin,
     "q_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // the maintenance path must land on the FULL recompute exactly —
+    // that equality is the whole point of the query
+    "q_incremental_agg" ->
       """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -680,6 +690,17 @@ object SparkEntry {
          |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 20 AS INTEGER) AS span_end,
          |  COUNT(*) AS n_windows
          |FROM rid GROUP BY doc_id, run_id""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |d AS (SELECT doc_id, t FROM docs WHERE LEN(t) >= 2),
+         |bi AS (SELECT doc_id,
+         |         unnest(t[1:LEN(t) - 1]) || ' ' || unnest(t[2:LEN(t)]) AS bg
+         |       FROM d),
+         |c AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(AVG(ln(c.c)), 4) AS mean_log_freq
+         |FROM bi JOIN c ON bi.bg = c.bg
+         |GROUP BY doc_id""".stripMargin,
     "q_bm25" ->
       s"""WITH d AS (SELECT doc_id, t, CAST(LEN(t) AS DOUBLE) AS dl
          |           FROM (SELECT doc_id, $toksSql AS t FROM documents)

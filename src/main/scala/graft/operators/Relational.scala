@@ -76,6 +76,36 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Incremental aggregate maintenance — the view-maintenance pattern:
+    * a BASE aggregate state (90% of orders, by key hash) merges with a
+    * DELTA batch's aggregate (the other 10%) by re-aggregating the
+    * partial states, and the result must equal the full recompute
+    * EXACTLY — which it does because the partial sums are DECIMAL
+    * (double partials would differ from the recompute in the last bits
+    * depending on add order). At 100 TB this is why nightly loads
+    * don't re-scan history: the merge input is |keys| rows per batch,
+    * and any additive/mergeable aggregate (sum, count, min/max, HLL,
+    * GK — see q_hll_merge) maintains the same way. Oracle: the plain
+    * full-table SQL aggregate.
+    */
+  def incrementalRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice"), col("o_orderkey"))
+    def slice(pred: Column) = enriched.filter(pred)
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
+    val base = slice(pmod(col("o_orderkey"), lit(10)) =!= 0)
+    val delta = slice(pmod(col("o_orderkey"), lit(10)) === 0)
+    base.unionByName(delta)
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n")).as("n_orders"))
+  }
+
   /** Fact-to-fact join (lineitem ⋈ orders) — shuffle/sort-merge territory;
     * AQE picks the final shape at runtime. Revenue per order priority.
     */

@@ -195,6 +195,32 @@ object TextAnalysis {
           ((col("ca") / col("tt")) * (col("cb") / col("tt")))), 4).as("pmi"))
   }
 
+  /** N-gram novelty score — mean ln(corpus frequency) of a document's
+    * token bigrams: the cheap "how surprising is this text" curation
+    * signal (very low = rare constructions nothing else uses — OCR
+    * noise, garbled encodings; very high = the document is mostly
+    * corpus boilerplate). The statistical complement of [[qualityScore]]
+    * (shape heuristics) and [[repetitionStats]] (self-similarity): this
+    * one scores against the CORPUS distribution. Bigrams build narrowly
+    * (`zip_with` of two shifted slices — no positional join), the count
+    * shuffle is |bigram vocabulary|-bounded, and the rejoin is an
+    * equi-join on the bigram — the word-count shape, twice.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val len = size(col("t")) - 1
+    val bi = d.select(col("doc_id"),
+      explode(zip_with(slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
+        (x, y) => concat_ws(" ", x, y))).as("bg"))
+    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bi.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c"))), 4).as("mean_log_freq"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set — an
     * order/whitespace-insensitive document identity, the cheap "same bag
     * of words" dedup key.

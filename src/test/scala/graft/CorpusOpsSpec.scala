@@ -305,6 +305,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture flags no robust outliers — test is vacuous")
   }
 
+  test("ngram novelty: matches brute-force mean log corpus frequency") {
+    val got = TextAnalysis.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    val toks = graft.sources.Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.length >= 2).toMap
+    val bigrams = toks.view.mapValues(t =>
+      t.sliding(2).map(_.mkString(" ")).toSeq).toMap
+    val corpus = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.keySet == bigrams.keySet)
+    got.foreach { case (id, (n, mlf)) =>
+      val bs = bigrams(id)
+      assert(n == bs.length, s"doc $id bigram count")
+      val e = bs.map(b => math.log(corpus(b).toDouble)).sum / bs.length
+      assert(math.abs(mlf - e) < 1e-3, s"doc $id: $mlf vs $e")
+      assert(mlf >= 0.0, s"doc $id: counts >= 1 force a non-negative mean, got $mlf")
+    }
+  }
+
+  test("incremental agg: base+delta merge is EXACTLY the full recompute") {
+    val full = graft.operators.Relational.revenueByNation(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))).toMap
+    val merged = graft.operators.Relational.incrementalRevenueByNation(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))).toMap
+    assert(merged == full, "decimal partial-state merge must be bit-equal to recompute")
+    // the decomposition is genuine: both slices carry orders
+    val o = graft.sources.Tables(spark, sf, "orders")
+    assert(o.filter(pmod(col("o_orderkey"), lit(10)) === 0).count() > 0)
+    assert(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0).count() > 0)
+  }
+
   test("winsorize: clips to the exact per-class [p5, p95], touches nothing inside") {
     val rows = graft.operators.Relational.winsorizedEvents(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

@@ -79,6 +79,45 @@ class OperatorsSmokeSpec extends AnyFunSuite {
     assert(custom.collect().forall(r => r.getDouble(1) <= r.getDouble(2)))
   }
 
+  test("quantile core: equals driver quantile_cont on adversarial group shapes") {
+    // the core now underpins four queries (percentiles_dist, winsorize,
+    // mad_outliers ×2) — randomized trials over the shapes the fixtures
+    // can't vary: singleton groups, constant groups, heavy ties,
+    // negatives, and partitionings from 1 to 13
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def q(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt; val hi = math.min(lo + 1, s.length - 1)
+      BigDecimal(s(lo) + (pos - lo) * (s(hi) - s(lo)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { trial =>
+      val groups = 1 + rnd.nextInt(3)
+      val data = (0 until groups).flatMap { g =>
+        val n = 1 + rnd.nextInt(40)
+        val constant = rnd.nextBoolean() && g == 0
+        (0 until n).map { _ =>
+          val v = if (constant) 7.5
+            else math.rint((rnd.nextDouble() * 40 - 20) * 4) / 4  // heavy ties
+          (s"g$g", v)
+        }
+      }
+      val parts = Seq(1, 3, 13)(rnd.nextInt(3))
+      val src = data.toDF("g", "v").repartition(parts)
+      val ps = Seq(0.05, 0.5, 0.95)
+      val got = graft.operators.Relational.distributedPercentilesOf(src, ps).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val expect = data.groupBy(_._1).map { case (g, rows) =>
+        g -> ps.map(p => q(rows.map(_._2), p))
+      }
+      assert(got == expect, s"trial $trial (parts=$parts): $got vs $expect")
+    }
+  }
+
   test("multimodal byte features sum to ~1 for non-empty docs") {
     val rows = graft.operators.Multimodal.byteFeatures(spark = TestSpark.spark,
       dir = TestSpark.sf0001).collect()
