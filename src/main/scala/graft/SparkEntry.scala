@@ -136,6 +136,7 @@ object SparkEntry {
     "q_pit_join" -> ((s, d) => Analytics.pitEnrichedPurchases(s, d)),
     "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
+    "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -1161,6 +1162,33 @@ object SparkEntry {
         |    CAST(0.25 AS DOUBLE) * o.value + CAST(0.75 AS DOUBLE) * r.ewma
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, event_id, value, ewma FROM r""".stripMargin,
+    "q_pagerank" -> {
+      // the same 20 power iterations the Spark loop runs, unrolled as
+      // CTEs (recursive terms can't aggregate); arithmetic mirrored
+      // with explicit DOUBLE casts so both engines compound identically
+      val iters = (1 to 20).map { i =>
+        s"""r$i AS (SELECT o.node,
+           |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + 0.85 * COALESCE(fl.s, 0) AS rank
+           |  FROM nodes o LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.rank * e.w) AS s
+           |    FROM e JOIN r${i - 1} p ON e.src = p.node GROUP BY e.dst) fl
+           |  ON o.node = fl.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT event_type AS cur_type,
+         |             LAG(event_type) OVER (
+         |               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |           FROM events),
+         |c AS (SELECT prev_type, cur_type, COUNT(*) AS n
+         |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |e AS (SELECT prev_type AS src, cur_type AS dst,
+         |        round(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS w FROM c),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+         |$iters
+         |SELECT node, round(rank, 4) AS rank FROM r20""".stripMargin
+    },
     "q_pit_join" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -220,6 +220,45 @@ object Analytics {
       .toDF("user_id", "event_id", "value", "ewma")
   }
 
+  /** PageRank over the event-type transition graph — weighted
+    * centrality on the [[markovTransitions]] edges (which type is the
+    * gravitational center of user flows): 20 fixed power iterations of
+    * `rank ← (1−d)/N + d·Σ_in rank·P(edge)`, damping 0.85. The loop is
+    * the GENERIC distributed shape (edges ⋈ ranks on src, re-aggregate
+    * on dst — the same per-round edge shuffle as the dup-cluster label
+    * propagation, with ranks broadcast while |nodes| ≪ |edges|); fixed
+    * iterations rather than a convergence test so the oracle (the same
+    * 20 steps unrolled as CTEs) is deterministic. Every node here has
+    * out-edges, and the spec asserts both that premise and mass
+    * conservation — dangling-mass redistribution is the one extension a
+    * general graph needs.
+    */
+  def pagerankEventTypes(spark: SparkSession, dir: String,
+      iters: Int = 20, d: Double = 0.85): DataFrame = {
+    val edges = markovTransitions(spark, dir)
+      .select(col("prev_type").as("src"), col("cur_type").as("dst"),
+        col("p").as("w"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    // decimal-exact 1−d (Scala's binary 1 - 0.85 ≠ the SQL literal 0.15;
+    // the oracle's 20 compounding iterations would drift visibly)
+    val teleport = (BigDecimal(1) - BigDecimal(d.toString)).toDouble
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    (1 to iters).foreach { _ =>
+      val inflow = edges.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w")).as("inflow"))
+      // left join so a node with no in-edges keeps its teleport share
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 4).as("rank"))
+  }
+
   def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val pairs = Tables(spark, dir, "events")

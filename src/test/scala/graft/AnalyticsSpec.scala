@@ -135,6 +135,30 @@ class AnalyticsSpec extends AnyFunSuite {
     check("o_totalprice", o.map(_.getAs[Any]("o_totalprice")).toSeq)
   }
 
+  test("pagerank: conserves mass and matches a driver power iteration") {
+    val got = Analytics.pagerankEventTypes(TestSpark.spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ > 0))
+    // the fixture graph premise the operator's docstring states
+    val edges = Analytics.markovTransitions(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    assert(nodes.forall(n => edges.exists(_._1 == n)), "dangling node in fixture")
+    // with rounded row-stochastic weights, total mass stays ~1
+    assert(math.abs(got.values.sum - 1.0) < 0.01, s"mass: ${got.values.sum}")
+    // driver-side power iteration, same constants and order of ops
+    var rank = nodes.map(_ -> 1.0 / nodes.length).toMap
+    (1 to 20).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => rank(s) * w }.sum).toMap
+      rank = nodes.map(n => n -> (0.15 / nodes.length + 0.85 * inflow.getOrElse(n, 0.0))).toMap
+    }
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - rank(n)) < 1e-3, s"$n: $r vs ${rank(n)}")
+    }
+  }
+
   test("ewma: folds the exact per-user prefix recurrence, bit-identical") {
     val got = Analytics.ewmaUserValues(TestSpark.spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
