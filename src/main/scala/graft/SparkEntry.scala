@@ -712,8 +712,10 @@ object SparkEntry {
          |       WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
          |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
          |SELECT doc_id,
-         |  round(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  round(SUM(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1)
+         |    * (tf * CAST(2.2 AS DOUBLE))
+         |    / (tf + CAST(1.2 AS DOUBLE)
+         |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25
          |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
          |GROUP BY doc_id""".stripMargin,
     "q_cooccurrence" ->

@@ -152,16 +152,6 @@ object Analytics {
       .select(col("user_id"), col("hour"), col("filled_value"), col("is_observed"))
   }
 
-  /** First-order Markov transition matrix over per-user event sequences:
-    * each user's events in (ts, event_id) order yield (previous type →
-    * current type) bigrams; counts normalize to P(cur | prev) within
-    * each predecessor. The sequence-flow verb behind "what do users do
-    * after X" — one `lag` window partitioned by user (each user's
-    * history sorts independently inside its shuffle partition; no
-    * global order), then a map-side-combined count whose output is
-    * |event types|², a constant — at 100 TB the only full-data work is
-    * the one user-keyed exchange the window needs.
-    */
   /** Point-in-time (PIT) enrichment join — each purchase event picks
     * the [[scd2UserState]] dimension version valid AT its timestamp
     * (`valid_from ≤ ts < valid_to`, open current versions included):
@@ -259,6 +249,16 @@ object Analytics {
     ranks.select(col("node"), round(col("rank"), 4).as("rank"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * each user's events in (ts, event_id) order yield (previous type →
+    * current type) bigrams; counts normalize to P(cur | prev) within
+    * each predecessor. The sequence-flow verb behind "what do users do
+    * after X" — one `lag` window partitioned by user (each user's
+    * history sorts independently inside its shuffle partition; no
+    * global order), then a map-side-combined count whose output is
+    * |event types|², a constant — at 100 TB the only full-data work is
+    * the one user-keyed exchange the window needs.
+    */
   def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val pairs = Tables(spark, dir, "events")

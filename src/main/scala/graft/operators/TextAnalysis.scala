@@ -183,8 +183,11 @@ object TextAnalysis {
     val pairCounts = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     val uni = d.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val totPairs = prs.agg(count(lit(1)).as("pp"))
-    val totToks = d.agg(sum(size(col("t"))).as("tt"))
+    // totals re-aggregate the count relations (identical values), so
+    // ReuseExchange shares their shuffles instead of re-scanning the
+    // corpus for a second pair generation / third tokenize (review fix)
+    val totPairs = pairCounts.agg(sum(col("n_ab")).as("pp"))
+    val totToks = uni.agg(sum(col("c")).as("tt"))
     pairCounts.filter(col("n_ab") >= minCount)
       .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
@@ -337,8 +340,15 @@ object TextAnalysis {
         col("t"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))).cast("binary")).as("h"))
-    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    val hits = sh.join(dup.select(col("h")), Seq("h"), "left_semi")
+    // repeat filter as ONE pass: a partition-by-hash window count (the
+    // digest is near-unique, so groups are 1-2 rows) — the count+semi
+    // formulation walked the window relation twice, and checkpointing
+    // it traded the re-hash for a full materialization that measured
+    // WORSE at 100× (review round; both variants recorded in PLANS.md)
+    val hits = sh
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n") > 1)
+      .select(col("doc_id"), col("pos"))
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("new_run",
