@@ -81,6 +81,7 @@ object SparkEntry {
     "q_group_sample" -> ((s, d) => graft.operators.Sampling.groupSample(s, d)),
     "q_outliers" -> (Relational.outlierEvents(_, _)),
     "q_mad_outliers" -> (Relational.madOutlierEvents(_, _)),
+    "q_decile_stats" -> (Relational.decileStats(_, _)),
     "q_winsorize" -> (Relational.winsorizedEvents(_, _)),
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),
     "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
@@ -378,6 +379,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
         |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
         |  COALESCE(NTH_VALUE(o_orderkey, 3) OVER
         |    (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS third_okey,
@@ -1092,6 +1094,23 @@ object SparkEntry {
         |  round(0.6745 * (a.value - a.med) / d.mad, 4) AS rz
         |FROM a JOIN d ON a.event_type = d.event_type
         |WHERE abs(round(0.6745 * (a.value - a.med) / d.mad, 4)) > 3.5""".stripMargin,
+    "q_decile_stats" -> {
+      val qs = (1 to 9).map(k =>
+        s"round(quantile_cont(value, 0.${k}), 4) AS p${k * 10}").mkString(",\n|         ")
+      val cases = (1 to 9).map(k =>
+        s"(CASE WHEN e.value > b.p${k * 10} THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT event_type,
+         |         $qs
+         |       FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |e AS (SELECT e.event_type, e.value,
+         |        CAST(1 + $cases AS INTEGER) AS decile
+         |      FROM events e JOIN b ON e.event_type = b.event_type
+         |      WHERE e.value IS NOT NULL)
+         |SELECT event_type, decile, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         |  MIN(value) AS lo, MAX(value) AS hi
+         |FROM e GROUP BY 1, 2""".stripMargin
+    },
     "q_winsorize" ->
       """WITH s AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p5,
         |                  round(quantile_cont(value, 0.95), 4) AS p95

@@ -390,6 +390,33 @@ object Relational {
       .select(col("p.*"))
   }
 
+  /** Equi-depth decile statistics (the calibration / lift table): each
+    * class's values bucket by its own exact decile boundaries, then per
+    * (class, decile) count / decimal-exact total / min / max. The
+    * SCALE-correct formulation of what `ntile(10)` computes with a full
+    * per-class window sort (see [[distributionFunctions]] for ntile
+    * itself): boundaries come from the bounded-state quantile core as a
+    * |classes|-row broadcast, bucketing is a pure projection, and the
+    * final aggregate is map-side combined — no window ever touches the
+    * log. Values equal to a boundary fall in the lower bucket
+    * (comparisons against the rounded boundaries are exact).
+    */
+  def decileStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+    val bounds = distributedPercentilesOf(
+      ev.select(col("event_type").as("g"), col("value").as("v")),
+      (1 to 9).map(_ / 10.0))
+    val bucket = (1 to 9).map(k =>
+      when(col("value") > col(s"p${k * 10}"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    ev.join(broadcast(bounds), col("event_type") === col("g"))
+      .withColumn("decile", bucket)
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
   /** Robust outlier screening by median/MAD — the heavy-tail-safe twin
     * of [[outlierEvents]] (one extreme value drags a mean/sd z-score's
     * own baseline; the median and the median absolute deviation ignore
@@ -497,10 +524,11 @@ object Relational {
   }
 
   /** Distribution-ranking window family — percent_rank / cume_dist /
-    * nth_value — the quantile-position functions [[rankingFunctions]]
-    * doesn't cover. Same single-shuffle window physics: one exchange on
-    * the partition key, partition-local sort, all four functions share
-    * the frame.
+    * ntile / nth_value — the quantile-position functions
+    * [[rankingFunctions]] doesn't cover. Same single-shuffle window
+    * physics: one exchange on the partition key, partition-local sort,
+    * all five functions share the frame. The (value, key) ORDER BY is
+    * total, so ntile's positional bucketing is engine-deterministic.
     */
   def distributionFunctions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -510,6 +538,7 @@ object Relational {
         col("o_orderkey"), col("o_orderstatus"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"),
         // -1 sentinel: nth_value is null for the first two rows per
         // group, and nullable int64 → pandas float64 can trip the
         // strict compare

@@ -273,6 +273,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("decile stats: buckets partition each class; totals are decimal-exact") {
+    val got = graft.operators.Relational.decileStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(got.nonEmpty)
+    val byClass = got.groupBy(_._1._1)
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("value"))
+    byClass.foreach { case (cls, cells) =>
+      val vals = ev.filter(_._1 == cls).map(_._2)
+      // bucket counts partition the class
+      assert(cells.map(_._2._1).sum == vals.length, s"$cls: counts don't partition")
+      // deciles within 1..10 and lo/hi nested inside neighbors
+      val sorted = cells.sortBy(_._1._2)
+      assert(sorted.forall(c => c._1._2 >= 1 && c._1._2 <= 10))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2._4 <= b._2._3,
+          s"$cls: decile ${a._1._2} hi > decile ${b._1._2} lo")
+        case _ => ()
+      }
+      // decimal totals equal an exact driver sum per class
+      val totalGot = BigDecimal(cells.map(c => BigDecimal(c._2._2)).sum.toDouble)
+      val totalExp = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert((totalGot - totalExp).abs < BigDecimal(0.01), s"$cls: $totalGot vs $totalExp")
+    }
+  }
+
   test("mad outliers: flagged set matches a driver-side median/MAD recompute") {
     val got = graft.operators.Relational.madOutlierEvents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
