@@ -191,6 +191,14 @@ object SparkEntry {
       s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
   }
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  // one oracle, two plans: q_revenue_by_nation (full recompute) and
+  // q_incremental_agg (base+delta partial-state merge) must agree exactly
+  private val revenueByNationSql =
+    """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
   // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
   // q_jaccard_prefix (AllPairs prefix filter) must return the same rows
   private val jaccardOracleSql =
@@ -290,19 +298,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.08""".stripMargin,
     "q_revenue_by_nation" ->
-      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
+      revenueByNationSql,
     // the maintenance path must land on the FULL recompute exactly —
     // that equality is the whole point of the query
-    "q_incremental_agg" ->
-      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
+    "q_incremental_agg" -> revenueByNationSql,
     "q_revenue_by_priority" ->
       s"""SELECT o_orderpriority, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines

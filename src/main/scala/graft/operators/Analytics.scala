@@ -221,7 +221,12 @@ object Analytics {
     * 20 steps unrolled as CTEs) is deterministic. Every node here has
     * out-edges, and the spec asserts both that premise and mass
     * conservation — dangling-mass redistribution is the one extension a
-    * general graph needs.
+    * general graph needs. Per-node inflow SUMs reduce in unspecified
+    * order, so ~1-ulp cross-engine drift can compound over the 20
+    * iterations; round(4) output keeps the tie window ~1e-11 per node
+    * — emitting raw doubles would WIDEN the exposure (the comparator's
+    * 9-dp canon has a 1e4× denser boundary grid), the opposite
+    * trade-off from q_ewma's bit-identical fold.
     */
   def pagerankEventTypes(spark: SparkSession, dir: String,
       iters: Int = 20, d: Double = 0.85): DataFrame = {

@@ -53,12 +53,28 @@ object Dedup {
     if (distinct) sh.distinct() else sh
   }
 
+  /** Shared scoring tail of the two exact-Jaccard plans: per-pair shared
+    * counts → union sizes → J ≥ tau. ONE copy, because `DedupSpec` pins
+    * the plans bit-identical — a formula tweak in a private fork would
+    * silently break that invariant (review round).
+    */
+  private def jaccardScore(shared: DataFrame, counts: DataFrame,
+      tau: Double): DataFrame =
+    shared
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+
   /** Exact n-gram Jaccard similarity over all pairs of a bounded slice
     * (doc_id < 200 at every scale factor — this is the oracle-checkable
     * exact computation; LSH below is the unbounded-scale path). Pairs with
-    * J ≥ 0.5. The shingle equi-join generates only co-shingled pairs.
+    * J ≥ tau. The shingle equi-join generates only co-shingled pairs.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
     val sh = shingles(docs).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -66,13 +82,7 @@ object Dedup {
     val b = sh.select(col("doc_id").as("b"), col("sh"))
     val shared = a.join(b, Seq("sh")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a"), col("b"), col("jaccard"))
+    jaccardScore(shared, counts, tau)
   }
 
   /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin prefix filter)
@@ -110,13 +120,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= tau)
-      .select(col("a"), col("b"), col("jaccard"))
+    jaccardScore(shared, counts, tau)
   }
 
   /** Edit-distance near-dup tier — the final arbiter of the dedup

@@ -399,7 +399,12 @@ object Relational {
     * |classes|-row broadcast, bucketing is a pure projection, and the
     * final aggregate is map-side combined — no window ever touches the
     * log. Values equal to a boundary fall in the lower bucket
-    * (comparisons against the rounded boundaries are exact).
+    * (comparisons against the rounded boundaries are exact). The
+    * round-4 boundaries carry the quantile-core family's shared
+    * residual risk: an interpolated boundary landing EXACTLY on a
+    * .00005 half-boundary can round differently across engines
+    * (winsorize/mad accept the same exposure; measured green across
+    * rounds — the tie requires an exact decimal coincidence).
     */
   def decileStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)

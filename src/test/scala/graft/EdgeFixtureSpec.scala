@@ -116,10 +116,18 @@ class EdgeFixtureSpec extends AnyFunSuite {
     // fixture purchases: events 10-12 (users 4-6) — each user's ONLY
     // event, so each starts its own current interval
     assert(got.length == 3)
+    val tsByUser = graft.sources.Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.time.LocalDateTime]("ts")).toMap
     got.foreach { r =>
       assert(r.getString(3) == "purchase", s"state_at: $r")
       val uid = r.getLong(1)
       assert(Set(4L, 5L, 6L)(uid), s"unexpected user: $r")
+      // inclusive start: the version STARTING at the purchase's own ts
+      // is the one valid at it — not merely any purchase-typed version
+      assert(r.getAs[java.time.LocalDateTime](4) == tsByUser(uid),
+        s"state_since must be the event's own ts: $r")
     }
   }
 
