@@ -76,6 +76,7 @@ object SparkEntry {
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
     "q_window_range" -> (Relational.rollingHourValue(_, _)),
     "q_asof_join" -> (Relational.purchaseAfterSignup(_, _)),
+    "q_asof_native" -> (Relational.purchaseAfterSignupNative(_, _)),
     "q_full_outer" -> ((s, d) => Relational.customerOrdersFullOuter(s, d)),
     "q_stratified_sample" -> (graft.operators.Sampling.stratifiedEvents(_, _)),
     "q_group_sample" -> ((s, d) => graft.operators.Sampling.groupSample(s, d)),
@@ -546,6 +547,16 @@ object SparkEntry {
     // leaves equal-ts ties unspecified, while the Spark window picks the
     // highest event_id — pin the oracle to the same tie-break (ADVICE r01).
     "q_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE(l.event_id, -1) AS prior_signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+        |                FROM events WHERE event_type = 'signup'
+        |                GROUP BY user_id, ts) l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
+    // the native-operator formulation must match the composed one
+    // bit-for-bit: ONE oracle, two physical plans
+    "q_asof_native" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
         |  COALESCE(l.event_id, -1) AS prior_signup_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

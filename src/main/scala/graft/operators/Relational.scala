@@ -952,6 +952,28 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("prior_signup_id"))
   }
 
+  /** The same as-of join answered by graft's NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom logical node → planner strategy →
+    * per-partition merge exec) instead of the union+window composition —
+    * the two formulations share one oracle, pinning that the custom
+    * physical operator computes exactly the composed semantics. Each
+    * side projects fresh aliases so the self-derived inputs carry
+    * disjoint attribute ids (the operator's contract).
+    */
+  def purchaseAfterSignupNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("event_id"), col("user_id").as("user_id"),
+        col("ts").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    graft.plans.AsOfJoinOps
+      .asofLeft(purchases, signups, "user_id", "s_user", "p_ts", "s_ts", Seq("signup_id"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("signup_id"), lit(-1L)).as("prior_signup_id"))
+  }
+
   /** Wide→long unpivot (melt) — the inverse verb of `pivotRevenue`: a
     * per-priority metrics row explodes into one (priority, metric,
     * value) row per metric. `Dataset.unpivot` plans a narrow Expand —

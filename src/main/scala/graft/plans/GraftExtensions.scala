@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseStandardizeRaceId)
+    // whole-operator extension tier: plans the native AsOfJoin node
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("standardize_race_id"),
       new ExpressionInfo(classOf[StandardizeRaceId].getName, "standardize_race_id"),
