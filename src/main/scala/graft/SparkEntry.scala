@@ -61,6 +61,8 @@ object SparkEntry {
     "q_math_fns" -> (Relational.mathFunctions(_, _)),
     "q_array_fns" -> (Relational.arrayFunctions(_, _)),
     "q_json_fns" -> (Relational.jsonFunctions(_, _)),
+    "q_variant" -> (Relational.variantFunctions(_, _)),
+    "q_collation" -> (Relational.collatedSegments(_, _)),
     "q_map_fns" -> (Relational.mapFunctions(_, _)),
     "q_timestamp_fns" -> (Relational.timestampFunctions(_, _)),
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
@@ -70,6 +72,8 @@ object SparkEntry {
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
     "q_sql_lateral" -> (Relational.sqlLateralTopOrders(_, _)),
+    "q_sql_recursive" -> (Relational.sqlRecursivePaths(_, _)),
+    "q_sql_udf" -> (Relational.sqlScalarUdf(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
@@ -155,6 +159,7 @@ object SparkEntry {
     "q_bucketed_join" -> (graft.sources.BucketedParquetSink.colocatedOrdersJoin(_, _)),
     "q_partition_pruned" -> (graft.sources.ParquetSink.partitionPrunedEvents(_, _)),
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
+    "q_xml_roundtrip" -> (Roundtrip.xmlParts(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
     "q_binaryfile_source" -> ((s, d) => graft.sources.BinaryFiles.ingestDocs(s, d)),
@@ -438,6 +443,20 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "q_json_fns" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    // the nested variant document is BUILT from typed columns, so the
+    // oracle recomputes every typed path extraction from the originals —
+    // the whole JSON→variant→typed round trip must be lossless
+    "q_variant" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+        |  event_type AS etype, value AS v, user_id AS tag
+        |FROM events""".stripMargin,
+    // grouping runs under UTF8_LCASE collation engine-side; the oracle's
+    // lower() group is the semantic definition of that collation here
+    "q_collation" ->
+      """SELECT lower(seg) AS segment, COUNT(*) AS n
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment)
+        |             ELSE lower(c_mktsegment) END AS seg FROM customer)
+        |GROUP BY 1""".stripMargin,
     "q_map_fns" ->
       """SELECT event_id, k AS key, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
         |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""".stripMargin,
@@ -940,6 +959,10 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM part GROUP BY p_brand""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
@@ -1147,6 +1170,32 @@ object SparkEntry {
         |         WHERE o_custkey = c.c_custkey
         |         ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey ASC
         |         LIMIT 2) t""".stripMargin,
+    // IDENTICAL statement both engines (modulo the view name): the
+    // recursion is depth-bounded so UNION ALL terminates despite cycles
+    "q_sql_recursive" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT prev_type, event_type AS next_type FROM (
+        |    SELECT event_type,
+        |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events) t
+        |  WHERE prev_type IS NOT NULL
+        |),
+        |paths AS (
+        |  SELECT 'signup' AS etype, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.next_type AS etype, p.depth + 1 AS depth
+        |  FROM paths p JOIN edges e ON e.prev_type = p.etype
+        |  WHERE p.depth < 3
+        |)
+        |SELECT etype, depth, COUNT(*) AS n_paths
+        |FROM paths GROUP BY etype, depth""".stripMargin,
+    // the oracle inlines the SQL UDF body (strpos = Spark's instr)
+    "q_sql_udf" ->
+      """SELECT substr(o_orderpriority, strpos(o_orderpriority, '-') + 1) AS pclass,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     "q_scd2" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

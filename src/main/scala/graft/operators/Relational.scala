@@ -896,6 +896,105 @@ object Relational {
     * (`GraftExtensionsSpec` pins that route). Both functions stay
     * codegen'd Catalyst expressions — no UDF wrapping on the SQL path.
     */
+  /** Semi-structured VARIANT surface (Spark 4): JSON ingests once into
+    * the binary variant encoding, then typed path extraction —
+    * `variant_get` with a target type — replaces per-access string
+    * re-parsing. Two shapes exercised: the table's own `props` JSON, and
+    * a nested object/array document (built from typed columns, so the
+    * oracle recomputes every extraction from the originals and the whole
+    * encode→shred round trip must be lossless, doubles included — JSON
+    * shortest-repr text → variant decimal/double → double is bit-exact).
+    * At 100 TB variant beats string JSON twice: parse cost is paid once
+    * per row not once per path, and the columnar shredded layout prunes
+    * like any other column.
+    */
+  def variantFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        parse_json(col("props")).as("vp"),
+        parse_json(to_json(struct(
+          col("event_type").as("t"), col("value").as("v"),
+          array(col("event_id"), col("user_id")).as("tags")))).as("vn"))
+      .select(
+        col("event_id"),
+        expr("variant_get(vp, '$.k', 'long')").as("k"),
+        expr("variant_get(vn, '$.t', 'string')").as("etype"),
+        expr("variant_get(vn, '$.v', 'double')").as("v"),
+        expr("variant_get(vn, '$.tags[1]', 'long')").as("tag"))
+
+  /** Collation-aware grouping (Spark 4): `c_mktsegment` arrives with
+    * deterministically mangled case (odd keys UPPER, even lower) and the
+    * aggregation groups under the `UTF8_LCASE` collation — the engine's
+    * comparator/hasher does the case folding, not a `lower()` rewrite of
+    * the data. The output key is `lower(seg)` (constant within a
+    * case-insensitive group) so the surfaced value is deterministic
+    * while the GROUPING itself runs on the collated column. Collations
+    * matter at scale because they push case/accent semantics into every
+    * comparison site (joins, sorts, distinct) without materializing a
+    * normalized copy of the column.
+    */
+  def collatedSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        when(col("c_custkey") % 2 === 1, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg"))
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("cseg"))
+      .agg(count(lit(1)).as("n"))
+      .select(lower(col("cseg")).as("segment"), col("n"))
+
+  /** Recursive CTE through the SQL parser (Spark 4 `WITH RECURSIVE`):
+    * depth-bounded path counting from 'signup' over the event-type
+    * transition graph — the anchor seeds depth 0, the recursive member
+    * joins one edge step per iteration, `UNION ALL` keeps one row per
+    * distinct PATH so the aggregate counts walks, and the `depth < 3`
+    * bound terminates the fixpoint explicitly (graph has cycles; an
+    * unbounded walk would not converge). Execution is one edge-join per
+    * level — the same shuffle-bounded iteration shape as
+    * `Dedup.dupClusters`' label propagation, but owned by the engine
+    * from SQL text. DuckDB runs the IDENTICAL statement as the oracle.
+    */
+  def sqlRecursivePaths(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events").createOrReplaceTempView("graft_events")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT prev_type, event_type AS next_type FROM (
+        |    SELECT event_type,
+        |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM graft_events) t
+        |  WHERE prev_type IS NOT NULL
+        |),
+        |paths AS (
+        |  SELECT 'signup' AS etype, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.next_type AS etype, p.depth + 1 AS depth
+        |  FROM paths p JOIN edges e ON e.prev_type = p.etype
+        |  WHERE p.depth < 3
+        |)
+        |SELECT etype, depth, COUNT(*) AS n_paths
+        |FROM paths GROUP BY etype, depth""".stripMargin)
+  }
+
+  /** SQL-body scalar UDF (`CREATE FUNCTION ... RETURN expr`): the
+    * catalog-resident, engine-portable cousin of a JVM UDF — the body is
+    * a Catalyst expression, so it inlines into the plan (whole-stage
+    * codegen, constant folding, pushdown all apply; nothing opaque).
+    * Used here both as a projection and as the GROUP BY key. Money sums
+    * go through DECIMAL per the engine-wide determinism contract.
+    */
+  def sqlScalarUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_priority_class(p STRING)
+        |RETURNS STRING RETURN substr(p, instr(p, '-') + 1)""".stripMargin)
+    spark.sql(
+      """SELECT graft_priority_class(o_orderpriority) AS pclass,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM graft_orders
+        |GROUP BY graft_priority_class(o_orderpriority)""".stripMargin)
+  }
+
   def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.register(spark)
     Tables(spark, dir, "part").createOrReplaceTempView("graft_part")

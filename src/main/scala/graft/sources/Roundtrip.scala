@@ -66,6 +66,26 @@ object Roundtrip {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  /** part → XML (rowTag elements, explicit read schema) → aggregate by
+    * brand. XML joined the built-in source matrix in Spark 4; the writer
+    * emits one `<part>` element per row and the reader parses them
+    * distributed, one task per file split, like every other text source.
+    * Doubles survive via shortest-repr text exactly as in the CSV/JSON
+    * roundtrips.
+    */
+  def xmlParts(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("xml")
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").option("rowTag", "part").format("xml").save(out)
+    spark.read
+      .schema("p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+      .option("rowTag", "part").format("xml").load(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   /** Schema-drift read: two writer generations land in one dataset —
     * generation 1 predates the `value` column, generation 2 carries it
     * (the normal life of any long-lived ingestion pipeline). A
