@@ -89,6 +89,7 @@ object SparkEntry {
     "q_decile_stats" -> (Relational.decileStats(_, _)),
     "q_winsorize" -> (Relational.winsorizedEvents(_, _)),
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "q_mixture_resample" -> (graft.operators.Sampling.mixtureResample(_, _)),
     "q_snapshot_diff" -> (graft.operators.Upsert.snapshotDiffCorpus(_, _)),
     "q_schema_evolution" -> (Roundtrip.schemaEvolutionEvents(_, _)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
+    "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -1106,6 +1108,13 @@ object SparkEntry {
          |      ORDER BY key DESC, doc_id) AS INTEGER) AS draw_rank
          |  FROM k)
          |WHERE draw_rank <= 20""".stripMargin,
+    // one global permutation order — the oracle's single row_number and
+    // the engine's two-phase (bucket-local rank + bucket base) position
+    // must agree exactly because the bucket is the key's own prefix
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos
+        |FROM (SELECT doc_id, md5('epoch8:' || CAST(doc_id AS VARCHAR)) AS k
+        |      FROM documents)""".stripMargin,
     "q_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
         |           FROM events WHERE value IS NOT NULL GROUP BY 1
@@ -1230,6 +1239,21 @@ object SparkEntry {
         |SELECT prev_type, cur_type, n,
         |  round(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
         |FROM c""".stripMargin,
+    // canonical a<b<c enumeration — id-ordered, so each triangle appears
+    // exactly once; the Spark side's degree-ordered orientation must
+    // reach the identical per-node counts
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM li l1 JOIN li l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |nodes AS (SELECT x AS part FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part""".stripMargin,
     "q_ewma" ->
       """WITH RECURSIVE o AS (
         |  SELECT user_id, event_id, value,

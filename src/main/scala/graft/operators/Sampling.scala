@@ -115,4 +115,31 @@ object Sampling {
       .filter(col("draw_rank") <= n)
       .select(col("doc_id"), col("lang"), col("w"), col("draw_key"), col("draw_rank"))
   }
+
+  /** Deterministic epoch shuffle: a reproducible global training-order
+    * permutation of the corpus — every engine, partitioning, and retry
+    * derives the SAME order for a given seed, and the next epoch is just
+    * a new seed. The permutation key is md5(seed:doc_id); the global
+    * position materializes WITHOUT a single-partition row_number: the
+    * key's first two hex chars split the key space into 256 ordered
+    * range buckets (uniform by construction), each bucket ranks locally
+    * under its own partitioning, and a 256-row running sum of bucket
+    * sizes (broadcast back) lifts local ranks to global positions — the
+    * same two-phase prefix-sum shape as `TextAnalysis.packedOffsets`.
+    */
+  def epochShuffle(spark: SparkSession, dir: String, seed: String = "epoch8"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary")).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+    val within = keyed.withColumn("local_rank", row_number().over(localW).cast("long") - 1)
+    val baseW = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(baseW), lit(0L)))
+      .select(col("bucket"), col("base"))
+    within.join(broadcast(bases), Seq("bucket"))
+      .select(col("doc_id"), col("k"), (col("base") + col("local_rank")).as("pos"))
+  }
 }
