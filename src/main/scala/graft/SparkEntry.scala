@@ -179,6 +179,7 @@ object SparkEntry {
     "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
+    "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
@@ -1450,6 +1451,14 @@ object SparkEntry {
         |FROM events p JOIN events s
         |  ON p.user_id = s.user_id
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
+    // the sentinel-advanced watermark flushes EVERY outer row, so the
+    // streaming append equals the complete batch left join
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
         | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
     // Stateless streaming append through the parquet file sink emits
     // every row — exactly the batch filter+project.

@@ -466,6 +466,75 @@ object Streaming {
     * rewrites only touched partitions (the Compaction/Upsert machinery
     * in this repo), but the merge semantics are exactly these.
     */
+  /** LEFT OUTER stream-stream join — the unmatched-left completion of
+    * [[purchasesWithRecentSignup]]: purchases with no qualifying signup
+    * must still emit, null-extended. Outer rows can only materialize
+    * when the WATERMARK proves no future right row could match, so the
+    * replay stages the events alongside a far-future sentinel pair
+    * (user_id −1, one per join side's type so both watermark nodes see
+    * it; scrubbed from the RESULT table after the replay — a pre-join
+    * filter on user_id would be pushed BELOW the EventTimeWatermark
+    * node, since it touches a non-event-time column, and the sentinel
+    * would never advance the clock: the 2-row gap that debugging this
+    * found). The sentinel pushes the final watermark
+    * past every real row and the trailing no-data micro-batch
+    * (`noDataBatches = true`) evicts all left state, emitting every
+    * outer row — making the append-mode result EXACTLY the batch left
+    * join, full oracle included. Production streams get the same
+    * completeness from ordinary event-time progress; the sentinel is the
+    * bounded-replay stand-in for "time keeps moving".
+    */
+  def purchasesWithSignupOuter(spark: SparkSession, dir: String): DataFrame = {
+    val session = replaySession(spark, noDataBatches = true)
+    val name = "graft_stream_outer_" + UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(checkpointRoot, name)
+    val staged = new java.io.File(root, "staged")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    val raw = Tables.raw(spark, dir, "events")
+    val maxTsNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val sentinelTs = maxTsNanos + 10L * 24 * 3600 * 1000000000L // +10 days
+    val sentinels = Seq("purchase", "signup").map { tpe =>
+      raw.sparkSession.range(1).select(raw.schema.fields.map { f =>
+        (f.name match {
+          case "event_id" | "user_id" => lit(-1L)
+          case "ts" => lit(sentinelTs)
+          case "event_type" => lit(tpe)
+          case _ => lit(null)
+        }).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }.reduce(_.unionByName(_))
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged.getAbsolutePath)
+
+    def side(tpe: String, prefix: String): DataFrame =
+      session.readStream
+        .schema(raw.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged.getAbsolutePath)
+        .withColumn("ts", expr(Tables.tsFromNanosExpr))
+        .filter(col("event_type") === tpe) // sentinel passes: it carries this type
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 minutes")
+
+    val joined = side("purchase", "p").join(side("signup", "s"),
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"),
+      "left_outer")
+    runToTable(joined, OutputMode.Append())
+      // the sentinel pair joins only itself; scrub it from the result
+      // table (NOT the stream — see the Scaladoc's pushdown trap)
+      .filter(col("p_id") =!= -1L)
+      .select(col("p_id").as("purchase_id"), col("s_id").as("signup_id"),
+        col("p_user").as("user_id"))
+  }
+
   def upsertSinkLatestEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val session = replaySession(spark)

@@ -89,6 +89,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect, "cross-batch merge must equal the batch latest-per-user")
   }
 
+  test("left-outer stream-stream join == COMPLETE batch left join (outer rows flushed)") {
+    val streamed = Streaming.purchasesWithSignupOuter(spark, sf)
+    val ev = Tables(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("s_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // every purchase surfaces — unmatched ones null-extended, not dropped
+    assert(streamed.count() >= p.count())
+  }
+
   test("stream-static join is stateless: no symmetric hash join, no watermark needed") {
     import org.apache.spark.sql.functions._
     val got = Streaming.staticEnrichedSegments(spark, sf).collect()
