@@ -41,6 +41,7 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
     "q_unpivot" -> ((s, d) => Relational.unpivotOrderMetrics(s, d)),
     "q_hll_merge" -> ((s, d) => Relational.hllMergedDistinct(s, d)),
+    "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
     "q_percentiles" -> (Relational.percentiles(_, _)),
     "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
@@ -323,6 +324,21 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderstatus) AS n_status,
         |  COUNT(*) AS n_orders FROM orders""".stripMargin,
+    // exact-mode theta sketches (distinct users << 4096 nominal entries)
+    // make the estimates literally the exact set-algebra answers
+    "q_theta_overlap" ->
+      """SELECT 'purchase' AS scope, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est_users
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'click', CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'both', CAST(COUNT(*) AS DOUBLE) FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT 'either', CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+        |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, COUNT(*) AS n

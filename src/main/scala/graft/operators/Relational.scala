@@ -1145,4 +1145,31 @@ object Relational {
       .select(lit("total").as("scope"), col("est_customers"))
     perMonth.unionByName(total)
   }
+
+  /** Audience overlap by theta sketches — the set-ALGEBRA extension of
+    * [[hllMergedDistinct]]: per-segment distinct-user sketches built in
+    * one pass, then INTERSECTED ("users who did both") and unioned
+    * ("either") by re-aggregating the stored sketch bytes
+    * ([[graft.functions.ThetaSketch]]). HLL can only union; computing
+    * the overlap exactly would shuffle the full id universe per segment
+    * pair — the theta path moves ≤ 4096 hashes per segment instead, at
+    * any scale. Below that threshold the sketch is exact, so the DuckDB
+    * oracle (COUNT DISTINCT / INTERSECT) hash-matches at verify scale;
+    * the estimation-regime error bound is pinned in
+    * `SketchPropertiesSpec`.
+    */
+  def thetaSegmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val perType = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type"))
+      .agg(ThetaSketch.agg(col("user_id")).as("sk"))
+    val perScope = perType.select(col("event_type").as("scope"),
+      ThetaSketch.estimate(col("sk")).as("est_users"))
+    val both = perType.agg(ThetaSketch.intersectAgg(col("sk")).as("sk"))
+      .select(lit("both").as("scope"), ThetaSketch.estimate(col("sk")).as("est_users"))
+    val either = perType.agg(ThetaSketch.unionAgg(col("sk")).as("sk"))
+      .select(lit("either").as("scope"), ThetaSketch.estimate(col("sk")).as("est_users"))
+    perScope.unionByName(both).unionByName(either)
+  }
 }
