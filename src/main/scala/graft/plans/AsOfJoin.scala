@@ -44,10 +44,11 @@ case class AsOfJoin(
     rightTieBreak: Seq[Expression])
   extends BinaryNode {
 
-  // a self-join would alias the same attribute ids into both children and
-  // make column binding ambiguous — callers project fresh aliases per side
-  require(left.outputSet.intersect(right.outputSet).isEmpty,
-    "AsOfJoin children must not share attribute ids; alias each side first")
+  // Children must not share attribute ids (a self-join without fresh
+  // aliases would make binding ambiguous) — but that contract is checked
+  // in [[AsOfJoinOps.asofLeft]], NOT here: a constructor `require` also
+  // runs under `copy` during canonicalization, where BOTH children's ids
+  // are normalized to position-based ones and legitimately collide.
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -198,6 +199,8 @@ object AsOfJoinOps {
     GraftRelation.ensureStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of join inputs must not share attribute ids; alias each side first")
     def resolve(plan: LogicalPlan, name: String): Expression =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

@@ -68,6 +68,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("plans and runs while the CacheManager holds unrelated cached plans") {
+    // Regression: cache lookup canonicalizes every subtree of a new query,
+    // normalizing BOTH join children's attribute ids to position-based ones
+    // that collide — a constructor-time disjointness `require` fires under
+    // the canonical `copy`. The contract check lives in asofLeft instead.
+    val cached = Seq((1L, "x")).toDF("id", "v").cache()
+    try {
+      cached.count() // materialize so the CacheManager entry is live
+      val out = Relational.purchaseAfterSignupNative(spark, TestSpark.sf0001)
+      assert(out.count() > 0)
+    } finally cached.unpersist()
+  }
+
   test("disjoint-attribute-id contract is enforced") {
     val df = Seq((1L, 2L)).toDF("k", "t")
     val e = intercept[IllegalArgumentException] {
