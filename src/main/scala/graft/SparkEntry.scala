@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Quality, Relational, Similarity, Skew, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -185,6 +185,9 @@ object SparkEntry {
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // --- data-contract / observability tier ------------------------------
+    "q_constraints" -> (Quality.constraintSuite(_, _)),
+    "q_observe" -> (Quality.observedPipeline(_, _)),
     // --- reference-pipeline parity (golden test drives exact compare) ----
     "q_pipeline_parity" -> ((s, _) =>
       FanPipeline.transform(
@@ -1324,6 +1327,36 @@ object SparkEntry {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |  AND d.valid_from <= e.ts AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_constraints" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        |    COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        |    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS bad_status,
+        |    SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS bad_priority
+        |  FROM orders),
+        |o AS (
+        |  SELECT COUNT(*) AS n_orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'size_min' AS check_name, CAST(n_rows AS DOUBLE) AS observed,
+        |  1.0 AS threshold, n_rows >= 1 AS passed FROM m
+        |UNION ALL SELECT 'complete_custkey',
+        |  1.0 - CAST(null_custkey AS DOUBLE) / n_rows, 1.0, null_custkey = 0 FROM m
+        |UNION ALL SELECT 'unique_orderkey',
+        |  CAST(nd_orderkey AS DOUBLE) / n_rows, 1.0, nd_orderkey = n_rows FROM m
+        |UNION ALL SELECT 'min_totalprice', min_price, 0.0, min_price >= 0 FROM m
+        |UNION ALL SELECT 'status_domain', CAST(bad_status AS DOUBLE), 0.0,
+        |  bad_status = 0 FROM m
+        |UNION ALL SELECT 'priority_pattern', CAST(bad_priority AS DOUBLE), 0.0,
+        |  bad_priority = 0 FROM m
+        |UNION ALL SELECT 'ref_integrity_custkey', CAST(n_orphans AS DOUBLE), 0.0,
+        |  n_orphans = 0 FROM o""".stripMargin,
+    "q_observe" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_disc
+         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'""".stripMargin,
     "q_profile" ->
       """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
         |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -74,8 +75,14 @@ object MisraGries {
       override def merge(x: (Map[String, Long], Long), y: (Map[String, Long], Long)): (Map[String, Long], Long) =
         (mgMerge(x._1, y._1, k), x._2 + y._2)
       override def finish(b: (Map[String, Long], Long)): (Map[String, Long], Long) = b
-      override def bufferEncoder: Encoder[(Map[String, Long], Long)] = implicitly
-      override def outputEncoder: Encoder[(Map[String, Long], Long)] = implicitly
+      // session-free encoders: resolving these through `spark.implicits`
+      // makes the anon Aggregator capture the SparkSession, which stops
+      // serializing once anything (e.g. Dataset.observe) initializes the
+      // session's lazy non-serializable ObservationManager field
+      override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+        ExpressionEncoder[(Map[String, Long], Long)]()
+      override def outputEncoder: Encoder[(Map[String, Long], Long)] =
+        ExpressionEncoder[(Map[String, Long], Long)]()
     }
 
     val (candidates, total) = toks.select(sketch.toColumn).head()

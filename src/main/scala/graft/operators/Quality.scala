@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Data-contract verification for production pipelines — the ASSERT tier
+  * above [[Relational.columnProfile]]'s DESCRIBE tier. A training-data
+  * pipeline at 100 TB cannot afford one scan per check (the Deequ model:
+  * fuse every metric a constraint suite needs into one aggregation pass),
+  * and cannot afford a second scan for observability either (the Spark
+  * `Observation` model: metrics ride the job that writes the data).
+  * Both verbs here follow those models.
+  */
+object Quality {
+
+  /** One-pass constraint suite over `orders` + a referential-integrity
+    * check against `customer`. Every single-table metric — row count,
+    * completeness, uniqueness, value range, set membership, pattern
+    * conformance — fuses into ONE hash aggregate over one scan
+    * (map-side-combined partials; the scan cost is paid once no matter
+    * how many constraints the suite holds). Referential integrity is the
+    * one constraint that genuinely needs a second relation: a LEFT ANTI
+    * join against the distinct foreign keys, which Catalyst plans as a
+    * broadcast anti-join when the key side is small and a shuffled one
+    * otherwise — never a driver collect.
+    *
+    * Output is one row per constraint: (constraint, observed, threshold,
+    * passed) — the shape a data-contract gate consumes ("fail the
+    * pipeline if any `passed` is false").
+    */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+
+    // every single-table metric in one aggregate pass
+    val m = orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      countDistinct(col("o_orderkey")).as("nd_orderkey"),
+      min(col("o_totalprice")).cast("double").as("min_price"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("bad_status"),
+      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 0L).otherwise(1L))
+        .as("bad_priority"))
+
+    // the RI metric: orders whose o_custkey has no customer row
+    val orphans = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_orphans"))
+
+    def c(name: String, observed: org.apache.spark.sql.Column,
+        threshold: Double, passed: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"),
+        observed.cast("double").as("observed"),
+        lit(threshold).as("threshold"),
+        passed.as("passed"))
+
+    // two independent one-row aggregates, unioned — no join of any kind
+    m.select(explode(array(
+        c("size_min", col("n_rows"), 1.0, col("n_rows") >= 1L),
+        c("complete_custkey", lit(1.0) - col("null_custkey") / col("n_rows"),
+          1.0, col("null_custkey") === 0L),
+        c("unique_orderkey", col("nd_orderkey") / col("n_rows"),
+          1.0, col("nd_orderkey") === col("n_rows")),
+        c("min_totalprice", col("min_price"), 0.0, col("min_price") >= 0.0),
+        c("status_domain", col("bad_status"), 0.0, col("bad_status") === 0L),
+        c("priority_pattern", col("bad_priority"), 0.0,
+          col("bad_priority") === 0L))).as("r"))
+      .select(col("r.*"))
+      .unionByName(orphans.select(
+        c("ref_integrity_custkey", col("n_orphans"), 0.0,
+          col("n_orphans") === 0L).as("r")).select(col("r.*")))
+  }
+
+  /** Pipeline-embedded metrics via `Dataset.observe`: the revenue
+    * pipeline (filter → project → write) carries an [[Observation]]
+    * whose aggregates are computed BY the write job itself — rows
+    * observed, revenue total, null-discount count all materialize with
+    * zero extra scans or shuffles, exactly how a production job reports
+    * row-level health without a second pass over 100 TB. The observed
+    * map then becomes the one-row result (`createDataFrame` of metrics
+    * already on the driver — not a collect of data rows).
+    *
+    * The observed aggregates are deterministic (sums over a decimal
+    * column and exact counts), so the row hash-matches a DuckDB oracle
+    * computing the same aggregates directly.
+    */
+  def observedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Observation()
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,4)").as("rev"),
+        col("l_discount"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("null_disc"))
+      .write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    val row = Row(m("n_rows").asInstanceOf[Long],
+      m("revenue").asInstanceOf[Double],
+      m("null_disc").asInstanceOf[Long])
+    spark.createDataFrame(
+      java.util.Arrays.asList(row),
+      StructType(Seq(
+        StructField("n_rows", LongType, nullable = false),
+        StructField("revenue", DoubleType, nullable = false),
+        StructField("null_disc", LongType, nullable = false))))
+  }
+}
