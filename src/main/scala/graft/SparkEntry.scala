@@ -42,6 +42,7 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Relational.unpivotOrderMetrics(s, d)),
     "q_hll_merge" -> ((s, d) => Relational.hllMergedDistinct(s, d)),
     "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
+    "q_kll_quantiles" -> ((s, d) => Relational.kllQuantileRollup(s, d)),
     "q_percentiles" -> (Relational.percentiles(_, _)),
     "q_percentiles_dist" -> ((s, d) => Relational.distributedPercentiles(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),

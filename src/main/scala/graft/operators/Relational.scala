@@ -1172,4 +1172,32 @@ object Relational {
       .select(lit("either").as("scope"), ThetaSketch.estimate(col("sk")).as("est_users"))
     perScope.unionByName(both).unionByName(either)
   }
+
+  /** Mergeable quantile rollup on KLL sketches — the rank-query member
+    * of the sketch-algebra family (theta = distinct sets, Misra-Gries =
+    * frequency, KLL = quantiles). One scan builds a bounded ~3 KiB
+    * sketch per event_type; the global p50/p90/p99 then comes from
+    * MERGING those per-group sketch bytes, never re-touching raw values
+    * — the persistable-state pattern that answers "p99 over any union
+    * of segments/days" at 100 TB from stored kilobytes. Estimates
+    * carry KLL's randomized-compaction nondeterminism, so correctness
+    * is the rows-only tier + `KllPropertiesSpec` (rank-error bound,
+    * merge-vs-direct consistency, serialization round-trip).
+    */
+  def kllQuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllQuantiles
+    val perType = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(KllQuantiles.agg(col("value")).as("sk"))
+    def qs(scope: org.apache.spark.sql.Column, sk: org.apache.spark.sql.Column) = Seq(
+      scope.as("scope"),
+      KllQuantiles.quantile(sk, 0.5).as("p50"),
+      KllQuantiles.quantile(sk, 0.9).as("p90"),
+      KllQuantiles.quantile(sk, 0.99).as("p99"))
+    val perScope = perType.select(qs(col("event_type"), col("sk")): _*)
+    val global = perType.agg(KllQuantiles.mergeAgg(col("sk")).as("sk"))
+      .select(qs(lit("all"), col("sk")): _*)
+    perScope.unionByName(global)
+  }
 }
