@@ -211,6 +211,24 @@ object ScaleBench {
     // scan (micro-batch machinery is the constant term)
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streaming.tumblingCounts(s, d)),
     "q_stream_stateful" -> ((s, d) => graft.streaming.Streaming.statefulUserTotals(s, d)),
+    // round-8 verbs: the native as-of join (key exchanges + one merge
+    // pass; replicas add users so partitions multiply, per-key state
+    // stays O(1)); graph analytics over the replicated fact tables
+    // (triangles: factor× more orders over the same part catalog —
+    // the distinct+self-join front grows with data, the oriented graph
+    // densifies; pagerank: the scan grows, the type-level graph stays
+    // constant — measures the aggregation front); the deterministic
+    // epoch permutation (one bucketed window sort over factor× docs);
+    // the quantile-core decile table; and the bounded-state sketch
+    // passes (theta distinct algebra, KLL quantile rollup) which
+    // should ride the scan near-linearly
+    "q_asof_native" -> ((s, d) => Relational.purchaseAfterSignupNative(s, d)),
+    "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
+    "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
+    "q_decile_stats" -> ((s, d) => Relational.decileStats(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
+    "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
+    "q_kll_quantiles" -> ((s, d) => Relational.kllQuantileRollup(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments
