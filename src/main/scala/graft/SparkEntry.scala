@@ -39,6 +39,7 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeLineitem(_, _)),
     "q_grouping_sets" -> (Relational.groupingSets(_, _)),
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
+    "q_sql_pivot" -> ((s, d) => Relational.sqlPivotRevenue(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotOrderMetrics(s, d)),
     "q_hll_merge" -> ((s, d) => Relational.hllMergedDistinct(s, d)),
     "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
+    "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
@@ -180,6 +182,7 @@ object SparkEntry {
     "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
     "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
+    "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
@@ -356,6 +359,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p3,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS p4,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the parser-path pivot computes the same table — one shared oracle shape
+    "q_sql_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2,
@@ -1287,6 +1299,32 @@ object SparkEntry {
         |    CAST(0.25 AS DOUBLE) * o.value + CAST(0.75 AS DOUBLE) * r.ewma
         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, event_id, value, ewma FROM r""".stripMargin,
+    // the same sweep-line on the same micro-epoch integers (DuckDB's
+    // parquet reader keeps µs for TIMESTAMP(NANOS)) — the running-max/
+    // cumulative-open-count island construction is dialect-portable
+    // window SQL, so the merge structure matches exactly
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN MAX(e) OVER prevw IS NULL OR s > MAX(e) OVER prevw
+        |      THEN 1 ELSE 0 END AS open
+        |  FROM iv
+        |  WINDOW prevw AS (PARTITION BY user_id ORDER BY s
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (
+        |  SELECT user_id, s, e,
+        |    SUM(open) OVER (PARTITION BY user_id ORDER BY s
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(i_e - i_s) AS DOUBLE) / 1000000 AS covered_seconds
+        |FROM g GROUP BY user_id""".stripMargin,
     "q_pagerank" -> {
       // the same 20 power iterations the Spark loop runs, unrolled as
       // CTEs (recursive terms can't aggregate); arithmetic mirrored

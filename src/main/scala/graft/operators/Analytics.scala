@@ -329,4 +329,42 @@ object Analytics {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Interval union by sweep-line: each event opens a `windowMinutes`
+    * activity interval; per user, overlapping intervals MERGE and the
+    * result is the number of merged islands and total covered seconds —
+    * the "time actually active" verb (device uptime, ad exposure,
+    * incident duration all reduce to it).
+    *
+    * The scalable formulation is the running-maximum sweep, not a
+    * self-join: intervals sort per user, an island starts exactly where
+    * a start exceeds the running max of previous ends, and the island id
+    * is the running sum of those starts. One user-keyed exchange + sort
+    * (both windows and the aggregate share it), state O(1) per row —
+    * where the naive overlap SELF-JOIN explodes quadratically on dense
+    * users and cannot merge transitive chains without iteration.
+    * Arithmetic stays on integer MICRO-epoch longs (raw nanos DIV 1000
+    * — µs is the finest resolution DuckDB's parquet reader preserves
+    * for TIMESTAMP(NANOS), so the oracle's `epoch_us` sees the same
+    * integers), making every comparison and sum exact on both engines.
+    */
+  def intervalUnion(spark: SparkSession, dir: String, windowMinutes: Int = 15): DataFrame = {
+    val us = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.raw(spark, dir, "events")
+      .select(col("user_id"),
+        expr("ts DIV 1000").as("s"), // integer div — nanos exceed double precision
+        (expr("ts DIV 1000") + us).as("e"))
+      .withColumn("open", when(col("s") > max(col("e")).over(prev), 1)
+        .otherwise(when(max(col("e")).over(prev).isNull, 1).otherwise(0)))
+      .withColumn("island", sum(col("open")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        (sum(col("ie") - col("is")) / lit(1000000L)).as("covered_seconds"))
+  }
 }

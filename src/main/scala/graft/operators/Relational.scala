@@ -886,6 +886,28 @@ object Relational {
         |WHERE rn <= 3""".stripMargin)
   }
 
+  /** PIVOT through the SQL parser — the relational reshape verb on the
+    * SQL-text path ([[pivotRevenue]] covers the DataFrame route with the
+    * same semantics and shares its oracle's CASE/FILTER formulation).
+    * Spark's SQL PIVOT clause plans the identical two-phase aggregate as
+    * `RelationalGroupedDataset.pivot` with explicit values: one
+    * map-side-combined pass computing every (group, pivot-value) cell —
+    * never one scan per output column.
+    */
+  def sqlPivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM graft_orders)
+        |PIVOT (
+        |  CAST(SUM(price) AS DOUBLE)
+        |  FOR o_orderpriority IN (
+        |    '1-URGENT' AS p1, '2-HIGH' AS p2, '3-MEDIUM' AS p3,
+        |    '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5))""".stripMargin)
+  }
+
   /** Custom Catalyst expressions through the SQL TEXT surface: the
     * native `standardize_race_id` and `dot_product` expressions resolve
     * by name inside `spark.sql` — the last leg of the custom-function

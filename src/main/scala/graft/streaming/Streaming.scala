@@ -362,6 +362,66 @@ object Streaming {
       .drop("total_cents")
   }
 
+  /** Streaming quantile monitor for [[streamKllQuantiles]]: per
+    * event_type, the state is the KLL sketch's own serialized BYTES —
+    * the mergeable-summaries pattern carried into streaming state. Each
+    * micro-batch folds its values into the deserialized sketch and
+    * emits refreshed (n, p50, p90, p99); state size stays ~3 KiB per
+    * key forever, the property that makes an unbounded percentile
+    * dashboard feasible (exact quantile state would grow with the
+    * stream). Estimates inherit KLL's randomized compaction →
+    * rows-only correctness tier + `StreamingSpec`'s exact-n and
+    * rank-error pins against the batch computation.
+    */
+  private class KllProcessor
+    extends StatefulProcessor[String, (String, Double), (String, Long, Double, Double, Double)] {
+    @transient private var sk: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]](
+        "kll", org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(
+        eventType: String,
+        rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[(String, Long, Double, Double, Double)] = {
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE
+      val s = if (sk.exists())
+        KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(sk.get()))
+      else KllDoublesSketch.newHeapInstance(200)
+      rows.foreach(r => s.update(r._2))
+      sk.update(s.toByteArray)
+      if (s.isEmpty) Iterator.empty
+      else Iterator.single((eventType, s.getN,
+        s.getQuantile(0.5, INCLUSIVE), s.getQuantile(0.9, INCLUSIVE),
+        s.getQuantile(0.99, INCLUSIVE)))
+    }
+  }
+
+  /** Streaming percentile dashboard: per-event-type running
+    * p50/p90/p99 via `transformWithState` with KLL sketch bytes as the
+    * state variable (see [[KllProcessor]]). Update-mode sink; the final
+    * snapshot per type (max-n row) is the answer at end of replay.
+    */
+  def streamKllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val replay = replaySession(spark)
+    replay.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = eventsStream(replay, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    val updated = src
+      .groupByKey(_._1)
+      .transformWithState(new KllProcessor, TimeMode.None(), OutputMode.Update())
+    runToTable(updated.toDF("event_type", "n", "p50", "p90", "p99"), OutputMode.Update())
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_values"),
+        max_by(col("p50"), col("n")).as("p50"),
+        max_by(col("p90"), col("n")).as("p90"),
+        max_by(col("p99"), col("n")).as("p99"))
+  }
+
   /** Custom sessionization via `flatMapGroupsWithState` — the API for
     * session logic `session_window` can't express (per-session emit of
     * arbitrary shape, explicit open-session state). State per user is

@@ -131,6 +131,24 @@ class EdgeFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("interval union: transitive chains merge into one island; gaps split") {
+    val got = Analytics.intervalUnion(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 3: four events 1 ns apart — a transitive overlap CHAIN that
+    // must merge into ONE island (the shape a pairwise overlap join
+    // cannot close without iteration); covered = 15 min + 3 ns
+    assert(got(3L)._1 == 1L, s"chain not merged: ${got(3L)}")
+    assert(math.abs(got(3L)._2 - 900.0) < 1e-6)
+    // user 1: t0/t0+10ns overlap; t0+2h and t0+3h are separate islands
+    // (15-min windows close long before the next hour arrives)
+    assert(got(1L)._1 == 3L, s"expected 3 islands: ${got(1L)}")
+    assert(math.abs(got(1L)._2 - 2700.0) < 1e-6)
+    // singleton users: one island of exactly the window length
+    Seq(2L, 4L, 5L, 6L, 7L).foreach { u =>
+      assert(got(u) == ((1L, 900.0)), s"user $u: ${got(u)}")
+    }
+  }
+
   test("mad outliers: constant class (MAD = 0) yields no rows and no error") {
     val byType = Relational.madOutlierEvents(spark, dir).collect()
       .groupBy(_.getString(1)).view.mapValues(_.length).toMap

@@ -107,6 +107,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= p.count())
   }
 
+  test("streaming KLL state: exact n per type, quantiles inside the rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val out = Streaming.streamKllQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val batch = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == batch.keySet)
+    // n rides the sketch exactly; estimates are rank-bounded (k=200 →
+    // ~1.65% rank error ≈ value tolerance via the local density — use a
+    // generous absolute-rank check through the exact quantile pair)
+    out.foreach { case (tpe, (n, p50, p90, _)) =>
+      val (bn, b50, b90) = batch(tpe)
+      assert(n == bn, s"n mismatch for $tpe")
+      // a 3%-rank band around the exact p50/p90: estimate must fall
+      // between the exact p47/p53 (resp. p87/p93) quantiles
+      val band = graft.sources.Tables(spark, sf, "events")
+        .filter(col("value").isNotNull && col("event_type") === tpe)
+        .agg(expr("percentile_cont(0.47) WITHIN GROUP (ORDER BY value)"),
+          expr("percentile_cont(0.53) WITHIN GROUP (ORDER BY value)"),
+          expr("percentile_cont(0.87) WITHIN GROUP (ORDER BY value)"),
+          expr("percentile_cont(0.93) WITHIN GROUP (ORDER BY value)"))
+        .collect()(0)
+      assert(p50 >= band.getDouble(0) && p50 <= band.getDouble(1),
+        s"$tpe p50 $p50 outside rank band [${band.getDouble(0)}, ${band.getDouble(1)}] (exact $b50)")
+      assert(p90 >= band.getDouble(2) && p90 <= band.getDouble(3),
+        s"$tpe p90 $p90 outside rank band [${band.getDouble(2)}, ${band.getDouble(3)}] (exact $b90)")
+    }
+  }
+
   test("stream-static join is stateless: no symmetric hash join, no watermark needed") {
     import org.apache.spark.sql.functions._
     val got = Streaming.staticEnrichedSegments(spark, sf).collect()
