@@ -130,8 +130,8 @@ object ScaleBench {
     // events: replica users are NEW users (user_id offset), so per-user
     // session/funnel structure inside each replica matches the original
     // exactly while total user count — and with it the window/shuffle
-    // fan-out — grows with the factor (ts stays raw nanos; Tables
-    // converts at read)
+    // fan-out — grows with the factor (ts passes through in its storage
+    // type; Tables normalizes at read)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val evSpan = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
     val userSpan = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1

@@ -27,8 +27,9 @@ object Streaming {
   private def rawSchema(spark: SparkSession, dir: String): StructType =
     Tables.raw(spark, dir, "events").schema
 
-  /** File-stream replay of the events table; ts arrives as long nanos
-    * (see Tables.raw) and is converted to TIMESTAMP_NTZ before windowing.
+  /** File-stream replay of the events table; ts arrives as stored (long
+    * nanos or native timestamp, see Tables) and is normalized to
+    * TIMESTAMP_NTZ before windowing.
     *
     * The source path is `$dir/events.parquet` itself (the file source
     * accepts globs): testdata ships the table as a single FILE, while
@@ -45,7 +46,7 @@ object Streaming {
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr(Tables.tsFromNanosExpr))
+      .withColumn("ts", expr(Tables.tsNtzSql(rawSchema(spark, dir))))
 
   /** State-store partition count for the bounded replays. A streaming
     * query pays per-partition state-store setup every micro-batch; 8 is
@@ -556,13 +557,19 @@ object Streaming {
       rm(root)
     }
     val raw = Tables.raw(spark, dir, "events")
-    val maxTsNanos = raw.agg(max(col("ts"))).head.getLong(0)
-    val sentinelTs = maxTsNanos + 10L * 24 * 3600 * 1000000000L // +10 days
+    // max event time as exact micro-epoch, whatever the storage layout
+    val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
+      .agg(max(col("us"))).head.getLong(0)
+    val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L // +10 days
+    // sentinel ts in the STORAGE domain so unionByName keeps the schema
+    val sentinelTsCol =
+      if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
+      else timestamp_micros(lit(sentinelMicros))
     val sentinels = Seq("purchase", "signup").map { tpe =>
       raw.sparkSession.range(1).select(raw.schema.fields.map { f =>
         (f.name match {
           case "event_id" | "user_id" => lit(-1L)
-          case "ts" => lit(sentinelTs)
+          case "ts" => sentinelTsCol
           case "event_type" => lit(tpe)
           case _ => lit(null)
         }).cast(f.dataType).as(f.name)
@@ -576,7 +583,7 @@ object Streaming {
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(staged.getAbsolutePath)
-        .withColumn("ts", expr(Tables.tsFromNanosExpr))
+        .withColumn("ts", expr(Tables.tsNtzSql(raw.schema)))
         .filter(col("event_type") === tpe) // sentinel passes: it carries this type
         .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
           col("ts").cast("timestamp").as(s"${prefix}_ts"))
@@ -616,11 +623,12 @@ object Streaming {
       raw.filter(pmod(col("event_id"), lit(3)) === i)
         .write.mode("overwrite").parquet(new java.io.File(staged, s"part$i").getAbsolutePath)
     }
-    // the table keeps the raw-nanos ordering column (__ts) so rows
-    // re-enter later merges with their original revision order
+    // the table keeps the raw ordering column (__ts, whatever the storage
+    // type — ordering is identical) so rows re-enter later merges with
+    // their original revision order
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc) // ts = raw nanos long
+        .orderBy(col("ts").desc, col("event_id").desc)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("value").as("last_value"), col("ts").as("__ts"))
