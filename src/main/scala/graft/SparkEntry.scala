@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, Dedup, Multimodal, Quality, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Geo, Multimodal, Quality, Relational, Similarity, Skew, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -149,6 +149,16 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
+    "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
+    "q_khop" -> ((s, d) => Analytics.khopDistances(s, d)),
+    "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
+    // --- statistics tier --------------------------------------------------
+    "q_spearman" -> (Stats.spearmanQuantityPrice(_, _)),
+    "q_ab_test" -> (Stats.welchTTest(_, _)),
+    "q_histogram" -> ((s, d) => Stats.priceHistogram(s, d)),
+    "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
+    // --- spatial ----------------------------------------------------------
+    "q_geo_join" -> ((s, d) => Geo.customersNearSuppliers(s, d)),
     // --- multimodal ------------------------------------------------------
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
@@ -1287,6 +1297,165 @@ object SparkEntry {
         |nodes AS (SELECT x AS part FROM tri
         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part""".stripMargin,
+    // Apriori pruning on both sides (items filtered before the pair
+    // join) — metric arithmetic mirrored integer→double division
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |items AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY pk HAVING COUNT(*) >= 3),
+        |pairs AS (
+        |  SELECT x.pk AS a, y.pk AS b, ix.n_item AS n_a, iy.n_item AS n_b,
+        |    COUNT(*) AS n_ab
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  JOIN items ix ON ix.pk = x.pk JOIN items iy ON iy.pk = y.pk
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3)
+        |SELECT a, b, n_a, n_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_a, 6) AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) / n_b, 6) AS conf_b_a,
+        |  round(CAST(n_ab AS DOUBLE) * n.n_orders / (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
+        |FROM pairs CROSS JOIN n""".stripMargin,
+    // BFS unrolled: round i settles distance i, exactly the Spark loop
+    "q_khop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""d$i AS (SELECT part, MIN(dist) AS dist FROM (
+           |  SELECT part, dist FROM d${i - 1}
+           |  UNION ALL SELECT e.dst, d${i - 1}.dist + 1
+           |  FROM d${i - 1} JOIN e ON d${i - 1}.part = e.src) GROUP BY part)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |und AS (SELECT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+         |d0 AS (SELECT (SELECT MIN(src) FROM e) AS part, 0 AS dist),
+         |$rounds
+         |SELECT part, dist FROM d3""".stripMargin
+    },
+    // one verb, two plans: Spark reaches open/close via min_by/max_by on
+    // a (ts, event_id) struct key (O(1) state per bar); the oracle via
+    // ROW_NUMBER — identical rows because (ts, event_id) is unique
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+        |    CAST(FLOOR(minute(ts) / 15) * 15 AS INTEGER) AS bar_minute,
+        |    ts, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bar_hour, bar_minute
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bar_hour, bar_minute
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bar_hour, bar_minute,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // mid-rank identity: Spark's histogram rank 2·below+cnt+1 ==
+    // 2·RANK()+COUNT(per value)−1; sums exact integer, rho mirrored double
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    2*RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+        |    2*RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |s AS (SELECT g, COUNT(*) AS n,
+        |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    SUM(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS spearman_rho
+        |FROM s""".stripMargin,
+    // Welch from exact decimal (n, Σv, Σv²); every derived double mirrors
+    // the Spark expression shape node for node
+    "q_ab_test" ->
+      """WITH a AS (
+        |  SELECT (user_id % 2 = 0) AS arm_a, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |w AS (SELECT
+        |    (SELECT n FROM a WHERE arm_a) AS n_a,
+        |    (SELECT s FROM a WHERE arm_a) AS s_a,
+        |    (SELECT ss FROM a WHERE arm_a) AS ss_a,
+        |    (SELECT n FROM a WHERE NOT arm_a) AS n_b,
+        |    (SELECT s FROM a WHERE NOT arm_a) AS s_b,
+        |    (SELECT ss FROM a WHERE NOT arm_a) AS ss_b),
+        |m AS (SELECT n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / n_a AS m_a, CAST(s_b AS DOUBLE) / n_b AS m_b,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) AS v_a,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) AS v_b
+        |  FROM w)
+        |SELECT n_a, n_b,
+        |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  round(v_a, 6) AS var_a, round(v_b, 6) AS var_b,
+        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+        |  round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) /
+        |    ((v_a / n_a) * (v_a / n_a) / (n_a - 1) + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 6) AS df
+        |FROM m""".stripMargin,
+    // bin arithmetic mirrored double-for-double (identical inputs →
+    // identical IEEE results → identical floor)
+    "q_histogram" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax FROM orders),
+        |h AS (SELECT
+        |    CAST(LEAST(FLOOR((o_totalprice - vmin) * 16 / (vmax - vmin)), 15) AS INTEGER) AS bin,
+        |    vmin, vmax
+        |  FROM orders CROSS JOIN b)
+        |SELECT bin,
+        |  round(vmin + bin * (vmax - vmin) / 16, 4) AS bin_lo,
+        |  round(vmin + (bin + 1) * (vmax - vmin) / 16, 4) AS bin_hi,
+        |  COUNT(*) AS n
+        |FROM h GROUP BY bin, vmin, vmax""".stripMargin,
+    // frame sums in exact decimal (associative — safe under either
+    // engine's window-sum evaluation order), Pearson mirrored double
+    "q_rolling_autocorr" ->
+      """WITH p0 AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(12,2)) AS x,
+        |    LAG(CAST(value AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT * FROM p0 WHERE y IS NOT NULL),
+        |f AS (SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER fw AS cnt,
+        |    SUM(x) OVER fw AS sx, SUM(y) OVER fw AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,4))) OVER fw AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,4))) OVER fw AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,4))) OVER fw AS syy
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |    fw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id,
+        |  round((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS autocorr
+        |FROM f WHERE rn >= 50""".stripMargin,
+    // oracle brute-forces the cross product (trivial at verify scale);
+    // the engine's grid equi-join must reproduce it exactly — integer
+    // coordinates from the shared md5 arithmetic, integer distances
+    "q_geo_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'cx'), 1, 8)) AS BIGINT) % 10000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'cy'), 1, 8)) AS BIGINT) % 10000 AS y
+        |  FROM customer),
+        |s AS (SELECT s_suppkey,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'sx'), 1, 8)) AS BIGINT) % 10000 AS sx,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'sy'), 1, 8)) AS BIGINT) % 10000 AS sy
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  (x - sx) * (x - sx) + (y - sy) * (y - sy) AS dist2
+        |FROM c CROSS JOIN s
+        |WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 160000""".stripMargin,
     "q_ewma" ->
       """WITH RECURSIVE o AS (
         |  SELECT user_id, event_id, value,

@@ -330,6 +330,106 @@ object Analytics {
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Market-basket association rules over the co-order part graph:
+    * support, confidence (both directions), and lift for every part pair
+    * co-ordered in ≥ `minPairSupport` orders. The recommendation /
+    * affinity verb on the same baskets [[triangleCounts]] mines — this
+    * one keeps the RULE METRICS rather than the topology.
+    *
+    * Scale shape is textbook Apriori monotonicity: items below
+    * `minItemSupport` are pruned BEFORE the pair join (a pair can never
+    * out-support its rarest item), so the orderkey-equi self-join fans
+    * out only over surviving items; pair generation is bounded by
+    * (pruned) basket width, never |parts|². The metric arithmetic is
+    * integer counts → mirrored double division, exact on both engines.
+    */
+  def associationRules(spark: SparkSession, dir: String,
+      minItemSupport: Int = 3, minPairSupport: Int = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = Tables(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val frequent = li.join(items, Seq("pk"))
+    val pairs = frequent.as("x").join(frequent.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"),
+        col("x.n_item").as("n_a"), col("y.n_item").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
+    pairs.crossJoin(broadcast(nOrders)).select(
+      col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+      round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+      round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+      round(col("n_ab").cast("double") * col("n_orders") /
+        (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  /** BFS shortest-path distances (≤ `maxHops`) from the lowest-id node
+    * of the co-order part graph — the k-hop neighborhood verb that
+    * completes the graph tier (components = connectivity, triangles =
+    * density, PageRank = centrality, BFS = reachability radius).
+    *
+    * Each round is one frontier ⋈ edges equi-join + a min-aggregate —
+    * the per-round-shuffle label-propagation shape the dup-cluster code
+    * established, with `localCheckpoint` truncating lineage per round.
+    * Distances only ever shrink, so round i settles every node at
+    * distance i: `maxHops` rounds, `maxHops` shuffles, nothing
+    * quadratic. Edges materialize once (support ≥ 2 keeps them
+    * arboricity-bounded like the triangle graph).
+    */
+  def khopDistances(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val undirected = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+    val edges = undirected.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(undirected.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val source = edges.agg(min(col("src")).as("s")).head.getLong(0)
+    var dist = spark.range(1).select(lit(source).as("part"), lit(0).as("dist"))
+      .localCheckpoint()
+    (1 to maxHops).foreach { i =>
+      val next = dist.join(edges, col("part") === col("src"))
+        .select(col("dst").as("part"), lit(i).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("part")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** OHLC bar resampling: per (event type, 15-minute bucket) — open and
+    * close by (ts, event_id) order, high/low/volume/count — the
+    * time-series downsampling verb behind every candlestick/telemetry
+    * rollup. `min_by`/`max_by` over a (ts, event_id) STRUCT key keep
+    * open/close in the same ONE map-side-combined aggregate as
+    * high/low (O(1) state per bar, no per-bar sort, no window) — at
+    * 100 TB each bar folds locally and merges, the same two-level
+    * reduce as any hash aggregate. The oracle reaches the identical
+    * rows through ROW_NUMBER windows — one verb, two plans, both
+    * pinned to the same result.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bar_hour"),
+        (floor(minute(col("ts")) / 15) * 15).cast("int").as("bar_minute"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("volume"))
+  }
+
   /** Interval union by sweep-line: each event opens a `windowMinutes`
     * activity interval; per user, overlapping intervals MERGE and the
     * result is the number of merged islands and total covered seconds —
@@ -343,10 +443,10 @@ object Analytics {
     * (both windows and the aggregate share it), state O(1) per row —
     * where the naive overlap SELF-JOIN explodes quadratically on dense
     * users and cannot merge transitive chains without iteration.
-    * Arithmetic stays on integer MICRO-epoch longs (raw nanos DIV 1000
-    * — µs is the finest resolution DuckDB's parquet reader preserves
-    * for TIMESTAMP(NANOS), so the oracle's `epoch_us` sees the same
-    * integers), making every comparison and sum exact on both engines.
+    * Arithmetic stays on integer MICRO-epoch longs (Tables.tsMicrosSql —
+    * µs is the finest resolution both engines' parquet readers preserve,
+    * so the oracle's `epoch_us` sees the same integers), making every
+    * comparison and sum exact on both engines.
     */
   def intervalUnion(spark: SparkSession, dir: String, windowMinutes: Int = 15): DataFrame = {
     val us = windowMinutes * 60L * 1000000L
@@ -354,10 +454,12 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = Window.partitionBy(col("user_id")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.raw(spark, dir, "events")
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    raw
       .select(col("user_id"),
-        expr("ts DIV 1000").as("s"), // integer div — nanos exceed double precision
-        (expr("ts DIV 1000") + us).as("e"))
+        micros.as("s"),
+        (micros + us).as("e"))
       .withColumn("open", when(col("s") > max(col("e")).over(prev), 1)
         .otherwise(when(max(col("e")).over(prev).isNull, 1).otherwise(0)))
       .withColumn("island", sum(col("open")).over(w))

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Statistical verbs over the star schema (SURVEY §2B extension): rank
+  * correlation, two-sample testing, equi-width histograms, and rolling
+  * autocorrelation — the screening statistics an analytics/curation
+  * pipeline computes before and after every transformation.
+  *
+  * Exactness contract shared by every operator here: all SUMS run in
+  * DECIMAL/integer domains (order-independent, exact on both engines) and
+  * only the final scalar arithmetic — ratios, square roots — happens in
+  * doubles, mirrored expression-for-expression in the oracle SQL, so
+  * identical exact inputs produce identical IEEE outputs.
+  */
+object Stats {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Spearman rank correlation between `l_quantity` and `l_extendedprice`
+    * per `l_returnflag` — the tie-robust, outlier-robust dependence
+    * screen (Pearson on mid-ranks).
+    *
+    * The scale story is the RANKING, not the correlation: mid-ranks come
+    * from the per-(group, value) HISTOGRAM — `2·below(v) + cnt(v) + 1`
+    * (doubled to stay integer-exact through ties) — and `below(v)` is a
+    * TWO-PHASE prefix sum over the histogram: value-range slices from a
+    * broadcast min/max, per-slice subtotals prefix-summed on the tiny
+    * |slices × groups| relation, then a running sum only WITHIN each
+    * slice. No global-sort rank window ever touches the full relation
+    * (the one-reducer-per-group shape q_percentiles_dist already
+    * retired); ranks join back on (group, value) — histogram-sized, not
+    * row-sized, exchanges. The rho arithmetic runs on exact decimal sums
+    * of integer rank products; only the final ratio/sqrt is double.
+    */
+  def spearmanQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "lineitem").select(
+      col("l_returnflag").as("g"), col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+
+    def rank2(valueCol: String): DataFrame = {
+      val slices = 32
+      val hist = src.groupBy(col("g"), col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      val bounds = hist.groupBy(col("g"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      // slice id is internal to THIS side only (the oracle ranks by
+      // window) — it shapes the distribution, never the result, so the
+      // double arithmetic here needs no cross-engine mirror
+      val withPid = hist.join(broadcast(bounds), Seq("g"))
+        .withColumn("pid",
+          when(col("vmax") === col("vmin"), lit(0)).otherwise(
+            least(floor((col("v") - col("vmin")) * slices / (col("vmax") - col("vmin"))),
+              lit(slices - 1))).cast("int"))
+      val bases = withPid.groupBy(col("g"), col("pid")).agg(sum(col("c")).as("sc"))
+        .withColumn("base", coalesce(sum(col("sc")).over(
+          Window.partitionBy(col("g")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("g"), col("pid"), col("base"))
+      withPid.join(broadcast(bases), Seq("g", "pid"))
+        .withColumn("below", col("base") + coalesce(sum(col("c")).over(
+          Window.partitionBy(col("g"), col("pid")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("g"), col("v"), (lit(2L) * col("below") + col("c") + 1L).as("r2"))
+    }
+
+    // scale-0 decimal products/sums stay EXACT (no fractional digits to
+    // shave when precision caps); each exact sum converts to double ONCE
+    // and the rho arithmetic is mirrored double ops — identical on both
+    // engines because every input double is identical
+    val big = DecimalType(38, 0)
+    val ranked = src
+      .join(rank2("x").withColumnRenamed("v", "x").withColumnRenamed("r2", "rx"), Seq("g", "x"))
+      .join(rank2("y").withColumnRenamed("v", "y").withColumnRenamed("r2", "ry"), Seq("g", "y"))
+    val sums = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(big)).as("sx"),
+      sum(col("ry").cast(big)).as("sy"),
+      sum(col("rx").cast(big) * col("ry").cast(big)).as("sxy"),
+      sum(col("rx").cast(big) * col("rx").cast(big)).as("sxx"),
+      sum(col("ry").cast(big) * col("ry").cast(big)).as("syy"))
+    def d(c: Column): Column = c.cast("double")
+    sums.select(
+      col("g").as("l_returnflag"), col("n"),
+      round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("spearman_rho"))
+  }
+
+  /** Welch's two-sample t-test over the event log: arm A = even
+    * `user_id`, arm B = odd (the deterministic assignment an A/B system
+    * would persist), comparing mean `value`. One map-side-combined
+    * aggregate computes both arms' exact decimal (n, Σv, Σv²) in a
+    * single scan; means, variances, the t statistic, and the
+    * Welch–Satterthwaite degrees of freedom derive from those six exact
+    * numbers in mirrored double arithmetic. The 100 TB shape is the
+    * scan itself — everything after the aggregate is O(1).
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val arm = (pmod(col("user_id"), lit(2)) === 0).as("arm_a")
+    val agg = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(arm, col("value"))
+      .groupBy(col("arm_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s"),
+        sum((dec(col("value")) * dec(col("value"))).cast(sq)).as("ss"))
+    def side(a: Boolean, p: String) = agg.filter(col("arm_a") === a)
+      .select(col("n").as(s"n_$p"), col("s").as(s"s_$p"), col("ss").as(s"ss_$p"))
+    val wide = side(a = true, "a").crossJoin(side(a = false, "b"))
+    // mean/var/t/df in doubles FROM the exact sums — expression shapes
+    // mirrored in the oracle so both engines round identically
+    def mean(p: String) = col(s"s_$p").cast("double") / col(s"n_$p")
+    def variance(p: String) =
+      (col(s"ss_$p").cast("double") - col(s"s_$p").cast("double") *
+        col(s"s_$p").cast("double") / col(s"n_$p")) / (col(s"n_$p") - 1)
+    val va = variance("a") / col("n_a")
+    val vb = variance("b") / col("n_b")
+    wide.select(
+      col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+      round(variance("a"), 6).as("var_a"), round(variance("b"), 6).as("var_b"),
+      round((mean("a") - mean("b")) / sqrt(va + vb), 6).as("t_stat"),
+      round((va + vb) * (va + vb) /
+        (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)), 6).as("df"))
+  }
+
+  /** Equi-width histogram of `o_totalprice` in 16 bins — the
+    * distribution snapshot complement of the equi-depth
+    * [[Relational.decileStats]]: bin edges come from one broadcast
+    * min/max row (two narrow passes total), the bin index is a pure
+    * projection, and the counts are one map-side-combined aggregate
+    * whose output is |bins|. The bin arithmetic is double but mirrored
+    * exactly in the oracle: identical inputs → identical IEEE results →
+    * identical floor.
+    */
+  def priceHistogram(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val bounds = orders.agg(
+      min(col("o_totalprice")).as("vmin"), max(col("o_totalprice")).as("vmax"))
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - col("vmin")) * bins / (col("vmax") - col("vmin"))),
+          lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(col("vmin") + col("bin") * (col("vmax") - col("vmin")) / bins, 4).as("bin_lo"),
+        round(col("vmin") + (col("bin") + 1) * (col("vmax") - col("vmin")) / bins, 4).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Rolling autocorrelation (lag 1, trailing 50 pairs) of `value` per
+    * event type — the drift/regime-change monitor over telemetry. Pairs
+    * come from one `lag` on the (type-keyed, time-sorted) stream; the
+    * rolling Pearson then needs six FRAME SUMS, all in exact decimal
+    * (a frame sum of doubles would depend on each engine's summation
+    * order — segment trees vs running accumulation — where decimal
+    * addition is associative and exact), sharing the pair window's one
+    * exchange+sort. Rows before the frame fills are suppressed: a
+    * 2-row correlation is noise, and the full-frame contract makes the
+    * output independent of how early rows would pad.
+    */
+  def rollingAutocorr(spark: SparkSession, dir: String, frame: Int = 50): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"), dec(col("value")).as("x"))
+      .withColumn("y", lag(col("x"), 1).over(ord))
+      .filter(col("y").isNotNull)
+    val f = Window.partitionBy(col("event_type")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val withSums = pairs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cnt", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sxy", sum((col("x") * col("y")).cast(sq)).over(f))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(sq)).over(f))
+      .withColumn("syy", sum((col("y") * col("y")).cast(sq)).over(f))
+      .filter(col("rn") >= frame)
+    // each exact decimal frame sum → double once, then mirrored double
+    // arithmetic (a decimal product of the wide sums would hit the two
+    // engines' different precision-cap rules; doubles are identical)
+    def d(c: Column): Column = c.cast("double")
+    withSums.select(col("event_type"), col("event_id"),
+      round((d(col("cnt")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(d(col("cnt")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(d(col("cnt")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("autocorr"))
+  }
+}

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Geo, Stats}
+
+/** Semantics pins for the statistics / basket / spatial tier (the DuckDB
+  * hash-match is the driver's gate; these pin the invariants and the
+  * differential identities the SQL can't state).
+  */
+class StatsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf0001
+
+  test("spearman: histogram ranks == rank-window formulation, rho in [-1,1]") {
+    // the distributed two-phase ranking must agree with the direct
+    // rank-window identity 2*RANK + cnt - 1 computed by Spark itself
+    val rows = Stats.spearmanQuantityPrice(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"rho out of range: $r"))
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    def r2(v: String) =
+      (lit(2L) * rank().over(Window.partitionBy(col("g")).orderBy(col(v))) +
+        count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - 1L)
+    val direct = li
+      .withColumn("rx", r2("x")).withColumn("ry", r2("y"))
+      .groupBy(col("g")).agg(
+        corr(col("rx").cast("double"), col("ry").cast("double")).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val expect = direct(r.getString(0))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-6,
+        s"histogram-rank rho != window-rank rho for ${r.getString(0)}: " +
+          s"${r.getDouble(2)} vs $expect")
+    }
+  }
+
+  test("welch t-test: matches a driver recompute from the raw values") {
+    val out = Stats.welchTTest(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2 == 0, BigDecimal(x.getDouble(1)).setScale(2)))
+    def stats(arm: Boolean): (Long, Double, Double) = {
+      val vs = vals.filter(_._1 == arm).map(_._2)
+      val n = vs.length.toLong
+      val s = vs.sum.toDouble
+      val ss = vs.map(v => (v * v).toDouble).sum
+      val m = s / n
+      val v = (ss - s * s / n) / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(arm = true)
+    val (nb, mb, vb) = stats(arm = false)
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(math.abs(r.getDouble(2) - ma) < 1e-4, "mean_a")
+    assert(math.abs(r.getDouble(4) - va) < 1e-3, "var_a")
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getDouble(6) - t) < 1e-3, s"t_stat: ${r.getDouble(6)} vs $t")
+    val sa = va / na; val sb = vb / nb
+    val df = (sa + sb) * (sa + sb) / (sa * sa / (na - 1) + sb * sb / (nb - 1))
+    assert(math.abs(r.getDouble(7) - df) < 1e-2, s"df: ${r.getDouble(7)} vs $df")
+  }
+
+  test("histogram: bins cover every row, edges tile [min, max]") {
+    val bins = Stats.priceHistogram(spark, sf).collect()
+    val orders = graft.sources.Tables(spark, sf, "orders")
+    assert(bins.map(_.getLong(3)).sum == orders.count(), "counts must cover all rows")
+    assert(bins.forall(b => b.getInt(0) >= 0 && b.getInt(0) < 16))
+    bins.sortBy(_.getInt(0)).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getInt(0) < b.getInt(0))
+        assert(math.abs(a.getDouble(2) - b.getDouble(1)) < 1e-3,
+          s"bin_hi(${a.getInt(0)}) must meet bin_lo(${b.getInt(0)})")
+      case _ =>
+    }
+    bins.foreach(b => assert(b.getDouble(1) < b.getDouble(2)))
+  }
+
+  test("rolling autocorr: only full frames emit, values in [-1,1]") {
+    val out = Stats.rollingAutocorr(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // emitted rows per type == max(0, pairs - 49): the full-frame contract
+    val pairsPerType = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type")).agg((count(lit(1)) - 1).as("pairs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    pairsPerType.foreach { case (tpe, pairs) =>
+      val expect = math.max(0L, pairs - 49)
+      assert(emitted.getOrElse(tpe, 0L) == expect,
+        s"$tpe: emitted ${emitted.getOrElse(tpe, 0L)}, expected $expect")
+    }
+  }
+
+  test("association rules: metrics consistent, apriori bounds hold") {
+    val rules = Analytics.associationRules(spark, sf).collect()
+    assert(rules.nonEmpty, "sf0.001 must yield at least one rule")
+    rules.foreach { r =>
+      val (a, b, na, nb, nab) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, "canonical pair order")
+      assert(nab <= na && nab <= nb, "pair support cannot exceed item support")
+      assert(nab >= 3 && na >= 3 && nb >= 3, "support thresholds")
+      assert(math.abs(r.getDouble(5) - nab.toDouble / na) < 1e-6, "conf_a_b")
+      assert(math.abs(r.getDouble(6) - nab.toDouble / nb) < 1e-6, "conf_b_a")
+    }
+    // brute-force differential on the small fixture
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemN = li.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairN = byOrder.values.flatMap { parts =>
+      val keep = parts.filter(itemN(_) >= 3).toSeq.sorted
+      for (i <- keep.indices; j <- (i + 1) until keep.length) yield (keep(i), keep(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expect = pairN.filter(_._2 >= 3)
+    assert(rules.length == expect.size,
+      s"rule count ${rules.length} != brute force ${expect.size}")
+    rules.foreach { r =>
+      assert(expect((r.getLong(0), r.getLong(1))) == r.getLong(4).toInt, s"support: $r")
+    }
+  }
+
+  test("khop: source at 0, every dist-i node adjacent to a dist-(i-1) node") {
+    val dists = Analytics.khopDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dists.nonEmpty)
+    assert(dists.values.min == 0 && dists.values.count(_ == 0) == 1, "exactly one source")
+    val src = dists.find(_._2 == 0).get._1
+    assert(src == dists.keys.min ||
+      dists.keysIterator.forall(_ >= src), "source is the lowest-id reached node")
+    // rebuild edges and check BFS optimality for every reported distance
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // reference BFS
+    var frontier = Set(src); val seen = collection.mutable.Map(src -> 0)
+    (1 to 3).foreach { i =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(seen.contains)
+      frontier.foreach(seen(_) = i)
+    }
+    assert(dists == seen.toMap, "distances must equal reference BFS")
+  }
+
+  test("ohlc: min_by/max_by bars equal the window formulation, volume exact") {
+    val bars = Analytics.ohlcBars(spark, sf)
+    val ev = graft.sources.Tables(spark, sf, "events").filter(col("value").isNotNull)
+      .withColumn("bar_hour", date_trunc("hour", col("ts")))
+      .withColumn("bar_minute", (floor(minute(col("ts")) / 15) * 15).cast("int"))
+    val w = Window.partitionBy(col("event_type"), col("bar_hour"), col("bar_minute"))
+    val direct = ev
+      .withColumn("rna", row_number().over(w.orderBy(col("ts").asc, col("event_id").asc)))
+      .withColumn("rnd", row_number().over(w.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("event_type"), col("bar_hour"), col("bar_minute"))
+      .agg(max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("volume"))
+    assert(bars.collect().toSet == direct.collect().toSet,
+      "aggregate bars must equal window bars")
+    bars.collect().foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(4) + 1e-9, "low <= high")
+    }
+  }
+
+  test("geo join: grid candidates equal the brute-force radius join") {
+    val grid = Geo.customersNearSuppliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cust = graft.sources.Tables(spark, sf, "customer")
+      .select(col("c_custkey"),
+        graft.functions.GraftFunctions.md5Bucket(concat(col("c_custkey").cast("string"), lit("cx"))).cast("long").as("x"),
+        graft.functions.GraftFunctions.md5Bucket(concat(col("c_custkey").cast("string"), lit("cy"))).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val supp = graft.sources.Tables(spark, sf, "supplier")
+      .select(col("s_suppkey"),
+        graft.functions.GraftFunctions.md5Bucket(concat(col("s_suppkey").cast("string"), lit("sx"))).cast("long").as("x"),
+        graft.functions.GraftFunctions.md5Bucket(concat(col("s_suppkey").cast("string"), lit("sy"))).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (c, cx, cy) <- cust; (s, sx, sy) <- supp
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= 160000L
+    } yield (c, s, d2)).toSet
+    assert(grid == brute, s"grid join ${grid.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must produce at least one pair")
+  }
+}
