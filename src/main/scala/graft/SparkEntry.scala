@@ -71,6 +71,7 @@ object SparkEntry {
     "q_range_join" -> (Relational.shippedWithin60Days(_, _)),
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
+    "q_sql_multijoin" -> (Relational.sqlMarketShare(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
     "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
+    "q_stream_chained" -> (Streaming.chainedWindowCounts(_, _)),
     "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
@@ -531,6 +533,22 @@ object SparkEntry {
          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    // six-table parser-path join (TPC-H Q8 market-share shape); share
+    // arithmetic mirrored (exact decimal sums, one double division)
+    "q_sql_multijoin" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  round(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN $discPriceSql
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+         |    CAST(SUM($discPriceSql) AS DOUBLE), 6) AS asia_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE p_type = 'STANDARD'
+         |GROUP BY year(o_orderdate)""".stripMargin,
     // Correlated EXISTS (TPC-H Q4 shape) — both engines decorrelate to a
     // semi join; the result is what the compare checks.
     "q_sql_exists" ->
@@ -1674,6 +1692,12 @@ object SparkEntry {
         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM o)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    // chained 5-min → 15-min aggregation: the sentinel flushes both
+    // levels, so the append output equals the batch 15-min counts (the
+    // grids are epoch-aligned and 5 | 15)
+    "q_stream_chained" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     // Single-data-batch replay: within-watermark dedup sees every copy of

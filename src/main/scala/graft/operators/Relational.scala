@@ -793,6 +793,44 @@ object Relational {
         |LIMIT 10""".stripMargin)
   }
 
+  /** Six-table join through the SQL parser (TPC-H Q8's market-share
+    * shape): per order year, total discounted revenue for STANDARD-type
+    * parts and the share supplied from ASIA — lineitem ⋈ orders on the
+    * fact spine, part/supplier/nation/region as dimensions. The planner
+    * decisions ARE the operator here: every dimension must come in as a
+    * BroadcastHashJoin (region→nation→supplier chains under the
+    * broadcast threshold) with the region filter pushed into its scan,
+    * leaving the lineitem⋈orders shuffle as the only exchange pair —
+    * SqlSurfaceSpec pins that shape. At 100 TB the same plan holds:
+    * dims stay broadcast-sized, the fact spine shuffles once. The
+    * share arithmetic keeps decimal sums exact and divides once in
+    * mirrored doubles.
+    */
+  def sqlMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "part", "supplier", "nation", "region").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t")
+    }
+    spark.sql(
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  round(CAST(SUM(CASE WHEN r_name = 'ASIA'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS asia_share
+        |FROM graft_lineitem
+        |JOIN graft_orders ON l_orderkey = o_orderkey
+        |JOIN graft_part ON l_partkey = p_partkey
+        |JOIN graft_supplier ON l_suppkey = s_suppkey
+        |JOIN graft_nation ON s_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY year(o_orderdate)""".stripMargin)
+  }
+
   /** Correlated EXISTS through the SQL parser (TPC-H Q4's shape, adapted
     * to the synthetic schema: lineitem has no commit/receipt dates, so
     * "late" means shipped >30 days after the order date — the

@@ -152,6 +152,77 @@ object Streaming {
         col("total_value"))
   }
 
+  /** CHAINED stateful aggregations in one streaming query (Spark 4's
+    * multiple-stateful-operator support): 5-minute (window, type) counts
+    * re-aggregate to 15-minute totals INSIDE the same query — the
+    * pre-aggregation cascade every metrics pipeline wants (fine-grain
+    * state feeding coarse-grain rollups without a second job or an
+    * intermediate topic). Append mode end to end: the first aggregate
+    * emits a 5-minute row when the watermark closes it, the second
+    * consumes those finalized rows keyed by `window_time` and closes its
+    * 15-minute windows in turn — two state stores, one lineage.
+    *
+    * Bounded-replay completeness uses the sentinel trick from the outer
+    * join: one staged far-future row (+10 days) drives the final
+    * watermark past every real window so BOTH aggregation levels flush,
+    * and the sentinel's own window — the only output row past the real
+    * max ts — is scrubbed from the RESULT table (never the stream; a
+    * pre-aggregation filter on a non-event-time column would push below
+    * the watermark node and stall the clock). That makes the append
+    * result exactly the batch 15-minute counts, full oracle included
+    * (5 divides 15 and both grids are epoch-aligned, so summed 5-minute
+    * counts are exactly the 15-minute counts).
+    */
+  def chainedWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val session = replaySession(spark, noDataBatches = true)
+    val name = "graft_stream_chained_" + UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(checkpointRoot, name)
+    val staged = new java.io.File(root, "staged")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    val raw = Tables.raw(spark, dir, "events")
+    val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
+      .agg(max(col("us"))).head.getLong(0)
+    val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
+    val sentinelTsCol =
+      if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
+      else timestamp_micros(lit(sentinelMicros))
+    val sentinel = raw.sparkSession.range(1).select(raw.schema.fields.map { f =>
+      (f.name match {
+        case "event_id" | "user_id" => lit(-1L)
+        case "ts" => sentinelTsCol
+        case "event_type" => lit("view")
+        case _ => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    raw.unionByName(sentinel).write.mode("overwrite").parquet(staged.getAbsolutePath)
+
+    val src = session.readStream
+      .schema(raw.schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(staged.getAbsolutePath)
+      .withColumn("ts", expr(Tables.tsNtzSql(raw.schema)))
+      // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+      // reinterpretation is identity
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val fine = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+    val coarse = fine
+      .groupBy(window(window_time(col("window")), "15 minutes"))
+      .agg(sum(col("n5")).as("n"))
+    runToTable(coarse, OutputMode.Append())
+      .filter(col("window.start") <= timestamp_micros(lit(maxTsMicros)))
+      // back to NTZ for the dump (UTC identity) so the oracle's naive
+      // time_bucket compares textually equal
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
+  }
+
   /** Stream–static enrichment join: the event stream joins the CUSTOMER
     * dimension read as a plain batch DataFrame — the standard streaming
     * enrichment shape (dimension in a table/lake, facts on the wire).

@@ -22,9 +22,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // q_zorder joins a broadcast single-row min/max bounds relation (the
   // same 1-row-stats crossJoin shape as q_tfidf's corpus count);
   // q_bm25 broadcasts the 1-row (N, avgdl) stats, q_cooccurrence the
-  // two 1-row corpus totals
+  // two 1-row corpus totals; q_histogram the 1-row min/max edges,
+  // q_assoc_rules the 1-row order count, q_ab_test joins its two 1-row
+  // arm summaries
   private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf",
-    "q_zorder", "q_bm25", "q_cooccurrence")
+    "q_zorder", "q_bm25", "q_cooccurrence", "q_histogram", "q_assoc_rules",
+    "q_ab_test")
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

@@ -45,6 +45,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
   }
 
+  test("q_sql_multijoin: dimensions broadcast, fact spine is the only shuffle join") {
+    val df = Relational.sqlMarketShare(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // part/supplier/nation/region must all come in as broadcast hash
+    // joins — a dim that fell to sort-merge would shuffle the fact table
+    // once per dim at scale
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast dim joins, got $nBroadcast in:\n$plan")
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nShuffleJoin <= 1,
+      s"more than the lineitem-orders shuffle join ($nShuffleJoin) in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(2)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $r")
+    }
+  }
+
   test("q_global_sort: range-partitioned global sort, not TakeOrdered, not 1 partition") {
     val df = Relational.globalSortLineitems(spark, sf)
     // the exchange is inserted by EnsureRequirements — inspect the

@@ -165,4 +165,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(!plan.contains("StreamingSymmetricHashJoin"),
       s"stream-static join planned stateful symmetric join:\n$plan")
   }
+
+  test("chained aggregation: TWO stateful aggregates in one query == batch 15-min counts") {
+    val got = Streaming.chainedWindowCounts(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toMap
+    // the whole point is two stateful operators in ONE lineage — pin it
+    val plan = Streaming.lastReplayPlan
+    val nStateSaves = "StateStoreSave".r.findAllIn(plan).length
+    assert(nStateSaves >= 2,
+      s"expected 2 stateful aggregates in the executed plan, got $nStateSaves:\n$plan")
+    val expect = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "15 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toMap
+    assert(got == expect, "chained append output must equal the batch 15-min counts")
+  }
 }
