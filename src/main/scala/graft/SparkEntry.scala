@@ -151,6 +151,8 @@ object SparkEntry {
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
     "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
+    "q_cogroup" -> (Analytics.cogroupCustomerActivity(_, _)),
+    "q_crosstab" -> (Stats.langSourceCrosstab(_, _)),
     "q_khop" -> ((s, d) => Analytics.khopDistances(s, d)),
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     // --- statistics tier --------------------------------------------------
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_stream_dedup_wm" -> (Streaming.dedupedCountsWithinWatermark(_, _)),
     "q_stream_tws" -> (Streaming.twsUserTotals(_, _)),
     "q_stream_chained" -> (Streaming.chainedWindowCounts(_, _)),
+    "q_stream_timers" -> ((s, d) => Streaming.timerSessionCounts(s, d)),
     "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
@@ -1682,6 +1685,44 @@ object SparkEntry {
         |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws
         |  FROM events) GROUP BY ws""".stripMargin,
     "q_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    // typed cogroup == two grouped aggregates full-outer joined; the
+    // ROUND(x*100) cents idiom matches the q_stream_tws oracle
+    "q_cogroup" ->
+      """WITH o AS (SELECT o_custkey AS key_id, COUNT(*) AS n_orders,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS oc
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS key_id, COUNT(*) AS n_events,
+        |    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS ec
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(o.key_id, e.key_id) AS key_id,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  CAST(COALESCE(oc, 0) AS DOUBLE) / 100 AS order_total,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  CAST(COALESCE(ec, 0) AS DOUBLE) / 100 AS event_total
+        |FROM o FULL OUTER JOIN e ON o.key_id = e.key_id""".stripMargin,
+    // df.stat.crosstab: one pivoted aggregate; source vocabulary is the
+    // fixed src0..src19 of the synthetic corpus
+    "q_crosstab" -> {
+      val cols = (0 until 20).map(i =>
+        s"SUM(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END) AS src$i").mkString(",\n  ")
+      s"""SELECT lang AS lang_source,
+         |  $cols
+         |FROM documents GROUP BY lang""".stripMargin
+    },
+    // timer-closed sessionization: same gaps-and-islands oracle as
+    // q_stream_session / q_stream_custom_session — one oracle, THREE
+    // state APIs
+    "q_stream_timers" ->
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

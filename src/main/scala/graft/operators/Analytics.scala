@@ -330,6 +330,39 @@ object Analytics {
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Typed COGROUP of orders and events per customer — the
+    * `KeyValueGroupedDataset.cogroup` surface (the typed dual of a
+    * full-outer join): both sides arrive key-aligned as iterators and
+    * the merge logic is arbitrary Scala, the shape for per-key
+    * reconciliation that doesn't reduce to join+aggregate (sequence
+    * alignment, custom conflation). Here the fold is deliberately
+    * simple — per-key counts and exact cent totals from each side — so
+    * the DuckDB oracle (two grouped aggregates full-outer joined)
+    * pins the cogroup machinery itself. One co-partitioned exchange
+    * pair on the key, per-key state = one customer's rows.
+    */
+  def cogroupCustomerActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val events = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (key, os, es) =>
+      var no = 0L; var oc = 0L
+      os.foreach { o => no += 1; oc += o._2 }
+      var ne = 0L; var ec = 0L
+      es.foreach { e => ne += 1; ec += e._2 }
+      Iterator.single((key, no, oc, ne, ec))
+    }.toDF("key_id", "n_orders", "order_cents", "n_events", "event_cents")
+      .select(col("key_id"), col("n_orders"),
+        (col("order_cents").cast("double") / 100).as("order_total"),
+        col("n_events"),
+        (col("event_cents").cast("double") / 100).as("event_total"))
+  }
+
   /** Market-basket association rules over the co-order part graph:
     * support, confidence (both directions), and lift for every part pair
     * co-ordered in ≥ `minPairSupport` orders. The recommendation /

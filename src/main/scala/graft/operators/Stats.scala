@@ -155,6 +155,16 @@ object Stats {
         col("n"))
   }
 
+  /** Contingency table via the `DataFrameStatFunctions` surface
+    * (`df.stat.crosstab`) — language × source counts over the corpus,
+    * the mix snapshot a curation pipeline watches across loads. Spark
+    * plans it as one grouped aggregate pivoted over the distinct
+    * column-2 values; output is |langs| × |sources| — bounded by the
+    * label vocabularies, independent of corpus size.
+    */
+  def langSourceCrosstab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").stat.crosstab("lang", "source")
+
   /** Rolling autocorrelation (lag 1, trailing 50 pairs) of `value` per
     * event type — the drift/regime-change monitor over telemetry. Pairs
     * come from one `lag` on the (type-keyed, time-sorted) stream; the

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.Tables
@@ -492,6 +492,126 @@ object Streaming {
         max_by(col("p50"), col("n")).as("p50"),
         max_by(col("p90"), col("n")).as("p90"),
         max_by(col("p99"), col("n")).as("p99"))
+  }
+
+  /** Inactivity-timeout session processor for [[timerSessionCounts]] —
+    * the EVENT-TIME TIMER side of `transformWithState` (the one
+    * arbitrary-state feature the totals/KLL processors don't touch):
+    * sessions closed by an in-batch gap emit immediately (the gap is
+    * proven by data), the open tail instead registers a timer at
+    * `last + gap`, and [[handleExpiredTimer]] emits it when the
+    * WATERMARK — not another record — crosses that instant. That is the
+    * production contract for "close the session when the user goes
+    * quiet": without timers, a user who never returns never emits.
+    * One timer per key: each batch deletes the tail's previous timer
+    * before registering the moved one.
+    */
+  private class TimerSessionProcessor(gapMicros: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    private val gapMs = gapMicros / 1000
+    @transient private var tail: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tail = getHandle.getValueState[(Long, Long, Long)](
+        "tail", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val ts = rows.map(_._2).toArray
+      java.util.Arrays.sort(ts)
+      var (start, last, n) = if (tail.exists()) tail.get() else (-1L, -1L, 0L)
+      val oldLast = last
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      ts.foreach { t =>
+        if (start < 0) { start = t; last = t; n = 1 }
+        else if (t - last >= gapMicros) {
+          out += ((userId, start, n)); start = t; last = t; n = 1
+        } else { last = t; n += 1 }
+      }
+      if (start >= 0) {
+        if (oldLast >= 0 && oldLast != last) getHandle.deleteTimer(oldLast / 1000 + gapMs)
+        tail.update((start, last, n))
+        getHandle.registerTimer(last / 1000 + gapMs)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      if (tail.exists()) {
+        val s = tail.get()
+        tail.clear()
+        Iterator.single((userId, s._1, s._3))
+      } else Iterator.empty
+    }
+  }
+
+  /** Sessionization where the CLOSE is watermark-driven: same 10-minute
+    * gap (and same oracle) as [[sessionCounts]] and
+    * [[customSessionCounts]] — one oracle, THREE state APIs — but here
+    * the open tail is emitted by an event-time timer firing, not by
+    * end-of-replay state flush. The staged far-future sentinel advances
+    * the final watermark past every real tail's `last + gap` so the
+    * timers actually fire during the trailing no-data batch; the
+    * sentinel's own timer sits past the final watermark and never
+    * fires, so it self-scrubs (the -1 filter is belt and braces).
+    * Append mode: every session row is emitted exactly once — closed
+    * runs by data, tails by timer — no snapshot-dedup step needed.
+    */
+  def timerSessionCounts(spark: SparkSession, dir: String, gapMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val session = replaySession(spark, noDataBatches = true)
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_timer_" + UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(checkpointRoot, name)
+    val staged = new java.io.File(root, "staged")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    val raw = Tables.raw(spark, dir, "events")
+    val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
+      .agg(max(col("us"))).head.getLong(0)
+    val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
+    val sentinelTsCol =
+      if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
+      else timestamp_micros(lit(sentinelMicros))
+    val sentinel = raw.sparkSession.range(1).select(raw.schema.fields.map { f =>
+      (f.name match {
+        case "event_id" | "user_id" => lit(-1L)
+        case "ts" => sentinelTsCol
+        case "event_type" => lit("view")
+        case _ => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    raw.unionByName(sentinel).write.mode("overwrite").parquet(staged.getAbsolutePath)
+
+    val src = session.readStream
+      .schema(raw.schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(staged.getAbsolutePath)
+      .withColumn("ts", expr(Tables.tsNtzSql(raw.schema)))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    val sessions = src
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapMicros),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToTable(sessions.toDF("user_id", "start_us", "n"), OutputMode.Append())
+      .filter(col("user_id") =!= -1L)
+      .select(timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        col("user_id"), col("n"))
   }
 
   /** Custom sessionization via `flatMapGroupsWithState` — the API for

@@ -181,6 +181,45 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cogroup: typed merge equals the full-outer join of grouped aggregates") {
+    val got = Analytics.cogroupCustomerActivity(spark, sf)
+    val orders = graft.sources.Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("key_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("oc"))
+    val events = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id").as("key_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("ec"))
+    val expect = orders.join(events, Seq("key_id"), "full_outer")
+      .select(col("key_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (coalesce(col("oc"), lit(0L)).cast("double") / 100).as("order_total"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("ec"), lit(0L)).cast("double") / 100).as("event_total"))
+    assert(got.collect().toSet == expect.collect().toSet)
+  }
+
+  test("crosstab: df.stat contingency table equals groupBy counts") {
+    val ct = Stats.langSourceCrosstab(spark, sf)
+    val rows = ct.collect()
+    val cols = ct.columns
+    assert(cols.head == "lang_source")
+    val expect = graft.sources.Tables(spark, sf, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = rows.flatMap { r =>
+      cols.tail.zipWithIndex.map { case (src, i) =>
+        val n = r.getLong(i + 1)
+        assert(n == expect.getOrElse((r.getString(0), src), 0L),
+          s"cell (${r.getString(0)}, $src) = $n mismatches groupBy")
+        n
+      }
+    }.sum
+    assert(total == graft.sources.Tables(spark, sf, "documents").count())
+  }
+
   test("geo join: grid candidates equal the brute-force radius join") {
     val grid = Geo.customersNearSuppliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -166,6 +166,25 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-static join planned stateful symmetric join:\n$plan")
   }
 
+  test("timer sessions: event-time timers close the tails, == batch sessionize") {
+    val got = Streaming.timerSessionCounts(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSet
+    // the new API must actually be in the lineage
+    assert(Streaming.lastReplayPlan.contains("TransformWithState"),
+      s"no TransformWithState operator in:\n${Streaming.lastReplayPlan}")
+    // timers fire in the watermark-advancing batch AFTER the data batch
+    assert(Streaming.lastReplayBatchCount >= 2,
+      s"expected a trailing timer batch, ran ${Streaming.lastReplayBatchCount}")
+    val expect = graft.operators.Analytics.sessionize(spark, sf, gapMinutes = 10)
+      .select(col("session_start"), col("user_id"), col("n_events")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "timer-closed sessions must equal batch gaps-and-islands")
+    // every user's LAST session can only have been emitted by its timer
+    // (no later event proves the gap) — so the set matching above also
+    // certifies that at least |users| timer emissions happened
+    assert(got.map(_._2).nonEmpty)
+  }
+
   test("chained aggregation: TWO stateful aggregates in one query == batch 15-min counts") {
     val got = Streaming.chainedWindowCounts(spark, sf).collect()
       .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toMap
