@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, Stats, TextAnalysis}
 
 /** Data-dominated scale proof (VERDICT r6 #1): the sf0.1 bench measures
   * mostly per-query fixed cost (scheduling, codegen, micro-batch
@@ -68,7 +68,7 @@ object ScaleBench {
   def replicate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
     require(factor <= coprimes.length * 26,
       s"document decorrelation supports factor ≤ ${coprimes.length * 26}, got $factor")
-    val marker = new java.io.File(s"$outDir/_SCALE_READY_v3_$factor")
+    val marker = new java.io.File(s"$outDir/_SCALE_READY_v4_$factor")
     if (marker.exists()) return
     Option(new java.io.File(outDir).listFiles())
       .foreach(_.filter(_.getName.startsWith("_SCALE_READY")).foreach(_.delete()))
@@ -77,8 +77,30 @@ object ScaleBench {
     val okSpan = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1
     (0 until factor).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan))
+        // decorrelate the price value DOMAIN too (+i cents): replica
+        // prices would otherwise duplicate byte-identically, freezing
+        // |distinct values| — which would understate the growth of
+        // value-histogram passes (q_spearman's rank tables) at real
+        // 10× data. Distribution shape survives; scale runs only time,
+        // never cross-compare values between factors.
+        .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 0.01))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // orders: replica customers are NEW customers offset by the EVENTS
+    // user span (below), preserving the orders.custkey ↔ events.user_id
+    // overlap the cogroup verb joins on
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val ordSpan = ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1
+    val evForSpan = spark.read.parquet(s"$sfDir/events.parquet")
+    val custSpan = math.max(
+      ord.agg(max(col("o_custkey"))).collect()(0).getLong(0),
+      evForSpan.agg(max(col("user_id"))).collect()(0).getLong(0)) + 1
+    (0 until factor).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docSpan = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
@@ -134,10 +156,12 @@ object ScaleBench {
     // type; Tables normalizes at read)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val evSpan = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
-    val userSpan = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    // user offset = the SHARED custSpan (computed with orders above) so
+    // replica r's events.user_ids equal replica r's orders.o_custkeys —
+    // the cogroup/stream-static key overlap survives replication
     (0 until factor).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * evSpan))
-        .withColumn("user_id", col("user_id") + lit(i * userSpan))
+        .withColumn("user_id", col("user_id") + lit(i * custSpan))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
@@ -229,6 +253,19 @@ object ScaleBench {
     "q_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
     "q_kll_quantiles" -> ((s, d) => Relational.kllQuantileRollup(s, d)),
+    // statistics tier (this session): spearman's rank histograms grow
+    // with |distinct values| (price ≈ rows, so the two-phase prefix sum
+    // is the measured path); ohlc is one O(1)-state aggregate over the
+    // scan; rolling_autocorr is a per-type window with decimal frame
+    // sums; cogroup co-partitions two growing inputs; assoc_rules'
+    // pair join grows with Σ basket² over the replicated orders — the
+    // superlinear-risk one worth watching (Apriori pruning is the cap)
+    "q_spearman" -> ((s, d) => Stats.spearmanQuantityPrice(s, d)),
+    "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
+    "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
+    "q_rolling_autocorr_dist" -> ((s, d) => Stats.rollingAutocorrDist(s, d)),
+    "q_cogroup" -> ((s, d) => Analytics.cogroupCustomerActivity(s, d)),
+    "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments

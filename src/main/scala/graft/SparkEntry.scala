@@ -160,6 +160,7 @@ object SparkEntry {
     "q_ab_test" -> (Stats.welchTTest(_, _)),
     "q_histogram" -> ((s, d) => Stats.priceHistogram(s, d)),
     "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
+    "q_rolling_autocorr_dist" -> ((s, d) => Stats.rollingAutocorrDist(s, d)),
     // --- spatial ----------------------------------------------------------
     "q_geo_join" -> ((s, d) => Geo.customersNearSuppliers(s, d)),
     // --- multimodal ------------------------------------------------------
@@ -223,6 +224,33 @@ object SparkEntry {
       s"ELSE lower(regexp_replace(trim($x), '[^0-9a-zA-Z]+', '', 'g')) END"
   }
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  // one oracle, two plans: q_rolling_autocorr (per-type window) and
+  // q_rolling_autocorr_dist (two-phase-ranked slices + context
+  // replication) must both reproduce these exact bits
+  private val rollingAutocorrSql =
+    """WITH p0 AS (
+      |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(12,2)) AS x,
+      |    LAG(CAST(value AS DECIMAL(12,2))) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT * FROM p0 WHERE y IS NOT NULL),
+      |f AS (SELECT event_type, event_id,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    COUNT(*) OVER fw AS cnt,
+      |    SUM(x) OVER fw AS sx, SUM(y) OVER fw AS sy,
+      |    SUM(CAST(x * y AS DECIMAL(38,4))) OVER fw AS sxy,
+      |    SUM(CAST(x * x AS DECIMAL(38,4))) OVER fw AS sxx,
+      |    SUM(CAST(y * y AS DECIMAL(38,4))) OVER fw AS syy
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+      |    fw AS (PARTITION BY event_type ORDER BY ts, event_id
+      |           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id,
+      |  round((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS autocorr
+      |FROM f WHERE rn >= 50""".stripMargin
   // one oracle, two plans: q_revenue_by_nation (full recompute) and
   // q_incremental_agg (base+delta partial-state merge) must agree exactly
   private val revenueByNationSql =
@@ -1436,31 +1464,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM h GROUP BY bin, vmin, vmax""".stripMargin,
     // frame sums in exact decimal (associative — safe under either
-    // engine's window-sum evaluation order), Pearson mirrored double
-    "q_rolling_autocorr" ->
-      """WITH p0 AS (
-        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(12,2)) AS x,
-        |    LAG(CAST(value AS DECIMAL(12,2))) OVER (
-        |      PARTITION BY event_type ORDER BY ts, event_id) AS y
-        |  FROM events WHERE value IS NOT NULL),
-        |p AS (SELECT * FROM p0 WHERE y IS NOT NULL),
-        |f AS (SELECT event_type, event_id,
-        |    ROW_NUMBER() OVER w AS rn,
-        |    COUNT(*) OVER fw AS cnt,
-        |    SUM(x) OVER fw AS sx, SUM(y) OVER fw AS sy,
-        |    SUM(CAST(x * y AS DECIMAL(38,4))) OVER fw AS sxy,
-        |    SUM(CAST(x * x AS DECIMAL(38,4))) OVER fw AS sxx,
-        |    SUM(CAST(y * y AS DECIMAL(38,4))) OVER fw AS syy
-        |  FROM p
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
-        |    fw AS (PARTITION BY event_type ORDER BY ts, event_id
-        |           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, event_id,
-        |  round((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |     sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS autocorr
-        |FROM f WHERE rn >= 50""".stripMargin,
+    // engine's window-sum evaluation order), Pearson mirrored double;
+    // ONE oracle, TWO plans: the per-type window and the rank-sliced
+    // distributed form must produce identical bits
+    "q_rolling_autocorr" -> rollingAutocorrSql,
+    "q_rolling_autocorr_dist" -> rollingAutocorrSql,
     // oracle brute-forces the cross product (trivial at verify scale);
     // the engine's grid equi-join must reproduce it exactly — integer
     // coordinates from the shared md5 arithmetic, integer distances

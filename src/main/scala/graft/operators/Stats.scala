@@ -155,6 +155,85 @@ object Stats {
         col("n"))
   }
 
+  /** The DISTRIBUTED twin of [[rollingAutocorr]] — same rows, same
+    * bits, bounded partitions. The plain form's window partitions by
+    * `event_type` alone: 5 partitions total, each holding its type's
+    * ENTIRE history — measured 3.8× at 10× data because each of the 5
+    * reducers does 10× the work (at 100 TB one reducer gets one type's
+    * 20 TB; the sort spills and nothing parallelizes).
+    *
+    * The fix is the ordered-window analog of `q_percentiles_dist`'s
+    * bounded-state quantiles: (1) EXACT global ranks per type from a
+    * two-phase prefix sum — local ranks within (type, time-bucket)
+    * plus broadcast per-bucket base offsets (the packedOffsets shape);
+    * (2) rank-range slices of `sliceRows` each, so partition size is a
+    * CHOSEN constant, independent of type skew; (3) the last `frame`
+    * rows of each slice REPLICATE into the next slice as context —
+    * every trailing frame then lies within one partition, and context
+    * rows' own outputs are dropped. Emission by `cnt == frame` (the
+    * pair count the frame actually saw) reproduces the unsliced
+    * full-frame contract exactly: context guarantees `frame` available
+    * rows everywhere except the genuine start of a type's history.
+    * StatsSpec pins bit-identity against the single-partition form;
+    * the oracle is SHARED with `q_rolling_autocorr` — one oracle, two
+    * plans.
+    */
+  def rollingAutocorrDist(spark: SparkSession, dir: String,
+      frame: Int = 50, sliceRows: Int = 4096): DataFrame = {
+    require(sliceRows >= frame, s"sliceRows ($sliceRows) must be >= frame ($frame)")
+    val sq = DecimalType(38, 4)
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"), dec(col("value")).as("x"))
+    // phase 1: exact global rank per type = per-(type, hour-bucket)
+    // local rank + prefix-summed bucket bases (tiny |types × buckets|
+    // relation — the packedOffsets two-phase shape)
+    val bucketed = ev.withColumn("bkt", date_trunc("hour", col("ts")))
+    val localW = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val bases = bucketed.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("bkt"), col("base"))
+    val ranked = bucketed
+      .withColumn("lrn", row_number().over(localW))
+      .join(broadcast(bases), Seq("event_type", "bkt"))
+      .withColumn("rank", col("base") + col("lrn"))
+      .drop("bkt", "lrn", "base")
+    // phase 2: rank-range slices + frame-row context replication into
+    // the NEXT slice (different slice id → different partition, so the
+    // copy can never collide with its original)
+    val sliced = ranked.withColumn("slice", ((col("rank") - 1) / sliceRows).cast("long"))
+    val context = sliced
+      .filter(col("rank") > (col("slice") + 1) * sliceRows - frame)
+      .withColumn("slice", col("slice") + 1)
+      .withColumn("own", lit(false))
+    val union = sliced.withColumn("own", lit(true)).unionByName(context)
+    val ordW = Window.partitionBy(col("event_type"), col("slice"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = union
+      .withColumn("y", lag(col("x"), 1).over(ordW))
+      .filter(col("y").isNotNull)
+    val f = Window.partitionBy(col("event_type"), col("slice"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val withSums = pairs
+      .withColumn("cnt", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sxy", sum((col("x") * col("y")).cast(sq)).over(f))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(sq)).over(f))
+      .withColumn("syy", sum((col("y") * col("y")).cast(sq)).over(f))
+      .filter(col("own") && col("cnt") === frame)
+    def d(c: Column): Column = c.cast("double")
+    withSums.select(col("event_type"), col("event_id"),
+      round((d(col("cnt")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(d(col("cnt")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(d(col("cnt")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("autocorr"))
+  }
+
   /** Contingency table via the `DataFrameStatFunctions` surface
     * (`df.stat.crosstab`) — language × source counts over the corpus,
     * the mix snapshot a curation pipeline watches across loads. Spark

@@ -101,6 +101,24 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling autocorr dist: bit-identical to the per-type window, partitions bounded") {
+    val plain = Stats.rollingAutocorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sliceRows barely above frame forces MANY slice boundaries — every
+    // context-replication edge case fires on the small fixture
+    val dist = Stats.rollingAutocorrDist(spark, sf, sliceRows = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(dist.size == plain.size,
+      s"row counts differ: dist ${dist.size} vs plain ${plain.size}")
+    plain.foreach { case (k, v) =>
+      assert(dist(k) == v, s"autocorr differs at $k: ${dist(k)} vs $v")
+    }
+    // default slicing too (one boundary at most on the fixture)
+    val distDefault = Stats.rollingAutocorrDist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(distDefault == plain)
+  }
+
   test("association rules: metrics consistent, apriori bounds hold") {
     val rules = Analytics.associationRules(spark, sf).collect()
     assert(rules.nonEmpty, "sf0.001 must yield at least one rule")
