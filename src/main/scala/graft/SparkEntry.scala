@@ -201,6 +201,7 @@ object SparkEntry {
     "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
+    "q_stream_join_semi" -> (Streaming.purchasesWithSignupSemi(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
@@ -1790,6 +1791,15 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id
         | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
+    // left semi: each purchase with ≥1 in-window signup, exactly once —
+    // the batch EXISTS formulation
+    "q_stream_join_semi" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events s
+        |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |    AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts)""".stripMargin,
     // Stateless streaming append through the parquet file sink emits
     // every row — exactly the batch filter+project.
     "q_stream_file_sink" ->

@@ -353,6 +353,34 @@ object Streaming {
         col("p_user").as("user_id"))
   }
 
+  /** LEFT SEMI stream-stream join — "purchases that HAD a recent
+    * signup", each purchase emitted AT MOST ONCE however many signups
+    * match (the existence test, where the inner join would fan out per
+    * match). Spark's streaming left_semi emits a left row the moment
+    * the first match arrives and only buffers unmatched left state
+    * until the watermark proves no match can come — the same bounded
+    * state as the inner join with emit-once semantics on top.
+    * Completes the stream-stream join family: inner
+    * ([[purchasesWithRecentSignup]]), left outer
+    * ([[purchasesWithSignupOuter]]), left semi (this).
+    */
+  def purchasesWithSignupSemi(spark: SparkSession, dir: String): DataFrame = {
+    val replay = replaySession(spark)
+    def side(tpe: String, prefix: String): DataFrame =
+      eventsStream(replay, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 minutes")
+    val joined = side("purchase", "p").join(side("signup", "s"),
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"),
+      "left_semi")
+    runToTable(joined, OutputMode.Append())
+      .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: a per-user running
     * engagement accumulator (event count + exact cent-denominated value
     * total). With AvailableNow the final state snapshot equals the batch

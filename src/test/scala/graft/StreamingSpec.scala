@@ -166,6 +166,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-static join planned stateful symmetric join:\n$plan")
   }
 
+  test("semi stream-stream join: multi-match purchases emit EXACTLY once") {
+    // the semi join's whole contract is emit-once under fan-out — plant
+    // a purchase with TWO in-window signups (the shipped fixture may
+    // never contain one) plus an unmatched purchase
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000L // a minute of micros
+    val t0 = 1700000000L * 1000000L
+    val rows = Seq(
+      (1L, t0, 10L, "signup", 1.0, "{}"),
+      (2L, t0 + 5 * m, 10L, "signup", 1.0, "{}"),
+      (3L, t0 + 10 * m, 10L, "purchase", 1.0, "{}"), // both signups in window
+      (4L, t0 + 10 * m, 11L, "purchase", 1.0, "{}")) // no signup at all
+    val d = java.nio.file.Files.createTempDirectory("graft-semi-").toFile
+    d.deleteOnExit()
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+    val got = Streaming.purchasesWithSignupSemi(spark, d.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 10L)),
+      s"semi join must emit the double-matched purchase once and drop the unmatched: ${got.toSeq}")
+    // and on the shipped fixture it equals the batch EXISTS
+    val ev = Tables(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val expect = p.join(sg, col("user_id") === col("s_user") &&
+        col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("s_ts") <= col("ts"),
+        "left_semi")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Streaming.purchasesWithSignupSemi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == expect)
+  }
+
   test("timer sessions: event-time timers close the tails, == batch sessionize") {
     val got = Streaming.timerSessionCounts(spark, sf).collect()
       .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSet
