@@ -202,6 +202,7 @@ object SparkEntry {
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
     "q_stream_join_semi" -> (Streaming.purchasesWithSignupSemi(_, _)),
+    "q_stream_join_full" -> (Streaming.purchasesWithSignupFullOuter(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
@@ -1789,6 +1790,15 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
+    // full outer: both sides' sentinels flush both sides' unmatched
+    // state — the append result equals the complete batch full join
+    "q_stream_join_full" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  COALESCE(p.user_id, s.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id
         | AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts""".stripMargin,
     // left semi: each purchase with ≥1 in-window signup, exactly once —

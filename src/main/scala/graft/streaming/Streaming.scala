@@ -353,6 +353,70 @@ object Streaming {
         col("p_user").as("user_id"))
   }
 
+  /** FULL OUTER stream-stream join — every purchase and every signup
+    * surfaces, matched where the band condition holds, null-extended
+    * where the watermark proves no partner can arrive. Same sentinel
+    * machinery as [[purchasesWithSignupOuter]] (a far-future row per
+    * side advances the final watermark so BOTH sides' unmatched state
+    * evicts); the sentinel pair matches only itself and is scrubbed
+    * null-safely from the result. Completes the stream-stream join
+    * family: inner / left outer / left semi / full outer.
+    */
+  def purchasesWithSignupFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val session = replaySession(spark, noDataBatches = true)
+    val name = "graft_stream_fouter_" + UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(checkpointRoot, name)
+    val staged = new java.io.File(root, "staged")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    val raw = Tables.raw(spark, dir, "events")
+    val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
+      .agg(max(col("us"))).head.getLong(0)
+    val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
+    val sentinelTsCol =
+      if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
+      else timestamp_micros(lit(sentinelMicros))
+    val sentinels = Seq("purchase", "signup").map { tpe =>
+      raw.sparkSession.range(1).select(raw.schema.fields.map { f =>
+        (f.name match {
+          case "event_id" | "user_id" => lit(-1L)
+          case "ts" => sentinelTsCol
+          case "event_type" => lit(tpe)
+          case _ => lit(null)
+        }).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }.reduce(_.unionByName(_))
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged.getAbsolutePath)
+
+    def side(tpe: String, prefix: String): DataFrame =
+      session.readStream
+        .schema(raw.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged.getAbsolutePath)
+        .withColumn("ts", expr(Tables.tsNtzSql(raw.schema)))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 minutes")
+
+    val joined = side("purchase", "p").join(side("signup", "s"),
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"),
+      "full_outer")
+    runToTable(joined, OutputMode.Append())
+      // null-safe scrub: unmatched REAL rows carry NULL on the other
+      // side, only the sentinel self-pair carries -1
+      .filter(!(col("p_id") <=> lit(-1L)) && !(col("s_id") <=> lit(-1L)))
+      .select(col("p_id").as("purchase_id"), col("s_id").as("signup_id"),
+        coalesce(col("p_user"), col("s_user")).as("user_id"))
+  }
+
   /** LEFT SEMI stream-stream join — "purchases that HAD a recent
     * signup", each purchase emitted AT MOST ONCE however many signups
     * match (the existence test, where the inner join would fan out per
