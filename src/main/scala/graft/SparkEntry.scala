@@ -110,6 +110,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_clusters_lsh" -> ((s, d) => Dedup.dupClustersLsh(s, d)),
     "q_cluster_reps" -> ((s, d) => Dedup.clusterRepresentatives(s, d)),
+    "q_jaro_link" -> ((s, d) => Dedup.linkDirtyNames(s, d)),
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     "q_cogroup" -> (Analytics.cogroupCustomerActivity(_, _)),
     "q_crosstab" -> (Stats.langSourceCrosstab(_, _)),
+    "q_na_clean" -> (Stats.naCleanedSummary(_, _)),
     "q_khop" -> ((s, d) => Analytics.khopDistances(s, d)),
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     // --- statistics tier --------------------------------------------------
@@ -1729,6 +1731,33 @@ object SparkEntry {
          |  $cols
          |FROM documents GROUP BY lang""".stripMargin
     },
+    // the native Jaro-Winkler expression tracks DuckDB's
+    // jaro_winkler_similarity exactly (incl. the empty-empty = 0 edge
+    // and the 0.7 boost threshold) — same doubles, same ranking
+    "q_jaro_link" ->
+      """WITH d AS (SELECT p_partkey,
+        |    substr(p_name, 1, 1) || substr(p_name, 3, 1) ||
+        |    substr(p_name, 2, 1) || substr(p_name, 4, 1000) AS dirty
+        |  FROM part),
+        |c AS (SELECT DISTINCT p_name AS clean FROM part),
+        |cand AS (SELECT d.p_partkey, d.dirty, c.clean,
+        |    jaro_winkler_similarity(d.dirty, c.clean) AS sim
+        |  FROM d JOIN c ON substr(d.dirty, 1, 1) = substr(c.clean, 1, 1)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY p_partkey ORDER BY sim DESC, clean ASC) AS rn
+        |  FROM cand)
+        |SELECT p_partkey, dirty, clean, round(sim, 6) AS sim FROM r WHERE rn = 1""".stripMargin,
+    // na.drop / na.fill / na.replace as plain SQL predicates: the -1
+    // sentinel also counts the imputed rows
+    "q_na_clean" ->
+      """SELECT CASE WHEN event_type = 'view' THEN 'impression' ELSE event_type END
+        |    AS event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(COALESCE(value, -1.0) AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(CASE WHEN COALESCE(value, -1.0) = -1.0 THEN 1 END) AS n_imputed
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // timer-closed sessionization: same gaps-and-islands oracle as
     // q_stream_session / q_stream_custom_session — one oracle, THREE
     // state APIs

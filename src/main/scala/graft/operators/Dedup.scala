@@ -20,6 +20,39 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Record linkage by Jaro-Winkler similarity — the entity-resolution
+    * verb (match dirty strings back to a canonical dictionary). Every
+    * part name gets a DETERMINISTIC "dirty" variant (characters 2 and 3
+    * swapped — expressible as the same substr arithmetic in the
+    * oracle), then links to its best canonical match: candidates by
+    * first-character BLOCKING (an equi-join — similarity only ever
+    * computes within a block, never all-pairs), scored by the native
+    * codegen'd [[graft.functions.JaroWinkler]] expression (Spark ships
+    * levenshtein/soundex but no Jaro-Winkler; its prefix boost is the
+    * right metric for names/titles), winner by (sim DESC, clean ASC) —
+    * a per-key rank-1 window that WindowGroupLimit prunes below the
+    * shuffle. At 100 TB the blocking key is the knob (first char →
+    * first token → phonetic key) exactly as in production linkage.
+    */
+  def linkDirtyNames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables(spark, dir, "part")
+    val dirty = parts.select(col("p_partkey"),
+      concat(substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1),
+        substring(col("p_name"), 2, 1), substring(col("p_name"), 4, 1000)).as("dirty"))
+      .withColumn("blk", substring(col("dirty"), 1, 1))
+    val clean = parts.select(col("p_name").as("clean")).distinct()
+      .withColumn("blk", substring(col("clean"), 1, 1))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("sim").desc, col("clean").asc)
+    dirty.join(clean, Seq("blk"))
+      .withColumn("sim", graft.functions.JaroWinkler.jaroWinkler(col("dirty"), col("clean")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("dirty"), col("clean"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Exact duplicate groups by content digest: digest, group size,
     * surviving (minimum) doc_id. One map-side-combined hash agg — the
     * cheapest possible full-corpus dedup.

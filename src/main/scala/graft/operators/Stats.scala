@@ -234,6 +234,24 @@ object Stats {
         .as("autocorr"))
   }
 
+  /** Null/value cleaning via the `DataFrameNaFunctions` surface —
+    * `na.fill` (impute a sentinel value), `na.replace` (recode a
+    * label), `na.drop` (require keys) — the standard pre-aggregation
+    * scrub, exercised as one chain and summarized so the oracle pins
+    * all three semantics. Everything stays a narrow projection+filter:
+    * Catalyst folds the na.* calls into ordinary
+    * coalesce/CASE/IsNotNull expressions inside one codegen stage.
+    */
+  def naCleanedSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .na.drop(Seq("user_id", "event_type"))
+      .na.fill(Map("value" -> -1.0))
+      .na.replace("event_type", Map("view" -> "impression"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"),
+        count(when(col("value") === -1.0, 1)).as("n_imputed"))
+
   /** Contingency table via the `DataFrameStatFunctions` surface
     * (`df.stat.crosstab`) — language × source counts over the corpus,
     * the mix snapshot a curation pipeline watches across loads. Spark
