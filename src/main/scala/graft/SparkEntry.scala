@@ -78,6 +78,8 @@ object SparkEntry {
     "q_sql_lateral" -> (Relational.sqlLateralTopOrders(_, _)),
     "q_sql_recursive" -> (Relational.sqlRecursivePaths(_, _)),
     "q_sql_udf" -> (Relational.sqlScalarUdf(_, _)),
+    "q_sql_tvf" -> (Relational.sqlPosexplodeTokens(_, _)),
+    "q_pipeline_curate" -> (TextAnalysis.curationPipeline(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
@@ -619,9 +621,31 @@ object SparkEntry {
     "q_sql_custom_fn" -> {
       val norm = raceIdSql("p_brand")
       s"""SELECT p_partkey, $norm AS norm_brand,
-         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm
+         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
+         |  round(jaro_winkler_similarity(p_name, p_brand), 6) AS name_brand_sim
          |FROM part JOIN embeddings ON p_partkey = vec_id""".stripMargin
     },
+    // LATERAL VIEW posexplode == indexed unnest (0-based pos both sides)
+    "q_sql_tvf" ->
+      """WITH s AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+        |i AS (SELECT p_partkey, toks,
+        |        CAST(unnest(range(1, LEN(toks) + 1)) AS INTEGER) AS i FROM s)
+        |SELECT p_partkey, i - 1 AS pos, toks[i] AS token FROM i""".stripMargin,
+    // the composed curation chain: gate → min-doc_id exact dedup →
+    // md5-bucket split → whitespace token count, all shared idioms
+    "q_pipeline_curate" ->
+      s"""WITH gated AS (
+         |  SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 100),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |b AS (SELECT g.doc_id,
+         |    CAST(CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER) AS bucket,
+         |    LEN($toksSql) AS n_tokens
+         |  FROM gated g JOIN keep k ON g.doc_id = k.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 9800 THEN 'train'
+         |       WHEN bucket < 9900 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(n_tokens AS INTEGER) AS n_tokens
+         |FROM b""".stripMargin,
     // Parser-path window function; o_orderkey tiebreak makes rn exact.
     "q_sql_window" ->
       """SELECT c_custkey, o_orderkey, total_price, rn

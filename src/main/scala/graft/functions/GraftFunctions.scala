@@ -63,5 +63,10 @@ object GraftFunctions {
       "dot_product",
       exprs => { arity("dot_product", exprs, 2); DotProduct(exprs.head, exprs(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => { arity("jaro_winkler", exprs, 2)
+        JaroWinklerSimilarity(exprs.head, exprs(1)) },
+      "scala_udf")
   }
 }

@@ -1062,8 +1062,23 @@ object Relational {
     spark.sql(
       """SELECT p_partkey,
         |  standardize_race_id(p_brand) AS norm_brand,
-        |  dot_product(embedding, embedding) AS sq_norm
+        |  dot_product(embedding, embedding) AS sq_norm,
+        |  round(jaro_winkler(p_name, p_brand), 6) AS name_brand_sim
         |FROM graft_part JOIN graft_embeddings ON p_partkey = vec_id""".stripMargin)
+  }
+
+  /** Table-valued function through the SQL parser — `LATERAL VIEW
+    * posexplode` (the positional generator, the SQL face of the same
+    * `Generator` machinery `chunk_slices` extends): each part name
+    * explodes to its (position, token) rows. Generators are narrow —
+    * a per-row flatMap inside the scan stage, no exchange.
+    */
+  def sqlPosexplodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT p_partkey, pos, token
+        |FROM graft_part
+        |LATERAL VIEW posexplode(split(p_name, ' ')) t AS pos, token""".stripMargin)
   }
 
   /** Full global sort — ORDER BY with NO limit, the complement of

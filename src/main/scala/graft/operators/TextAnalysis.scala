@@ -14,6 +14,29 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** The composed curation pipeline — quality gate → exact dedup →
+    * deterministic split → token count, END TO END in one DataFrame
+    * program: the proof that the corpus verbs COMPOSE (each exists as
+    * its own oracle-checked query; a real ingestion run chains them
+    * exactly like this). Shapes: pushed-down scan filters, one
+    * digest aggregate, a key-only LEFT SEMI back-join, then pure
+    * projections — the chain adds no shuffle beyond the dedup's own.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val gated = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en" && col("n_chars") >= 100)
+    val keep = gated
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val bucket = graft.functions.GraftFunctions.md5Bucket(col("doc_id"))
+    gated.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        when(bucket < 9800, "train").when(bucket < 9900, "val").otherwise("test")
+          .as("split"),
+        size(tokens(col("text"))).as("n_tokens"))
+  }
+
   /** Whitespace tokens with empties dropped (split on `\s+` leaves a
     * leading "" for texts with leading whitespace — filter it).
     */

@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       exprs => { arity("dot_product", exprs, 2)
         graft.functions.DotProduct(exprs.head, exprs(1)) }))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerSimilarity].getName, "jaro_winkler"),
+      exprs => { arity("jaro_winkler", exprs, 2)
+        graft.functions.JaroWinklerSimilarity(exprs.head, exprs(1)) }))
   }
 }
