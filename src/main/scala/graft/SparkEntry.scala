@@ -79,6 +79,8 @@ object SparkEntry {
     "q_sql_recursive" -> (Relational.sqlRecursivePaths(_, _)),
     "q_sql_udf" -> (Relational.sqlScalarUdf(_, _)),
     "q_sql_tvf" -> (Relational.sqlPosexplodeTokens(_, _)),
+    "q_try_fns" -> (Relational.tryFunctions(_, _)),
+    "q_hof_fns" -> (Relational.higherOrderFunctions(_, _)),
     "q_pipeline_curate" -> (TextAnalysis.curationPipeline(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
@@ -625,6 +627,28 @@ object SparkEntry {
          |  round(jaro_winkler_similarity(p_name, p_brand), 6) AS name_brand_sim
          |FROM part JOIN embeddings ON p_partkey = vec_id""".stripMargin
     },
+    // NULL-on-failure semantics mirrored: TRY_CAST, zero-divisor guard,
+    // overflow guard, out-of-bounds list index (NULL natively in DuckDB)
+    "q_try_fns" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+        |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |       ELSE CAST(o_totalprice AS DOUBLE) / (o_custkey % 3) END AS div3,
+        |  CASE WHEN o_orderkey > 0 THEN NULL
+        |       ELSE 0 + o_orderkey END AS overflow_add,
+        |  string_split(o_orderpriority, '-')[5] AS oob_elem
+        |FROM orders""".stripMargin,
+    // HOF lambdas == DuckDB list lambdas; list_position NULL→0 and the
+    // shared binary sort reconcile the engines' semantics
+    "q_hof_fns" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  LEN(list_filter(t, x -> x LIKE 'a%')) > 0 AS has_a_token,
+         |  LEN(list_filter(t, x -> strlen(x) >= 20)) = 0 AS all_short,
+         |  CAST(LEN(list_filter(t, x -> strlen(x) > 5)) AS INTEGER) AS n_long,
+         |  array_to_string(list_sort(t)[1:3], ' ') AS first3_sorted,
+         |  CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS the_pos
+         |FROM d""".stripMargin,
     // LATERAL VIEW posexplode == indexed unnest (0-based pos both sides)
     "q_sql_tvf" ->
       """WITH s AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),

@@ -1067,6 +1067,41 @@ object Relational {
         |FROM graft_part JOIN graft_embeddings ON p_partkey = vec_id""".stripMargin)
   }
 
+  /** ANSI-mode safe-error family (`try_cast` / `try_divide` /
+    * `try_add` / `try_element_at`): Spark 4 runs ANSI by default, so
+    * invalid casts and overflows are ERRORS — these are the sanctioned
+    * per-expression escape hatches a pipeline uses for dirty columns
+    * (NULL on failure, never a poisoned job). The oracle mirrors each
+    * with DuckDB's TRY_CAST / explicit guards, pinning the NULL-on-*
+    * semantics value for value.
+    */
+  def tryFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"),
+      expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+      expr("try_divide(CAST(o_totalprice AS DOUBLE), o_custkey % 3)").as("div3"),
+      expr("try_add(CASE WHEN o_orderkey > 0 THEN 9223372036854775807 ELSE 0 END, o_orderkey)")
+        .as("overflow_add"),
+      expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob_elem"))
+
+  /** Higher-order array functions (`exists` / `forall` / `filter` /
+    * `sort_array`+`slice` / `array_position`) over the token lists —
+    * the lambda surface for array columns. All evaluate inside the
+    * projection (no explode, no shuffle); the oracle rebuilds each via
+    * DuckDB list lambdas with the engines' semantic differences
+    * reconciled explicitly (list_position NULL→0, same binary sort).
+    */
+  def higherOrderFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      exists(t, x => x.startsWith("a")).as("has_a_token"),
+      forall(t, x => length(x) < lit(20)).as("all_short"),
+      size(filter(t, x => length(x) > lit(5))).as("n_long"),
+      concat_ws(" ", slice(sort_array(t), 1, 3)).as("first3_sorted"),
+      array_position(t, "the").as("the_pos"))
+  }
+
   /** Table-valued function through the SQL parser — `LATERAL VIEW
     * posexplode` (the positional generator, the SQL face of the same
     * `Generator` machinery `chunk_slices` extends): each part name
