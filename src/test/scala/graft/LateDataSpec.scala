@@ -164,4 +164,93 @@ class LateDataSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(out, "_spark_metadata")),
       "file sink wrote no transaction log")
   }
+
+  /** The arbitrary-state path under failure: a mid-batch crash must roll
+    * the RocksDB state store back to the last committed version, so the
+    * restarted batch replays against batch-1 state — double-counting the
+    * crashed attempt's partial updates is exactly what the store's
+    * versioned commits exist to prevent.
+    */
+  test("transformWithState (RocksDB) totals are exactly-once across a mid-replay crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    val src = Files.createTempDirectory("graft-twscrash-src-").toString
+    val ckpt = Files.createTempDirectory("graft-twscrash-ckpt-").toString
+
+    def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-twscrash-stage-").toString
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      Files.move(part, java.nio.file.Paths.get(src, name))
+    }
+    // poison rides in file 2: batch 1 commits state, the crash lands on
+    // batch 2, the restart must replay batch 2 from batch-1 state
+    addFile("f1.parquet", Seq(("a", 1L), ("b", 10L), ("a", 2L)))
+    addFile("f2.parquet", Seq(("a", 4L), ("poison", 100L), ("b", 20L)))
+    addFile("f3.parquet", Seq(("b", 30L), ("c", 7L)))
+
+    class Totals extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long)] {
+      @transient private var st: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long)]("t",
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+          TTLConfig.NONE)
+      override def handleInputRows(k: String, rows: Iterator[(String, Long)],
+          tv: TimerValues): Iterator[(String, Long, Long)] = {
+        var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+        rows.foreach { r => n += 1; s += r._2 }
+        st.update((n, s))
+        Iterator.single((k, n, s))
+      }
+    }
+
+    val boomUdf = udf(CrashOnce.boom _)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val finalTotals = scala.collection.mutable.Map[String, (Long, Long)]()
+    def runOnce(): Unit = {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.StringType)
+        .add("v", org.apache.spark.sql.types.LongType)
+      val updated = session.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(boomUdf(col("k")))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new Totals, TimeMode.None(), OutputMode.Update())
+      val q = updated.toDF("k", "n", "total").writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            finalTotals(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    CrashOnce.armed = true
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(crash.getMessage.contains("injected") ||
+      Option(crash.getCause).exists(_.toString.contains("injected")), crash.getMessage)
+    assert(!CrashOnce.armed, "poison batch never executed — crash was not mid-replay")
+
+    runOnce() // restart: batch 2 must replay against batch-1 state
+
+    val expected = Map(
+      "a" -> (3L, 7L), // 1+2 then +4 — NOT 4 rows / 11 (double-count)
+      "b" -> (3L, 60L),
+      "c" -> (1L, 7L),
+      "poison" -> (1L, 100L))
+    assert(finalTotals.toMap == expected,
+      s"state not exactly-once after crash-restart: $finalTotals vs $expected")
+  }
 }
