@@ -197,6 +197,7 @@ object SparkEntry {
     "q_stream_sliding" -> (Streaming.slidingCounts(_, _)),
     "q_stream_watermarked" -> (Streaming.watermarkedCounts(_, _)),
     "q_stream_session" -> (Streaming.sessionCounts(_, _)),
+    "q_stream_dyn_session" -> (Streaming.dynamicSessionCounts(_, _)),
     "q_stream_stateful" -> (Streaming.statefulUserTotals(_, _)),
     "q_stream_custom_session" -> ((s, d) => Streaming.customSessionCounts(s, d)),
     "q_stream_dedup" -> (Streaming.dedupedCounts(_, _)),
@@ -1826,6 +1827,25 @@ object SparkEntry {
     "q_stream_chained" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // dynamic-gap sessions: end = running MAX of ts + gap(event) — the
+    // sweep-line island construction, not the constant-gap lag shortcut
+    "q_stream_dyn_session" ->
+      """WITH iv AS (SELECT user_id, ts,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+        |             ELSE INTERVAL 10 MINUTE END AS e
+        |  FROM events),
+        |m AS (SELECT user_id, ts, e,
+        |    CASE WHEN MAX(e) OVER prevw IS NULL OR ts >= MAX(e) OVER prevw
+        |      THEN 1 ELSE 0 END AS open
+        |  FROM iv
+        |  WINDOW prevw AS (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT user_id, ts,
+        |    SUM(open) OVER (PARTITION BY user_id ORDER BY ts
+        |                    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+        |FROM i GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     // Single-data-batch replay: within-watermark dedup sees every copy of

@@ -328,6 +328,27 @@ object Streaming {
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
   }
 
+  /** Session windows with a DYNAMIC gap — `session_window(ts, gapExpr)`
+    * where the gap is an expression of the row (purchases hold a
+    * session open 30 minutes, everything else 10): the
+    * "engagement-weighted timeout" shape real sessionization uses, and
+    * a genuinely different merge rule from the constant-gap form — a
+    * session's end is the running MAX of per-event `ts + gap(event)`,
+    * so one long-gap event can bridge across several short-gap ones.
+    * The oracle states exactly that sweep (running-max islands, the
+    * interval-union machinery), NOT the lag-difference shortcut that
+    * only works for constant gaps.
+    */
+  def dynamicSessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("30 minutes"))
+      .otherwise(lit("10 minutes"))
+    val agg = eventsStream(replaySession(spark), dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+  }
+
   /** Stream-stream inner join: purchases matched to same-user signups
     * within the preceding hour. Watermarks + the time-bound condition let
     * the engine expire join state (without them a stream-stream join
