@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sql_udf" -> (Relational.sqlScalarUdf(_, _)),
     "q_sql_tvf" -> (Relational.sqlPosexplodeTokens(_, _)),
     "q_try_fns" -> (Relational.tryFunctions(_, _)),
+    "q_listagg" -> (Relational.sqlListAgg(_, _)),
     "q_hof_fns" -> (Relational.higherOrderFunctions(_, _)),
     "q_pipeline_curate" -> (TextAnalysis.curationPipeline(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
@@ -255,10 +256,12 @@ object SparkEntry {
       |    fw AS (PARTITION BY event_type ORDER BY ts, event_id
       |           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
       |SELECT event_type, event_id,
-      |  round((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |     sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-      |    AS autocorr
+      |  round(CASE WHEN CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |         AND CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END, 6) AS autocorr
       |FROM f WHERE rn >= 50""".stripMargin
   // one oracle, two plans: q_revenue_by_nation (full recompute) and
   // q_incremental_agg (base+delta partial-state merge) must agree exactly
@@ -628,6 +631,11 @@ object SparkEntry {
          |  round(jaro_winkler_similarity(p_name, p_brand), 6) AS name_brand_sim
          |FROM part JOIN embeddings ON p_partkey = vec_id""".stripMargin
     },
+    // SQL-standard listagg == ordered string_agg over the distinct set
+    "q_listagg" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+        |FROM events GROUP BY user_id""".stripMargin,
     // NULL-on-failure semantics mirrored: TRY_CAST, zero-divisor guard,
     // overflow guard, out-of-bounds list index (NULL natively in DuckDB)
     "q_try_fns" ->
@@ -1471,10 +1479,12 @@ object SparkEntry {
         |    SUM(CAST(ry AS HUGEINT) * ry) AS syy
         |  FROM r GROUP BY g)
         |SELECT g AS l_returnflag, n,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS spearman_rho
+        |  round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |         AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS spearman_rho
         |FROM s""".stripMargin,
     // Welch from exact decimal (n, Σv, Σv²); every derived double mirrors
     // the Spark expression shape node for node
@@ -1499,9 +1509,11 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
         |  round(v_a, 6) AS var_a, round(v_b, 6) AS var_b,
-        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
-        |  round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) /
-        |    ((v_a / n_a) * (v_a / n_a) / (n_a - 1) + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 6) AS df
+        |  round(CASE WHEN v_a / n_a + v_b / n_b > 0
+        |    THEN (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) END, 6) AS t_stat,
+        |  round(CASE WHEN (v_a / n_a) * (v_a / n_a) / (n_a - 1) + (v_b / n_b) * (v_b / n_b) / (n_b - 1) > 0
+        |    THEN (v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) /
+        |      ((v_a / n_a) * (v_a / n_a) / (n_a - 1) + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) END, 6) AS df
         |FROM m""".stripMargin,
     // bin arithmetic mirrored double-for-double (identical inputs →
     // identical IEEE results → identical floor)

@@ -1067,6 +1067,23 @@ object Relational {
         |FROM graft_part JOIN graft_embeddings ON p_partkey = vec_id""".stripMargin)
   }
 
+  /** SQL-standard ordered string aggregation — `listagg(expr, sep)
+    * WITHIN GROUP (ORDER BY …)` through the parser (new in Spark 4;
+    * the standard spelling of the sorted `collect_set`+`concat_ws`
+    * composition `q_collect_set` does in DataFrame code). The WITHIN
+    * GROUP order makes the output deterministic under any
+    * partitioning — the only safe way to emit concatenated groups from
+    * a distributed engine.
+    */
+  def sqlListAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events").createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT user_id,
+        |  listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type)
+        |    AS types_csv
+        |FROM graft_events GROUP BY user_id""".stripMargin)
+  }
+
   /** ANSI-mode safe-error family (`try_cast` / `try_divide` /
     * `try_add` / `try_element_at`): Spark 4 runs ANSI by default, so
     * invalid casts and overflows are ERRORS — these are the sanctioned

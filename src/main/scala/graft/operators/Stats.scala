@@ -22,6 +22,26 @@ object Stats {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Pearson correlation from the six exact sums, guarded: NULL when
+    * either variance term is zero (a constant series has no defined
+    * correlation — and under Spark 4's ANSI mode an unguarded double
+    * division by zero is an ERROR, not infinity: the 100× sweep found
+    * this live, because replica interleaving creates runs of identical
+    * values and therefore zero-variance frames). The guard is
+    * cross-engine exact: the variance terms come from decimal sums, so
+    * a constant window computes EXACTLY 0.0 on both engines and any
+    * true nonzero variance of 2-decimal data sits orders of magnitude
+    * above double rounding error.
+    */
+  private def pearsonFromSums(cnt: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column): Column = {
+    def d(c: Column): Column = c.cast("double")
+    val vx = d(cnt) * d(sxx) - d(sx) * d(sx)
+    val vy = d(cnt) * d(syy) - d(sy) * d(sy)
+    round(when(vx > 0 && vy > 0,
+      (d(cnt) * d(sxy) - d(sx) * d(sy)) / (sqrt(vx) * sqrt(vy))), 6)
+  }
+
   /** Spearman rank correlation between `l_quantity` and `l_extendedprice`
     * per `l_returnflag` — the tie-robust, outlier-robust dependence
     * screen (Pearson on mid-ranks).
@@ -82,13 +102,10 @@ object Stats {
       sum(col("rx").cast(big) * col("ry").cast(big)).as("sxy"),
       sum(col("rx").cast(big) * col("rx").cast(big)).as("sxx"),
       sum(col("ry").cast(big) * col("ry").cast(big)).as("syy"))
-    def d(c: Column): Column = c.cast("double")
     sums.select(
       col("g").as("l_returnflag"), col("n"),
-      round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-        (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-          sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
-        .as("spearman_rho"))
+      pearsonFromSums(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy")).as("spearman_rho"))
   }
 
   /** Welch's two-sample t-test over the event log: arm A = even
@@ -121,13 +138,16 @@ object Stats {
         col(s"s_$p").cast("double") / col(s"n_$p")) / (col(s"n_$p") - 1)
     val va = variance("a") / col("n_a")
     val vb = variance("b") / col("n_b")
+    // guards mirror the ANSI divide-by-zero contract (see
+    // pearsonFromSums): two constant arms have no defined t/df
     wide.select(
       col("n_a"), col("n_b"),
       round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
       round(variance("a"), 6).as("var_a"), round(variance("b"), 6).as("var_b"),
-      round((mean("a") - mean("b")) / sqrt(va + vb), 6).as("t_stat"),
-      round((va + vb) * (va + vb) /
-        (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)), 6).as("df"))
+      round(when(va + vb > 0, (mean("a") - mean("b")) / sqrt(va + vb)), 6).as("t_stat"),
+      round(when(va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1) > 0,
+        (va + vb) * (va + vb) /
+          (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1))), 6).as("df"))
   }
 
   /** Equi-width histogram of `o_totalprice` in 16 bins — the
@@ -226,12 +246,9 @@ object Stats {
       .withColumn("sxx", sum((col("x") * col("x")).cast(sq)).over(f))
       .withColumn("syy", sum((col("y") * col("y")).cast(sq)).over(f))
       .filter(col("own") && col("cnt") === frame)
-    def d(c: Column): Column = c.cast("double")
     withSums.select(col("event_type"), col("event_id"),
-      round((d(col("cnt")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-        (sqrt(d(col("cnt")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-          sqrt(d(col("cnt")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
-        .as("autocorr"))
+      pearsonFromSums(col("cnt"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy")).as("autocorr"))
   }
 
   /** Null/value cleaning via the `DataFrameNaFunctions` surface —
@@ -295,11 +312,8 @@ object Stats {
     // each exact decimal frame sum → double once, then mirrored double
     // arithmetic (a decimal product of the wide sums would hit the two
     // engines' different precision-cap rules; doubles are identical)
-    def d(c: Column): Column = c.cast("double")
     withSums.select(col("event_type"), col("event_id"),
-      round((d(col("cnt")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-        (sqrt(d(col("cnt")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-          sqrt(d(col("cnt")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
-        .as("autocorr"))
+      pearsonFromSums(col("cnt"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy")).as("autocorr"))
   }
 }
