@@ -158,6 +158,7 @@ object SparkEntry {
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
     "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     "q_cogroup" -> (Analytics.cogroupCustomerActivity(_, _)),
+    "q_seq_pattern" -> ((s, d) => Analytics.sequencePattern(s, d)),
     "q_crosstab" -> (Stats.langSourceCrosstab(_, _)),
     "q_na_clean" -> (Stats.naCleanedSummary(_, _)),
     "q_khop" -> ((s, d) => Analytics.khopDistances(s, d)),
@@ -1768,6 +1769,14 @@ object SparkEntry {
         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM o)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+    // per-user ordered initials string + regex == the pattern verb;
+    // string_agg's ORDER BY pins the same (ts, event_id) order the
+    // Spark side gets from sorting the collected structs
+    "q_seq_pattern" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY ts, event_id), 'v.*c.*p') AS matched
+        |FROM events GROUP BY user_id""".stripMargin,
     // typed cogroup == two grouped aggregates full-outer joined; the
     // ROUND(x*100) cents idiom matches the q_stream_tws oracle
     "q_cogroup" ->

@@ -330,6 +330,34 @@ object Analytics {
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Sequence-pattern matching over per-user event strings — the
+    * MATCH_RECOGNIZE-lite verb (Spark has no native row-pattern
+    * operator; the practical distributed form is exactly this): each
+    * user's events compress to an ordered INITIALS string (one char
+    * per event, (ts, event_id) order pinned by sorting the collected
+    * structs — `collect_list` alone has no order guarantee), then any
+    * regex runs over it. Here: did the user ever follow
+    * view → … → click → … → purchase (the funnel as a PATTERN — the
+    * reachability formulation `q_funnel` computes via joins; two
+    * verbs, one semantic family). Per-user state is one user's
+    * history, the same bound every per-user fold in this file
+    * assumes; the regex is codegen'd per row on a |users|-sized
+    * relation.
+    */
+  def sequencePattern(spark: SparkSession, dir: String,
+      pattern: String = "v.*c.*p"): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("i")))),
+          x => x.getField("i")), "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        col("seq").rlike(pattern).as("matched"))
+
   /** Typed COGROUP of orders and events per customer — the
     * `KeyValueGroupedDataset.cogroup` surface (the typed dual of a
     * full-outer join): both sides arrive key-aligned as iterators and

@@ -199,6 +199,19 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence pattern: v.*c.*p matches exactly the funnel-completing users") {
+    // subsequence existence (the regex) and greedy stage-wise firsts
+    // (the funnel join) are the same predicate — two formulations, one
+    // semantic, cross-pinned
+    val matched = Analytics.sequencePattern(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val funnel = Analytics.funnelConversion(spark, sf).collect()
+      .filter(!_.isNullAt(3)).map(_.getLong(0)).toSet
+    assert(matched == funnel,
+      s"pattern users ${matched.size} != funnel completers ${funnel.size}")
+    assert(matched.nonEmpty, "fixture should contain at least one completer")
+  }
+
   test("cogroup: typed merge equals the full-outer join of grouped aggregates") {
     val got = Analytics.cogroupCustomerActivity(spark, sf)
     val orders = graft.sources.Tables(spark, sf, "orders")
