@@ -1504,8 +1504,10 @@ object SparkEntry {
         |    (SELECT ss FROM a WHERE NOT arm_a) AS ss_b),
         |m AS (SELECT n_a, n_b,
         |    CAST(s_a AS DOUBLE) / n_a AS m_a, CAST(s_b AS DOUBLE) / n_b AS m_b,
-        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) AS v_a,
-        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) AS v_b
+        |    CASE WHEN n_a > 1 THEN
+        |      (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) END AS v_a,
+        |    CASE WHEN n_b > 1 THEN
+        |      (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) END AS v_b
         |  FROM w)
         |SELECT n_a, n_b,
         |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,

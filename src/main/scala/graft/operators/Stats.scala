@@ -133,9 +133,11 @@ object Stats {
     // mean/var/t/df in doubles FROM the exact sums — expression shapes
     // mirrored in the oracle so both engines round identically
     def mean(p: String) = col(s"s_$p").cast("double") / col(s"n_$p")
-    def variance(p: String) =
+    // n−1 guard: a single-row arm has no sample variance, and under
+    // ANSI the bare division would be an error, not infinity
+    def variance(p: String) = when(col(s"n_$p") > 1,
       (col(s"ss_$p").cast("double") - col(s"s_$p").cast("double") *
-        col(s"s_$p").cast("double") / col(s"n_$p")) / (col(s"n_$p") - 1)
+        col(s"s_$p").cast("double") / col(s"n_$p")) / (col(s"n_$p") - 1))
     val va = variance("a") / col("n_a")
     val vb = variance("b") / col("n_b")
     // guards mirror the ANSI divide-by-zero contract (see

@@ -69,6 +69,28 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(7) - df) < 1e-2, s"df: ${r.getDouble(7)} vs $df")
   }
 
+  test("welch: a single-row arm yields NULL variance/t/df, not an ANSI error") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000L * 1000000L
+    val rows = Seq( // one even user (arm A, n=1), two odd rows (arm B)
+      (1L, t0, 2L, "view", 5.0, "{}"),
+      (2L, t0 + 1, 3L, "view", 1.0, "{}"),
+      (3L, t0 + 2, 3L, "view", 9.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-welch-").toFile
+    d.deleteOnExit()
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+    val r = Stats.welchTTest(spark, d.getAbsolutePath).collect().head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2)
+    assert(!r.isNullAt(2) && !r.isNullAt(3), "means are always defined")
+    assert(r.isNullAt(4), "var_a must be NULL for n=1")
+    assert(!r.isNullAt(5), "var_b defined for n=2")
+    assert(r.isNullAt(6) && r.isNullAt(7), "t/df undefined when an arm has no variance")
+  }
+
   test("histogram: bins cover every row, edges tile [min, max]") {
     val bins = Stats.priceHistogram(spark, sf).collect()
     val orders = graft.sources.Tables(spark, sf, "orders")
