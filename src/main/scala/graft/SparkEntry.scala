@@ -129,6 +129,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
+    "q_group_split" -> (TextAnalysis.groupSplit(_, _)),
     "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
     "q_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "q_token_chunks" -> ((s, d) => TextAnalysis.tokenChunks(s, d)),
@@ -1726,6 +1727,14 @@ object SparkEntry {
         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // the user-level draw inherited by every event — no user straddles
+    // splits (the md5 arithmetic is the shared sampling contract)
+    "q_group_split" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9800 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM events e""".stripMargin,
     "q_byte_entropy" ->
       """WITH pos AS (
         |  SELECT doc_id, text, CAST(unnest(range(1, strlen(text) + 1)) AS INTEGER) AS i

@@ -14,6 +14,28 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** GROUP-integrity split assignment — the leakage-free counterpart of
+    * [[deterministicSplit]]: the md5-bucket draw happens at the USER
+    * level and every event of a user inherits it, so no user's history
+    * straddles train/val/test (the classic leakage bug: an entity's
+    * early rows in train and late rows in test lets the model memorize
+    * the entity — sklearn's GroupShuffleSplit exists for exactly this).
+    * The user-level split relation is |users|-sized and broadcastable;
+    * the event log takes it by one equi-join. Same md5 contract as
+    * every sampling oracle.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.GraftFunctions.md5Bucket(col("user_id"))
+    val userSplit = Tables(spark, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        when(bucket < 9800, "train").when(bucket < 9900, "val").otherwise("test")
+          .as("split"))
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .join(broadcast(userSplit), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("split"))
+  }
+
   /** The composed curation pipeline — quality gate → exact dedup →
     * deterministic split → token count, END TO END in one DataFrame
     * program: the proof that the corpus verbs COMPOSE (each exists as
