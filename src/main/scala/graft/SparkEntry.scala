@@ -96,6 +96,7 @@ object SparkEntry {
     "q_outliers" -> (Relational.outlierEvents(_, _)),
     "q_mad_outliers" -> (Relational.madOutlierEvents(_, _)),
     "q_decile_stats" -> (Relational.decileStats(_, _)),
+    "q_quantile_grid" -> ((s, d) => Relational.quantileGrid(s, d)),
     "q_winsorize" -> (Relational.winsorizedEvents(_, _)),
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(s, d)),
     "q_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
@@ -1306,6 +1307,26 @@ object SparkEntry {
          |SELECT event_type, decile, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
          |  MIN(value) AS lo, MAX(value) AS hi
+         |FROM e GROUP BY 1, 2""".stripMargin
+    },
+    // joint quintile grid: both boundary sets mirrored via quantile_cont
+    // (same interpolation the quantile core reproduces), same bucketing
+    "q_quantile_grid" -> {
+      val bx = Seq(20, 40, 60, 80).map(k =>
+        s"round(quantile_cont(l_extendedprice, 0.$k), 4) AS x$k").mkString(", ")
+      val by = Seq(20, 40, 60, 80).map(k =>
+        s"round(quantile_cont(l_quantity, 0.$k), 4) AS y$k").mkString(", ")
+      val cx = Seq(20, 40, 60, 80).map(k =>
+        s"(CASE WHEN l_extendedprice > x$k THEN 1 ELSE 0 END)").mkString(" + ")
+      val cy = Seq(20, 40, 60, 80).map(k =>
+        s"(CASE WHEN l_quantity > y$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH bx AS (SELECT $bx FROM lineitem),
+         |by AS (SELECT $by FROM lineitem),
+         |e AS (SELECT CAST(1 + $cx AS INTEGER) AS x_bucket,
+         |        CAST(1 + $cy AS INTEGER) AS y_bucket, l_extendedprice
+         |      FROM lineitem CROSS JOIN bx CROSS JOIN by)
+         |SELECT x_bucket, y_bucket, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          |FROM e GROUP BY 1, 2""".stripMargin
     },
     "q_winsorize" ->

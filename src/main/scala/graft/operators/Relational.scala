@@ -422,6 +422,33 @@ object Relational {
         min(col("value")).as("lo"), max(col("value")).as("hi"))
   }
 
+  /** 2-D equi-depth quantile grid — the JOINT distribution heatmap
+    * (price quintile × quantity quintile over lineitem), completing the
+    * histogram family: equi-width 1-D (`q_histogram`), equi-depth 1-D
+    * (`q_decile_stats`), equi-depth 2-D (this). Both axes' boundaries
+    * come from the bounded-state quantile core as 1-row broadcasts,
+    * bucketing is a pure projection, and the grid aggregate outputs
+    * ≤ 25 cells — after the two boundary passes nothing grows with
+    * data but the one scan.
+    */
+  def quantileGrid(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    def boundsOf(c: String, prefix: String) = distributedPercentilesOf(
+      li.select(lit("all").as("g"), col(c).as("v")), ps)
+      .select(ps.map(p => col(s"p${(p * 100).round}").as(s"$prefix${(p * 100).round}")): _*)
+    def bucketOf(c: String, prefix: String) = ps.map(p =>
+      when(col(c) > col(s"$prefix${(p * 100).round}"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    li.crossJoin(broadcast(boundsOf("l_extendedprice", "x")))
+      .crossJoin(broadcast(boundsOf("l_quantity", "y")))
+      .withColumn("x_bucket", bucketOf("l_extendedprice", "x"))
+      .withColumn("y_bucket", bucketOf("l_quantity", "y"))
+      .groupBy(col("x_bucket"), col("y_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+  }
+
   /** Robust outlier screening by median/MAD — the heavy-tail-safe twin
     * of [[outlierEvents]] (one extreme value drags a mean/sd z-score's
     * own baseline; the median and the median absolute deviation ignore

@@ -27,7 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // arm summaries
   private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf",
     "q_zorder", "q_bm25", "q_cooccurrence", "q_histogram", "q_assoc_rules",
-    "q_ab_test")
+    "q_ab_test", "q_quantile_grid")
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
