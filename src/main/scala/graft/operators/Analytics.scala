@@ -450,7 +450,10 @@ object Analytics {
     val edges = undirected.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(undirected.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    val source = edges.agg(min(col("src")).as("s")).head.getLong(0)
+    val srcRow = edges.agg(min(col("src")).as("s")).head
+    if (srcRow.isNullAt(0)) // no co-order edges at all: empty graph, empty result
+      return spark.range(0).select(col("id").as("part"), lit(0).as("dist"))
+    val source = srcRow.getLong(0)
     var dist = spark.range(1).select(lit(source).as("part"), lit(0).as("dist"))
       .localCheckpoint()
     (1 to maxHops).foreach { i =>
