@@ -64,6 +64,13 @@ object Verify {
         .toSeq.sorted.map(q).mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // cautionary-plan tags: which queries are kept as measurable
+    // scale-antipattern twins, and which sibling is the production plan
+    Files.writeString(Paths.get(s"$outDir/query_meta.json"),
+      SparkEntry.cautionary
+        .map { case (k, twin) =>
+          s"${q(k)}: {${q("cautionary")}: true, ${q("production_twin")}: ${q(twin)}}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

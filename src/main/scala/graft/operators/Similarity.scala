@@ -119,16 +119,21 @@ object Similarity {
     * candidate volume is Σ bucket² per table, so AT SCALE the bits grow
     * with the corpus (each +1 bit halves expected bucket size, quartering
     * pair volume) and recall is recouped across the L independent
-    * tables. The DEFAULT is now self-scaling: `bitsPerTable <= 0` derives
-    * bits = max(4, ⌈log2(n / 125)⌉) from one metadata-cheap corpus count,
-    * holding expected bucket occupancy ≈ constant (≈125, the 4-bit
-    * occupancy the recall numbers below are calibrated against) as the
-    * corpus grows — time stays ∝ n × occupancy, the model the ScaleBench
-    * 1×/10×/100× experiment measured (BASELINE.md r7). At the test SFs
-    * (n ≤ 2000) this resolves to the historical 4 bits (p≈0.6/bit →
-    * p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5 on the synthetic
-    * near-cosine-0.3 neighbors — at 8 bits those would be invisible,
-    * p^8≈0.02). The ScalaTest measures recall against [[knnBrute]].
+    * tables. The DEFAULT is self-scaling: `bitsPerTable <= 0` derives
+    * bits from one metadata-cheap corpus count via a TAPERED occupancy
+    * target occ(n) = 125·(500/n)^0.275 — a power law pinned by the two
+    * measured optima (BASELINE.md r7): n=500 wants ≈125/bucket (4 bits,
+    * the occupancy the recall numbers below are calibrated against;
+    * p≈0.6/bit → p^4≈0.13/table, 1−(1−0.13)^8 ≈ 0.67 recall@5 on the
+    * synthetic near-cosine-0.3 neighbors), while the 100× ScaleBench
+    * corpus (n=200k) wants ≈24/bucket — the SCALE_ANN_BITS sweep showed
+    * occupancy 98 → 24 (11 → 13 bits) cutting the self-join 267 s →
+    * 134.6 s. Constant occupancy would hold time ∝ n × occ but leave
+    * that 2× on the table: candidate scoring outweighs the linear
+    * banding pass more and more as n grows, so the optimum occupancy
+    * FALLS with n. bits = max(4, round(log2(n / occ(n)))) interpolates
+    * the two pins log-linearly; recall loss per bit is recouped across
+    * the L tables. The ScalaTest measures recall against [[knnBrute]].
     *
     * `maxBucket` is the skew backstop: buckets above the cap are
     * dropped from candidate generation entirely — a bucket holding 1%
@@ -157,9 +162,12 @@ object Similarity {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
-        // parquet footer count — no data scan; target occupancy 125/bucket
-        val n = Tables(spark, dir, "embeddings").count().max(1L)
-        math.max(4, math.ceil(math.log(n / 125.0) / math.log(2.0)).toInt)
+        // parquet footer count — no data scan; tapered occupancy target
+        // (see scaladoc: 125/bucket at n=500 shrinking to 24/bucket at
+        // n=200k, the two measured optima)
+        val n = Tables(spark, dir, "embeddings").count().max(1L).toDouble
+        val occ = 125.0 * math.pow(500.0 / n, 0.275)
+        math.max(4, math.round(math.log(n / occ) / math.log(2.0)).toInt)
       }
     val planes = hyperplanes(nTables * bits, dim)
     val emb = Tables(spark, dir, "embeddings")

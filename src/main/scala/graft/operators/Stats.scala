@@ -166,9 +166,12 @@ object Stats {
     val bounds = orders.agg(
       min(col("o_totalprice")).as("vmin"), max(col("o_totalprice")).as("vmax"))
     orders.crossJoin(broadcast(bounds))
+      // constant-column guard: vmax == vmin would divide by zero (an
+      // error under ANSI, not NULL) — a degenerate table lands in bin 0
       .withColumn("bin",
-        least(floor((col("o_totalprice") - col("vmin")) * bins / (col("vmax") - col("vmin"))),
-          lit(bins - 1)).cast("int"))
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(floor((col("o_totalprice") - col("vmin")) * bins / (col("vmax") - col("vmin"))),
+            lit(bins - 1))).cast("int"))
       .groupBy(col("bin"), col("vmin"), col("vmax"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),

@@ -619,6 +619,50 @@ object Streaming {
     * One timer per key: each batch deletes the tail's previous timer
     * before registering the moved one.
     */
+  /** Merge one sorted micro-batch of event times into an open session
+    * tail `(start, last, n)` (`(-1, -1, 0)` = none). Micro-batches are
+    * NOT ordered by event time across batches: a later batch may carry
+    * in-watermark rows older than the stored tail's `last`; folding
+    * those forward would move `last` backwards and mis-split. Instead:
+    * rows inside `[start, last]` join the open session without moving
+    * it; rows before `start` fold into their own (already gap-closed)
+    * sessions — emitted here as `(start, n)` — the latest of which
+    * extends the tail backward when its gap to `start` is under the
+    * threshold; rows after `last` fold forward as usual. Pure function
+    * so TimerSessionSemanticsSpec can pin the out-of-order cases
+    * without a streaming harness (ADVICE r7).
+    */
+  private[graft] def mergeFoldSessions(
+      tail0: (Long, Long, Long),
+      ts: Array[Long],
+      gapMicros: Long): ((Long, Long, Long), Seq[(Long, Long)]) = {
+    var (start, last, n) = tail0
+    val out = Seq.newBuilder[(Long, Long)]
+    def fold(arr: Array[Long]): Unit = arr.foreach { t =>
+      if (start < 0) { start = t; last = t; n = 1 }
+      else if (t - last >= gapMicros) {
+        out += ((start, n)); start = t; last = t; n = 1
+      } else { last = t; n += 1 }
+    }
+    if (start >= 0) {
+      val (late, fresh) = ts.partition(_ <= last)
+      n += late.count(_ >= start)
+      val before = late.filter(_ < start)
+      if (before.nonEmpty) {
+        var bStart = before(0); var bLast = before(0); var bN = 1L
+        before.iterator.drop(1).foreach { t =>
+          if (t - bLast >= gapMicros) {
+            out += ((bStart, bN)); bStart = t; bLast = t; bN = 1
+          } else { bLast = t; bN += 1 }
+        }
+        if (start - bLast < gapMicros) { start = bStart; n += bN }
+        else out += ((bStart, bN))
+      }
+      fold(fresh)
+    } else fold(ts)
+    ((start, last, n), out.result())
+  }
+
   private class TimerSessionProcessor(gapMicros: Long)
     extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     private val gapMs = gapMicros / 1000
@@ -635,21 +679,15 @@ object Streaming {
         timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
       val ts = rows.map(_._2).toArray
       java.util.Arrays.sort(ts)
-      var (start, last, n) = if (tail.exists()) tail.get() else (-1L, -1L, 0L)
-      val oldLast = last
-      val out = Seq.newBuilder[(Long, Long, Long)]
-      ts.foreach { t =>
-        if (start < 0) { start = t; last = t; n = 1 }
-        else if (t - last >= gapMicros) {
-          out += ((userId, start, n)); start = t; last = t; n = 1
-        } else { last = t; n += 1 }
-      }
+      val tail0 = if (tail.exists()) tail.get() else (-1L, -1L, 0L)
+      val oldLast = tail0._2
+      val ((start, last, n), closed) = mergeFoldSessions(tail0, ts, gapMicros)
       if (start >= 0) {
         if (oldLast >= 0 && oldLast != last) getHandle.deleteTimer(oldLast / 1000 + gapMs)
         tail.update((start, last, n))
         getHandle.registerTimer(last / 1000 + gapMs)
       }
-      out.result().iterator
+      closed.iterator.map { case (s, c) => (userId, s, c) }
     }
     override def handleExpiredTimer(
         userId: Long,

@@ -22,6 +22,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
+    # Driver-hash parity: the driver's hasher is repr-sensitive (r7 verdict:
+    # DuckDB HUGEINT -> pandas float64 `5.0` vs Spark int64 `5` fails its
+    # gate even though `5 == 5.0`), so carry each column's dtype KIND into
+    # the comparison rather than only the ==-lax python values. Widths are
+    # normalized (int32 `5` and int64 `5` repr identically — q_sql_multijoin
+    # passed the driver's r7 gate with exactly that skew) but int-vs-float
+    # stays a hard FAIL.
+    def kind(dt):
+        s = str(dt)
+        if s.startswith(("int", "uint", "Int", "UInt")):
+            return "int"
+        if s.startswith(("float", "Float")):
+            return "float"
+        return s
+    dtypes = [kind(df[c].dtype) for c in cols]
     # round-trip to sortable python values
     rows = []
     for t in df.itertuples(index=False):
@@ -38,7 +53,7 @@ def canon(df):
             else:
                 row.append(v)
         rows.append(tuple(row))
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, dtypes, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def main():
@@ -62,10 +77,13 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE SQL ERROR: {e}"
             continue
-        gc, gr = canon(got)
-        ec, er = canon(exp)
+        gc, gt, gr = canon(got)
+        ec, et, er = canon(exp)
         if gc != ec:
             results[name] = f"SCHEMA MISMATCH spark={gc} duckdb={ec}"
+        elif gt != et:
+            bad = [(c, a, b) for c, a, b in zip(gc, gt, et) if a != b]
+            results[name] = f"DTYPE MISMATCH (spark, duckdb): {bad}"
         elif len(gr) != len(er):
             results[name] = f"ROWCOUNT MISMATCH spark={len(gr)} duckdb={len(er)}"
         elif gr != er:
