@@ -139,6 +139,9 @@ object SparkEntry {
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    // rows-only by design: Bloom membership bits aren't SQL-expressible;
+    // CorpusOpsSpec pins no-false-negatives + bounded FP excess vs exact
+    "q_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),

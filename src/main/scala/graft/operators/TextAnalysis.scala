@@ -562,24 +562,78 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     decontaminateDocs(Tables(spark, dir, "documents"), n)
 
+  /** Per-doc DISTINCT `n`-token shingle digests over a tokenized
+    * `(doc_id, t)` relation — shared by the exact and bloom
+    * decontamination paths.
+    */
+  private def shingleDigests(df: DataFrame, n: Int): DataFrame = df
+    .filter(size(col("t")) >= n)
+    .select(col("doc_id"), col("t"),
+      explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+    .select(col("doc_id"),
+      md5(concat_ws(" ",
+        (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).cast("binary")).as("g"))
+    .distinct()
+
+  private def tokenizedDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("t"))
+
+  private val isBenchDoc = pmod(col("doc_id"), lit(17)) === 0
+
   /** [[decontaminate]]'s core over any `(doc_id, text)` relation — the
     * benchmark slice is `doc_id % 17 == 0`.
     */
   def decontaminateDocs(documents: DataFrame, n: Int = 8): DataFrame = {
-    val docs = documents.select(col("doc_id"), tokens(col("text")).as("t"))
-    def shingles(df: DataFrame): DataFrame = df
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ",
-          (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).cast("binary")).as("g"))
-      .distinct()
-    val isBench = pmod(col("doc_id"), lit(17)) === 0
-    val bench = shingles(docs.filter(isBench)).select(col("g")).distinct()
-    val train = docs.filter(!isBench)
-    val hits = shingles(train)
+    val docs = tokenizedDocs(documents)
+    val bench = shingleDigests(docs.filter(isBenchDoc), n).select(col("g")).distinct()
+    val train = docs.filter(!isBenchDoc)
+    val hits = shingleDigests(train, n)
       .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** BLOOM-FILTER decontamination — [[decontaminate]]'s constant-memory
+    * twin for when even the benchmark digest SET outgrows comfortable
+    * broadcast (a multi-benchmark eval union at 100 TB): the benchmark
+    * shingles collapse into one fixed-size Bloom filter
+    * (`df.stat.bloomFilter` — a tree-aggregated build, driver holds only
+    * the filter bits) and the training side probes it map-side. The
+    * trade is explicit: NO false negatives (every truly contaminated
+    * doc is flagged — the property the scrub actually needs), false
+    * positives flag extra docs for review — conservative in the safe
+    * direction for decontamination. `fpp` is PER PROBE and a document
+    * probes one filter entry per distinct shingle, so the per-DOC flag
+    * rate union-bounds to ≈ shingles × fpp — the first cut at 1%
+    * flagged 39% of clean docs (50-shingle docs: 1−0.99⁵⁰). The 1e-4
+    * default holds per-doc FP under ~1% for ~100-shingle docs at ~19
+    * bits/item (≈2.4 GB per 10⁹ benchmark shingles — vs 16 GB+shuffle
+    * for the exact digest set). The probe is a Scala function over the
+    * broadcast filter: membership in a driver-built Bloom has no Column
+    * builtin (`might_contain` binds only to the optimizer's internal
+    * join-filter aggregate), and the per-row cost is two xxhash passes
+    * over a 32-byte digest.
+    *
+    * Output shape matches [[decontaminate]] (total per-doc verdict);
+    * DecontaminationSpec pins the superset property and the FP excess
+    * bound against the exact path.
+    */
+  def decontaminateBloom(
+      spark: SparkSession, dir: String, n: Int = 8, fpp: Double = 1e-4): DataFrame = {
+    val docs = tokenizedDocs(Tables(spark, dir, "documents"))
+    val bench = shingleDigests(docs.filter(isBenchDoc), n).select(col("g")).distinct()
+    // expectedNumItems from a cheap count of the (already-distinct)
+    // digest set; ~19 bits/item at the 1e-4 default
+    val nItems = bench.count().max(1L)
+    val bloom = bench.stat.bloomFilter("g", nItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+    val train = docs.filter(!isBenchDoc)
+    val hits = shingleDigests(train, n)
+      .filter(mightContain(col("g")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

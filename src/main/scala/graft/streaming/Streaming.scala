@@ -792,18 +792,18 @@ object Streaming {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
           // per-user batch slice is bounded (one user's events in one
           // micro-batch); sort once — arrival order within a batch is
-          // not time order
+          // not time order. Cross-batch out-of-order arrivals merge into
+          // the stored tail via the same fold as the timer sessionizer
+          // (mergeFoldSessions) rather than dragging `last` backwards.
           val ts = rows.map(_._2).toArray
           java.util.Arrays.sort(ts)
-          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-          val out = Seq.newBuilder[(Long, Long, Long)]
-          ts.foreach { t =>
-            if (start < 0) { start = t; last = t; n = 1 }
-            else if (t - last >= gapMicros) { out += ((userId, start, n)); start = t; last = t; n = 1 }
-            else { last = t; n += 1 }
-          }
-          if (start >= 0) { state.update((start, last, n)); out += ((userId, start, n)) }
-          out.result().iterator
+          val ((start, last, n), closed) =
+            mergeFoldSessions(state.getOption.getOrElse((-1L, -1L, 0L)), ts, gapMicros)
+          val out = closed.map { case (s, c) => (userId, s, c) }
+          if (start >= 0) {
+            state.update((start, last, n))
+            (out :+ ((userId, start, n))).iterator
+          } else out.iterator
       }
     runToTable(sessions.toDF("user_id", "start_us", "n"), OutputMode.Update())
       .groupBy(col("user_id"), col("start_us"))

@@ -47,6 +47,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, false)), "disjoint doc must stay clean")
   }
 
+  test("decontaminate bloom: no false negatives vs exact, FP excess bounded") {
+    val exact = TextAnalysis.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = TextAnalysis.decontaminateBloom(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.keySet == exact.keySet, "same total per-doc verdict set")
+    // a Bloom filter can only ADD hits: every exact flag survives with at
+    // least its exact shingle count
+    exact.foreach { case (id, (nExact, flagged)) =>
+      assert(bloom(id)._1 >= nExact, s"doc $id lost hits: ${bloom(id)._1} < $nExact")
+      if (flagged) assert(bloom(id)._2, s"false negative on doc $id")
+    }
+    // per-doc FP rate ≈ shingles × fpp (the union bound the scaladoc
+    // documents): at fpp=1e-4 and ≲100 shingles/doc, ≈1% of clean docs
+    // may flag — bound at 5% for slack
+    val cleanExact = exact.count(!_._2._2)
+    val fpDocs = exact.keys.count(id => bloom(id)._2 && !exact(id)._2)
+    assert(fpDocs <= math.max(2, cleanExact / 20), s"$fpDocs FP docs of $cleanExact clean")
+  }
+
   test("heavy hitters: equals the brute-force grouped count at the same threshold") {
     val k = 256
     val got = MisraGries.heavyHitters(spark, sf, k)

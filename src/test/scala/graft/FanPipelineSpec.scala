@@ -64,6 +64,19 @@ class FanPipelineSpec extends AnyFunSuite {
     assert(vals.toSeq == Seq("cup25", "league04", "race11"))
   }
 
+  test("byte-exact golden parity: pythonStyle sink reproduces json.dumps bytes") {
+    val out = java.nio.file.Files.createTempDirectory("graft-golden-bytes-").toString
+    val path = graft.sources.JsonlSink.write(result, out, "sample0", pythonStyle = true)
+    val got = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    val want = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(golden))
+    assert(got.size() == 237)
+    // Beam's emission order is nondeterministic, so equality is over the
+    // sorted line multiset — but each LINE is now byte-identical to the
+    // reference's json.dumps output, not just canonically equivalent
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.sorted == want.asScala.sorted)
+  }
+
   test("JSONL sink writes Beam shard naming") {
     val out = java.nio.file.Files.createTempDirectory("graft-golden-").toString
     val path = graft.sources.JsonlSink.write(result, out, "sample0")
