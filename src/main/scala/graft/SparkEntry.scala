@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, Dedup, Geo, Multimodal, Quality, Relational, Similarity, Skew, Stats, TextAnalysis}
+import graft.operators.{Analytics, CountMin, Dedup, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -122,6 +122,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
+    "q_ann_pq" -> ((s, d) => Similarity.pqCosine(s, d)),
+    "q_quantized_knn" -> ((s, d) => Quantization.quantizedKnn(s, d)),
+    "q_quant_error" -> ((s, d) => Quantization.quantError(s, d)),
+    "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q_countmin" -> ((s, d) => CountMin.heavyKeys(s, d)),
     // --- text analysis ---------------------------------------------------
     "q_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "q_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -981,6 +986,72 @@ object SparkEntry {
         |  SELECT q_id, vec_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // int8 codes rebuilt bit-identically: floor-based round-half-up on the
+    // same IEEE double expression; integer dots are exact in doubles, so
+    // qcos/qnorm agree to the last bit
+    "q_quantized_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5)) END AS codes
+        |  FROM e),
+        |n8 AS (SELECT vec_id, codes,
+        |         sqrt(list_sum(list_transform(codes, x -> x * x))) AS qnorm FROM q8),
+        |qq AS (SELECT vec_id AS q_id, codes AS q_codes, qnorm AS q_qnorm
+        |       FROM n8 WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qq.q_id, n8.vec_id,
+        |    CASE WHEN n8.qnorm * qq.q_qnorm = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(n8.codes, (v, i) -> v * qq.q_codes[i]))
+        |              / (n8.qnorm * qq.q_qnorm) END AS qcos
+        |  FROM n8 CROSS JOIN qq WHERE n8.vec_id <> qq.q_id)
+        |SELECT q_id, vec_id AS neighbor_id, rank, qcos FROM (
+        |  SELECT q_id, vec_id, qcos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q_quant_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, v, s,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5)) END AS codes
+        |  FROM e),
+        |err AS (
+        |  SELECT vec_id, s,
+        |    COALESCE(list_max(list_transform(v, (x, i) -> abs(x - codes[i] * s / 127.0))), 0.0) AS recon_err
+        |  FROM q8)
+        |SELECT COUNT(*) AS n_vectors, MAX(recon_err) AS max_recon_err,
+        |  CAST(SUM(CASE WHEN recon_err <= s / 254.0 + 1e-9 THEN 0 ELSE 1 END) AS BIGINT) AS n_over_bound
+        |FROM err""".stripMargin,
+    // the md5 double-hashing family makes the WHOLE sketch reproducible in
+    // SQL — build and probe hash-match, unlike the rows-only sketch tier
+    "q_countmin" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) | 1 AS h2
+        |  FROM events),
+        |b AS (SELECT user_id, j, CAST((h1 + j * h2) % 64 AS INTEGER) AS bucket
+        |      FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |sketch AS (SELECT j AS row_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+        |          ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+        |hh AS (SELECT DISTINCT user_id, h1, h2 FROM h),
+        |probes AS (
+        |  SELECT e.user_id, e.exact_n, j.j AS row_id,
+        |    CAST((hh.h1 + j.j * hh.h2) % 64 AS INTEGER) AS bucket
+        |  FROM exact e JOIN hh ON e.user_id = hh.user_id
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j)
+        |SELECT p.user_id, p.exact_n, MIN(s.n) AS cms_est
+        |FROM probes p JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
+        |GROUP BY 1, 2""".stripMargin,
     "q_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)

@@ -414,6 +414,38 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup-style semantic dedup at corpus scale: near-duplicate
+    * EMBEDDING pairs from the banded ANN self-join (no all-pairs product,
+    * no bounded slice — this is the unbounded-scale twin of
+    * [[embeddingNearDups]]), thresholded at `threshold` cosine, clustered
+    * by the same min-label propagation the text tiers use, keeping the
+    * lowest vec_id per cluster. Output: every vector with its cluster
+    * label and keep/drop decision — the curation verdict a semantic
+    * dedup pass feeds downstream.
+    *
+    * Approximations, both bounded and both spec-pinned: (1) LSH banding
+    * can miss a pair, but at 0.999 cosine the per-bit agreement is
+    * ≈1−θ/π ≈ 0.9986, so missing all 8 independent tables is ~1e-18 —
+    * the spec asserts 100% pair recall vs the exact bounded computation;
+    * (2) each vector contributes at most its top-`k` neighbors as edges
+    * — transitivity through label propagation still connects larger
+    * clusters (a chain of top-k edges suffices; only a vector with >k
+    * STRICTLY-better-than-its-twin neighbors could drop an edge, which
+    * at 0.999 means the cluster is already connected through them).
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.999, k: Int = 20, maxRounds: Int = 20): DataFrame = {
+    val edges = Similarity.annSelfJoin(spark, dir, k = k)
+      .filter(col("cosine") >= threshold)
+      // mirrored output → canonical a<b edge once
+      .filter(col("q_id") < col("neighbor_id"))
+      .select(col("q_id").as("a"), col("neighbor_id").as("b"))
+    val nodes = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
+    connectedComponents(nodes, edges, maxRounds)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+  }
+
   /** Embedding near-duplicates: cosine similarity ≥ 0.999 over a bounded
     * slice (vec_id < 300) — exact all-pairs for the oracle; the ANN path
     * for unbounded scale is [[Similarity.annCosine]].

@@ -224,6 +224,120 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
   }
 
+  /** Product-quantization ANN: split each (L2-normalized) vector into
+    * `m` subvectors, learn a tiny per-subspace codebook (`nCodes`
+    * centroids, Lloyd's on a bounded deterministic sample — the same
+    * driver-resident-centroids-only training contract as [[ivfCosine]]),
+    * encode the corpus as `m` one-byte codes, and answer queries by
+    * ASYMMETRIC DISTANCE: the query stays exact, each corpus vector's
+    * distance is the sum of `m` table lookups. On normalized vectors L2
+    * order is cosine order, so the ADC ranking approximates cosine
+    * ranking; an exact re-rank of the top-`rerank` ADC candidates
+    * restores metric fidelity.
+    *
+    * The 100 TB shape: the corpus is stored/scanned as m bytes + 1 float
+    * per vector (a 32× payload cut at m=8 over 64 float dims —
+    * complementary to the int8 tier in `operators.Quantization`: PQ is
+    * the coarse search layout, int8 the re-rank layout). Encoding is one
+    * map-side pass against broadcast codebooks (no shuffle); the
+    * distance table is a d×nCodes relation built from the QUERY side
+    * (m×nCodes rows per query), so ADC is a broadcast equi-join on
+    * (m, code) + one sum per (query, vector) — no all-pairs float work
+    * anywhere. Approximate by construction → rows-only driver check;
+    * the ScalaTest pins recall@k against [[knnBrute]].
+    */
+  def pqCosine(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 16,
+      dim: Int = 64, rerank: Int = 50,
+      sampleSize: Int = 256, iterations: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    // all-zero vectors pass through unnormalized (ANSI divide guard)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"),
+        sqrt(sqNorm(col("embedding"))).as("nrm"))
+      .select(col("vec_id"),
+        when(col("nrm") === 0d, col("v0"))
+          .otherwise(transform(col("v0"), x => x / col("nrm"))).as("v"))
+
+    // --- train: per-subspace Lloyd's over one bounded sample. All m
+    // subspaces train from the SAME sample scan per iteration (explode to
+    // (sub, pos, value) and aggregate by (sub, cell, pos)) — m× codebooks
+    // for one pass, only m×nCodes×subDim doubles ever on the driver.
+    val sampleDf = emb.orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("vec_id"), col("v")).cache()
+    val seeds = sampleDf.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // codebooks(sub)(code) = centroid of length subDim
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(sub => seeds.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+    // nearest-centroid cell per subspace: argmin ||s−c||² = argmax (s·c − ||c||²/2)
+    def cellOfSub(sub: Int, books: Array[Array[Array[Double]]])(s: Column): Column = {
+      val scores = array(books(sub).map(c =>
+        dot(s, lit(c).cast("array<double>")) - lit(c.map(x => x * x).sum / 2)): _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    def subvec(v: Column, sub: Int): Column = slice(v, sub * subDim + 1, subDim)
+    for (_ <- 0 until iterations) {
+      val assigned = sampleDf.select(col("vec_id"), posexplode(
+        array((0 until m).map(sub =>
+          struct(cellOfSub(sub, codebooks)(subvec(col("v"), sub)).as("cell"),
+            subvec(col("v"), sub).as("s"))): _*)))
+      val stats = assigned
+        .select(col("pos").as("sub"), col("col.cell").as("cell"), posexplode(col("col.s")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone())) // empty cells keep their centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      codebooks = next
+    }
+    sampleDf.unpersist()
+
+    // --- encode: m byte-codes per corpus vector, map-side only.
+    val coded = emb.withColumn("codes",
+      array((0 until m).map(sub => cellOfSub(sub, codebooks)(subvec(col("v"), sub))): _*))
+
+    // --- distance tables from the query side: (q_id, sub, code, pdist)
+    // with pdist = ||q_sub − c||², m×nCodes rows per query.
+    val queries = coded.filter(col("vec_id") < nQueries)
+    val dtable = queries.select(col("vec_id").as("q_id"), posexplode(
+        array((for (sub <- 0 until m; code <- 0 until nCodes) yield {
+          val c = codebooks(sub)(code)
+          val diff2 = zip_with(subvec(col("v"), sub), lit(c).cast("array<double>"),
+            (a, b) => (a - b) * (a - b))
+          struct(lit(sub).as("sub"), lit(code).as("code"),
+            aggregate(diff2, lit(0d), (acc, x) => acc + x).as("pdist"))
+        }): _*)))
+      .select(col("q_id"), col("col.sub").as("sub"), col("col.code").as("code"),
+        col("col.pdist").as("pdist"))
+
+    // --- ADC: explode corpus codes, broadcast-join the tables, sum per
+    // (q_id, vec_id), keep the best `rerank` candidates per query.
+    val corpusCodes = coded.select(col("vec_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+    val adc = corpusCodes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val cand = adc.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rerank).select(col("q_id"), col("vec_id"))
+
+    // --- exact cosine re-rank on the survivors (normalized → plain dot).
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val rescored = cand.join(emb, Seq("vec_id")).join(broadcast(qv), Seq("q_id"))
+      .withColumn("cosine", dot(col("v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Argmax-cosine cell id against broadcast centroid literals — pure
     * map-side expression, no shuffle. (array_position over the sims array
     * keeps the expression linear; a nested when()-reduce would duplicate

@@ -15,7 +15,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // suites; this spec audits every lazily-planned query.
   private val skip: String => Boolean = name =>
     name.startsWith("q_stream") || name.endsWith("_roundtrip") ||
-      name == "q_dedup_clusters" || name == "q_ann_ivf" || name == "q_pipeline_parity"
+      name == "q_dedup_clusters" || name == "q_ann_ivf" || name == "q_pipeline_parity" ||
+      name == "q_ann_pq" || name == "q_semantic_dedup" // driver-trained codebooks / iterative CC
 
   // designed broadcast-nested-loop shapes: a handful of broadcast rows
   // (query vectors / the 1-row corpus count) against the corpus scan
@@ -27,7 +28,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // arm summaries
   private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf",
     "q_zorder", "q_bm25", "q_cooccurrence", "q_histogram", "q_assoc_rules",
-    "q_ab_test", "q_quantile_grid")
+    "q_ab_test", "q_quantile_grid",
+    "q_quantized_knn") // same tiny-query-set × corpus shape as q_knn_brute, on int8 codes
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
