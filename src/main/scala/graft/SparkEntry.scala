@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, CountMin, Dedup, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, Stats, TextAnalysis}
+import graft.operators.{Analytics, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -127,6 +127,8 @@ object SparkEntry {
     "q_quant_error" -> ((s, d) => Quantization.quantError(s, d)),
     "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_countmin" -> ((s, d) => CountMin.heavyKeys(s, d)),
+    "q_rand_proj" -> ((s, d) => Quantization.randomProjection(s, d)),
+    "q_feature_hash" -> ((s, d) => TextAnalysis.featureHash(s, d)),
     // --- text analysis ---------------------------------------------------
     "q_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "q_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -179,6 +181,11 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Stats.priceHistogram(s, d)),
     "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
     "q_rolling_autocorr_dist" -> ((s, d) => Stats.rollingAutocorrDist(s, d)),
+    "q_linreg" -> (Stats.olsRegression(_, _)),
+    // --- drift / distribution comparison ----------------------------------
+    "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
+    "q_js_divergence" -> (Drift.jsDivergence(_, _)),
+    "q_chi2" -> (Drift.chi2Independence(_, _)),
     // --- spatial ----------------------------------------------------------
     "q_geo_join" -> ((s, d) => Geo.customersNearSuppliers(s, d)),
     // --- multimodal ------------------------------------------------------
@@ -1030,6 +1037,25 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_vectors, MAX(recon_err) AS max_recon_err,
         |  CAST(SUM(CASE WHEN recon_err <= s / 254.0 + 1e-9 THEN 0 ELSE 1 END) AS BIGINT) AS n_over_bound
         |FROM err""".stripMargin,
+    // Rademacher JL projection on the rebuilt int8 codes: ±1 signs from
+    // the shared md5 parity contract, pure integer sums (exact in
+    // doubles) — CAST to BIGINT because list_sum of integer-valued
+    // doubles surfaces as DOUBLE
+    "q_rand_proj" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5)) END AS codes
+        |  FROM e)
+        |SELECT q8.vec_id, CAST(j.j AS INTEGER) AS j,
+        |  CAST(list_sum(list_transform(q8.codes, (v, i) ->
+        |    v * CASE WHEN CAST('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+        |          THEN 1 ELSE -1 END)) AS BIGINT) AS proj
+        |FROM q8 CROSS JOIN (SELECT unnest(range(8)) AS j) j""".stripMargin,
     // the md5 double-hashing family makes the WHOLE sketch reproducible in
     // SQL — build and probe hash-match, unlike the rows-only sketch tier
     "q_countmin" ->
@@ -1056,6 +1082,14 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // hashing-trick featurizer: bucket = md5(token) % 64, the shared md5
+    // contract; sparse relational output, nonzero features only
+    "q_feature_hash" ->
+      s"""SELECT doc_id,
+         |  CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS INTEGER) AS bucket,
+         |  COUNT(*) AS tf
+         |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
          |  CAST(LEN(list_distinct(toks)) AS INTEGER) AS n_distinct,
@@ -1649,6 +1683,94 @@ object SparkEntry {
     // distributed form must produce identical bits
     "q_rolling_autocorr" -> rollingAutocorrSql,
     "q_rolling_autocorr_dist" -> rollingAutocorrSql,
+    // OLS from the six exact decimal sums; slope staged in a CTE so the
+    // intercept reuses the SAME computed double (mirrors the Spark
+    // withColumn staging); vx/vy guards follow the house ANSI contract
+    "q_linreg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT g, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+        |  FROM s),
+        |f AS (SELECT g, n, vx, vy, cov, dx, dy,
+        |    CASE WHEN vx > 0 THEN cov / vx END AS slope FROM d)
+        |SELECT g AS l_returnflag, n,
+        |  round(slope, 6) AS slope,
+        |  round((dy - slope * dx) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2
+        |FROM f""".stripMargin,
+    // PSI: integer midpoint split (exact — micros < 2^53), reference-side
+    // bin edges, Laplace-smoothed probabilities; per-bin ln terms rounded
+    // to 9 decimals and summed in DECIMAL (order-free) before the final
+    // rounded double — the house cross-engine total contract
+    "q_psi_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us, value FROM events WHERE value IS NOT NULL),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        |sided AS (SELECT event_type, value, us < mid AS is_ref FROM ev CROSS JOIN mid),
+        |edges AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax FROM sided WHERE is_ref GROUP BY 1),
+        |binned AS (SELECT s.event_type,
+        |    CAST(CASE WHEN e.vmax = e.vmin THEN 0 ELSE
+        |      GREATEST(LEAST(FLOOR((s.value - e.vmin) * 10 / (e.vmax - e.vmin)), 9), 0) END AS INTEGER) AS bin,
+        |    COUNT(CASE WHEN s.is_ref THEN 1 END) AS c_ref,
+        |    COUNT(CASE WHEN NOT s.is_ref THEN 1 END) AS c_cur
+        |  FROM sided s JOIN edges e ON s.event_type = e.event_type GROUP BY 1, 2),
+        |grid AS (SELECT e.event_type, CAST(b.bin AS INTEGER) AS bin
+        |  FROM edges e CROSS JOIN (SELECT unnest(range(10)) AS bin) b),
+        |cells AS (SELECT g.event_type, g.bin,
+        |    COALESCE(bn.c_ref, 0) AS c_ref, COALESCE(bn.c_cur, 0) AS c_cur
+        |  FROM grid g LEFT JOIN binned bn ON bn.event_type = g.event_type AND bn.bin = g.bin),
+        |tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |    CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+        |p AS (SELECT c.event_type, t.n_ref, t.n_cur,
+        |    CAST(c.c_ref + 1 AS DOUBLE) / (t.n_ref + 10) AS p_ref,
+        |    CAST(c.c_cur + 1 AS DOUBLE) / (t.n_cur + 10) AS p_cur
+        |  FROM cells c JOIN tot t ON c.event_type = t.event_type)
+        |SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+        |  round(CAST(SUM(CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
+        |FROM p GROUP BY 1""".stripMargin,
+    // JSD between the deterministic experiment arms; x·ln(x/m) with the
+    // x→0 ⇒ 0 limit, same decimal-sum total contract
+    "q_js_divergence" ->
+      """WITH b AS (SELECT event_type,
+        |    COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS c_a,
+        |    COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS c_b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b,
+        |    COUNT(*) AS n_types FROM b),
+        |terms AS (SELECT n_a, n_b, n_types,
+        |    CAST(c_a AS DOUBLE) / n_a AS p, CAST(c_b AS DOUBLE) / n_b AS q
+        |  FROM b CROSS JOIN t),
+        |tm AS (SELECT n_a, n_b, n_types, p, q, (p + q) / 2 AS m FROM terms)
+        |SELECT n_a, n_b, n_types,
+        |  round(CAST(SUM(CAST(round(
+        |    CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0 END +
+        |    CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0 END, 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS jsd_nats
+        |FROM tm GROUP BY 1, 2, 3""".stripMargin,
+    // chi-square over the full marginals grid (absent cells observed 0);
+    // no logarithms — pure ratio/square arithmetic on exact counts
+    "q_chi2" ->
+      """WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, COUNT(*) AS rl FROM documents GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS cl FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM documents),
+        |g AS (SELECT r.lang, c.source, r.rl, c.cl, t.n, COALESCE(obs.o, 0) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN t
+        |  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+        |e AS (SELECT *, CAST(rl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE) AS e FROM g),
+        |m AS (SELECT MAX(n) AS n, COUNT(DISTINCT lang) AS n_lang, COUNT(DISTINCT source) AS n_source,
+        |    CAST(SUM(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS chi2s
+        |  FROM e)
+        |SELECT n, n_lang, n_source, (n_lang - 1) * (n_source - 1) AS df,
+        |  round(chi2s, 6) AS chi2 FROM m""".stripMargin,
     // oracle brute-forces the cross product (trivial at verify scale);
     // the engine's grid equi-join must reproduce it exactly — integer
     // coordinates from the shared md5 arithmetic, integer distances

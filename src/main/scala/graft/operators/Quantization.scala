@@ -70,6 +70,46 @@ object Quantization {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("qcos"))
   }
 
+  /** Johnson–Lindenstrauss random projection over the INT8 codes — the
+    * dimensionality cut that makes sketch-sized vector indexes: a ±1
+    * Rademacher matrix (distance-preserving in expectation, Achlioptas
+    * 2001) projects each 64-dim code vector to `outDim` integers. Run
+    * on the quantized codes rather than the floats, the projection is
+    * PURE INTEGER arithmetic — exact in doubles, so unlike a float JL
+    * transform it is bit-reproducible across engines and the driver
+    * gate hash-matches (sums of floats would depend on each engine's
+    * accumulation order).
+    *
+    * The sign matrix derives from the house md5 contract
+    * (`md5("i_j")` parity) and is computed ONCE driver-side —
+    * outDim × dim values, the same bounded-model contract as IVF's
+    * driver-resident centroids — then embedded as a literal, making
+    * projection one map-side codegen'd pass: no shuffle, no per-row
+    * hashing, output nVec × outDim rows.
+    */
+  def randomProjection(spark: SparkSession, dir: String, outDim: Int = 8): DataFrame = {
+    // matches SQL md5() on UTF-8 bytes: first 8 lowercase hex digits → parity
+    def sign(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    // fixed corpus width read once (1-row driver lookup, bounded)
+    val dim = Tables(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    val signs = array((0 until outDim).map(j =>
+      array((0 until dim).map(i => lit(sign(i, j))): _*)): _*)
+    val (codes, _) = quantize(col("embedding"))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(outDim - 1)),
+        j => aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+          (acc, i) => acc +
+            element_at(element_at(signs, j + 1), i + 1) *
+              element_at(col("codes"), i + 1).cast("long")))))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("proj"))
+  }
+
   /** Quantization error profile — the acceptance gate a quantized layout
     * ships behind: per-vector worst absolute reconstruction error
     * (`max |x_i − q_i·scale/127|`, bounded by scale/254 + float ulps) and

@@ -256,6 +256,43 @@ object Stats {
         col("sxy"), col("sxx"), col("syy")).as("autocorr"))
   }
 
+  /** Per-group ordinary least squares — `l_extendedprice` regressed on
+    * `l_quantity` within each return flag: slope, intercept, and R²,
+    * the screening fit an analytics pipeline runs before shipping a
+    * feature. One map-side-combined aggregate computes the six exact
+    * decimal sums per group in a single scan (the same
+    * sufficient-statistics shape as [[welchTTest]]); everything after
+    * is O(1) mirrored double arithmetic — no second pass, no driver
+    * round-trip, and at 100 TB the cost is the scan. Zero-variance
+    * guards follow the house ANSI contract (NULL fit for a constant
+    * regressor — and for R², a constant response).
+    */
+  def olsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val sums = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(sq)).as("sxy"),
+        sum((col("x") * col("x")).cast(sq)).as("sxx"),
+        sum((col("y") * col("y")).cast(sq)).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    // slope staged as a named column so the intercept reuses the SAME
+    // computed double (the oracle mirrors with a CTE over its slope)
+    val fit = sums
+      .withColumn("vx", d("n") * d("sxx") - d("sx") * d("sx"))
+      .withColumn("vy", d("n") * d("syy") - d("sy") * d("sy"))
+      .withColumn("cov", d("n") * d("sxy") - d("sx") * d("sy"))
+      .withColumn("slope", when(col("vx") > 0, col("cov") / col("vx")))
+    fit.select(col("g").as("l_returnflag"), col("n"),
+      round(col("slope"), 6).as("slope"),
+      round((d("sy") - col("slope") * d("sx")) / d("n"), 6).as("intercept"),
+      round(when(col("vx") > 0 && col("vy") > 0,
+        col("cov") * col("cov") / (col("vx") * col("vy"))), 6).as("r2"))
+  }
+
   /** Null/value cleaning via the `DataFrameNaFunctions` surface —
     * `na.fill` (impute a sentinel value), `na.replace` (recode a
     * label), `na.drop` (require keys) — the standard pre-aggregation

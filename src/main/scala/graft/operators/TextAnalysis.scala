@@ -76,6 +76,24 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** The hashing trick — fixed-dimension sparse featurization with NO
+    * vocabulary pass: each token maps straight to `md5(token) % dim`,
+    * so featurization is one stateless projection per document —
+    * embarrassingly parallel, no fitted dictionary to broadcast, no
+    * OOV problem, and new corpus shards featurize identically forever
+    * (the property that matters when 100 TB arrives incrementally).
+    * Output is the sparse relational form `(doc_id, bucket, tf)` —
+    * rows = nonzero features only; downstream models consume it as-is
+    * or pivot locally. Same md5 contract as the split/sampling family,
+    * so the DuckDB oracle rebuilds the exact buckets.
+    */
+  def featureHash(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket", graft.functions.GraftFunctions.md5Bucket(col("token"), dim))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Per-document token statistics: counts, distincts, mean token length
     * (null for empty docs — no divide-by-zero).
     */
