@@ -270,7 +270,30 @@ object ScaleBench {
     // count, constant occupancy) — the production path; SCALE_ANN_BITS
     // overrides for occupancy-vs-cost experiments
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d,
-      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(-1))))
+      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(-1))),
+    // drift/fit tier (r8 driver session): psi/jsd are one grouped-count
+    // pass over events plus O(|types|×bins) term arithmetic; chi2 is
+    // three marginal scans over documents; linreg is the
+    // sufficient-statistics aggregate over lineitem — all should ride
+    // their scan near-linearly. feature_hash shuffles |doc × distinct
+    // bucket| rows (≤ 64/doc); rand_proj is the per-row HOF loop —
+    // the one with real per-row arithmetic (8×64 mults) worth watching
+    "q_psi_drift" -> ((s, d) => graft.operators.Drift.psiDrift(s, d)),
+    "q_js_divergence" -> ((s, d) => graft.operators.Drift.jsDivergence(s, d)),
+    "q_chi2" -> ((s, d) => graft.operators.Drift.chi2Independence(s, d)),
+    "q_linreg" -> ((s, d) => Stats.olsRegression(s, d)),
+    "q_feature_hash" -> ((s, d) => TextAnalysis.featureHash(s, d)),
+    "q_rand_proj" -> ((s, d) => graft.operators.Quantization.randomProjection(s, d)),
+    // round-8 vector-layout verbs: quantized_knn broadcasts 10 query
+    // code vectors against a factor× corpus scan (map-side top-k);
+    // ann_pq's codebook training samples a bounded set but encoding
+    // touches every vector; semantic_dedup rides the banded self-join's
+    // occupancy model like ann_selfjoin; countmin's shuffle is the
+    // constant d×w grid regardless of input rows
+    "q_quantized_knn" -> ((s, d) => graft.operators.Quantization.quantizedKnn(s, d)),
+    "q_ann_pq" -> ((s, d) => Similarity.pqCosine(s, d)),
+    "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q_countmin" -> ((s, d) => graft.operators.CountMin.heavyKeys(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_jaccard_prefix" -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
     "q_fuzzy_edit" -> ((s, d) => Dedup.fuzzyEditPairs(s, d)),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSigExact(s, d)),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "q_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_jaro_link" -> ((s, d) => Dedup.linkDirtyNames(s, d)),
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "q_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
@@ -136,6 +138,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore(_, _)),
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
+    "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
     "q_group_split" -> (TextAnalysis.groupSplit(_, _)),
     "q_stopword_ratio" -> (TextAnalysis.stopwordRatio(_, _)),
@@ -200,6 +203,7 @@ object SparkEntry {
     // --- skew toolkit ----------------------------------------------------
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
     "q_skew_distinct" -> (Skew.distinctUsersPerType(_, _)),
+    "q_key_skew" -> (Skew.keySkewProfile(_, _)),
     // --- source/sink format roundtrips -----------------------------------
     "q_bucketed_join" -> (graft.sources.BucketedParquetSink.colocatedOrdersJoin(_, _)),
     "q_partition_pruned" -> (graft.sources.ParquetSink.partitionPrunedEvents(_, _)),
@@ -978,6 +982,25 @@ object SparkEntry {
         |      (v, i) -> CAST(v AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.norm * y.norm) AS cosine
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT a, b, cosine FROM p WHERE cosine >= 0.999""".stripMargin,
+    // k-means assignment against the deterministic vec_id<8 centroids:
+    // identical index-ordered float dots on both engines (the knn_brute
+    // contract), min-reduction by (cosine desc, centroid asc)
+    "q_kmeans_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    CASE WHEN e.norm * c.c_norm = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(e.embedding,
+        |           (v, i) -> CAST(v AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))) / (e.norm * c.c_norm) END AS cosine
+        |  FROM e CROSS JOIN c)
+        |SELECT vec_id, c_id AS cluster, round(cosine, 6) AS cosine FROM (
+        |  SELECT vec_id, c_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -1082,6 +1105,28 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // portable (md5-keyed) MinHash signatures — the hash-matched twin of
+    // the xxhash64 rows-only tier; 15 hex digits = 60 bits, positive
+    // BIGINT on both engines
+    "q_minhash_sig" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos)
+        |SELECT doc_id, CAST(k.k AS INTEGER) AS perm,
+        |  MIN(CAST('0x' || substr(md5(CAST(k.k AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)) AS minhash
+        |FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k) k GROUP BY 1, 2""".stripMargin,
+    // bigram MLE: pairs by array self-zip, counts exact, probability one
+    // mirrored double ratio; the >= 3 cut is on exact integers
+    "q_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, LEN(t))) AS i FROM toks),
+         |pairs AS (SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1)
+         |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+         |  round(CAST(c12.c12 AS DOUBLE) / c1.c1, 6) AS p
+         |FROM c12 JOIN c1 ON c12.w1 = c1.w1 WHERE c12.c12 >= 3""".stripMargin,
     // hashing-trick featurizer: bucket = md5(token) % 64, the shared md5
     // contract; sparse relational output, nonzero features only
     "q_feature_hash" ->
@@ -1220,6 +1265,19 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "q_skew_distinct" ->
       "SELECT event_type AS k, COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
+    // key-skew profile: Gini numerator Σ(2·rank − n − 1)·cnt is exact
+    // integer (rank over the |keys|-sized count relation), the two final
+    // ratios are mirrored doubles
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, user_id ASC) AS i FROM c),
+        |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt FROM c),
+        |g AS (SELECT CAST(SUM((2 * i - n_keys - 1) * cnt) AS BIGINT) AS gnum
+        |      FROM r CROSS JOIN t GROUP BY n_keys)
+        |SELECT t.n_rows, t.n_keys, t.max_cnt,
+        |  round(CAST(t.max_cnt AS DOUBLE) / t.n_rows, 6) AS top1_share,
+        |  round(CAST(g.gnum AS DOUBLE) / (CAST(t.n_keys AS DOUBLE) * CAST(t.n_rows AS DOUBLE)), 6) AS gini
+        |FROM t CROSS JOIN g""".stripMargin,
     // Bucketed-table join must equal the plain parquet join — the layout
     // is an optimization, never a semantic.
     "q_bucketed_join" ->

@@ -423,23 +423,25 @@ object Dedup {
     * label and keep/drop decision — the curation verdict a semantic
     * dedup pass feeds downstream.
     *
-    * Approximations, both bounded and both spec-pinned: (1) LSH banding
-    * can miss a pair, but at 0.999 cosine the per-bit agreement is
-    * ≈1−θ/π ≈ 0.9986, so missing all 8 independent tables is ~1e-18 —
-    * the spec asserts 100% pair recall vs the exact bounded computation;
-    * (2) each vector contributes at most its top-`k` neighbors as edges
-    * — transitivity through label propagation still connects larger
-    * clusters (a chain of top-k edges suffices; only a vector with >k
-    * STRICTLY-better-than-its-twin neighbors could drop an edge, which
-    * at 0.999 means the cluster is already connected through them).
+    * ONE approximation, bounded and spec-pinned: LSH banding can miss a
+    * pair — but at 0.999 cosine the per-bit agreement is ≈1−θ/π ≈
+    * 0.9986, so missing all 8 independent tables is ~1e-18, and the
+    * spec asserts 100% pair recall vs the exact bounded computation.
+    * (The first cut routed edges through the top-k self-join, paying an
+    * O(n × occupancy) ranking shuffle AND a k-cap approximation for a
+    * ranking this verb never uses; the 10× sweep showed that tail
+    * dominating, so edges now come from [[Similarity.annEdges]] — the
+    * ≥ τ filter runs map-side in the scoring stage and only the rare
+    * qualifying edges move.)
     */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.999, k: Int = 20, maxRounds: Int = 20): DataFrame = {
-    val edges = Similarity.annSelfJoin(spark, dir, k = k)
-      .filter(col("cosine") >= threshold)
-      // mirrored output → canonical a<b edge once
-      .filter(col("q_id") < col("neighbor_id"))
-      .select(col("q_id").as("a"), col("neighbor_id").as("b"))
+      threshold: Double = 0.999, maxRounds: Int = 20): DataFrame = {
+    // thresholded edge path, NOT the top-k self-join: dedup needs every
+    // pair above τ, not a ranking — the ≥ τ filter runs map-side inside
+    // the scoring stage (only the rare edges shuffle) and the former
+    // k-cap approximation disappears with the ranking state it paid for
+    val edges = Similarity.annEdges(spark, dir, threshold)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
     val nodes = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
     connectedComponents(nodes, edges, maxRounds)
       .select(col("doc_id").as("vec_id"), col("cluster"),
@@ -461,5 +463,31 @@ object Dedup {
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Portable MinHash signatures — the md5-keyed twin of
+    * [[minhashSignatures]]: permutation j hashes each distinct 15-gram
+    * shingle as the first 60 bits of `md5("j:" || shingle)` and keeps
+    * the minimum. xxhash64 (the fast path) is Spark-private, so those
+    * signatures only compare WITHIN this engine; a cross-system dedup —
+    * two corpora sketched by different stacks, signatures exchanged
+    * instead of text — needs a hash both sides can reproduce, and md5
+    * is the house portable contract (same property that made
+    * `q_countmin` the one SQL-reproducible sketch; here it makes
+    * MinHash the one HASH-MATCHED near-dup sketch, where the xxhash64
+    * tier is rows-only). Shape is identical to the fast path: one
+    * shingle explode, k mins map-side combined in ONE aggregate, output
+    * |docs| × k relational rows. md5-per-shingle costs ~3× xxhash64 —
+    * the price of portability, paid once at sketch time.
+    */
+  def minhashSigExact(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val sh = shingles(Tables(spark, dir, "documents"))
+    def mh(j: Int): Column = min(
+      conv(substring(md5(concat(lit(s"$j:"), col("sh")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")).as(s"m$j")
+    sh.groupBy(col("doc_id"))
+      .agg(mh(0), (1 until k).map(mh): _*)
+      .select(col("doc_id"), posexplode(array((0 until k).map(j => col(s"m$j")): _*)))
+      .select(col("doc_id"), col("pos").as("perm"), col("col").as("minhash"))
   }
 }

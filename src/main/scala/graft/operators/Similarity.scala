@@ -155,10 +155,17 @@ object Similarity {
     * (r7). The aggregate collapses the pair list map-side before the
     * shuffle, so memory is O(groups × k) and spillable.
     */
-  def annSelfJoin(
+  /** Shared front of the ANN self-join family: LSH banding with the
+    * tapered auto-bits, the maxBucket skew backstop, narrow candidate
+    * generation, and the exact-cosine scoring join — returning each
+    * co-bucketed pair ONCE in canonical (a_id < b_id) order. The two
+    * consumers diverge only in the tail: [[annSelfJoin]] mirrors and
+    * takes a bounded top-k per vector; [[annEdges]] keeps pairs above a
+    * similarity threshold (no ranking state at all).
+    */
+  private def annScoredPairs(
       spark: SparkSession, dir: String,
-      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = -1,
-      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+      nTables: Int, bitsPerTable: Int, dim: Int, maxBucket: Int): DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
@@ -189,13 +196,20 @@ object Similarity {
     val pairs = left.join(right, Seq("table_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val scored = pairs
+    pairs
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm")), Seq("a_id"))
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm")), Seq("b_id"))
       .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  def annSelfJoin(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = -1,
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val scored = annScoredPairs(spark, dir, nTables, bitsPerTable, dim, maxBucket)
     // mirror so every vector sees its full neighbor list, then bounded
     // top-k (same ordering contract as the old window: cosine desc,
     // neighbor id asc on ties)
@@ -203,6 +217,23 @@ object Similarity {
       col("a_id").as("b_id"), col("cosine")))
     boundedTopK(sym, k)
   }
+
+  /** Thresholded ANN edge generation — the similarity-GRAPH form of the
+    * self-join, for consumers that need "all pairs above τ" rather than
+    * "each vector's k best" (semantic dedup, near-dup clustering).
+    * Skipping the mirror + top-k aggregate matters twice over: the
+    * O(n × occupancy) pair stream never shuffles into ranking state
+    * (the filter runs inside the scoring stage, map-side, so only the
+    * rare ≥ τ edges survive to move), and the k-cap approximation
+    * disappears — every co-bucketed pair at ≥ τ is kept, so downstream
+    * clustering sees the full candidate graph.
+    */
+  def annEdges(
+      spark: SparkSession, dir: String, threshold: Double,
+      nTables: Int = 8, bitsPerTable: Int = -1,
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame =
+    annScoredPairs(spark, dir, nTables, bitsPerTable, dim, maxBucket)
+      .filter(col("cosine") >= threshold)
 
   /** Bounded per-key top-k over (a_id, b_id, cosine) rows — the shared
     * `functions.TopKAggregator.topK` aggregator (O(k) state, NaN-aware
@@ -431,5 +462,34 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** The k-means ASSIGNMENT step — every vector to its nearest of k
+    * fixed centroids by cosine (ties → lowest centroid id), the inner
+    * loop of Lloyd's and the labeling pass of any centroid-based corpus
+    * partitioning (clustered sampling, per-cluster quotas, SemDeDup's
+    * cluster stage). Centroids here are the deterministic `vec_id < k`
+    * vectors, making the whole step exact and oracle-checkable — the
+    * TRAINED-centroid version is the IVF/PQ Lloyd's path already
+    * exercised by [[annIvf]]/[[pqCosine]]; this isolates the assignment
+    * operator itself. Shape: broadcast k centroid vectors, one map-side
+    * scoring pass through the codegen'd dot product, a k-row
+    * min-reduction per vector via one `q_id`-free window-free
+    * `row_number` over (vec_id) — output exactly |corpus| rows, no
+    * shuffle beyond the top-1 window on (vec_id, k) keys.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      // zero-norm guard per the house ANSI contract
+      .withColumn("cosine", when(col("norm") * col("c_norm") === 0d, 0d)
+        .otherwise(dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -62,4 +62,38 @@ object Skew {
     */
   def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
     skewSafeDistinctCount(Tables(spark, dir, "events"), col("event_type"), col("user_id"))
+
+  /** Key-skew profile of the event log's `user_id` — the diagnostic a
+    * partition-key choice runs on BEFORE shipping a join/groupBy at
+    * 100 TB: key cardinality, the hottest key's share, and the Gini
+    * coefficient of the per-key count distribution (0 = uniform keys,
+    * → 1 = one key owns everything; high Gini is the signal to reach
+    * for [[saltedJoin]] / AQE skew handling). One map-side-combined
+    * count per key, then all metrics derive from the |keys|-sized count
+    * relation — the rank window runs over per-key COUNTS, never rows
+    * (if key cardinality itself is extreme, the two-phase sliced-rank
+    * core q_spearman uses applies verbatim). Gini's numerator
+    * `Σ (2·rank − n − 1)·cnt` is exact integer (summed in DECIMAL(38,0)
+    * against overflow); only the two final ratios are mirrored doubles.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("cnt").asc, col("user_id").asc)))
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val gnum = ranked.crossJoin(broadcast(tot))
+      .agg(sum(((lit(2L) * col("i") - col("n_keys") - 1L) * col("cnt"))
+        .cast(DecimalType(38, 0))).as("gnum"))
+    tot.crossJoin(gnum).select(
+      col("n_rows"), col("n_keys"), col("max_cnt"),
+      round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
+      round(col("gnum").cast("double") /
+        (col("n_keys").cast("double") * col("n_rows").cast("double")), 6).as("gini"))
+  }
 }

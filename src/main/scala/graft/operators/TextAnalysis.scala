@@ -94,6 +94,35 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Bigram language-model counts — the conditional table
+    * `P(w2 | w1) = c(w1,w2) / c(w1,·)` over adjacent token pairs, the
+    * statistic behind next-token baselines, collocation mining, and
+    * corpus-similarity diagnostics. Pairs come from zipping each
+    * document's token array with its own tail (pure array arithmetic,
+    * no positional self-join — the same shape that kept
+    * [[cooccurrencePmi]] off the quadratic path); both count relations
+    * are map-side-combined and |vocab|-bounded. The denominator is
+    * c(w1, ·) = times w1 occurs in FIRST position, the standard bigram
+    * MLE. Output is cut at pair count ≥ 3 to keep the table the
+    * high-signal head (the cut is on exact integers, so it's the same
+    * rows on both engines); probability is one mirrored double ratio.
+    */
+  def bigramLm(spark: SparkSession, dir: String, minCount: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = Tables(spark, dir, "documents")
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p"))
+  }
+
   /** Per-document token statistics: counts, distincts, mean token length
     * (null for empty docs — no divide-by-zero).
     */

@@ -484,4 +484,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
     assert(joined.filter(col("real_md5") =!= col("stub_md5")).count() == 0)
   }
+
+  test("bigram LM: probabilities valid, matches a driver recompute") {
+    val sf = TestSpark.sf0001
+    val lm = TextAnalysis.bigramLm(TestSpark.spark, sf).collect()
+    assert(lm.nonEmpty)
+    lm.foreach { r =>
+      assert(r.getLong(2) >= 3 && r.getLong(2) <= r.getLong(3), s"c12 out of range: $r")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, s"p out of range: $r")
+    }
+    // driver recompute of the full table from raw text
+    val pairs = graft.sources.Tables(TestSpark.spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(r => r.getString(0).split("\\s+").filter(_.nonEmpty).sliding(2)
+        .collect { case Array(a, b) => (a, b) })
+    val c12 = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = c12.filter(_._2 >= 3)
+    assert(lm.length == expect.size, s"${lm.length} rows vs ${expect.size} recomputed")
+    lm.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(c12(key) == r.getLong(2) && c1(key._1) == r.getLong(3), s"counts differ at $key")
+    }
+  }
 }

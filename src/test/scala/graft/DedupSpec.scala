@@ -189,4 +189,29 @@ class DedupSpec extends AnyFunSuite {
         s"cluster $cl: rep ($repQ, $repId) != argmax $best")
     }
   }
+
+  test("portable minhash: 16 perms per doc, matches a driver md5 recompute") {
+    val sf = TestSpark.sf0001
+    val sig = Dedup.minhashSigExact(TestSpark.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nDocs = graft.sources.Tables(TestSpark.spark, sf, "documents").count()
+    assert(sig.size == nDocs * 16, "16 permutations per document")
+    assert(sig.values.forall(_ >= 0L), "60-bit hashes are nonnegative")
+    // driver recompute for 2 docs: distinct 15-shingles, md5("j:"+sh)
+    // first 15 hex digits as the permuted key, min per permutation
+    val docs = graft.sources.Tables(TestSpark.spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(2).collect()
+    def h(j: Int, sh: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$sh".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    docs.foreach { r =>
+      val id = r.getLong(0); val text = r.getString(1)
+      val n = math.max(text.length - 14, 1)
+      val shingles = (0 until n).map(i => text.substring(i, math.min(i + 15, text.length))).toSet
+      for (j <- 0 until 16)
+        assert(sig((id, j)) == shingles.map(sh => h(j, sh)).min, s"doc $id perm $j")
+    }
+  }
 }

@@ -70,6 +70,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == default)
   }
 
+  test("kmeans assign: one cluster per vector, centroids self-assign") {
+    val out = Similarity.kmeansAssign(spark, TestSpark.sf0001).collect()
+    val nVec = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").count()
+    assert(out.length == nVec, "every vector assigned exactly once")
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 8, s"cluster range: $r"))
+    // a centroid's own cosine with itself is 1 → it owns itself
+    out.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), s"centroid ${r.getLong(0)} not self-assigned")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
   test("bounded top-k aggregate is row-identical to the window formulation") {
     // the ANN tail replaced row_number-over-full-pair-list with an O(k)
     // aggregator (the window sort was the 100×-sweep heap hazard) — the

@@ -81,4 +81,24 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(safe == plain)
   }
+
+  test("key skew profile: matches a driver Gini recompute, metrics in range") {
+    val out = Skew.keySkewProfile(spark, TestSpark.sf0001).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val counts = graft.sources.Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(col("user_id")).count().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n = counts.length.toLong
+    val total = counts.map(_._2).sum
+    assert(r.getLong(0) == total && r.getLong(1) == n)
+    assert(r.getLong(2) == counts.map(_._2).max)
+    // Gini from the sorted-count closed form
+    val sorted = counts.sortBy(c => (c._2, c._1)).map(_._2)
+    val gnum = sorted.zipWithIndex.map { case (c, i0) => (2L * (i0 + 1) - n - 1) * c }.sum
+    val gini = gnum.toDouble / (n.toDouble * total.toDouble)
+    assert(math.abs(r.getDouble(4) - gini) < 1e-6, s"gini ${r.getDouble(4)} != $gini")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    assert(math.abs(r.getDouble(3) - counts.map(_._2).max.toDouble / total) < 1e-6)
+  }
 }
