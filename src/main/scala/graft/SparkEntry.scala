@@ -85,6 +85,8 @@ object SparkEntry {
     "q_pipeline_curate" -> (TextAnalysis.curationPipeline(_, _)),
     "q_sql_custom_fn" -> (Relational.sqlCustomFunctions(_, _)),
     "q_global_sort" -> (Relational.globalSortLineitems(_, _)),
+    "q_row_ids" -> (Relational.globalRowIds(_, _)),
+    "q_bloom_join" -> (Relational.bloomPrunedJoin(_, _)),
     "q_upsert_refresh" -> (graft.operators.Upsert.refreshedCorpus(_, _)),
     "q_summary_stats" -> (Relational.summaryStats(_, _)),
     "q_window_range" -> (Relational.rollingHourValue(_, _)),
@@ -121,6 +123,8 @@ object SparkEntry {
     // --- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "q_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
+    "q_rrf" -> ((s, d) => TextAnalysis.rrfHybrid(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
@@ -170,6 +174,7 @@ object SparkEntry {
     "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
+    "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
     "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     "q_cogroup" -> (Analytics.cogroupCustomerActivity(_, _)),
@@ -185,6 +190,8 @@ object SparkEntry {
     "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
     "q_rolling_autocorr_dist" -> ((s, d) => Stats.rollingAutocorrDist(s, d)),
     "q_linreg" -> (Stats.olsRegression(_, _)),
+    "q_ks_test" -> (Stats.ksTest(_, _)),
+    "q_mwu" -> (Stats.mannWhitneyU(_, _)),
     // --- drift / distribution comparison ----------------------------------
     "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
     "q_js_divergence" -> (Drift.jsDivergence(_, _)),
@@ -733,6 +740,19 @@ object SparkEntry {
     "q_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    // ONE oracle pins the two-phase bucketed plan to the single-reducer
+    // window's semantics: global row ids in (orderkey, linenumber) order
+    "q_row_ids" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id,
+        |  l_orderkey, l_linenumber FROM lineitem""".stripMargin,
+    // the bloom probe only PRUNES — false positives die in the exact
+    // join, so the oracle is the plain join+aggregate
+    "q_bloom_join" ->
+      """SELECT l.l_returnflag AS l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     // Keyed upsert: same synthetic re-crawl delta, latest revision per
     // key wins, non-updated base rows pass through.
     "q_upsert_refresh" ->
@@ -941,6 +961,45 @@ object SparkEntry {
          |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25
          |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
          |GROUP BY doc_id""".stripMargin,
+    // RRF: lexical arm ranks on the ROUNDED bm25 (4 dp, the pinned
+    // granularity) with doc_id tiebreak; semantic arm on raw cosine per
+    // the knn_brute contract; absent ranks 0 (nullable-int dtype rule)
+    "q_rrf" ->
+      s"""WITH d AS (SELECT doc_id, t, CAST(LEN(t) AS DOUBLE) AS dl
+         |           FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |           WHERE LEN(t) > 0),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(t) AS token FROM d)
+         |       WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |bm AS (SELECT doc_id,
+         |  round(SUM(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1)
+         |    * (tf * CAST(2.2 AS DOUBLE))
+         |    / (tf + CAST(1.2 AS DOUBLE)
+         |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |lex AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_lex
+         |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100)),
+         |e AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id,
+         |    CASE WHEN e.norm * q.q_norm = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(e.embedding,
+         |           (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) / (e.norm * q.q_norm) END AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+         |sem AS (SELECT vec_id AS doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS r_sem
+         |  FROM (SELECT * FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 100))
+         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |  COALESCE(r_lex, 0) AS r_lex, COALESCE(r_sem, 0) AS r_sem,
+         |  round(CASE WHEN r_lex IS NOT NULL THEN CAST(1 AS DOUBLE) / (r_lex + 60) ELSE 0 END +
+         |    CASE WHEN r_sem IS NOT NULL THEN CAST(1 AS DOUBLE) / (r_sem + 60) ELSE 0 END, 6) AS rrf
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id""".stripMargin,
     "q_cooccurrence" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
          |tokpos AS (SELECT doc_id, unnest(t) AS tok,
@@ -1000,6 +1059,27 @@ object SparkEntry {
         |SELECT vec_id, c_id AS cluster, round(cosine, 6) AS cosine FROM (
         |  SELECT vec_id, c_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
+    // semantic decontamination: nearest eval-slice neighbor per train
+    // vector (knn_brute float-dot contract), flag at the τ threshold
+    "q_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, embedding AS e_emb, norm AS e_norm
+        |       FROM e WHERE vec_id % 7 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+        |scored AS (
+        |  SELECT tr.vec_id, ev.eval_id,
+        |    CASE WHEN tr.norm * ev.e_norm = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(tr.embedding,
+        |           (v, i) -> CAST(v AS DOUBLE) * CAST(ev.e_emb[i] AS DOUBLE))) / (tr.norm * ev.e_norm) END AS cosine
+        |  FROM tr CROSS JOIN ev)
+        |SELECT vec_id AS train_id, eval_id, round(cosine, 6) AS cosine,
+        |  cosine >= 0.45 AS contaminated
+        |FROM (SELECT vec_id, eval_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn
         |  FROM scored) WHERE rn = 1""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (
@@ -1766,6 +1846,51 @@ object SparkEntry {
         |  round((dy - slope * dx) / CAST(n AS DOUBLE), 6) AS intercept,
         |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2
         |FROM f""".stripMargin,
+    // KS: exact integer CDF-difference maximand (|cum_a·n_b − cum_b·n_a|
+    // in HUGEINT mirrors Spark's DECIMAL(38,0)); only the final D ratio
+    // is double
+    "q_ks_test" ->
+      """WITH ev AS (SELECT value AS v, user_id % 2 = 0 AS arm_a
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT v, COUNT(CASE WHEN arm_a THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN NOT arm_a THEN 1 END) AS cb FROM ev GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM h)
+        |SELECT n_a, n_b,
+        |  round(CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
+        |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+    // MWU: doubled mid-ranks (2·below + c + 1) keep ties integer-exact;
+    // rank sum / U / tie term in HUGEINT; z in mirrored doubles with the
+    // house zero-variance NULL guard
+    "q_mwu" ->
+      """WITH ev AS (SELECT value AS v, user_id % 2 = 0 AS arm_a
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT v, COUNT(CASE WHEN arm_a THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN NOT arm_a THEN 1 END) AS cb FROM ev GROUP BY 1),
+        |r AS (SELECT v, ca, cb, ca + cb AS c,
+        |    COALESCE(SUM(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM h),
+        |s AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(2 * below + c + 1 AS HUGEINT) * ca) AS r2a,
+        |    SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+        |  FROM r),
+        |u AS (SELECT n_a, n_b, ties, n_a + n_b AS nn,
+        |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a FROM s),
+        |w AS (SELECT n_a, n_b, u2a,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(nn AS DOUBLE) + 1) - CAST(ties AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1))) AS varu
+        |  FROM u)
+        |SELECT n_a, n_b, CAST(u2a AS DOUBLE) / 2 AS u_a,
+        |  round(CASE WHEN varu > 0 THEN
+        |    (CAST(u2a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      (2 * sqrt(varu)) END, 6) AS z
+        |FROM w""".stripMargin,
     // PSI: integer midpoint split (exact — micros < 2^53), reference-side
     // bin edges, Laplace-smoothed probabilities; per-bin ln terms rounded
     // to 9 decimals and summed in DECIMAL (order-free) before the final
@@ -1883,6 +2008,19 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_intervals,
         |  CAST(SUM(i_e - i_s) AS DOUBLE) / 1000000 AS covered_seconds
         |FROM g GROUP BY user_id""".stripMargin,
+    // interval×interval overlap: the oracle brute-forces the per-user
+    // non-equi join; the engine's time-grid cell join + overlap-start
+    // dedup must reproduce exactly these pairs (integer micros)
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 240 + 60) * 1000000 AS e
+        |  FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
     "q_pagerank" -> {
       // the same 20 power iterations the Spark loop runs, unrolled as
       // CTEs (recursive terms can't aggregate); arithmetic mirrored

@@ -68,5 +68,23 @@ object GraftFunctions {
       exprs => { arity("jaro_winkler", exprs, 2)
         JaroWinklerSimilarity(exprs.head, exprs(1)) },
       "scala_udf")
+    // Spark's runtime-filter bloom pair, surfaced as SQL text: the engine
+    // ships them only as internal expressions (InjectRuntimeFilter plants
+    // them), but the explicit semi-join-reduction verb needs them callable —
+    // build the filter with one distributed aggregate, probe it map-side
+    // via a scalar subquery (BloomFilterMightContain accepts exactly
+    // foldables and subqueries, so the probe never needs a driver literal).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => { arity("graft_bloom_agg", exprs, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2)) },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => { arity("graft_might_contain", exprs, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1)) },
+      "scala_udf")
   }
 }

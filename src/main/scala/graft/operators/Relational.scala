@@ -1094,6 +1094,45 @@ object Relational {
         |FROM graft_part JOIN graft_embeddings ON p_partkey = vec_id""".stripMargin)
   }
 
+  /** Bloom-filter SEMI-JOIN REDUCTION — the explicit spelling of the
+    * runtime filter Spark's `InjectRuntimeFilter` plants automatically
+    * when statistics justify it: build a bloom filter over the
+    * selective dim side's join keys with ONE distributed aggregate
+    * (`BloomFilterAggregate` — the engine's own mergeable sketch, a few
+    * hundred KB for millions of keys), then probe it on the fact side
+    * as a map-side `WHERE` BEFORE the join's exchange. At 100 TB this
+    * is the difference between shuffling every fact row and shuffling
+    * only the ~fraction that can possibly match: the probe runs inside
+    * the scan stage, false positives (rate set by numBits/numItems) are
+    * removed by the exact join that follows, so the RESULT is identical
+    * to the plain join — the shared oracle pins exactly that.
+    *
+    * The filter reaches the probe site as a SCALAR SUBQUERY, not a
+    * driver-collected literal: `BloomFilterMightContain` accepts
+    * precisely foldables and subqueries, and the subquery route keeps
+    * the filter bytes on the executors. Both expressions surface via
+    * graft's function registration (`graft_bloom_agg` /
+    * `graft_might_contain` — Spark ships them only as internal,
+    * rule-planted expressions).
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.register(spark)
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(o_orderkey),
+        |    CAST(50000 AS BIGINT), CAST(400000 AS BIGINT)) AS b
+        |  FROM graft_orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM graft_lineitem l
+        |JOIN graft_orders o
+        |  ON l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'
+        |WHERE graft_might_contain((SELECT b FROM bf), xxhash64(l.l_orderkey))
+        |GROUP BY l.l_returnflag""".stripMargin)
+  }
+
   /** SQL-standard ordered string aggregation — `listagg(expr, sep)
     * WITHIN GROUP (ORDER BY …)` through the parser (new in Spark 4;
     * the standard spelling of the sorted `collect_set`+`concat_ws`
@@ -1172,6 +1211,39 @@ object Relational {
     Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** Deterministic GLOBAL row numbering over `lineitem` in
+    * (l_orderkey, l_linenumber) order — the "assign every training
+    * example a stable sequence id" verb. The naive spelling,
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY, moves the
+    * ENTIRE relation to one reducer (Spark plans a single-partition
+    * window) — the canonical accidental scale-killer.
+    *
+    * This plan is the two-phase shape the repo uses everywhere ranks
+    * are needed at scale (`Stats.rollingAutocorrDist`, packed offsets):
+    * (1) a coarse key-range bucket (`l_orderkey / 4096`) partitions the
+    * local `row_number` window — thousands of parallel partitions, each
+    * bounded; (2) per-bucket counts prefix-sum on the |buckets|-row
+    * relation into base offsets; (3) `row_id = base + local_rank` via a
+    * broadcast join. Identical bits to the single-reducer window (the
+    * bucket is a prefix of the sort key, so bucket order extends row
+    * order), pinned by the shared oracle.
+    */
+  def globalRowIds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bkt", floor(col("l_orderkey") / 4096).cast("long"))
+    val localW = Window.partitionBy(col("bkt"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+    val bases = li.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("base"))
+    li.withColumn("lrn", row_number().over(localW))
+      .join(broadcast(bases), Seq("bkt"))
+      .select((col("base") + col("lrn")).as("row_id"),
+        col("l_orderkey"), col("l_linenumber"))
+  }
 
   /** As-of join: for every `purchase` event, the nearest prior-or-equal
     * `signup` event of the same user.

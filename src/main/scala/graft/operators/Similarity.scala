@@ -492,4 +492,38 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cluster"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SEMANTIC decontamination screening — the embedding-space companion
+    * of `TextAnalysis.decontaminate`'s 8-shingle overlap: for every
+    * training vector, its nearest EVAL-SET neighbor by cosine, flagged
+    * when similarity crosses the contamination threshold. Shingle
+    * overlap catches verbatim leakage; this catches the paraphrased/
+    * re-rendered eval items exact text matching structurally cannot.
+    *
+    * Scale contract (same as the shingle tier's broadcast digests): the
+    * eval benchmark is CONSTANT-SIZE relative to the corpus (thousands
+    * of items vs billions of documents), so the eval side broadcasts
+    * and the whole screen is one map-side pass over the training
+    * corpus — per-row cost |eval| codegen'd dot products, no shuffle at
+    * all until the tiny top-1 window on |eval|-bounded groups. The
+    * threshold (0.45 here) is calibrated to this synthetic corpus's
+    * similarity range; production sets it from a held-out FPR target.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val eval = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"), col("norm").as("e_norm"))
+    val train = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val scored = train.crossJoin(broadcast(eval))
+      .withColumn("cosine", when(col("norm") * col("e_norm") === 0d, 0d)
+        .otherwise(dot(col("embedding"), col("e_emb")) / (col("norm") * col("e_norm"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("eval_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("train_id"), col("eval_id"),
+        round(col("cosine"), 6).as("cosine"),
+        (col("cosine") >= threshold).as("contaminated"))
+  }
 }

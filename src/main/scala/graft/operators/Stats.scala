@@ -256,6 +256,124 @@ object Stats {
         col("sxy"), col("sxx"), col("syy")).as("autocorr"))
   }
 
+  /** Shared two-phase cumulative-count core for the nonparametric tests:
+    * per-distinct-value arm counts with an EXACT running total over the
+    * value order, computed without a global-sort window. Value-range
+    * slices come from one broadcast min/max row; per-slice subtotals
+    * prefix-sum on the |slices|-row relation; the running sum only ever
+    * orders WITHIN a slice — the same shape [[spearmanQuantityPrice]]'s
+    * ranks and `q_percentiles_dist` use, so partition size is a chosen
+    * constant and no reducer sees the full value domain.
+    *
+    * Output per distinct value: `(v, ca, cb, below_a, below_b)` where
+    * `below_*` counts that arm's rows with value STRICTLY below `v`.
+    */
+  private def armCumCounts(hist: DataFrame, slices: Int = 32): DataFrame = {
+    val bounds = hist.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val withPid = hist.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(floor((col("v") - col("vmin")) * slices / (col("vmax") - col("vmin"))),
+            lit(slices - 1))).cast("int"))
+      .drop("vmin", "vmax")
+    val bases = withPid.groupBy(col("pid"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .withColumn("base_a", coalesce(sum(col("sa")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("base_b", coalesce(sum(col("sb")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base_a"), col("base_b"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid.join(broadcast(bases), Seq("pid"))
+      .withColumn("below_a", col("base_a") + coalesce(sum(col("ca")).over(wIn), lit(0L)))
+      .withColumn("below_b", col("base_b") + coalesce(sum(col("cb")).over(wIn), lit(0L)))
+      .select(col("v"), col("ca"), col("cb"), col("below_a"), col("below_b"))
+  }
+
+  /** Per-arm distinct-value histogram of `events.value` under the
+    * persisted even/odd `user_id` experiment assignment (the same arms
+    * as [[welchTTest]] / `q_js_divergence`). One map-side-combined
+    * aggregate; output is |distinct values| — the relation every
+    * nonparametric test here runs on.
+    */
+  private def armValueHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select((pmod(col("user_id"), lit(2)) === 0).as("arm_a"), col("value").as("v"))
+      .groupBy(col("v"))
+      .agg(count(when(col("arm_a"), 1)).as("ca"),
+        count(when(!col("arm_a"), 1)).as("cb"))
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the experiment
+    * arms' `value` distributions — the distribution-shape drift test
+    * completing the monitoring tier (PSI/JSD/chi-square compare binned
+    * or categorical mass; KS compares the FULL empirical CDFs, no
+    * binning choice to defend). D = max over observed values of
+    * |F_a(v) − F_b(v)|; the maximand is computed in exact integers as
+    * |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0), overflow-proof at any
+    * corpus size), so the max is ordering-exact on both engines and
+    * only the final D ratio is (mirrored) double arithmetic. The
+    * cumulative counts are the [[armCumCounts]] two-phase prefix sum —
+    * no global-sort window anywhere; at 100 TB the cost is the one
+    * histogram scan.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val hist = armValueHist(spark, dir)
+    val cum = armCumCounts(hist)
+      .select(col("v"),
+        (col("below_a") + col("ca")).as("cum_a"),
+        (col("below_b") + col("cb")).as("cum_b"))
+    val tot = hist.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(big) * col("n_b") -
+          col("cum_b").cast(big) * col("n_a")).as("dn"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("n_a"), col("n_b"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks_d"))
+  }
+
+  /** Mann–Whitney U between the experiment arms — the rank-based
+    * location test (the nonparametric complement of [[welchTTest]]:
+    * robust to the heavy-tailed `value` distributions telemetry
+    * actually has). Mid-ranks come from the same doubled-rank trick as
+    * [[spearmanQuantityPrice]] (`r2 = 2·below + c + 1`, integer-exact
+    * through ties) over the pooled histogram, with [[armCumCounts]]'s
+    * sliced prefix sum supplying `below` — no global rank window. The
+    * rank sum, U, the tie-correction term Σ(c³−c), and every other
+    * sufficient statistic are exact DECIMAL(38,0) sums; the normal
+    * approximation z (with tie correction) is O(1) mirrored double
+    * arithmetic after the aggregate, NULL-guarded for the degenerate
+    * all-values-equal case per the house ANSI contract.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cum = armCumCounts(armValueHist(spark, dir))
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("below", col("below_a") + col("below_b"))
+      // doubled mid-rank: exact integer through ties
+      .withColumn("r2", lit(2L) * col("below") + col("c") + 1L)
+    val sums = cum.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("r2").cast(big) * col("ca")).as("r2a"),
+      sum(col("c").cast(big) * col("c") * col("c") - col("c")).as("ties"))
+    def d(name: String) = col(name).cast("double")
+    val u = sums
+      // doubled U: 2·U_a = Σ r2·ca − n_a·(n_a+1)
+      .withColumn("u2a", col("r2a") - col("n_a").cast(big) * (col("n_a") + 1))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("varu", d("n_a") * d("n_b") / 12.0 *
+        ((d("nn") + 1) - d("ties") / (d("nn") * (d("nn") - 1))))
+    u.select(col("n_a"), col("n_b"),
+      (d("u2a") / 2).as("u_a"),
+      round(when(col("varu") > 0,
+        (d("u2a") - d("n_a") * d("n_b")) / (lit(2d) * sqrt(col("varu")))), 6).as("z"))
+  }
+
   /** Per-group ordinary least squares — `l_extendedprice` regressed on
     * `l_quantity` within each return flag: slope, intercept, and R²,
     * the screening fit an analytics pipeline runs before shipping a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -249,6 +250,55 @@ object TextAnalysis {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))
+  }
+
+  /** RECIPROCAL RANK FUSION — the hybrid-retrieval verb: fuse the
+    * lexical ([[bm25]], same fixed query terms) and semantic (cosine to
+    * the query embedding, vec_id 0 — `embeddings.vec_id` is the
+    * embedding of `documents.doc_id`, the correspondence the semantic
+    * tiers share) rankings into one list by
+    * `RRF(d) = Σ_arms 1/(k + rank_arm(d))`, the standard score-free
+    * fusion (ranks compose across incomparable score scales; k=60 per
+    * the original formulation).
+    *
+    * Scale shape: each arm ends in a distributed top-N
+    * (`TakeOrderedAndProject` — no global-sort window ever sees the
+    * corpus); ranks are then assigned by a window over the N-row
+    * candidate list, whose single partition is BOUNDED BY CHOICE (N),
+    * not by data. The fusion itself is a full-outer join of two N-row
+    * relations. Cross-engine exactness: the lexical arm ranks on the
+    * ROUNDED bm25 (4 dp — the granularity the oracle pins) with doc_id
+    * tiebreak; the semantic arm ranks on raw cosine per the knn_brute
+    * contract; absent ranks surface as 0, not NULL (nullable ints decay
+    * to float64 in the oracle's result path — the dtype-skew lesson).
+    */
+  def rrfHybrid(spark: SparkSession, dir: String,
+      k: Int = 60, topN: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, sqNorm}
+    val lexTop = bm25(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(topN)
+    val lex = lexTop.withColumn("r_lex", row_number().over(
+      Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_lex"))
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val semTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cosine", when(col("norm") * col("q_norm") === 0d, 0d)
+        .otherwise(dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(topN)
+    val sem = semTop.withColumn("r_sem", row_number().over(
+      Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).as("r_sem"),
+        round(
+          when(col("r_lex").isNotNull, lit(1.0) / (col("r_lex") + k)).otherwise(0d) +
+            when(col("r_sem").isNotNull, lit(1.0) / (col("r_sem") + k)).otherwise(0d),
+          6).as("rrf"))
   }
 
   /** Windowed token co-occurrence with PMI — the phrase-mining /

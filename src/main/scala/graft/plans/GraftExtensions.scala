@@ -59,5 +59,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.JaroWinklerSimilarity].getName, "jaro_winkler"),
       exprs => { arity("jaro_winkler", exprs, 2)
         graft.functions.JaroWinklerSimilarity(exprs.head, exprs(1)) }))
+    // the runtime-filter bloom pair, for the explicit semi-join-reduction
+    // verb (see GraftFunctions.register for the rationale)
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      exprs => { arity("graft_bloom_agg", exprs, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2)) }))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      exprs => { arity("graft_might_contain", exprs, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1)) }))
   }
 }

@@ -109,4 +109,56 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(Roundtrip.csvOrders(spark, dir).count() > 0)
     assert(Roundtrip.jsonEvents(spark, dir).count() > 0)
   }
+
+  test("row ids: bucketed two-phase numbering == single-reducer window, dense 1..N") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Relational.globalRowIds(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = got.length
+    assert(n > 0)
+    assert(got.map(_._1).sorted.sameElements(Array.tabulate(n)(_ + 1L)),
+      "ids must be dense 1..N")
+    val window = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("row_id", row_number().over(
+        Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)).cast("long"))
+      .collect().map(r => (r.getAs[Long]("row_id"), r.getLong(0), r.getInt(1)))
+    assert(got.toSet == window.toSet, "two-phase ids differ from the window formulation")
+  }
+
+  test("bloom join: result equals the plain join; the probe prunes the fact side") {
+    val got = graft.operators.Relational.bloomPrunedJoin(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain, "bloom-pruned join must be invisible in the result")
+    // the probe itself: build the same filter, count survivors — the
+    // bloom must pass every matching key (no false negatives) and
+    // reject most non-matching ones at the chosen 8 bits/key
+    graft.GraftSession.register(spark)
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    val Array(total, kept, matching) = spark.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(o_orderkey),
+        |    CAST(50000 AS BIGINT), CAST(400000 AS BIGINT)) AS b
+        |  FROM graft_orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT COUNT(*) AS total,
+        |  COUNT(CASE WHEN graft_might_contain((SELECT b FROM bf), xxhash64(l_orderkey))
+        |    THEN 1 END) AS kept,
+        |  COUNT(CASE WHEN l_orderkey IN
+        |      (SELECT o_orderkey FROM graft_orders WHERE o_orderpriority = '1-URGENT')
+        |    THEN 1 END) AS matching
+        |FROM graft_lineitem""".stripMargin)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(kept >= matching, "bloom dropped a matching key (false negative)")
+    assert(kept < total, s"bloom pruned nothing ($kept of $total)")
+    val fpRate = (kept - matching).toDouble / math.max(1L, total - matching)
+    assert(fpRate < 0.05, s"false-positive rate $fpRate too high for 8 bits/key")
+  }
 }

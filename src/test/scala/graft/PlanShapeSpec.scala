@@ -29,7 +29,14 @@ class PlanShapeSpec extends AnyFunSuite {
   private val bnljAllowed = Set("q_knn_brute", "q_embedding_neardups", "q_tfidf",
     "q_zorder", "q_bm25", "q_cooccurrence", "q_histogram", "q_assoc_rules",
     "q_ab_test", "q_quantile_grid",
-    "q_quantized_knn") // same tiny-query-set × corpus shape as q_knn_brute, on int8 codes
+    "q_quantized_knn", // same tiny-query-set × corpus shape as q_knn_brute, on int8 codes
+    "q_kmeans_assign", // 8 broadcast centroids × corpus — the knn_brute shape
+    "q_semantic_decontam", // bounded broadcast eval set × corpus (decontaminate contract)
+    "q_psi_drift", // 1-row broadcast time midpoint against the log
+    "q_js_divergence", "q_chi2", // 1-row totals / tiny marginals grid
+    "q_key_skew", // 1-row corpus total against the per-key counts
+    "q_ks_test", "q_mwu", // 1-row min/max bounds + 1-row arm totals
+    "q_rrf") // 1-row bm25 stats + 1-row query vector
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

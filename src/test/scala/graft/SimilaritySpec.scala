@@ -119,4 +119,56 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(viaAgg == viaWindow)
   }
+
+  test("semantic decontam: every train vector screened once, top-1 is the true argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.semanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val evalIds = emb.keys.filter(_ % 7 == 0).toSeq.sorted
+    val trainIds = emb.keys.filter(_ % 7 != 0).toSeq.sorted
+    assert(rows.map(_._1).toSeq.sorted == trainIds, "one screening row per train vector")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0d else d / (na * nb)
+    }
+    rows.foreach { case (t, e, c, flag) =>
+      val best = evalIds.map(id => (id, cos(emb(t), emb(id))))
+        .maxBy { case (id, s) => (s, -id) } // cosine desc, eval_id asc
+      assert(e == best._1, s"train $t picked eval $e, argmax is ${best._1}")
+      assert(math.abs(c - best._2) < 1e-4, s"train $t cosine $c vs recompute ${best._2}")
+      // flag pinned away from the threshold (recompute rounding differs
+      // in the last bits right at τ)
+      if (math.abs(best._2 - 0.45) > 1e-6)
+        assert(flag == (best._2 >= 0.45), s"flag mismatch for train $t (cos ${best._2})")
+    }
+  }
+
+  test("rrf: fused score is exactly the reciprocal-rank sum of the two arms") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.rrfHybrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // ranks are dense 1..N within each arm (0 = absent)
+    def denseRanks(rs: Array[Int]): Unit = {
+      val present = rs.filter(_ > 0).sorted
+      assert(present.sameElements(1 to present.length), "arm ranks must be dense 1..N")
+    }
+    denseRanks(rows.map(_._2)); denseRanks(rows.map(_._3))
+    rows.foreach { case (id, rl, rs, score) =>
+      assert(rl > 0 || rs > 0, s"doc $id in neither arm")
+      val expect = (if (rl > 0) 1.0 / (rl + 60) else 0.0) +
+        (if (rs > 0) 1.0 / (rs + 60) else 0.0)
+      assert(math.abs(score - expect) < 1e-6, s"doc $id rrf $score vs $expect")
+    }
+    // a doc ranked in BOTH arms must outscore a doc holding only the
+    // same single-arm rank — the fusion property rrf exists for
+    val both = rows.filter(r => r._2 > 0 && r._3 > 0)
+    both.foreach { case (_, rl, rs, score) =>
+      assert(score > 1.0 / (rl + 60) - 1e-9 && score > 1.0 / (rs + 60) - 1e-9)
+    }
+  }
 }

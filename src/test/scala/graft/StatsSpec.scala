@@ -294,4 +294,55 @@ class StatsSpec extends AnyFunSuite {
     assert(grid == brute, s"grid join ${grid.size} pairs vs brute ${brute.size}")
     assert(brute.nonEmpty, "fixture must produce at least one pair")
   }
+
+  // shared driver-side fixture for the nonparametric tests: per-arm
+  // value lists under the persisted even/odd assignment
+  private def armValues: (Array[Double], Array[Double]) = {
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0) % 2 == 0, r.getDouble(1)))
+    (vals.filter(_._1).map(_._2), vals.filterNot(_._1).map(_._2))
+  }
+
+  test("ks test: D matches a driver ECDF recompute and sits in [0,1]") {
+    val r = Stats.ksTest(spark, sf).collect().head
+    val (a, b) = armValues
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    val pooled = (a ++ b).distinct.sorted
+    val dExpect = pooled.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length - b.count(_ <= v).toDouble / b.length)
+    }.max
+    val d = r.getDouble(2)
+    assert(d >= 0 && d <= 1, s"D out of range: $d")
+    assert(math.abs(d - dExpect) < 1e-6, s"engine D $d vs driver ECDF recompute $dExpect")
+  }
+
+  test("mwu: U matches a mid-rank driver recompute; U_a + U_b = n_a*n_b") {
+    val r = Stats.mannWhitneyU(spark, sf).collect().head
+    val (a, b) = armValues
+    val na = a.length.toLong; val nb = b.length.toLong
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    // driver mid-ranks over the pooled sample
+    val pooled = (a.map((_, true)) ++ b.map((_, false))).sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._1 == pooled(i)._1) j += 1
+      val mid = (i + 1 + j).toDouble / 2 // average of ranks i+1 .. j
+      ranks(pooled(i)._1) = mid
+      i = j
+    }
+    val ra = a.map(ranks).sum
+    val uExpect = ra - na.toDouble * (na + 1) / 2
+    val uA = r.getDouble(2)
+    assert(math.abs(uA - uExpect) < 1e-6, s"engine U $uA vs driver recompute $uExpect")
+    // complement identity: U_b from the same ranks must complete n_a*n_b
+    val rb = b.map(ranks).sum
+    val uB = rb - nb.toDouble * (nb + 1) / 2
+    assert(math.abs(uA + uB - na.toDouble * nb) < 1e-6, "U_a + U_b != n_a*n_b")
+    // z is finite for this non-degenerate fixture
+    assert(!r.isNullAt(3) && !r.getDouble(3).isNaN)
+  }
 }

@@ -92,4 +92,24 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).distinct.sorted.toSeq ==
       Seq("max_price", "n_orders", "total_price"))
   }
+
+  test("interval join: grid candidates equal the brute non-equi join, no dup pairs") {
+    val got = Analytics.intervalOverlapJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the grid-dedup trick must emit each overlapping pair exactly once
+    assert(got.map(t => (t._1, t._2, t._3)).distinct.length == got.length,
+      "grid join duplicated a pair")
+    val raw = Tables.raw(spark, dir, "events")
+    val iv = raw.filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr(Tables.tsMicrosSql(raw.schema)).as("s"))
+      .withColumn("e", col("s") + (pmod(col("event_id"), lit(240)) + 60) * 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val brute = (for {
+      (ta, ua, ia, sa, ea) <- iv if ta == "view"
+      (tb, ub, ib, sb, eb) <- iv if tb == "click" && ub == ua
+      if sa <= eb && sb <= ea
+    } yield (ua, ia, ib, math.min(ea, eb) - math.max(sa, sb))).toSet
+    assert(got.toSet == brute, s"grid join ${got.length} pairs vs brute ${brute.size}")
+  }
 }
