@@ -293,7 +293,28 @@ object ScaleBench {
     "q_quantized_knn" -> ((s, d) => graft.operators.Quantization.quantizedKnn(s, d)),
     "q_ann_pq" -> ((s, d) => Similarity.pqCosine(s, d)),
     "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
-    "q_countmin" -> ((s, d) => graft.operators.CountMin.heavyKeys(s, d)))
+    "q_countmin" -> ((s, d) => graft.operators.CountMin.heavyKeys(s, d)),
+    // this session's verbs: ks/mwu ride the distinct-value histogram
+    // (replica price/value decorrelation grows it realistically) through
+    // the sliced prefix-sum core; row_ids is the two-phase numbering
+    // (local windows over ~4096-key buckets + a |buckets| base join);
+    // interval_join explodes ≤2 cells/interval into a (user, cell)
+    // equi-join — candidates grow with per-user density, not corpus²;
+    // bloom_join is the probe-then-join path (the probe should keep the
+    // fact exchange ~constant as the dim stays selective); seasonal is
+    // one grouped-aggregate scan; phash the codec map pass; rrf two
+    // bounded top-100 arms over growing corpora; semantic_decontam the
+    // broadcast eval screen (eval slice grows with the corpus here, so
+    // watch it — production pins |eval| constant)
+    "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
+    "q_mwu" -> ((s, d) => Stats.mannWhitneyU(s, d)),
+    "q_row_ids" -> ((s, d) => Relational.globalRowIds(s, d)),
+    "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
+    "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
+    "q_seasonal" -> ((s, d) => Stats.seasonalProfile(s, d)),
+    "q_phash" -> ((s, d) => graft.operators.Multimodal.imagePhash(s, d)),
+    "q_rrf" -> ((s, d) => TextAnalysis.rrfHybrid(s, d)),
+    "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

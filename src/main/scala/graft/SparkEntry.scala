@@ -141,7 +141,11 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.languageId(_, _)),
     "q_quality_score" -> (TextAnalysis.qualityScore(_, _)),
     "q_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
-    "q_bpe_tokens" -> (TextAnalysis.bpePieceStats(_, _)),
+    // rows-only by design: iterative merge training has no SQL oracle;
+    // BreadthOpsSpec replays the identical algorithm on the collected
+    // word counts and pins the full rule sequence
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "q_bpe_tokens" ->(TextAnalysis.bpePieceStats(_, _)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
     "q_group_split" -> (TextAnalysis.groupSplit(_, _)),
@@ -165,6 +169,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_session_window" -> ((s, d) => Analytics.sessionWindowCounts(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2UserState(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
     "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
@@ -192,6 +197,7 @@ object SparkEntry {
     "q_linreg" -> (Stats.olsRegression(_, _)),
     "q_ks_test" -> (Stats.ksTest(_, _)),
     "q_mwu" -> (Stats.mannWhitneyU(_, _)),
+    "q_seasonal" -> (Stats.seasonalProfile(_, _)),
     // --- drift / distribution comparison ----------------------------------
     "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
     "q_js_divergence" -> (Drift.jsDivergence(_, _)),
@@ -206,6 +212,7 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.imageResize(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     "q_video_frames" -> ((s, d) => Multimodal.videoFrames(s, d)),
+    "q_phash" -> (Multimodal.imagePhash(_, _)),
     "q_zorder" -> (graft.operators.ZOrder.zValuedEvents(_, _)),
     // --- skew toolkit ----------------------------------------------------
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
@@ -220,6 +227,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
     "q_binaryfile_source" -> ((s, d) => graft.sources.BinaryFiles.ingestDocs(s, d)),
     "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
+    "q_time_travel" -> (graft.sources.VersionedTable.timeTravelSummary(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1291,6 +1299,33 @@ object SparkEntry {
         |       sha256(p.padded) AS pixel_sha256,
         |       CAST(s.pix_sum AS DOUBLE) / s.n AS channel_mean
         |FROM p JOIN s USING (doc_id)""".stripMargin,
+    // dHash from decoded pixels; PNG losslessness lets the oracle
+    // rebuild the 9×8 integer average pool (cross-multiplied compares,
+    // no division) from the padded text bytes, bit for bit
+    "q_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS h
+        |  FROM documents WHERE strlen(text) >= 128),
+        |p AS (SELECT doc_id, h, text || repeat(' ', 16 * h - len) AS padded FROM d),
+        |e AS (SELECT doc_id, h, padded,
+        |    CAST(unnest(range(0, CAST(16 * h AS BIGINT))) AS INTEGER) AS pos FROM p),
+        |px AS (SELECT doc_id, h, pos % 16 AS c, pos // 16 AS r,
+        |    ascii(substr(padded, pos + 1, 1)) AS v FROM e),
+        |cells AS (SELECT doc_id, (c * 9) // 16 AS gx, (r * 8) // h AS gy,
+        |    SUM(v) AS s, COUNT(*) AS n FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.gx, a.gy,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |rb AS (SELECT doc_id, gy,
+        |    SUM(bit * (CAST(1 AS BIGINT) << CAST(gx AS INTEGER))) AS rowbyte
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN gy < 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * gy AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |  CAST(SUM(CASE WHEN gy >= 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * (gy - 4) AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+        |FROM rb GROUP BY 1""".stripMargin,
     // q_audio_decode: WAV PCM round-trip is lossless, so decoded samples
     // equal the text bytes and DuckDB recomputes rate/duration/sha/mean.
     "q_audio_decode" ->
@@ -1397,6 +1432,19 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // both snapshots recomputed logically: v2 = the re-crawl applied to
+    // the hot slice; the ENGINE reads them through version manifests
+    // over shared parquet file groups
+    "q_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    2 AS version FROM documents),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q_stopword_ratio" ->
       s"""SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
          |  CAST(LEN(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS INTEGER) AS n_stopwords,
@@ -1846,6 +1894,19 @@ object SparkEntry {
         |  round((dy - slope * dx) / CAST(n AS DOUBLE), 6) AS intercept,
         |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2
         |FROM f""".stripMargin,
+    // seasonal decomposition: means/offsets in mirrored doubles from the
+    // exact decimal (n, Σv) grid
+    "q_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |types AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT c.event_type, c.hod, c.n,
+        |  round(CAST(c.s AS DOUBLE) / c.n, 6) AS hod_mean,
+        |  round(CAST(c.s AS DOUBLE) / c.n - CAST(t.ts_sum AS DOUBLE) / t.tn, 6) AS seasonal
+        |FROM cells c JOIN types t ON c.event_type = t.event_type""".stripMargin,
     // KS: exact integer CDF-difference maximand (|cum_a·n_b − cum_b·n_a|
     // in HUGEINT mirrors Spark's DECIMAL(38,0)); only the final D ratio
     // is double
@@ -2135,6 +2196,24 @@ object SparkEntry {
         |      FROM o)
         |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // the native session operator must equal the islands construction:
+    // new session iff the gap to the previous event is ≥ 30 min, and
+    // end = last event + gap
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week

@@ -73,6 +73,24 @@ object Analytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** The ENGINE-OWNED spelling of [[sessionize]]: batch
+    * `session_window` grouping — Spark's native session operator (the
+    * same one Structured Streaming uses) applied to a static frame.
+    * One exchange on the grouping key, session merging inside the
+    * aggregate — no lag/running-sum window stack to maintain, and the
+    * two formulations must agree exactly: a session ends when the next
+    * event is ≥ gap away, `end = last_ts + gap`. The islands oracle
+    * (shared shape with `q_sessionize`) pins that equivalence.
+    */
+  def sessionWindowCounts(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Weekly cohort retention: users are cohorted by the ISO week of their
     * first event, and each (cohort_week, week_offset) cell counts the
     * cohort's users active that many weeks later. The event log collapses

@@ -382,4 +382,82 @@ object Multimodal {
         md5(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes)))
           .as("frame_md5"))
   }
+
+  /** Perceptual difference-hash (dHash) of each image — the MEDIA
+    * near-dup fingerprint: decode the PNG (the same genuine
+    * `ImageIO` round-trip as [[imageDecode]]), average-pool the decoded
+    * raster to a 9×8 grid, and emit one bit per horizontally adjacent
+    * cell pair (`mean(g) > mean(g+1)`), 64 bits total — a fingerprint
+    * that survives re-encoding and small edits, which exact byte hashes
+    * ([[binaryMeta]]) do not. Downstream, near-dup media joins band the
+    * 64 bits exactly like SimHash text dedup (≤ k distant pairs share a
+    * band by pigeonhole).
+    *
+    * EXACTNESS: pooling sums are integers from decoded pixels, the bit
+    * compare is cross-multiplied (`sum_a·n_b > sum_b·n_a` — no
+    * division), and the 64 bits pack into two 32-bit BIGINT halves, so
+    * although the pixels travel through a real codec, PNG losslessness
+    * lets DuckDB rebuild the hash bit-for-bit from the text bytes.
+    * Images narrower than the grid (fewer than 8 pixel rows — docs
+    * under 128 chars at the 16-wide layout) have no defined 9×8 pool
+    * and are excluded by contract. Same 100 TB shape as every codec
+    * path here: scan → decode → project, no shuffle.
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 16
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= W * 8)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      inMemoryCodecStreams()
+      batch.map { case (docId, payload) =>
+        val h = (payload.length + W - 1) / W
+        val pixels = java.util.Arrays.copyOf(payload, W * h)
+        java.util.Arrays.fill(pixels, payload.length, W * h, ' '.toByte)
+        val img = new java.awt.image.BufferedImage(
+          W, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, W, h, pixels)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val (bw, bh) = (back.getWidth, back.getHeight)
+        val decoded = new Array[Byte](bw * bh)
+        back.getRaster.getDataElements(0, 0, bw, bh, decoded)
+        // 9×8 average pool in exact integers (sums + counts per cell)
+        val sums = Array.ofDim[Long](9, 8)
+        val cnts = Array.ofDim[Long](9, 8)
+        var r = 0
+        while (r < bh) {
+          val gy = r * 8 / bh
+          var c = 0
+          while (c < bw) {
+            val gx = c * 9 / bw
+            sums(gx)(gy) += decoded(r * bw + c) & 0xFF
+            cnts(gx)(gy) += 1
+            c += 1
+          }
+          r += 1
+        }
+        var hi = 0L; var lo = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            // mean(gx) > mean(gx+1) without division: cross-multiply
+            val bit = sums(gx)(gy) * cnts(gx + 1)(gy) > sums(gx + 1)(gy) * cnts(gx)(gy)
+            if (bit) {
+              if (gy < 4) hi |= 1L << (8 * gy + gx)
+              else lo |= 1L << (8 * (gy - 4) + gx)
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        (docId, hi, lo)
+      }
+    }.toDF("doc_id", "phash_hi", "phash_lo")
+  }
 }

@@ -303,10 +303,19 @@ object Similarity {
     // codebooks(sub)(code) = centroid of length subDim
     var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(sub => seeds.map(_.slice(sub * subDim, (sub + 1) * subDim)))
-    // nearest-centroid cell per subspace: argmin ||s−c||² = argmax (s·c − ||c||²/2)
+    // nearest-centroid cell per subspace: argmin ||s−c||² = argmax (s·c − ||c||²/2).
+    // The codebook enters as one LITERAL ARRAY traversed by HOF lambdas,
+    // not nCodes unrolled dot expressions: the unrolled form × m subspaces
+    // × the Generate consume path overflowed janino's 64 KB method limit
+    // (whole-stage codegen compile failure → silent interpreted fallback
+    // of the entire stage, found in the r8 Verify logs). Loops over
+    // literal DATA keep the generated method near-constant-size no matter
+    // how large m/nCodes grow.
     def cellOfSub(sub: Int, books: Array[Array[Array[Double]]])(s: Column): Column = {
-      val scores = array(books(sub).map(c =>
-        dot(s, lit(c).cast("array<double>")) - lit(c.map(x => x * x).sum / 2)): _*)
+      val cents = typedlit(books(sub).map(_.toSeq).toSeq)
+      val scores = transform(cents, c =>
+        aggregate(zip_with(s, c, (a, b) => a * b), lit(0d), (acc, x) => acc + x) -
+          aggregate(zip_with(c, c, (a, b) => a * b), lit(0d), (acc, x) => acc + x) / 2)
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
     def subvec(v: Column, sub: Int): Column = slice(v, sub * subDim + 1, subDim)
@@ -335,14 +344,16 @@ object Similarity {
     // --- distance tables from the query side: (q_id, sub, code, pdist)
     // with pdist = ||q_sub − c||², m×nCodes rows per query.
     val queries = coded.filter(col("vec_id") < nQueries)
-    val dtable = queries.select(col("vec_id").as("q_id"), posexplode(
-        array((for (sub <- 0 until m; code <- 0 until nCodes) yield {
-          val c = codebooks(sub)(code)
-          val diff2 = zip_with(subvec(col("v"), sub), lit(c).cast("array<double>"),
-            (a, b) => (a - b) * (a - b))
-          struct(lit(sub).as("sub"), lit(code).as("code"),
-            aggregate(diff2, lit(0d), (acc, x) => acc + x).as("pdist"))
-        }): _*)))
+    // same literal-data-not-unrolled-code rule as cellOfSub: the full
+    // m×nCodes codebook is ONE nested literal, indexed transforms build
+    // the (sub, code, pdist) entries — constant generated-code size
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val dtable = queries.select(col("vec_id").as("q_id"), posexplode(flatten(
+        transform(cbLit, (subBooks, subIdx) =>
+          transform(subBooks, (c, codeIdx) =>
+            struct(subIdx.cast("int").as("sub"), codeIdx.cast("int").as("code"),
+              aggregate(zip_with(slice(col("v"), subIdx * subDim + 1, lit(subDim)), c,
+                (a, b) => (a - b) * (a - b)), lit(0d), (acc, x) => acc + x).as("pdist")))))))
       .select(col("q_id"), col("col.sub").as("sub"), col("col.code").as("code"),
         col("col.pdist").as("pdist"))
 

@@ -374,6 +374,31 @@ object Stats {
         (d("u2a") - d("n_a") * d("n_b")) / (lit(2d) * sqrt(col("varu")))), 6).as("z"))
   }
 
+  /** Hour-of-day SEASONAL decomposition of `events.value` per event
+    * type — the additive profile `value ≈ type_mean + seasonal(hod)`
+    * a telemetry monitor subtracts before alerting (a metric that is
+    * "anomalous" every night at 3am isn't anomalous). One map-side-
+    * combined aggregate builds the |types|×24 cell grid of exact
+    * decimal (n, Σv); type-level totals derive from the GRID (tiny,
+    * no second scan), and every mean/offset is O(1) mirrored double
+    * arithmetic on the exact sums — the [[welchTTest]] sufficient-
+    * statistics shape. At 100 TB the cost is the one scan.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hod"), dec(col("value")).as("x"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val types = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tn"), sum(col("s")).as("ts_sum"))
+    cells.join(broadcast(types), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("hod_mean"),
+        round(col("s").cast("double") / col("n") -
+          col("ts_sum").cast("double") / col("tn"), 6).as("seasonal"))
+  }
+
   /** Per-group ordinary least squares — `l_extendedprice` regressed on
     * `l_quantity` within each return flag: slope, intercept, and R²,
     * the screening fit an analytics pipeline runs before shipping a

@@ -763,4 +763,65 @@ object TextAnalysis {
         expr("parse_url(url, 'QUERY', 'page')").as("page_param"),
         expr("parse_url(url, 'REF')").as("fragment"))
   }
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) — the BPE
+    * apply step, shared by the distributed trainer and the spec's
+    * driver recompute so both execute the identical rule.
+    */
+  private[graft] def mergeAdjacent(arr: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < arr.length) {
+      if (i < arr.length - 1 && arr(i) == a && arr(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += arr(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** DISTRIBUTED BPE merge-rule training — the actual tokenizer-training
+    * verb ([[bpePieceStats]] applies a fixed greedy segmentation; this
+    * LEARNS the merge table). Classic word-level BPE: the corpus first
+    * collapses to (word, count) — a |vocab|-sized relation, the only
+    * corpus-sized pass in the whole algorithm — then each of `merges`
+    * rounds (1) counts adjacent symbol pairs weighted by word count
+    * (map-side combined, output |pair vocab|), (2) takes the single
+    * most frequent pair (ties broken lexicographically — ONE row to the
+    * driver per round, the bounded-model contract shared with IVF/PQ
+    * training), and (3) applies the merge map-side to every word's
+    * symbol array. At 100 TB the word-count pass dominates; every
+    * round after runs on the vocabulary, whose size is a property of
+    * the LANGUAGE, not the corpus.
+    *
+    * Iterative + typed-map execution → no SQL oracle; the spec replays
+    * the identical algorithm on the collected word counts and pins the
+    * full rule sequence.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val words = Tables(spark, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
+    var syms = words.persist()
+    syms.count()
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val top = syms.flatMap { case (arr, c) =>
+          (0 until arr.length - 1).map(i => (arr(i), arr(i + 1), c)) }
+        .groupByKey(t => (t._1, t._2)).mapValues(_._3).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+        .limit(1).collect()
+      top.foreach { case (a, b, c) =>
+        rules += ((step, a, b, a + b, c))
+        val prev = syms
+        syms = prev.map { case (arr, c2) => (mergeAdjacent(arr, a, b), c2) }.persist()
+        syms.count() // materialize the round before releasing its parent
+        prev.unpersist()
+      }
+    }
+    syms.unpersist()
+    rules.result().toDF("step", "left", "right", "merged", "pair_count")
+  }
 }

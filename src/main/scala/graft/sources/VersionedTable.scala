@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based snapshot versioning — the TIME TRAVEL primitive of a
+  * table format (Iceberg/Delta's core idea), built from nothing but
+  * parquet file groups and version manifests: a commit writes ONLY the
+  * changed file groups and a new manifest listing the version's files;
+  * unchanged file groups are REUSED by reference. Reading version N is
+  * "read exactly the files manifest N names" — older snapshots stay
+  * readable after newer commits (snapshot isolation), and a re-crawl
+  * that touches 1/7th of the corpus rewrites 1/7th of the bytes, not
+  * the table.
+  *
+  * At 100 TB this is the difference between an overwrite pipeline and
+  * an incremental one: commit cost scales with the DELTA, old readers
+  * never block, and rollback is "point at the previous manifest".
+  * Complements the row-level verbs ([[graft.operators.Upsert]] = merge
+  * semantics, `q_snapshot_diff` = version compare): this tier owns the
+  * FILE layout and the version catalog.
+  */
+object VersionedTable {
+
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+  @volatile private var builtRoot: Option[String] = None
+
+  private def freshRoot(): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_vt_$jvmTag")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(dir)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def writeManifest(root: String, version: Int, groups: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_manifest_v$version.txt"),
+      groups.mkString("\n"))
+
+  /** File groups named by manifest `version` (relative paths). */
+  def manifest(root: String, version: Int): Seq[String] =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_manifest_v$version.txt"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Build the deterministic two-version chain over `documents`
+    * (idempotent per JVM): v1 = the corpus split into a hot file group
+    * (doc_id % 7 == 0 — the slice a re-crawl touches) and a cold one;
+    * v2 = the re-crawl commit — hot rows re-fetched (text + " v2",
+    * source "recrawl") into a NEW file group, cold group reused
+    * by reference. Returns the table root.
+    */
+  def buildChain(spark: SparkSession, dir: String): String = synchronized {
+    builtRoot.getOrElse {
+      val root = freshRoot()
+      val base = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      base.filter(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/files/cold_v1")
+      val hot = base.filter(col("doc_id") % 7 === 0)
+      hot.write.mode("overwrite").parquet(s"$root/files/hot_v1")
+      hot.select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("recrawl").as("source"))
+        .write.mode("overwrite").parquet(s"$root/files/hot_v2")
+      writeManifest(root, 1, Seq("files/cold_v1", "files/hot_v1"))
+      writeManifest(root, 2, Seq("files/cold_v1", "files/hot_v2"))
+      builtRoot = Some(root)
+      root
+    }
+  }
+
+  /** Time-travel read: exactly the file groups manifest `version`
+    * names. The path list is manifest-sized (file groups, not rows) —
+    * driver cost is the catalog lookup, the read itself is an ordinary
+    * distributed parquet scan.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame =
+    spark.read.parquet(manifest(root, version).map(g => s"$root/$g"): _*)
+
+  /** Oracle-checkable summary of both snapshots read THROUGH the
+    * manifests: per (version, source) row counts and total characters —
+    * v1 must show the pre-crawl corpus, v2 the re-crawled hot slice,
+    * from one table whose cold bytes were written once.
+    */
+  def timeTravelSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = buildChain(spark, dir)
+    (1 to 2).map { v =>
+      readVersion(spark, root, v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("total_chars"))
+  }
+}

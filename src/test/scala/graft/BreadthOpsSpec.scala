@@ -161,4 +161,73 @@ class BreadthOpsSpec extends AnyFunSuite {
     val fpRate = (kept - matching).toDouble / math.max(1L, total - matching)
     assert(fpRate < 0.05, s"false-positive rate $fpRate too high for 8 bits/key")
   }
+
+  test("phash: decoded-pixel dHash matches a driver recompute from the text bytes") {
+    val got = Multimodal.imagePhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.map(_._1).toSet == got.keySet)
+    docs.take(25).foreach { case (id, text) =>
+      val w = 16
+      val h = (text.length + w - 1) / w
+      val padded = text.padTo(w * h, ' ')
+      val sums = Array.ofDim[Long](9, 8); val cnts = Array.ofDim[Long](9, 8)
+      for (r <- 0 until h; c <- 0 until w) {
+        sums(c * 9 / w)(r * 8 / h) += padded(r * w + c).toLong
+        cnts(c * 9 / w)(r * 8 / h) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (sums(gx)(gy) * cnts(gx + 1)(gy) > sums(gx + 1)(gy) * cnts(gx)(gy)) {
+          if (gy < 4) hi |= 1L << (8 * gy + gx) else lo |= 1L << (8 * (gy - 4) + gx)
+        }
+      assert(got(id) == ((hi, lo)), s"doc $id phash mismatch vs driver recompute")
+    }
+  }
+
+  test("bpe train: distributed merge rules equal a driver replay of the algorithm") {
+    val merges = 6
+    val got = TextAnalysis.bpeTrain(spark, dir, merges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got.length == merges)
+    val wordCounts = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var syms = wordCounts.map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
+    val expect = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (arr, c) =>
+        for (i <- 0 until arr.length - 1)
+          pc((arr(i), arr(i + 1))) = pc.getOrElse((arr(i), arr(i + 1)), 0L) + c
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      expect += ((step, a, b, a + b, c))
+      syms = syms.map { case (arr, cc) => (TextAnalysis.mergeAdjacent(arr, a, b), cc) }
+    }
+    assert(got == expect.result(), "distributed rule sequence differs from driver replay")
+  }
+
+  test("time travel: snapshot isolation + file-group reuse across versions") {
+    import graft.sources.VersionedTable
+    val root = VersionedTable.buildChain(spark, dir)
+    val m1 = VersionedTable.manifest(root, 1)
+    val m2 = VersionedTable.manifest(root, 2)
+    // the cold file group is REUSED by reference, the hot one replaced
+    assert(m1.intersect(m2) == Seq("files/cold_v1"))
+    assert(m1.contains("files/hot_v1") && m2.contains("files/hot_v2"))
+    val v1 = VersionedTable.readVersion(spark, root, 1)
+    val v2 = VersionedTable.readVersion(spark, root, 2)
+    assert(v1.count() == v2.count())
+    // v1 stays pre-crawl AFTER the v2 commit (snapshot isolation)
+    assert(v1.filter(col("text").endsWith(" v2")).count() == 0)
+    val hot2 = v2.filter(col("doc_id") % 7 === 0)
+    assert(hot2.count() > 0)
+    assert(hot2.filter(!col("text").endsWith(" v2") || col("source") =!= "recrawl").count() == 0)
+  }
 }

@@ -345,4 +345,24 @@ class StatsSpec extends AnyFunSuite {
     // z is finite for this non-degenerate fixture
     assert(!r.isNullAt(3) && !r.getDouble(3).isNaN)
   }
+
+  test("seasonal: offsets are mean-centered per type; cells match a driver recompute") {
+    val rows = Stats.seasonalProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // Σ_hod n·seasonal = 0 per type (the additive-decomposition identity)
+    rows.groupBy(_._1).foreach { case (t, cells) =>
+      val weighted = cells.map(c => c._3 * c._5).sum
+      val total = cells.map(_._3).sum
+      assert(math.abs(weighted / total) < 1e-5, s"type $t offsets not centered: $weighted")
+    }
+    // one cell recomputed from raw rows
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    val (t0, h0, _, mean0, _) = rows.head
+    val cell = ev.filter(e => e._1 == t0 && e._2 == h0)
+    assert(math.abs(cell.map(_._3).sum.toDouble / cell.length - mean0) < 1e-5)
+  }
 }

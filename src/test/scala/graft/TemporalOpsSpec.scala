@@ -93,6 +93,18 @@ class TemporalOpsSpec extends AnyFunSuite {
       Seq("max_price", "n_orders", "total_price"))
   }
 
+  test("session_window: the native session operator equals the islands sessionize") {
+    import java.time.LocalDateTime
+    val native = Analytics.sessionWindowCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime]("session_start"),
+        r.getAs[LocalDateTime]("session_end"), r.getLong(3))).toSet
+    val islands = Analytics.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime]("session_start"),
+        r.getAs[LocalDateTime]("session_end").plusMinutes(30), r.getLong(4))).toSet
+    assert(native == islands,
+      s"native ${native.size} sessions vs islands ${islands.size}")
+  }
+
   test("interval join: grid candidates equal the brute non-equi join, no dup pairs") {
     val got = Analytics.intervalOverlapJoin(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
