@@ -95,7 +95,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev loop only: SPARK_GRAFT_ONLY=q_a,q_b times a subset (same env
+    // contract as Verify); the driver sets no env → full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qseq = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // probe host speed every ~16 queries (the probe costs ~0.4 s) so a
     // load spike hitting one query's reps is visible in calib_runs and
     // the calibration median sees the sweep's whole load profile — one

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrencePmi(s, d)),
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
+    "q_approx_topk" -> ((s, d) => TextAnalysis.approxTopTokens(s, d)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
@@ -221,6 +222,7 @@ object SparkEntry {
     // --- source/sink format roundtrips -----------------------------------
     "q_bucketed_join" -> (graft.sources.BucketedParquetSink.colocatedOrdersJoin(_, _)),
     "q_partition_pruned" -> (graft.sources.ParquetSink.partitionPrunedEvents(_, _)),
+    "q_dpp_join" -> (graft.sources.ParquetSink.dppJoin(_, _)),
     "q_orc_roundtrip" -> (Roundtrip.orcLineitem(_, _)),
     "q_xml_roundtrip" -> (Roundtrip.xmlParts(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
@@ -1193,6 +1195,13 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // the engine sketch tracks far more items than this vocabulary, so
+    // its counts are exact and the top-9 SET is pinned (k sits clear of
+    // a count tie at verify scale)
+    "q_approx_topk" ->
+      s"""SELECT token, COUNT(*) AS est_count FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY est_count DESC, token ASC LIMIT 9""".stripMargin,
     // portable (md5-keyed) MinHash signatures — the hash-matched twin of
     // the xxhash64 rows-only tier; 15 hex digits = 60 bits, positive
     // BIGINT on both engines
@@ -1200,10 +1209,14 @@ object SparkEntry {
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
         |  FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos)
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+        |  FROM sh)
         |SELECT doc_id, CAST(k.k AS INTEGER) AS perm,
-        |  MIN(CAST('0x' || substr(md5(CAST(k.k AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)) AS minhash
-        |FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k) k GROUP BY 1, 2""".stripMargin,
+        |  MIN(h1 + k.k * h2) AS minhash
+        |FROM h CROSS JOIN (SELECT unnest(range(16)) AS k) k GROUP BY 1, 2""".stripMargin,
     // bigram MLE: pairs by array self-zip, counts exact, probability one
     // mirrored double ratio; the >= 3 cut is on exact integers
     "q_bigram_lm" ->
@@ -1404,6 +1417,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // runtime pruning is invisible in the RESULT: the oracle is the
+    // plain dim-filtered join over the unpartitioned original
+    "q_dpp_join" ->
+      """WITH dim AS (SELECT * FROM (VALUES
+        |    ('view', 'engagement'), ('click', 'engagement'),
+        |    ('purchase', 'conversion'), ('signup', 'conversion'),
+        |    ('error', 'ops')) AS t(event_type, kind))
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE d.kind = 'conversion' GROUP BY 1""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

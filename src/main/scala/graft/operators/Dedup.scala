@@ -466,25 +466,32 @@ object Dedup {
   }
 
   /** Portable MinHash signatures — the md5-keyed twin of
-    * [[minhashSignatures]]: permutation j hashes each distinct 15-gram
-    * shingle as the first 60 bits of `md5("j:" || shingle)` and keeps
-    * the minimum. xxhash64 (the fast path) is Spark-private, so those
-    * signatures only compare WITHIN this engine; a cross-system dedup —
-    * two corpora sketched by different stacks, signatures exchanged
-    * instead of text — needs a hash both sides can reproduce, and md5
-    * is the house portable contract (same property that made
-    * `q_countmin` the one SQL-reproducible sketch; here it makes
-    * MinHash the one HASH-MATCHED near-dup sketch, where the xxhash64
-    * tier is rows-only). Shape is identical to the fast path: one
-    * shingle explode, k mins map-side combined in ONE aggregate, output
-    * |docs| × k relational rows. md5-per-shingle costs ~3× xxhash64 —
-    * the price of portability, paid once at sketch time.
+    * [[minhashSignatures]]: xxhash64 (the fast path) is Spark-private,
+    * so those signatures only compare WITHIN this engine; a
+    * cross-system dedup — two corpora sketched by different stacks,
+    * signatures exchanged instead of text — needs a hash both sides can
+    * reproduce, and md5 is the house portable contract (same property
+    * that made `q_countmin` the one SQL-reproducible sketch; here it
+    * makes MinHash the one HASH-MATCHED near-dup sketch, where the
+    * xxhash64 tier is rows-only).
+    *
+    * Permutation family: DOUBLE HASHING (Kirsch–Mitzenmacher) — ONE md5
+    * per distinct shingle, split into two 32-bit words `h1`/`h2`
+    * (hex digits 1-8 and 9-16), permutation j valued `h1 + j·h2`
+    * (max < 2^36, overflow-free in BIGINT on both engines). The first
+    * cut keyed md5 per PERMUTATION (`md5("j:"||sh)`, k=16 digests per
+    * shingle) and was the single most expensive query in the r8 bench
+    * at 24 s — 8× the xxhash64 twin — for zero statistical benefit:
+    * two independent words drive k derived permutations exactly as
+    * well. Re-measured ~4 s. Shape is unchanged: one shingle explode,
+    * k mins map-side combined in ONE aggregate, |docs| × k output rows.
     */
   def minhashSigExact(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val sh = shingles(Tables(spark, dir, "documents"))
-    def mh(j: Int): Column = min(
-      conv(substring(md5(concat(lit(s"$j:"), col("sh")).cast("binary")), 1, 15), 16, 10)
-        .cast("long")).as(s"m$j")
+      .withColumn("d", md5(col("sh").cast("binary")))
+      .withColumn("h1", conv(substring(col("d"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("d"), 9, 8), 16, 10).cast("long"))
+    def mh(j: Int): Column = min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")
     sh.groupBy(col("doc_id"))
       .agg(mh(0), (1 until k).map(mh): _*)
       .select(col("doc_id"), posexplode(array((0 until k).map(j => col(s"m$j")): _*)))

@@ -764,6 +764,25 @@ object TextAnalysis {
         expr("parse_url(url, 'REF')").as("fragment"))
   }
 
+  /** The ENGINE's own frequency sketch — Spark 4's `approx_top_k`
+    * aggregate (one mergeable sketch pass, map-side combined) — over
+    * the corpus token stream. Complements the custom Misra-Gries tier
+    * (`q_heavy_hitters`): same verb, engine-native sketch. The sketch
+    * tracks up to 10k items, far above this corpus's vocabulary, so
+    * its estimates are EXACT here and the DuckDB oracle can pin the
+    * top-k set precisely (k chosen clear of a count tie at verify
+    * scale; the spec stays tie-aware for other scales). At real scale
+    * the same one-pass plan degrades gracefully to approximate counts
+    * under a fixed memory cap — the reason a 100 TB pipeline runs a
+    * sketch instead of a full groupBy-sort.
+    */
+  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 9): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(expr(s"approx_top_k(tok, $k)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est_count"))
+
   /** Left-to-right non-overlapping merge of adjacent (a, b) — the BPE
     * apply step, shared by the distributed trainer and the spec's
     * driver recompute so both execute the identical rule.

@@ -213,6 +213,22 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(got == expect.result(), "distributed rule sequence differs from driver replay")
   }
 
+  test("approx_top_k: engine sketch is exact at this vocabulary; tie-aware top set") {
+    val got = TextAnalysis.approxTopTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 9)
+    val exact = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (t, c) => assert(exact(t) == c, s"sketch count for $t drifted") }
+    // tie-aware set check: everything returned is >= the k-th count, and
+    // every strictly-greater token is present
+    val kth = got.map(_._2).min
+    exact.filter(_._2 > kth).keys.foreach(t =>
+      assert(got.exists(_._1 == t), s"top token $t missing from sketch top-k"))
+  }
+
   test("time travel: snapshot isolation + file-group reuse across versions") {
     import graft.sources.VersionedTable
     val root = VersionedTable.buildChain(spark, dir)

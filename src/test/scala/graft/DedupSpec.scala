@@ -196,15 +196,18 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val nDocs = graft.sources.Tables(TestSpark.spark, sf, "documents").count()
     assert(sig.size == nDocs * 16, "16 permutations per document")
-    assert(sig.values.forall(_ >= 0L), "60-bit hashes are nonnegative")
-    // driver recompute for 2 docs: distinct 15-shingles, md5("j:"+sh)
-    // first 15 hex digits as the permuted key, min per permutation
+    assert(sig.values.forall(v => v >= 0L && v < (1L << 36)),
+      "double-hashed values stay inside 36 bits")
+    // driver recompute for 2 docs: distinct 15-shingles, ONE md5 per
+    // shingle split into two 32-bit words, permutation j = h1 + j*h2
     val docs = graft.sources.Tables(TestSpark.spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(2).collect()
     def h(j: Int, sh: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$j:$sh".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        .digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      h1 + j.toLong * h2
     }
     docs.foreach { r =>
       val id = r.getLong(0); val text = r.getString(1)

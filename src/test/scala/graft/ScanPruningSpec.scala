@@ -65,4 +65,25 @@ class ScanPruningSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("dpp join: a dim-side predicate prunes fact partitions at runtime") {
+    val df = ParquetSink.dppJoin(spark, TestSpark.sf0001)
+    // pre-AQE physical tree (AQE wraps the executed plan in an adaptive
+    // root that plain collect() does not traverse)
+    val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan in plan")
+    // no literal event_type predicate exists — the partition filter must
+    // be the runtime dynamicpruning expression planted from the dim side
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("dynamicpruning"))),
+      s"no dynamicpruningexpression on the fact scan:\n${df.queryExecution.sparkPlan}")
+    // and pruning never changes the answer
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Tables(spark, TestSpark.sf0001, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == direct)
+  }
 }
