@@ -1078,8 +1078,8 @@ object SparkEntry {
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
         |  FROM embeddings),
         |ev AS (SELECT vec_id AS eval_id, embedding AS e_emb, norm AS e_norm
-        |       FROM e WHERE vec_id % 7 = 0),
-        |tr AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+        |       FROM e WHERE vec_id % 7 = 0 AND vec_id < 3500),
+        |tr AS (SELECT * FROM e WHERE vec_id % 7 <> 0 OR vec_id >= 3500),
         |scored AS (
         |  SELECT tr.vec_id, ev.eval_id,
         |    CASE WHEN tr.norm * ev.e_norm = 0 THEN 0.0

@@ -513,10 +513,14 @@ object Similarity {
     *
     * Scale contract (same as the shingle tier's broadcast digests): the
     * eval benchmark is CONSTANT-SIZE relative to the corpus (thousands
-    * of items vs billions of documents), so the eval side broadcasts
-    * and the whole screen is one map-side pass over the training
-    * corpus — per-row cost |eval| codegen'd dot products, no shuffle at
-    * all until the tiny top-1 window on |eval|-bounded groups. The
+    * of items vs billions of documents) — enforced here by the
+    * `vec_id < 3500` cap on the eval slice (inactive at verify scale,
+    * it binds exactly when replication grows the corpus; without it
+    * the 10× sweep measured 18× — train×eval goes quadratic the moment
+    * the eval set tracks the corpus). The eval side broadcasts and the
+    * whole screen is one map-side pass over the training corpus —
+    * per-row cost |eval| codegen'd dot products, no shuffle at all
+    * until the tiny top-1 window on |eval|-bounded groups. The
     * threshold (0.45 here) is calibrated to this synthetic corpus's
     * similarity range; production sets it from a held-out FPR target.
     */
@@ -524,9 +528,9 @@ object Similarity {
       threshold: Double = 0.45): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
-    val eval = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val eval = emb.filter(pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 3500)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"), col("norm").as("e_norm"))
-    val train = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val train = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0 || col("vec_id") >= 3500)
     val scored = train.crossJoin(broadcast(eval))
       .withColumn("cosine", when(col("norm") * col("e_norm") === 0d, 0d)
         .otherwise(dot(col("embedding"), col("e_emb")) / (col("norm") * col("e_norm"))))

@@ -127,8 +127,8 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val evalIds = emb.keys.filter(_ % 7 == 0).toSeq.sorted
-    val trainIds = emb.keys.filter(_ % 7 != 0).toSeq.sorted
+    val evalIds = emb.keys.filter(id => id % 7 == 0 && id < 3500).toSeq.sorted
+    val trainIds = emb.keys.filter(id => id % 7 != 0 || id >= 3500).toSeq.sorted
     assert(rows.map(_._1).toSeq.sorted == trainIds, "one screening row per train vector")
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
