@@ -166,6 +166,7 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_approx_topk" -> ((s, d) => TextAnalysis.approxTopTokens(s, d)),
+    "q_lm_score" -> (TextAnalysis.lmScore(_, _)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
@@ -1228,6 +1229,22 @@ object SparkEntry {
          |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
          |  round(CAST(c12.c12 AS DOUBLE) / c1.c1, 6) AS p
          |FROM c12 JOIN c1 ON c12.w1 = c1.w1 WHERE c12.c12 >= 3""".stripMargin,
+    // CCNet-style LM scoring: Laplace-smoothed bigram log-probs, per-doc
+    // mean via the house round-9 decimal-sum contract
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, LEN(t))) AS i FROM toks),
+         |pairs AS (SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+         |    t[CAST(i AS INTEGER) + 1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS v FROM c1),
+         |model AS (SELECT w1, w2, ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS lp
+         |          FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT p.doc_id, COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(CAST(round(lp, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+         |FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+         |GROUP BY 1""".stripMargin,
     // hashing-trick featurizer: bucket = md5(token) % 64, the shared md5
     // contract; sparse relational output, nonzero features only
     "q_feature_hash" ->

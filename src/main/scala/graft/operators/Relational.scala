@@ -1232,7 +1232,9 @@ object Relational {
   def globalRowIds(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bkt", floor(col("l_orderkey") / 4096).cast("long"))
+      // integer DIV, not floor(double /): a double quotient misbuckets
+      // keys beyond 2^53 — the bucket must be exact at any key magnitude
+      .withColumn("bkt", expr("l_orderkey DIV 4096"))
     val localW = Window.partitionBy(col("bkt"))
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
     val bases = li.groupBy(col("bkt")).agg(count(lit(1)).as("c"))

@@ -124,6 +124,43 @@ object TextAnalysis {
         round(col("c12").cast("double") / col("c1"), 6).as("p"))
   }
 
+  /** Bigram-LM QUALITY SCORING — the CCNet-style filter: score every
+    * document's mean token log-probability under a corpus bigram model
+    * and keep/bucket by the score (gibberish and boilerplate sit far
+    * from the corpus distribution; this is the standard LM-based
+    * quality screen run before pretraining). Complements [[bigramLm]]
+    * (which SHIPS the model): here the model is built AND applied in
+    * one job — Laplace-smoothed `P(w2|w1) = (c12+1)/(c1+V)` — with the
+    * model relation bounded by |vocabulary|², broadcast to a map-side
+    * scoring join over the corpus pair stream. Per-doc totals use the
+    * house cross-engine decimal-sum contract (round-9 → DECIMAL sum →
+    * round-6), so the scores hash-match exactly. At 100 TB: two
+    * map-side-combined count passes build the model, one broadcast
+    * join scores — no corpus-sized shuffle anywhere.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = tokens(col("text"))
+    val docPairs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val c12 = docPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = docPairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val model = c12.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+    docPairs.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("lp"), 9).cast(DecimalType(38, 9))).as("slp"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("slp").cast("double") / col("n_pairs"), 6).as("avg_logprob"))
+  }
+
   /** Per-document token statistics: counts, distincts, mean token length
     * (null for empty docs — no divide-by-zero).
     */

@@ -189,6 +189,33 @@ class BreadthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lm score: every multi-token doc scored, scores negative, one doc recomputed") {
+    val got = TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 < 0), "smoothed log-probs must be negative")
+    // coverage: exactly the docs with >= 2 tokens
+    val docToks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    assert(got.map(_._1).toSet == docToks.filter(_._2.length >= 2).map(_._1).toSet)
+    // driver recompute of one document's mean log-prob from the same
+    // corpus counts (float tolerance: the engine's path is decimal-summed)
+    val allPairs = docToks.flatMap { case (_, t) => t.toSeq.sliding(2).collect {
+      case Seq(a, b) => (a, b) } }
+    val c12 = allPairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = allPairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = c1.size
+    val (docId, toks) = docToks.filter(_._2.length >= 2).head
+    val lps = toks.toSeq.sliding(2).collect { case Seq(a, b) =>
+      math.log((c12((a, b)) + 1).toDouble / (c1(a) + v)) }.toSeq
+    val expect = lps.sum / lps.length
+    val gotDoc = got.find(_._1 == docId).get
+    assert(gotDoc._2 == lps.length)
+    assert(math.abs(gotDoc._3 - expect) < 1e-5,
+      s"doc $docId avg_logprob ${gotDoc._3} vs driver $expect")
+  }
+
   test("bpe train: distributed merge rules equal a driver replay of the algorithm") {
     val merges = 6
     val got = TextAnalysis.bpeTrain(spark, dir, merges).collect()
