@@ -314,7 +314,15 @@ object ScaleBench {
     "q_seasonal" -> ((s, d) => Stats.seasonalProfile(s, d)),
     "q_phash" -> ((s, d) => graft.operators.Multimodal.imagePhash(s, d)),
     "q_rrf" -> ((s, d) => TextAnalysis.rrfHybrid(s, d)),
-    "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)))
+    "q_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
+    // lm_score: two model count passes + a broadcast scoring join, all
+    // riding the pair-stream scan; session_window: the native session
+    // aggregate, one user-keyed exchange over factor× users; bpe_train:
+    // the word-count pass grows with the corpus, every merge round runs
+    // on the (constant-vocabulary) word relation
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "q_session_window" -> ((s, d) => Analytics.sessionWindowCounts(s, d)),
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

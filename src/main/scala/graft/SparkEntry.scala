@@ -145,6 +145,7 @@ object SparkEntry {
     // BreadthOpsSpec replays the identical algorithm on the collected
     // word counts and pins the full rule sequence
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "q_bpe_tokens" ->(TextAnalysis.bpePieceStats(_, _)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),

@@ -880,4 +880,39 @@ object TextAnalysis {
     syms.unpersist()
     rules.result().toDF("step", "left", "right", "merged", "pair_count")
   }
+
+  /** APPLY the learned BPE merge table — the deploy half of
+    * [[bpeTrain]]'s train half: segment every document with the rule
+    * sequence and report its compression (pieces per word — the number
+    * a tokenizer-efficiency audit tracks per language/source slice).
+    * The rule table is driver-resident by construction (`merges` rows —
+    * the bounded-model contract), broadcast into a map-side typed
+    * transform; per-word cost is O(rules × word length), no shuffle
+    * until the final nothing (output is per-doc). Rows-only tier
+    * (same reason as training: the iterative merge semantics have no
+    * SQL spelling); the spec replays segmentation in the driver with
+    * the SAME [[mergeAdjacent]] the executors run.
+    */
+  def bpeApply(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rules = bpeTrain(spark, dir, merges).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(rules)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        var pieces = 0
+        toks.foreach { w =>
+          var arr = w.map(_.toString).toArray :+ "</w>"
+          bc.value.foreach { case (a, b) => arr = mergeAdjacent(arr, a, b) }
+          pieces += arr.length
+        }
+        (id, toks.length, pieces)
+      }
+      .toDF("doc_id", "n_words", "n_pieces")
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / greatest(col("n_words"), lit(1)), 4)
+          .as("pieces_per_word"))
+  }
 }

@@ -256,6 +256,35 @@ class BreadthOpsSpec extends AnyFunSuite {
       assert(got.exists(_._1 == t), s"top token $t missing from sketch top-k"))
   }
 
+  test("bpe apply: segmentation matches a driver replay; compression bounds hold") {
+    val merges = 6
+    val got = TextAnalysis.bpeApply(spark, dir, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // bounds: ≥1 piece per word; ≤ chars + 1 per word (merges only shrink)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).toMap
+    got.foreach { case (id, nw, np, ppw) =>
+      val toks = docs(id)
+      assert(nw == toks.length)
+      assert(np >= nw || nw == 0)
+      assert(np <= toks.map(_.length + 1).sum)
+      assert(math.abs(ppw - np.toDouble / math.max(nw, 1)) < 1e-3)
+    }
+    // full driver replay for 3 docs with the same trained rules
+    val rules = TextAnalysis.bpeTrain(spark, dir, merges).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    got.take(3).foreach { case (id, _, np, _) =>
+      val expect = docs(id).map { w =>
+        var arr = w.map(_.toString).toArray :+ "</w>"
+        rules.foreach { case (a, b) => arr = TextAnalysis.mergeAdjacent(arr, a, b) }
+        arr.length
+      }.sum
+      assert(np == expect, s"doc $id pieces $np vs driver replay $expect")
+    }
+  }
+
   test("time travel: snapshot isolation + file-group reuse across versions") {
     import graft.sources.VersionedTable
     val root = VersionedTable.buildChain(spark, dir)

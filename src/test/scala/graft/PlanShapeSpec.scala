@@ -16,7 +16,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val skip: String => Boolean = name =>
     name.startsWith("q_stream") || name.endsWith("_roundtrip") ||
       name == "q_dedup_clusters" || name == "q_ann_ivf" || name == "q_pipeline_parity" ||
-      name == "q_ann_pq" || name == "q_semantic_dedup" // driver-trained codebooks / iterative CC
+      name == "q_ann_pq" || name == "q_semantic_dedup" || // driver-trained codebooks / iterative CC
+      name == "q_bpe_train" || name == "q_bpe_apply" // iterative merge training executes on build
 
   // designed broadcast-nested-loop shapes: a handful of broadcast rows
   // (query vectors / the 1-row corpus count) against the corpus scan
@@ -36,7 +37,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_js_divergence", "q_chi2", // 1-row totals / tiny marginals grid
     "q_key_skew", // 1-row corpus total against the per-key counts
     "q_ks_test", "q_mwu", // 1-row min/max bounds + 1-row arm totals
-    "q_rrf") // 1-row bm25 stats + 1-row query vector
+    "q_rrf", // 1-row bm25 stats + 1-row query vector
+    "q_lm_score") // 1-row vocabulary count into the smoothing denominator
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
