@@ -1963,8 +1963,9 @@ object SparkEntry {
         |  FROM h),
         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM h)
         |SELECT n_a, n_b,
-        |  round(CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE)
-        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6) AS ks_d
         |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
     // MWU: doubled mid-ranks (2·below + c + 1) keep ties integer-exact;
     // rank sum / U / tie term in HUGEINT; z in mirrored doubles with the
@@ -1985,9 +1986,10 @@ object SparkEntry {
         |u AS (SELECT n_a, n_b, ties, n_a + n_b AS nn,
         |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a FROM s),
         |w AS (SELECT n_a, n_b, u2a,
-        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-        |      ((CAST(nn AS DOUBLE) + 1) - CAST(ties AS DOUBLE) /
-        |        (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1))) AS varu
+        |    CASE WHEN nn > 1 THEN
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |        ((CAST(nn AS DOUBLE) + 1) - CAST(ties AS DOUBLE) /
+        |          (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1))) END AS varu
         |  FROM u)
         |SELECT n_a, n_b, CAST(u2a AS DOUBLE) / 2 AS u_a,
         |  round(CASE WHEN varu > 0 THEN

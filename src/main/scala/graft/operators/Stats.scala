@@ -332,9 +332,12 @@ object Stats {
           col("cum_b").cast(big) * col("n_a")).as("dn"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("dn")).as("d_num"))
+      // empty-arm guard (house ANSI contract): one-sample data has no
+      // two-sample statistic — NULL, not a divide-by-zero error
       .select(col("n_a"), col("n_b"),
-        round(col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks_d"))
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("ks_d"))
   }
 
   /** Mann–Whitney U between the experiment arms — the rank-based
@@ -366,8 +369,10 @@ object Stats {
       // doubled U: 2·U_a = Σ r2·ca − n_a·(n_a+1)
       .withColumn("u2a", col("r2a") - col("n_a").cast(big) * (col("n_a") + 1))
       .withColumn("nn", col("n_a") + col("n_b"))
-      .withColumn("varu", d("n_a") * d("n_b") / 12.0 *
-        ((d("nn") + 1) - d("ties") / (d("nn") * (d("nn") - 1))))
+      // nn ≤ 1 guard: the tie-correction denominator nn·(nn−1) is zero
+      // for a single pooled row — NULL variance, not an ANSI error
+      .withColumn("varu", when(col("nn") > 1, d("n_a") * d("n_b") / 12.0 *
+        ((d("nn") + 1) - d("ties") / (d("nn") * (d("nn") - 1)))))
     u.select(col("n_a"), col("n_b"),
       (d("u2a") / 2).as("u_a"),
       round(when(col("varu") > 0,

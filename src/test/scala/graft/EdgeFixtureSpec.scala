@@ -155,4 +155,39 @@ class EdgeFixtureSpec extends AnyFunSuite {
     assert(!byType.contains("purchase"), s"MAD=0 class flagged: $byType")
     assert(!byType.contains("signup"), s"singleton class flagged: $byType")
   }
+
+  /** A second fixture for the nonparametric-test guards: constant
+    * values (ties collapse the variance) and an events table whose
+    * users all land in ONE experiment arm.
+    */
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Option[Double], String)]): String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-edge2-").toFile
+    d.deleteOnExit()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+    d.getAbsolutePath
+  }
+
+  test("ks/mwu: constant values give D = 0 and NULL z (zero variance), no ANSI error") {
+    val t0 = 1700000000L * 1000000000L
+    val const = writeEvents((1L to 6L).map(i =>
+      (i, t0 + i, i, "view", Some(5.0), "{}")))
+    val ks = graft.operators.Stats.ksTest(spark, const).collect().head
+    assert(ks.getDouble(2) == 0.0, "identical distributions must give D = 0")
+    val mwu = graft.operators.Stats.mannWhitneyU(spark, const).collect().head
+    assert(mwu.isNullAt(3), "all-tied sample has zero variance: z must be NULL")
+  }
+
+  test("ks/mwu: a one-arm log yields NULL statistics, not a divide-by-zero error") {
+    val t0 = 1700000000L * 1000000000L
+    // all users odd → arm A (even user_id) is empty
+    val oneArm = writeEvents(Seq(1L, 3L, 5L).zipWithIndex.map { case (u, i) =>
+      (i.toLong + 1, t0 + i, u, "view", Some(i * 2.0), "{}") })
+    val ks = graft.operators.Stats.ksTest(spark, oneArm).collect().head
+    assert(ks.getLong(0) == 0 && ks.isNullAt(2), "empty arm: ks_d must be NULL")
+    val mwu = graft.operators.Stats.mannWhitneyU(spark, oneArm).collect().head
+    assert(mwu.getLong(0) == 0 && mwu.isNullAt(3), "empty arm: z must be NULL")
+  }
 }
