@@ -201,6 +201,7 @@ object SparkEntry {
     "q_ks_test" -> (Stats.ksTest(_, _)),
     "q_mwu" -> (Stats.mannWhitneyU(_, _)),
     "q_seasonal" -> (Stats.seasonalProfile(_, _)),
+    "q_logreg" -> ((s, d) => graft.operators.LogReg.trainEnClassifier(s, d)),
     // --- drift / distribution comparison ----------------------------------
     "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
     "q_js_divergence" -> (Drift.jsDivergence(_, _)),
@@ -1949,6 +1950,9 @@ object SparkEntry {
         |  round(CAST(c.s AS DOUBLE) / c.n, 6) AS hod_mean,
         |  round(CAST(c.s AS DOUBLE) / c.n - CAST(t.ts_sum AS DOUBLE) / t.tn, 6) AS seasonal
         |FROM cells c JOIN types t ON c.event_type = t.event_type""".stripMargin,
+    // exact-oracle ML training: the same gradient steps unrolled as CTE
+    // stages, every expression mirrored (see LogReg.oracleSql)
+    "q_logreg" -> graft.operators.LogReg.oracleSql(),
     // KS: exact integer CDF-difference maximand (|cum_a·n_b − cum_b·n_a|
     // in HUGEINT mirrors Spark's DECIMAL(38,0)); only the final D ratio
     // is double

@@ -17,7 +17,8 @@ class PlanShapeSpec extends AnyFunSuite {
     name.startsWith("q_stream") || name.endsWith("_roundtrip") ||
       name == "q_dedup_clusters" || name == "q_ann_ivf" || name == "q_pipeline_parity" ||
       name == "q_ann_pq" || name == "q_semantic_dedup" || // driver-trained codebooks / iterative CC
-      name == "q_bpe_train" || name == "q_bpe_apply" // iterative merge training executes on build
+      name == "q_bpe_train" || name == "q_bpe_apply" || // iterative merge training executes on build
+      name == "q_logreg" // gradient-descent loop executes on build
 
   // designed broadcast-nested-loop shapes: a handful of broadcast rows
   // (query vectors / the 1-row corpus count) against the corpus scan

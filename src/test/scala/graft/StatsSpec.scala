@@ -346,6 +346,39 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.isNullAt(3) && !r.getDouble(3).isNaN)
   }
 
+  test("logreg: engine GD trajectory equals a driver replay; loss improves on init") {
+    val r = graft.operators.LogReg.trainEnClassifier(spark, sf, iters = 4).collect().head
+    val n = r.getLong(0)
+    val w = Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val loss = r.getDouble(4); val acc = r.getDouble(5)
+    assert(loss < math.log(2.0), s"GD must improve on the w=0 loss ln2, got $loss")
+    assert(acc >= 0 && acc <= 1)
+    // driver replay of the identical 4 steps on the collected features
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    val feats = graft.sources.Tables(spark, sf, "documents")
+      .select(col("lang"), col("n_chars"), col("text")).collect().map { row =>
+        val toks = row.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val x2 = if (toks.nonEmpty) toks.count(stops).toDouble / toks.length else 0.0
+        (if (row.getString(0) == "en") 1 else 0, row.getLong(1) / 1000.0, x2)
+      }
+    assert(feats.length == n)
+    var wr = Array(0.0, 0.0, 0.0)
+    def round9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    for (_ <- 1 to 4) {
+      var g0 = BigDecimal(0); var g1 = BigDecimal(0); var g2 = BigDecimal(0)
+      feats.foreach { case (y, x1, x2) =>
+        val p = 1.0 / (1.0 + math.exp(-(wr(0) + wr(1) * x1 + wr(2) * x2)))
+        val rr = p - y
+        g0 += round9(rr); g1 += round9(rr * x1); g2 += round9(rr * x2)
+      }
+      wr = Array(wr(0) - g0.toDouble / n, wr(1) - g1.toDouble / n, wr(2) - g2.toDouble / n)
+    }
+    w.zip(wr).zipWithIndex.foreach { case ((we, wd), i) =>
+      assert(math.abs(we - BigDecimal(wd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+        s"w$i: engine $we vs driver replay $wd")
+    }
+  }
+
   test("seasonal: offsets are mean-centered per type; cells match a driver recompute") {
     val rows = Stats.seasonalProfile(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
