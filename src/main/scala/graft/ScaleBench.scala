@@ -322,7 +322,12 @@ object ScaleBench {
     // on the (constant-vocabulary) word relation
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowCounts(s, d)),
-    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)))
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // training loops: logreg = iters × (scan + k-column aggregate) —
+    // should ride the scan; bpe_apply = retrain + broadcast-rule
+    // map-side segmentation over factor× documents
+    "q_logreg" -> ((s, d) => graft.operators.LogReg.trainEnClassifier(s, d)),
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
