@@ -201,6 +201,7 @@ object SparkEntry {
     "q_ks_test" -> (Stats.ksTest(_, _)),
     "q_mwu" -> (Stats.mannWhitneyU(_, _)),
     "q_seasonal" -> (Stats.seasonalProfile(_, _)),
+    "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomalies(s, d)),
     "q_logreg" -> ((s, d) => graft.operators.LogReg.trainEnClassifier(s, d)),
     // --- drift / distribution comparison ----------------------------------
     "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
@@ -233,6 +234,7 @@ object SparkEntry {
     "q_binaryfile_source" -> ((s, d) => graft.sources.BinaryFiles.ingestDocs(s, d)),
     "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
     "q_time_travel" -> (graft.sources.VersionedTable.timeTravelSummary(_, _)),
+    "q_cdc_feed" -> (graft.sources.VersionedTable.changeFeed(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1475,6 +1477,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // the chain's only changes are hot-slice re-crawls, so every feed
+    // row is an update with digests the oracle recomputes logically
+    "q_cdc_feed" ->
+      """SELECT doc_id, 'update' AS op,
+        |  md5(text || '|' || source) AS old_digest,
+        |  md5(text || ' v2' || '|' || 'recrawl') AS new_digest
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     // both snapshots recomputed logically: v2 = the re-crawl applied to
     // the hot slice; the ENGINE reads them through version manifests
     // over shared parquet file groups
@@ -1953,6 +1962,26 @@ object SparkEntry {
     // exact-oracle ML training: the same gradient steps unrolled as CTE
     // stages, every expression mirrored (see LogReg.oracleSql)
     "q_logreg" -> graft.operators.LogReg.oracleSql(),
+    // per-cell z-scores from exact decimal moments; mirrored double
+    // arithmetic, varp > 0 guard per the house ANSI contract
+    "q_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT event_type, hod, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS ss
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (SELECT e.event_type, e.hod, e.event_id, e.value,
+        |    CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) AS x,
+        |    CAST(c.s AS DOUBLE) / c.n AS mean,
+        |    CAST(c.ss AS DOUBLE) / c.n -
+        |      (CAST(c.s AS DOUBLE) / c.n) * (CAST(c.s AS DOUBLE) / c.n) AS varp
+        |  FROM ev e JOIN cells c ON e.event_type = c.event_type AND e.hod = c.hod),
+        |z AS (SELECT event_type, hod, event_id, value,
+        |    (x - mean) / sqrt(varp) AS z
+        |  FROM j WHERE varp > 0)
+        |SELECT event_type, hod, event_id, value, round(z, 6) AS z
+        |FROM z WHERE ABS(z) > 3""".stripMargin,
     // KS: exact integer CDF-difference maximand (|cum_a·n_b − cum_b·n_a|
     // in HUGEINT mirrors Spark's DECIMAL(38,0)); only the final D ratio
     // is double

@@ -404,6 +404,39 @@ object Stats {
           col("ts_sum").cast("double") / col("tn"), 6).as("seasonal"))
   }
 
+  /** Seasonal-residual ANOMALY detection — the alerting composition of
+    * [[seasonalProfile]]: an event is anomalous when its value sits more
+    * than `zThreshold` population standard deviations from ITS OWN
+    * (type, hour-of-day) cell's mean — so a metric that is loud every
+    * night at 3am only alerts when it deviates from 3am's OWN
+    * distribution. One grouped aggregate builds the |types|×24 cell
+    * moments (exact decimal n/Σv/Σv²), broadcast back over the stream;
+    * the z-score is O(1) mirrored double arithmetic per row and the
+    * flag filter runs map-side. Degenerate cells (zero variance /
+    * single row) produce NULL z and flag nothing, per the house ANSI
+    * contract.
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        col("event_id"), col("value"), dec(col("value")).as("x"))
+    val cells = ev.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast(sq)).as("ss"))
+    ev.join(broadcast(cells), Seq("event_type", "hod"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("varp",
+        col("ss").cast("double") / col("n") - col("mean") * col("mean"))
+      .filter(col("varp") > 0)
+      .withColumn("z", (col("x").cast("double") - col("mean")) / sqrt(col("varp")))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("hod"), col("event_id"),
+        col("value"), round(col("z"), 6).as("z"))
+  }
+
   /** Per-group ordinary least squares — `l_extendedprice` regressed on
     * `l_quantity` within each return flag: slope, intercept, and R²,
     * the screening fit an analytics pipeline runs before shipping a

@@ -285,6 +285,20 @@ class BreadthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc feed: exactly the re-crawled keys, all updates, digests actually change") {
+    import graft.sources.VersionedTable
+    val feed = VersionedTable.changeFeed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val hot = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(feed.map(_._1).toSet == hot, "feed keys must be exactly the re-crawled slice")
+    assert(feed.forall(_._2 == "update"), "this chain only updates")
+    feed.foreach { case (id, _, o, n) =>
+      assert(o != null && n != null && o != n, s"doc $id digest did not change")
+    }
+  }
+
   test("time travel: snapshot isolation + file-group reuse across versions") {
     import graft.sources.VersionedTable
     val root = VersionedTable.buildChain(spark, dir)

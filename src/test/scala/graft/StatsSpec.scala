@@ -379,6 +379,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal anomaly: flags match a driver z-score recompute over cells") {
+    val got = Stats.seasonalAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4))).toSet
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2).toDouble))
+    val cells = ev.groupBy(e => (e._1, e._2)).view.mapValues { es =>
+      val xs = es.map(_._4); val n = xs.length
+      val m = xs.sum / n
+      (m, xs.map(x => x * x).sum / n - m * m)
+    }.toMap
+    val expect = ev.flatMap { case (t, h, id, x) =>
+      val (m, v) = cells((t, h))
+      if (v > 0) {
+        val z = (x - m) / math.sqrt(v)
+        if (math.abs(z) > 3) Some((t, h, id,
+          BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) else None
+      } else None
+    }.toSet
+    // id sets must agree exactly; z values to float tolerance
+    assert(got.map(_._3) == expect.map(_._3),
+      s"flag sets differ: engine ${got.size} vs driver ${expect.size}")
+    val byId = expect.map(e => e._3 -> e._4).toMap
+    got.foreach { case (_, _, id, z) => assert(math.abs(z - byId(id)) < 1e-5) }
+  }
+
   test("seasonal: offsets are mean-centered per type; cells match a driver recompute") {
     val rows = Stats.seasonalProfile(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
