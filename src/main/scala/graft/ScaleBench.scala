@@ -327,7 +327,9 @@ object ScaleBench {
     // should ride the scan; bpe_apply = retrain + broadcast-rule
     // map-side segmentation over factor× documents
     "q_logreg" -> ((s, d) => graft.operators.LogReg.trainEnClassifier(s, d)),
-    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)))
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    // cell moments broadcast over the growing stream; flags filter map-side
+    "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomalies(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
