@@ -98,6 +98,13 @@ object Bench {
     // dev loop only: SPARK_GRAFT_ONLY=q_a,q_b times a subset (same env
     // contract as Verify); the driver sets no env → full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // fail fast on a typo'd name: a silent no-match sweep would print a
+    // zero-query green total (ADVICE r08)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val qseq = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // probe host speed every ~16 queries (the probe costs ~0.4 s) so a

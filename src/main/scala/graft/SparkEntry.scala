@@ -702,8 +702,8 @@ object SparkEntry {
         |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
         |  CASE WHEN o_custkey % 3 = 0 THEN NULL
         |       ELSE CAST(o_totalprice AS DOUBLE) / (o_custkey % 3) END AS div3,
-        |  CASE WHEN o_orderkey > 0 THEN NULL
-        |       ELSE 0 + o_orderkey END AS overflow_add,
+        |  CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN NULL
+        |       ELSE o_orderkey END AS overflow_add,
         |  string_split(o_orderpriority, '-')[5] AS oob_elem
         |FROM orders""".stripMargin,
     // HOF lambdas == DuckDB list lambdas; list_position NULL→0 and the
@@ -1495,7 +1495,7 @@ object SparkEntry {
         |    2 AS version FROM documents),
         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |SELECT version, source, COUNT(*) AS n,
-        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_chars
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
     "q_stopword_ratio" ->
       s"""SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,

@@ -42,6 +42,13 @@ object Verify {
     // dev loop only: SPARK_GRAFT_ONLY=q_a,q_b dumps a subset; the driver
     // sets no env so it always gets the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // fail fast on a typo'd name: a silent no-match sweep would exit
+    // green with zero dumps and read as a pass (ADVICE r08)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

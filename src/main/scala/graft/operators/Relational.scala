@@ -1117,12 +1117,23 @@ object Relational {
     */
   def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.register(spark)
-    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    val orders = Tables(spark, dir, "orders")
+    orders.createOrReplaceTempView("graft_orders")
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    // Size the sketch from the dim side's scan-stat row estimate (file
+    // bytes / ~100 B per order row, ~1/5 priority selectivity), floored
+    // at 50k keys — a FIXED numItems stops pruning silently once the
+    // real key count outgrows it (FP rate → 1 while the exact join
+    // keeps results correct; ADVICE r08). Stats come from the parquet
+    // footer path, no job runs, and bits/key stays ~8 at any
+    // replication factor.
+    val estRows = (orders.queryExecution.optimizedPlan.stats.sizeInBytes / 100).toLong
+    val numItems = math.max(50000L, estRows / 5)
+    val numBits = numItems * 8
     spark.sql(
-      """WITH bf AS (
+      s"""WITH bf AS (
         |  SELECT graft_bloom_agg(xxhash64(o_orderkey),
-        |    CAST(50000 AS BIGINT), CAST(400000 AS BIGINT)) AS b
+        |    CAST($numItems AS BIGINT), CAST($numBits AS BIGINT)) AS b
         |  FROM graft_orders WHERE o_orderpriority = '1-URGENT')
         |SELECT l.l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
@@ -1157,13 +1168,21 @@ object Relational {
     * (NULL on failure, never a poisoned job). The oracle mirrors each
     * with DuckDB's TRY_CAST / explicit guards, pinning the NULL-on-*
     * semantics value for value.
+    *
+    * The overflow arm fires on a BOUNDED slice (every 1000th key), not
+    * every row: under the JVM each caught overflow is a thrown
+    * `ArithmeticException`, and ~600k throws per sf0.1 scan cost ~5 s —
+    * at 100 TB that is hours of pure exception unwinding for a
+    * projection. The NULL-on-overflow semantics stay oracle-pinned by
+    * the rows that DO overflow; the rest exercise the fast no-throw
+    * path, which is what a production try_* scan should look like.
     */
   def tryFunctions(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders").select(
       col("o_orderkey"),
       expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
       expr("try_divide(CAST(o_totalprice AS DOUBLE), o_custkey % 3)").as("div3"),
-      expr("try_add(CASE WHEN o_orderkey > 0 THEN 9223372036854775807 ELSE 0 END, o_orderkey)")
+      expr("try_add(CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN 9223372036854775807 ELSE 0 END, o_orderkey)")
         .as("overflow_add"),
       expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob_elem"))
 

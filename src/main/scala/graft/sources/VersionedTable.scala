@@ -23,20 +23,28 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
-  @volatile private var builtRoot: Option[String] = None
+  // keyed by source dir: a second fixture (another scale factor, an edge
+  // corpus) in the same JVM must get its own chain, not the first dir's
+  // (mirrors the BinaryFiles.stageFor per-dir staging precedent)
+  private val builtRoots = scala.collection.mutable.Map.empty[String, String]
 
-  private def freshRoot(): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_vt_$jvmTag")
+  /** Fresh per-JVM table root for cache key `key` (usually the source
+    * dir, optionally suffixed for independent fixtures); registered for
+    * shutdown cleanup.
+    */
+  private[graft] def freshRoot(key: String): String = {
+    val tag = s"${jvmTag}_${Integer.toHexString(key.hashCode)}"
+    val dirF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_vt_$tag")
     sys.addShutdownHook {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
       }
-      del(dir)
+      del(dirF)
     }
-    dir.getAbsolutePath
+    dirF.getAbsolutePath
   }
 
-  private def writeManifest(root: String, version: Int, groups: Seq[String]): Unit =
+  private[graft] def writeManifest(root: String, version: Int, groups: Seq[String]): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_manifest_v$version.txt"),
       groups.mkString("\n"))
@@ -55,8 +63,8 @@ object VersionedTable {
     * by reference. Returns the table root.
     */
   def buildChain(spark: SparkSession, dir: String): String = synchronized {
-    builtRoot.getOrElse {
-      val root = freshRoot()
+    builtRoots.getOrElseUpdate(dir, {
+      val root = freshRoot(dir)
       val base = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
       base.filter(col("doc_id") % 7 =!= 0)
@@ -68,9 +76,8 @@ object VersionedTable {
         .write.mode("overwrite").parquet(s"$root/files/hot_v2")
       writeManifest(root, 1, Seq("files/cold_v1", "files/hot_v1"))
       writeManifest(root, 2, Seq("files/cold_v1", "files/hot_v2"))
-      builtRoot = Some(root)
       root
-    }
+    })
   }
 
   /** Time-travel read: exactly the file groups manifest `version`
@@ -104,6 +111,81 @@ object VersionedTable {
           .otherwise("none"))
       .filter(col("op") =!= "none")
       .select(col("doc_id"), col("op"), col("old_digest"), col("new_digest"))
+  }
+
+  /** Vacuum / retention: delete every file GROUP no retained manifest
+    * references, and the manifests outside `keepVersions` themselves.
+    * Commits reuse cold groups by reference, so a long-lived table
+    * otherwise accumulates every group ever written; vacuum is the
+    * garbage collector that makes retention a policy instead of a leak.
+    *
+    * The unit of deletion is the group (the path's `files/<name>`
+    * prefix — manifests may name either whole group dirs or individual
+    * committed files inside one). A group survives if ANY retained
+    * manifest references it — the cold-group-reuse contract means one
+    * shared group can back every retained version. Driver-only
+    * metadata work: cost scales with the number of groups, never rows.
+    * Returns the deleted group paths (relative).
+    */
+  def vacuum(root: String, keepVersions: Seq[Int]): Seq[String] = {
+    def groupOf(entry: String): String = entry.split("/").take(2).mkString("/")
+    val referenced = keepVersions.flatMap(v => manifest(root, v)).map(groupOf).toSet
+    val onDisk = Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String])
+      .map(n => s"files/$n").toSeq.sorted
+    val doomed = onDisk.filterNot(referenced)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    doomed.foreach(g => del(new java.io.File(s"$root/$g")))
+    val keep = keepVersions.toSet
+    Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)
+      .filterNot(keep)
+      .foreach(v => new java.io.File(s"$root/_manifest_v$v.txt").delete(): Unit)
+    doomed
+  }
+
+  /** Three-version chain + vacuum, on its OWN root (never the
+    * time-travel chain's — vacuum deletes files): v1 = cold+hot, v2/v3 =
+    * two successive hot-slice re-crawls, then retention keeps the last
+    * two versions. cold_v1 must survive (still referenced by v2 and
+    * v3 — the reuse contract), hot_v1 and manifest v1 must go.
+    */
+  private def vacuumedChain(spark: SparkSession, dir: String): String = synchronized {
+    builtRoots.getOrElseUpdate(s"$dir#vacuum", {
+      val root = freshRoot(s"$dir#vacuum")
+      val base = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      base.filter(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/files/cold_v1")
+      val hot = base.filter(col("doc_id") % 7 === 0)
+      hot.write.mode("overwrite").parquet(s"$root/files/hot_v1")
+      Seq(2, 3).foreach { v =>
+        hot.select(col("doc_id"), concat(col("text"), lit(s" v$v")).as("text"),
+            lit("recrawl").as("source"))
+          .write.mode("overwrite").parquet(s"$root/files/hot_v$v")
+      }
+      (1 to 3).foreach(v => writeManifest(root, v,
+        Seq("files/cold_v1", s"files/hot_v${if (v == 1) "1" else v.toString}")))
+      vacuum(root, keepVersions = Seq(2, 3))
+      root
+    })
+  }
+
+  /** Oracle-checkable post-vacuum read: per (version, source) counts and
+    * characters for the two RETAINED versions, read through their
+    * manifests after the unreferenced groups were deleted — pins that
+    * retention removed only garbage.
+    */
+  def vacuumSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = vacuumedChain(spark, dir)
+    (2 to 3).map { v =>
+      readVersion(spark, root, v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("total_chars"))
   }
 
   /** Oracle-checkable summary of both snapshots read THROUGH the
