@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, Stats, TextAnalysis}
+import graft.operators.{Analytics, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, SqlDml, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -235,6 +235,11 @@ object SparkEntry {
     "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
     "q_time_travel" -> (graft.sources.VersionedTable.timeTravelSummary(_, _)),
     "q_cdc_feed" -> (graft.sources.VersionedTable.changeFeed(_, _)),
+    "q_vacuum" -> (graft.sources.VersionedTable.vacuumSummary(_, _)),
+    "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
+    "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
+    "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
+    "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1487,6 +1492,54 @@ object SparkEntry {
     // both snapshots recomputed logically: v2 = the re-crawl applied to
     // the hot slice; the ENGINE reads them through version manifests
     // over shared parquet file groups
+    // post-vacuum retained versions recomputed logically: v2/v3 = the
+    // two successive hot-slice re-crawls; the ENGINE reads them through
+    // manifests after retention deleted the unreferenced v1 hot group
+    "q_vacuum" ->
+      """WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    2 AS version FROM documents),
+        |v3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v3' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    3 AS version FROM documents),
+        |u AS (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    // MERGE final state recomputed logically: updates replace the %7
+    // slice, deletes drop the disjoint %11 slice, inserts land at +10M
+    "q_sql_merge" ->
+      """WITH upd AS (SELECT doc_id, upper(text) || ' M' AS text, 'recrawl' AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |kept AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    "q_sql_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'updated' ELSE source END AS source,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS digest
+        |FROM documents""".stripMargin,
+    "q_sql_delete" ->
+      """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // SQL time travel == the Scala-API q_time_travel oracle: both
+    // snapshots recomputed logically, the engine reads VERSION AS OF
+    "q_sql_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    2 AS version FROM documents),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q_time_travel" ->
       """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
         |v2 AS (SELECT doc_id,

@@ -1,0 +1,130 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftVtCatalog, Tables, VersionedTable}
+
+/** SQL DML over the versioned table format — the user-facing face of
+  * [[graft.sources.GraftVtCatalog]]: `MERGE INTO` / `UPDATE` / `DELETE` /
+  * `SELECT … VERSION AS OF` run through Spark's PARSER and its row-level
+  * rewrite rules, not bespoke Scala verbs. Each query owns an
+  * independent single-version table (same corpus, separate root), so
+  * queries stay order-independent under any `SPARK_GRAFT_ONLY` subset,
+  * and every DML statement here is IDEMPOTENT by construction — new
+  * values derive from the SOURCE or are fixpoints like `upper(upper(x))`
+  * — so bench reps converge instead of compounding.
+  *
+  * Plan shape (pinned in SqlDmlSpec): group-based copy-on-write. MERGE
+  * is exactly one distributed join of target and source feeding one
+  * distributed parquet write (`ReplaceData`); UPDATE and DELETE are one
+  * scan + conditional projection/filter + one write. The commit is a
+  * one-line manifest append on the driver — no row ever crosses the
+  * driver. At 100 TB with file-granularity groups the same plans
+  * rewrite only the touched groups; table granularity here is the
+  * simplest conformant instance of the identical contract.
+  */
+object SqlDml {
+
+  /** (dir, table) -> root; per-JVM, per-dir — a second fixture dir gets
+    * its own root and re-points the catalog entry at registration.
+    */
+  private val roots = TrieMap.empty[(String, String), String]
+
+  private def docsBase(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+
+  /** Idempotently materialize `documents` as single-version table
+    * `graft_vt.<name>` and (re-)register it for the given dir.
+    */
+  private def ensureDocsTable(spark: SparkSession, dir: String, name: String): Unit = {
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema)
+  }
+
+  /** `MERGE INTO` through the parser: a deterministic re-crawl delta —
+    * updates (doc_id % 7 = 0, source-derived replacement text), deletes
+    * (% 11 = 3, disjoint from updates), inserts (% 13 = 0 at key
+    * + 10M) — merged in ONE statement exercising all three WHEN arms.
+    * Returns the final table state as (doc_id, source, digest) so the
+    * oracle pins every surviving row's content.
+    */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_merge")
+    val base = docsBase(spark, dir)
+    base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
+        lit("recrawl").as("source"), lit("upsert").as("op"))
+      .unionByName(base.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"), lit("delete").as("op")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit("inserted").as("source"), lit("upsert").as("op")))
+      .createOrReplaceTempView("graft_merge_updates")
+    spark.sql(
+      """MERGE INTO graft_vt.dml_merge t
+        |USING graft_merge_updates s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+        |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+        |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.dml_merge""".stripMargin)
+  }
+
+  /** `UPDATE` through the parser — `upper` is a fixpoint, so re-running
+    * converges. One scan + conditional projection + one group write.
+    */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_update")
+    spark.sql(
+      """UPDATE graft_vt.dml_update
+        |SET text = upper(text), source = 'updated'
+        |WHERE doc_id % 5 = 0""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.dml_update""".stripMargin)
+  }
+
+  /** `DELETE` through the parser, with a non-key predicate so the verb
+    * must read rows (no metadata-only shortcut).
+    */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_delete")
+    spark.sql(
+      """DELETE FROM graft_vt.dml_delete
+        |WHERE doc_id % 3 = 0 AND length(text) > 50""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+        |FROM graft_vt.dml_delete""".stripMargin)
+  }
+
+  /** `VERSION AS OF` through the parser over the two-version chain —
+    * the SQL spelling of [[VersionedTable.timeTravelSummary]]; both
+    * versions' scans bind to their manifest's exact file lists.
+    */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    spark.sql(
+      """SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT 1 AS version, source, text
+        |  FROM graft_vt.vt_documents VERSION AS OF 1
+        |  UNION ALL
+        |  SELECT 2 AS version, source, text
+        |  FROM graft_vt.vt_documents VERSION AS OF 2)
+        |GROUP BY version, source""".stripMargin)
+  }
+}
