@@ -157,5 +157,9 @@ object Bench {
     // (the calibration workload is pinned — see `calibration` above).
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"batch_subtotal":${r4(batchSub)},"stream_subtotal":${r4(streamSub)},"calib":${r4(calib)},"norm_ratio":${r4(normRatio)},"sf":${jstr(sfDir)}}""")
     spark.stop()
+    // a failed query must fail the RUN: rc=0 with n_errors>0 let the r9
+    // DML breakage land looking green (ADVICE r09). Exit AFTER both JSON
+    // lines print so the driver still records the partial numbers.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

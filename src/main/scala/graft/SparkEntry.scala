@@ -239,6 +239,9 @@ object SparkEntry {
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
+    "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
+    "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
+    "q_sql_optimize" -> (SqlDml.sqlOptimize(_, _)),
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
@@ -262,6 +265,7 @@ object SparkEntry {
     "q_stream_join_full" -> (Streaming.purchasesWithSignupFullOuter(_, _)),
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
+    "q_stream_vt_sink" -> (Streaming.vtSinkLatestEvents(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- data-contract / observability tier ------------------------------
@@ -1528,6 +1532,38 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // INSERT OVERWRITE resets to the %4=0 slice; INSERT INTO appends the
+    // shifted %4=1 slice — final state recomputed logically
+    "q_sql_insert" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 4 = 0),
+        |app AS (SELECT doc_id + 20000000 AS doc_id, upper(text) AS text,
+        |  'appended' AS source FROM documents WHERE doc_id % 4 = 1),
+        |fin AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // CALL vacuum retained versions 2 and 3 of the maintenance chain and
+    // deleted exactly one group (hot_v1); both retained snapshots
+    // recomputed logically
+    "q_sql_vacuum" ->
+      """WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    2 AS version FROM documents),
+        |v3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v3' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    3 AS version FROM documents),
+        |u AS (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  1 AS deleted_groups
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    // CALL optimize compacted the 8-file group into one file without
+    // touching a row: content identical to the corpus
+    "q_sql_optimize" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  8 AS files_before, 1 AS files_after
+        |FROM documents GROUP BY 1""".stripMargin,
     // SQL time travel == the Scala-API q_time_travel oracle: both
     // snapshots recomputed logically, the engine reads VERSION AS OF
     "q_sql_time_travel" ->
@@ -2590,6 +2626,14 @@ object SparkEntry {
     // exactly "latest event per user" — the max-merge makes it
     // batch-order-independent, so one QUALIFY reproduces it.
     "q_stream_upsert_sink" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  CAST(value AS DOUBLE) AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // same merge, committed as one manifest version per micro-batch
+    // through the versioned-table sink — final state identical
+    "q_stream_vt_sink" ->
       """SELECT user_id, event_id AS last_event_id,
         |  CAST(value AS DOUBLE) AS last_value
         |FROM events

@@ -1127,8 +1127,13 @@ object Relational {
     // keeps results correct; ADVICE r08). Stats come from the parquet
     // footer path, no job runs, and bits/key stays ~8 at any
     // replication factor.
-    val estRows = (orders.queryExecution.optimizedPlan.stats.sizeInBytes / 100).toLong
-    val numItems = math.max(50000L, estRows / 5)
+    // BigInt stays BigInt until AFTER the clamp: stats can fall back to
+    // spark.sql.defaultSizeInBytes = Long.MaxValue, where a premature
+    // .toLong wraps negative and an unclamped numBits would ask the agg
+    // for an exabit sketch (ADVICE r09). 10M keys * 8 bits = 10 MB —
+    // the most a broadcast-shaped runtime filter should ever weigh.
+    val estRows = orders.queryExecution.optimizedPlan.stats.sizeInBytes / 100
+    val numItems = (estRows / 5).max(50000L).min(10000000L).toLong
     val numBits = numItems * 8
     spark.sql(
       s"""WITH bf AS (

@@ -53,13 +53,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan + one write, and time-travel reads price identically to ordinary
   * reads of the pinned file list.
   */
-class GraftVtCatalog extends TableCatalog {
+class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = "graft_vt"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
 
   override def name(): String = catalogName
+
+  /** Table maintenance through SQL text (`CALL graft_vt.vacuum(...)` /
+    * `CALL graft_vt.optimize(...)`) — Spark 4's ProcedureCatalog binds
+    * the CALL statement to these; the verbs themselves are the existing
+    * Scala primitives ([[VersionedTable.vacuum]], a compacting rewrite).
+    */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    ident.name() match {
+      case "vacuum"   => GraftVtProcedures.vacuumProc
+      case "optimize" => GraftVtProcedures.optimizeProc
+      case other => throw new UnsupportedOperationException(s"no such procedure: $other")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("vacuum", "optimize").map(Identifier.of(Array.empty[String], _))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftVtCatalog.registry.keys.map(Identifier.of(Array.empty[String], _)).toArray
@@ -91,6 +106,111 @@ class GraftVtCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
+/** The two maintenance procedures, bound by [[GraftVtCatalog.loadProcedure]].
+  *
+  * Results come back as one-row [[LocalScan]]s — CALL output is driver
+  * metadata (group counts, version ids), never data rows, so a local
+  * scan is the right cost: zero jobs beyond the maintenance work itself.
+  */
+object GraftVtProcedures {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def rootOf(table: String): String =
+    GraftVtCatalog.registry.get(table) match {
+      case Some((root, _)) => root
+      case None => throw new IllegalArgumentException(s"unknown graft_vt table: $table")
+    }
+
+  private def resultScan(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(values))
+    }).iterator()
+
+  private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
+    procedures.ProcedureParameter.in(n, dt).build()
+
+  /** `CALL graft_vt.vacuum(tbl, retain)` — keep the trailing `retain`
+    * versions, delete every file group no retained manifest references.
+    * Driver-only metadata work: cost ∝ number of groups, never rows.
+    */
+  val vacuumProc: procedures.UnboundProcedure = new procedures.UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = "retain trailing N versions, delete unreferenced groups"
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      new procedures.BoundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String = vacuumProc.description()
+        override def parameters(): Array[procedures.ProcedureParameter] =
+          Array(param("tbl", StringType), param("retain", IntegerType))
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(input.getUTF8String(0).toString)
+          val retain = input.getInt(1)
+          require(retain >= 1, s"retain must be >= 1, got $retain")
+          val latest = GraftVtTable.latestVersion(root)
+          val keep = (math.max(1, latest - retain + 1) to latest).toSeq
+          val deleted = VersionedTable.vacuum(root, keep)
+          resultScan(
+            StructType(Seq(StructField("deleted_groups", IntegerType, nullable = false),
+              StructField("retained_from", IntegerType, nullable = false),
+              StructField("retained_to", IntegerType, nullable = false))),
+            Array[Any](deleted.size, keep.min, keep.max))
+        }
+      }
+  }
+
+  /** `CALL graft_vt.optimize(tbl)` — compact the CURRENT version's file
+    * set into size-targeted files (128 MB target) as a NEW version, then
+    * apply keep-last-2 retention. One distributed read + one distributed
+    * write; at 100 TB a production refinement compacts only small-file
+    * groups, which narrows the same rewrite, not a different shape.
+    */
+  val optimizeProc: procedures.UnboundProcedure = new procedures.UnboundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String = "compact the current version into size-targeted files"
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      new procedures.BoundProcedure {
+        override def name(): String = "optimize"
+        override def description(): String = optimizeProc.description()
+        override def parameters(): Array[procedures.ProcedureParameter] =
+          Array(param("tbl", StringType))
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val root = rootOf(input.getUTF8String(0).toString)
+          val latest = GraftVtTable.latestVersion(root)
+          val entries = VersionedTable.manifest(root, latest)
+          def leafFiles(rel: String): Seq[java.io.File] = {
+            val f = new java.io.File(s"$root/$rel")
+            if (f.isDirectory)
+              f.listFiles().toSeq.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+            else Seq(f)
+          }
+          val before = entries.flatMap(leafFiles)
+          val totalBytes = before.map(_.length).sum
+          val targetFiles = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+          val newV = latest + 1
+          val groupRel = s"files/opt_v$newV"
+          spark.read.parquet(before.map(_.getAbsolutePath): _*)
+            .coalesce(targetFiles)
+            .write.mode("overwrite").parquet(s"$root/$groupRel")
+          VersionedTable.writeManifest(root, newV, Seq(groupRel))
+          VersionedTable.vacuum(root, Seq(newV - 1, newV).filter(_ >= 1)): Unit
+          val after = leafFiles(groupRel).size
+          resultScan(
+            StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+              StructField("files_after", IntegerType, nullable = false),
+              StructField("new_version", IntegerType, nullable = false))),
+            Array[Any](before.size, after, newV))
+        }
+      }
+  }
+}
+
 object GraftVtCatalog {
   /** table name -> (versioned root, schema). Mutable on purpose: a
     * re-register for a different source dir swaps the mapping (tables
@@ -108,6 +228,9 @@ object GraftVtCatalog {
     ensure(spark)
     registry.put(name, (root, schema)): Unit
   }
+
+  /** The registered root for a table, if any (test/inspection hook). */
+  def rootOf(name: String): Option[String] = registry.get(name).map(_._1)
 }
 
 /** One versioned table, optionally pinned to a manifest version (time
@@ -116,7 +239,7 @@ object GraftVtCatalog {
   */
 class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     pinnedVersion: Option[Int])
-  extends Table with SupportsRead with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
@@ -127,7 +250,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
   override def name(): String = s"graft_vt.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** Delegate to Spark's parquet DSv2 table over the manifest's files —
     * vectorized scan + pushdown + pruning, bound to one snapshot.
@@ -140,6 +264,23 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     parquetTable(readVersionN).newScanBuilder(options)
+
+  /** `INSERT INTO` (append: new manifest = current entries + new group)
+    * and `INSERT OVERWRITE` (truncate: new manifest = new group only).
+    * Both are one distributed write + a one-line driver commit — the
+    * append never rewrites existing data, so cost ∝ inserted rows.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var base: () => Seq[String] =
+        () => VersionedTable.manifest(root, currentVersion)
+      override def truncate(): WriteBuilder = { base = () => Nil; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftVtBatchWrite(root, currentVersion + 1, info.schema(), base())
+        override def description(): String = s"graft_vt INSERT"
+      }
+    }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
@@ -176,7 +317,7 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftVtBatchWrite(table.root, table.currentVersion + 1, info.schema())
+          new GraftVtBatchWrite(table.root, table.currentVersion + 1, info.schema(), Nil)
         override def description(): String = s"graft_vt COW ${cmd.name()}"
       }
     }
@@ -188,7 +329,8 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
   * that committed, so a straggler's orphan output is never read), and
   * the driver-side `commit` records them as version `newVersion`.
   */
-class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType)
+class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
+    baseEntries: Seq[String])
   extends BatchWrite {
 
   private val groupRel = s"files/dml_v$newVersion"
@@ -210,13 +352,27 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case m: GraftVtCommitMessage if m.rows > 0 => m.relPath }
+    val (kept, empty) = messages.collect { case m: GraftVtCommitMessage => m }
+      .partition(_.rows > 0)
+    // zero-row task outputs are dropped from the manifest AND from disk
+    // (ADVICE r09: leaving them leaked a file per empty task forever)
+    empty.foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
     // commit = write the next manifest naming exactly the files that
     // reported success (empty-result DML still commits a valid, empty
     // version by naming no files)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
-      files.sorted.mkString("\n")): Unit
+      (baseEntries ++ kept.map(_.relPath)).sorted.mkString("\n")): Unit
+    // Retention: every COW DML rewrites the WHOLE table, so unreferenced
+    // old groups grow linearly with statements (one full copy per bench
+    // rep). Cap retained versions at the last two — one step of VERSION
+    // AS OF stays queryable, disk stays bounded. Safe here because the
+    // write job that read the prior version has fully consumed its scan
+    // before commit() runs; a production multi-reader deployment would
+    // widen this to a time-based retention window (the vacuum primitive
+    // takes any keep-set).
+    val keep = (math.max(1, newVersion - 1) to newVersion).toSeq
+    VersionedTable.vacuum(root, keep): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -228,6 +384,58 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType)
 }
 
 case class GraftVtCommitMessage(relPath: String, rows: Long) extends WriterCommitMessage
+
+/** View of an incoming row with its first `offset` fields hidden.
+  *
+  * Spark's group-based row-level rewrites (RewriteMergeIntoTable /
+  * RewriteUpdateTable / RewriteDeleteFromTable) prepend an int
+  * `__row_operation` column to every replacement row, and
+  * `ReplaceDataExec.writingTask` only strips it (via
+  * `ReplaceDataProjections.rowProjection`) when the operation also
+  * requested metadata columns — with `requiredMetadataAttributes()`
+  * empty it falls back to the plain `DataWritingSparkTask`, which hands
+  * the writer the RAW row: `[__row_operation, data...]` against a
+  * data-only `info.schema()`. This wrapper realigns ordinals without
+  * copying — zero allocation per row beyond the single wrapper.
+  */
+private[sources] final class OpShiftedRow(offset: Int) extends InternalRow {
+  private var row: InternalRow = _
+  def set(r: InternalRow): InternalRow = { row = r; this }
+  override def numFields: Int = row.numFields - offset
+  override def setNullAt(i: Int): Unit = row.setNullAt(i + offset)
+  override def update(i: Int, v: Any): Unit = row.update(i + offset, v)
+  override def copy(): InternalRow = {
+    val c = new OpShiftedRow(offset); c.row = row.copy(); c
+  }
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + offset)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i + offset)
+  override def getByte(i: Int): Byte = row.getByte(i + offset)
+  override def getShort(i: Int): Short = row.getShort(i + offset)
+  override def getInt(i: Int): Int = row.getInt(i + offset)
+  override def getLong(i: Int): Long = row.getLong(i + offset)
+  override def getFloat(i: Int): Float = row.getFloat(i + offset)
+  override def getDouble(i: Int): Double = row.getDouble(i + offset)
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(i + offset, p, s)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    row.getUTF8String(i + offset)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i + offset)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(i + offset)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(i + offset)
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(i + offset)
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(i + offset)
+  override def getStruct(i: Int, n: Int): InternalRow = row.getStruct(i + offset, n)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(i + offset)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(i + offset)
+  override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+    row.get(i + offset, dt)
+}
 
 class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructType,
     owf: OutputWriterFactory, confEntries: Array[(String, String)])
@@ -243,7 +451,24 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
     val writer = owf.newInstance(s"$groupDir/$fileName", schema, ctx)
     new DataWriter[InternalRow] {
       private var n = 0L
-      override def write(record: InternalRow): Unit = { writer.write(record); n += 1 }
+      // -1 = undetermined; fixed by the first record's arity. 0 when the
+      // incoming rows already match the data schema, 1 when Spark's
+      // row-level rewrite left the leading __row_operation column in
+      // place (see OpShiftedRow) — any other shape is a real bug and
+      // fails loudly rather than writing misaligned columns.
+      private var offset = -1
+      private var shifted: OpShiftedRow = _
+      override def write(record: InternalRow): Unit = {
+        if (offset < 0) {
+          offset = record.numFields - schema.length
+          require(offset == 0 || offset == 1,
+            s"row arity ${record.numFields} does not match write schema " +
+              s"${schema.length} (+ optional __row_operation)")
+          if (offset == 1) shifted = new OpShiftedRow(1)
+        }
+        writer.write(if (offset == 0) record else shifted.set(record))
+        n += 1
+      }
       override def commit(): WriterCommitMessage = {
         writer.close()
         GraftVtCommitMessage(s"$groupRel/$fileName", n)

@@ -1019,4 +1019,105 @@ object Streaming {
     spark.read.parquet(tableDir.getAbsolutePath)
       .select(col("user_id"), col("last_event_id"), col("last_value"))
   }
+
+  /** One micro-batch of the versioned-table streaming sink: merge the
+    * batch's latest-per-user rows with the CURRENT snapshot and commit
+    * the result as manifest version `batchId + 1`.
+    *
+    * EXACTLY-ONCE is the manifest-existence check: foreachBatch is
+    * at-least-once, so after a crash the engine replays the last batch —
+    * the replay sees its own already-committed manifest and returns
+    * without touching the table (the classic batchId-transactional sink;
+    * VtSinkReplaySpec drives the crash path directly). The group write
+    * lands BEFORE the manifest write, so a crash between the two leaves
+    * an orphan group the next commit never references — readers only
+    * ever see fully-committed versions.
+    *
+    * Returns true when the batch committed, false when it was a replay
+    * no-op.
+    */
+  private[graft] def commitBatchToVt(root: String, batchLatest: DataFrame,
+      batchId: Long): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    val version = batchId.toInt + 1
+    if (new java.io.File(root, s"_manifest_v$version.txt").exists()) return false
+    val spark = batchLatest.sparkSession
+    val current =
+      if (version == 1) batchLatest
+      else graft.sources.VersionedTable.readVersion(spark, root, version - 1)
+        .unionByName(batchLatest)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("__ts").desc, col("last_event_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+    val groupRel = s"files/merge_v$version"
+    current.write.mode("overwrite").parquet(s"$root/$groupRel")
+    graft.sources.VersionedTable.writeManifest(root, version, Seq(groupRel))
+    true
+  }
+
+  /** The upsert sink routed through the VERSIONED TABLE format (VERDICT
+    * r9 item 7): same CDC-apply merge as [[upsertSinkLatestEvents]], but
+    * each micro-batch commits a manifest version instead of swapping
+    * directories — giving the stream crash-replay exactly-once (see
+    * [[commitBatchToVt]]), a time-travelable version per batch, and the
+    * same read path SQL DML uses: the final state is read back through
+    * `graft_vt` SQL, not a parquet path.
+    *
+    * 100 TB shape: identical to the directory-swap sibling (O(state)
+    * merge per batch — a production apply narrows to touched key ranges)
+    * plus a one-line driver commit; retention on old merge versions is
+    * the existing vacuum policy, deliberately not applied here so the
+    * replay's versions stay inspectable.
+    */
+  def vtSinkLatestEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = replaySession(spark)
+    val name = "graft_stream_vtsink_" + UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(checkpointRoot, name)
+    val staged = new java.io.File(root, "staged")
+    val tableRoot = new java.io.File(root, "vt")
+    val ckpt = new java.io.File(root, "ckpt")
+    tableRoot.mkdirs()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    val raw = Tables.raw(spark, dir, "events")
+    (0 until 3).foreach { i =>
+      raw.filter(pmod(col("event_id"), lit(3)) === i)
+        .write.mode("overwrite").parquet(new java.io.File(staged, s"part$i").getAbsolutePath)
+    }
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"), col("ts").as("__ts"))
+    }
+    val src = session.readStream
+      .schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(staged.getAbsolutePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchToVt(tableRoot.getAbsolutePath, latestPerUser(batch), batchId): Unit
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastReplayBatchCount = q.recentProgress.length
+    // read the final state back through the SQL face of the table format
+    val finalSchema = graft.sources.VersionedTable.readVersion(
+      spark, tableRoot.getAbsolutePath,
+      graft.sources.GraftVtTable.latestVersion(tableRoot.getAbsolutePath)).schema
+    graft.sources.GraftVtCatalog.register(spark, "stream_latest",
+      tableRoot.getAbsolutePath, finalSchema)
+    spark.sql(
+      "SELECT user_id, last_event_id, last_value FROM graft_vt.stream_latest")
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SqlDml
+
+/** SQL DML through the DSv2 catalog: beyond the driver's oracle gate,
+  * pin the properties the gate can't see — statement idempotence (bench
+  * reps must converge), and commit-time retention (disk must stay
+  * bounded when every COW statement rewrites the whole table).
+  */
+class SqlDmlSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def manifests(root: String): Seq[Int] =
+    Option(new java.io.File(root).list()).getOrElse(Array.empty[String]).toSeq
+      .collect { case n if n.startsWith("_manifest_v") && n.endsWith(".txt") =>
+        n.stripPrefix("_manifest_v").stripSuffix(".txt").toInt }.sorted
+
+  private def groups(root: String): Seq[String] =
+    Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String]).toSeq.sorted
+
+  test("UPDATE is idempotent and retention caps disk at two versions") {
+    val r1 = SqlDml.sqlUpdate(spark, dir).collect().map(_.toString).sorted
+    val root = graft.sources.GraftVtCatalog.rootOf("dml_update").get
+    val afterFirst = manifests(root)
+    // run twice more: each statement commits a new version, retention
+    // must keep exactly the trailing two manifests and their groups
+    val r2 = SqlDml.sqlUpdate(spark, dir).collect().map(_.toString).sorted
+    val r3 = SqlDml.sqlUpdate(spark, dir).collect().map(_.toString).sorted
+    assert(r1.sameElements(r2) && r2.sameElements(r3),
+      "UPDATE with fixpoint SET must converge across reps")
+    val ms = manifests(root)
+    assert(ms.size <= 2, s"retention must cap manifests, got $ms (first run: $afterFirst)")
+    assert(ms.max > afterFirst.max, "each statement must commit a new version")
+    // every on-disk group is referenced by a retained manifest — no leaks
+    val referenced = ms.flatMap(v => graft.sources.VersionedTable.manifest(root, v))
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val onDisk = groups(root).map(g => s"files/$g").toSet
+    assert(onDisk.subsetOf(referenced),
+      s"unreferenced groups left on disk: ${onDisk -- referenced}")
+  }
+
+  test("MERGE applies all three WHEN arms") {
+    import org.apache.spark.sql.functions._
+    val out = SqlDml.sqlMerge(spark, dir)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("recrawl", 0L) > 0, "matched-update arm wrote no rows")
+    assert(bySource.getOrElse("inserted", 0L) > 0, "not-matched-insert arm wrote no rows")
+    // the delete arm removed doc_ids ≡ 3 (mod 11) that weren't updated
+    val survivors = out.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0
+      && col("doc_id") < 10000000L).count()
+    assert(survivors == 0, s"delete arm left $survivors rows")
+  }
+
+  test("MERGE plans as one join feeding ReplaceData — no cartesian, no collect") {
+    // materialize the table + source view without running the statement
+    SqlDml.sqlMerge(spark, dir).count(): Unit
+    val plan = spark.sql(
+      """EXPLAIN FORMATTED MERGE INTO graft_vt.dml_merge t
+        |USING graft_merge_updates s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+        |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+        |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("ReplaceData"), s"expected group-based COW plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"MERGE must not plan a cartesian:\n$plan")
+    // count in the operator TREE only — the formatted details section
+    // repeats each operator name once more
+    val tree = plan.split("\n\n").head
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(tree).size
+    assert(joins == 1, s"MERGE must plan exactly one target×source join, got $joins:\n$tree")
+  }
+
+  test("DML is immune to an unrelated live cached plan (r8 as-of lesson)") {
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val cached = docs.limit(10).cache()
+    try {
+      cached.count(): Unit
+      val r = SqlDml.sqlUpdate(spark, dir)
+      assert(r.filter(org.apache.spark.sql.functions.col("source") === "updated").count() > 0)
+    } finally { cached.unpersist(): Unit }
+  }
+
+  test("DELETE removes exactly the predicated rows") {
+    import org.apache.spark.sql.functions._
+    val out = SqlDml.sqlDelete(spark, dir)
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_chars") > 50).count() == 0)
+    assert(out.count() > 0)
+  }
+}
