@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, SqlDml, Stats, TextAnalysis}
+import graft.operators.{Analytics, Cbo, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, SqlDml, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
     "q_sql_multijoin" -> (Relational.sqlMarketShare(_, _)),
+    "q_cbo_multijoin" -> (Cbo.cboMarketShare(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
@@ -647,6 +648,22 @@ object SparkEntry {
     // six-table parser-path join (TPC-H Q8 market-share shape); share
     // arithmetic mirrored (exact decimal sums, one double division)
     "q_sql_multijoin" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  round(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN $discPriceSql
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+         |    CAST(SUM($discPriceSql) AS DOUBLE), 6) AS asia_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE p_type = 'STANDARD'
+         |GROUP BY year(o_orderdate)""".stripMargin,
+    // identical semantics planned by ANALYZE statistics (CBO) — the
+    // oracle is the same logical query
+    "q_cbo_multijoin" ->
       s"""SELECT year(o_orderdate) AS o_year,
          |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
          |  round(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN $discPriceSql
