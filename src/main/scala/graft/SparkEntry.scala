@@ -242,6 +242,7 @@ object SparkEntry {
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
+    "q_zonemap_scan" -> (SqlDml.sqlZonedTable(_, _)),
     "q_sql_optimize" -> (SqlDml.sqlOptimize(_, _)),
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1557,6 +1558,14 @@ object SparkEntry {
         |  'appended' AS source FROM documents WHERE doc_id % 4 = 1),
         |fin AS (SELECT * FROM base UNION ALL SELECT * FROM app)
         |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // clustered COW update + zone-map-pruned range scan: pruning must
+    // be invisible to results — the final state recomputed logically
+    "q_zonemap_scan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'zoned' ELSE source END AS source,
+        |  md5(CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END) AS digest
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
     // CALL vacuum retained versions 2 and 3 of the maintenance chain and
     // deleted exactly one group (hot_v1); both retained snapshots
     // recomputed logically

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{GraftVtCatalog, Tables, VersionedTable}
+import graft.sources.{GraftVtCatalog, Tables, VersionedTable, ZoneMap}
 
 /** SQL DML over the versioned table format — the user-facing face of
   * [[graft.sources.GraftVtCatalog]]: `MERGE INTO` / `UPDATE` / `DELETE` /
@@ -212,6 +212,39 @@ object SqlDml {
         sum(length(col("text"))).cast("long").as("total_chars"))
       .withColumn("files_before", lit(before))
       .withColumn("files_after", lit(after))
+  }
+
+  /** The zone-map story end-to-end: a table CLUSTERED BY doc_id —
+    * v1 range-partitioned then file-level-ANALYZEd ([[graft.sources
+    * .ZoneMap.analyze]]), an UPDATE whose COW write is planned with an
+    * ORDERED distribution (range shuffle + sort, so replacement files
+    * have disjoint key ranges) and whose commit assembles the new
+    * sidecar from the writers' per-file [min, max] — then a key-range
+    * SELECT that binds only the files whose zones can match
+    * (ZoneMapSpec pins the actual file-count drop; the oracle pins that
+    * pruning never changes results). This is the scan shape that makes
+    * a 0.1% key-range query schedule 0.1% of the tasks at 100 TB.
+    */
+  def sqlZonedTable(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_zoned"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      ZoneMap.analyze(spark, r, 1, "doc_id"): Unit
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema, clusterCol = Some("doc_id"))
+    spark.sql(
+      """UPDATE graft_vt.vt_zoned
+        |SET text = upper(text), source = 'zoned'
+        |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.vt_zoned
+        |WHERE doc_id BETWEEN 100 AND 299""".stripMargin)
   }
 
   /** `VERSION AS OF` through the parser over the two-version chain —

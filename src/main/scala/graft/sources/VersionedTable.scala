@@ -143,6 +143,13 @@ object VersionedTable {
       .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)
       .filterNot(keep)
       .foreach(v => new java.io.File(s"$root/_manifest_v$v.txt").delete(): Unit)
+    // a dropped version's zone-map sidecars go with its manifest
+    Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("_zonemap_v"))
+      .filter { n =>
+        n.stripPrefix("_zonemap_v").takeWhile(_.isDigit).toIntOption.exists(!keep(_))
+      }
+      .foreach(n => new java.io.File(s"$root/$n").delete(): Unit)
     doomed
   }
 

@@ -224,9 +224,19 @@ object GraftVtCatalog {
     if (!spark.conf.getOption("spark.sql.catalog.graft_vt").contains(classOf[GraftVtCatalog].getName))
       spark.conf.set("spark.sql.catalog.graft_vt", classOf[GraftVtCatalog].getName)
 
-  def register(spark: SparkSession, name: String, root: String, schema: StructType): Unit = {
+  /** table name -> long cluster column: zone-map pruning on reads,
+    * ordered-distribution requirement + stats capture on writes.
+    */
+  private[sources] val clusterCols = TrieMap.empty[String, String]
+
+  def register(spark: SparkSession, name: String, root: String, schema: StructType,
+      clusterCol: Option[String] = None): Unit = {
     ensure(spark)
     registry.put(name, (root, schema)): Unit
+    clusterCol match {
+      case Some(c) => clusterCols.put(name, c): Unit
+      case None => clusterCols.remove(name): Unit
+    }
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -262,8 +272,25 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       Some(tableSchema), classOf[ParquetFileFormat])
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    parquetTable(readVersionN).newScanBuilder(options)
+  private[sources] def clusterCol: Option[String] =
+    GraftVtCatalog.clusterCols.get(tableName)
+
+  private[sources] def clusterIdx: Option[Int] =
+    clusterCol.map(tableSchema.fieldIndex)
+
+  /** Zone-map-pruned when the table has a cluster column AND the bound
+    * version has a stats sidecar; the plain full-manifest parquet scan
+    * otherwise. Pruning never changes semantics — every filter stays
+    * residual, the sidecar only shrinks the FILE LIST the scan binds.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = readVersionN
+    (for {
+      zc <- clusterCol
+      stats <- ZoneMap.read(root, v, zc)
+    } yield new ZoneMapScanBuilder(name(), root, tableSchema, v, zc, stats, options))
+      .getOrElse(parquetTable(v).newScanBuilder(options))
+  }
 
   /** `INSERT INTO` (append: new manifest = current entries + new group)
     * and `INSERT OVERWRITE` (truncate: new manifest = new group only).
@@ -275,11 +302,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       private var base: () => Seq[String] =
         () => VersionedTable.manifest(root, currentVersion)
       override def truncate(): WriteBuilder = { base = () => Nil; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftVtBatchWrite(root, currentVersion + 1, info.schema(), base())
-        override def description(): String = s"graft_vt INSERT"
-      }
+      override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
+        info.schema(), base(), clusterCol, s"graft_vt INSERT")
     }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -299,6 +323,88 @@ object GraftVtTable {
   }
 }
 
+/** Scan builder with FILE-LEVEL data skipping: pushed filters on the
+  * cluster column are tested against the manifest's zone-map sidecar and
+  * files whose [min, max] provably can't match are dropped from the scan
+  * BEFORE any task is planned. Every filter is reported residual
+  * (`pushedFilters()` empty), so Spark keeps the exact Filter node and
+  * correctness never depends on the pruning; the surviving files still
+  * get full parquet pushdown — the captured filters are replayed into
+  * the delegated parquet builder, which keeps row-group skipping and
+  * column pruning intact below the file-level skip.
+  */
+class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructType,
+    version: Int, zcol: String, stats: Map[String, (Long, Long)],
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private var pushed: Seq[Expression] = Nil
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    filters // ALL residual — pruning is an optimization, never a contract
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  /** Minimal catalyst→v1 translation of exactly the shapes zone maps can
+    * use (comparisons/IN on a column vs literals, AND/OR). Anything else
+    * maps to None and simply doesn't prune — Spark's own translator is
+    * `protected[sql]`, and conservativeness is the contract anyway.
+    */
+  private def toV1(e: Expression): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => s1}
+    e match {
+      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.EqualTo(a.name, v))
+      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.EqualTo(a.name, v))
+      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThan(a.name, v))
+      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThan(a.name, v))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThanOrEqual(a.name, v))
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThanOrEqual(a.name, v))
+      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThan(a.name, v))
+      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThan(a.name, v))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThanOrEqual(a.name, v))
+      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThanOrEqual(a.name, v))
+      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(s1.In(a.name, vs.map(_.asInstanceOf[ce.Literal].value).toArray))
+      case ce.And(l, r) => (toV1(l), toV1(r)) match {
+        case (Some(a), Some(b)) => Some(s1.And(a, b))
+        case (one, other) => one.orElse(other) // AND may prune on either side alone
+      }
+      case ce.Or(l, r) => for (a <- toV1(l); b <- toV1(r)) yield s1.Or(a, b)
+      case _ => None
+    }
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val v1 = pushed.flatMap(toV1)
+    val all = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
+    val kept = ZoneMap.prune(stats, zcol, v1, all)
+    ZoneMapScanBuilder.lastPrune = (all.size, kept.size)
+    val pt = ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      kept.map(f => s"$root/$f"), Some(tableSchema), classOf[ParquetFileFormat])
+    val b = pt.newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+    // replay the full pushdown into the delegated parquet builder: the
+    // surviving files keep row-group skipping and column pruning
+    b.pushFilters(pushed): Unit
+    b.pruneColumns(required)
+    b.build()
+  }
+}
+
+object ZoneMapScanBuilder {
+  /** (manifest files, files the last scan kept) — spec inspection hook. */
+  @volatile var lastPrune: (Int, Int) = (0, 0)
+}
+
 /** Group-based (copy-on-write) row-level operation: the affected-row scan
   * is the table's ordinary parquet scan of the CURRENT snapshot, and the
   * write lands the complete replacement rows as a new file group +
@@ -315,12 +421,44 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftVtBatchWrite(table.root, table.currentVersion + 1, info.schema(), Nil)
-        override def description(): String = s"graft_vt COW ${cmd.name()}"
-      }
+      override def build(): Write = new GraftVtWrite(table.root,
+        table.currentVersion + 1, info.schema(), Nil, table.clusterCol,
+        s"graft_vt COW ${cmd.name()}")
     }
+}
+
+/** The physical write contract shared by INSERT and the COW DML verbs.
+  * A clustered table asks the planner for an ORDERED distribution on the
+  * cluster column (a range shuffle + in-partition sort), so each task
+  * writes a DISJOINT key range — that is what makes the per-file
+  * [min, max] stats the writers report actually selective: sorted
+  * output → non-overlapping zone maps → a key-range scan later prunes
+  * to O(matching files). Non-strict: at 100 TB AQE may rebalance the
+  * ranges, and an unclustered table imposes nothing.
+  */
+class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
+    baseEntries: Seq[String], cluster: Option[String], desc: String)
+  extends Write with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  // a cluster column absent from this write's schema (never the case for
+  // our own registrations, but cheap to guard) degrades to unclustered
+  private val effective = cluster.filter(schema.fieldNames.contains)
+
+  private def order: Array[SortOrder] = effective.map(c =>
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (effective.isDefined) Distributions.ordered(order)
+    else Distributions.unspecified()
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[SortOrder] = order
+
+  override def toBatch: BatchWrite = new GraftVtBatchWrite(root, newVersion,
+    schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))))
+  override def description(): String = desc
 }
 
 /** Distributed parquet write of the replacement rows + one-line manifest
@@ -330,7 +468,7 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
   * the driver-side `commit` records them as version `newVersion`.
   */
 class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
-    baseEntries: Seq[String])
+    baseEntries: Seq[String], cluster: Option[(String, Int)] = None)
   extends BatchWrite {
 
   private val groupRel = s"files/dml_v$newVersion"
@@ -348,7 +486,8 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
       spark, job, Map.empty[String, String], schema)
     val confEntries = job.getConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    new GraftVtWriterFactory(s"$root/$groupRel", groupRel, schema, owf, confEntries)
+    new GraftVtWriterFactory(s"$root/$groupRel", groupRel, schema, owf, confEntries,
+      cluster.map(_._2))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -363,6 +502,20 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
       (baseEntries ++ kept.map(_.relPath)).sorted.mkString("\n")): Unit
+    // clustered tables get the new version's zone-map sidecar for free:
+    // each writer reported its file's [min, max] in the commit message,
+    // and appended base files inherit the prior version's entries
+    cluster.foreach { case (zc, _) =>
+      // prior entries carry over ONLY for files this manifest still
+      // references (appends); a COW rewrite starts a clean sidecar
+      val baseFiles = baseEntries.flatMap(ZoneMap.leafFiles(root, _)).toSet
+      val prior = ZoneMap.read(root, newVersion - 1, zc).getOrElse(Map.empty)
+        .filter { case (f, _) => baseFiles(f) }
+      val fresh = kept.collect {
+        case m if m.zMin <= m.zMax => m.relPath -> (m.zMin, m.zMax)
+      }.toMap
+      ZoneMap.write(root, newVersion, zc, prior ++ fresh)
+    }
     // Retention: every COW DML rewrites the WHOLE table, so unreferenced
     // old groups grow linearly with statements (one full copy per bench
     // rep). Cap retained versions at the last two — one step of VERSION
@@ -383,7 +536,11 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     }
 }
 
-case class GraftVtCommitMessage(relPath: String, rows: Long) extends WriterCommitMessage
+/** zMin > zMax (the defaults) means "no cluster stats for this file" —
+  * either the table is unclustered or the file saw only null keys.
+  */
+case class GraftVtCommitMessage(relPath: String, rows: Long,
+    zMin: Long = Long.MaxValue, zMax: Long = Long.MinValue) extends WriterCommitMessage
 
 /** View of an incoming row with its first `offset` fields hidden.
   *
@@ -438,7 +595,8 @@ private[sources] final class OpShiftedRow(offset: Int) extends InternalRow {
 }
 
 class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructType,
-    owf: OutputWriterFactory, confEntries: Array[(String, String)])
+    owf: OutputWriterFactory, confEntries: Array[(String, String)],
+    clusterIdx: Option[Int] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -458,6 +616,8 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
       // fails loudly rather than writing misaligned columns.
       private var offset = -1
       private var shifted: OpShiftedRow = _
+      private var zMin = Long.MaxValue
+      private var zMax = Long.MinValue
       override def write(record: InternalRow): Unit = {
         if (offset < 0) {
           offset = record.numFields - schema.length
@@ -466,12 +626,22 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
               s"${schema.length} (+ optional __row_operation)")
           if (offset == 1) shifted = new OpShiftedRow(1)
         }
-        writer.write(if (offset == 0) record else shifted.set(record))
+        val aligned = if (offset == 0) record else shifted.set(record)
+        // zone-map stats ride along for free — one comparison per row,
+        // no second pass over the data
+        clusterIdx.foreach { i =>
+          if (!aligned.isNullAt(i)) {
+            val v = aligned.getLong(i)
+            if (v < zMin) zMin = v
+            if (v > zMax) zMax = v
+          }
+        }
+        writer.write(aligned)
         n += 1
       }
       override def commit(): WriterCommitMessage = {
         writer.close()
-        GraftVtCommitMessage(s"$groupRel/$fileName", n)
+        GraftVtCommitMessage(s"$groupRel/$fileName", n, zMin, zMax)
       }
       override def abort(): Unit = {
         writer.close()

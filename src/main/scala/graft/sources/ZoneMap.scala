@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.JsonText.{quote => q}
+
+/** File-level zone maps for versioned tables — the data-skipping tier a
+  * table format adds ABOVE parquet's own row-group statistics: per-file
+  * [min, max] of a long cluster column, kept in a sidecar next to the
+  * manifest, consulted at scan-build time so a selective predicate
+  * binds the scan to the few files whose range can match — no footer is
+  * opened, no task is launched for a skipped file.
+  *
+  * At 100 TB the arithmetic is the point: a manifest names ~10^6 files;
+  * pruning happens on the driver against 16 bytes/file of resident
+  * stats, and a key-range query that touches 0.1% of the data schedules
+  * 0.1% of the tasks. Parquet row-group skipping alone still schedules
+  * every task and opens every footer. Effectiveness depends on files
+  * being range-clustered — which the DML write path guarantees by
+  * requiring an ordered distribution (see [[GraftVtBatchWrite]]).
+  *
+  * Stats enter the sidecar two ways, mirroring real formats:
+  *   - at WRITE time, each task reports its file's min/max in the
+  *     commit message (zero extra IO);
+  *   - for files written before the column was clustered, [[analyze]]
+  *     back-fills with one distributed min/max-by-file aggregation
+  *     (the file-level ANALYZE).
+  */
+object ZoneMap {
+
+  private def sidecar(root: String, version: Int, col: String) =
+    java.nio.file.Paths.get(s"$root/_zonemap_v${version}_$col.json")
+
+  def write(root: String, version: Int, col: String,
+      stats: Map[String, (Long, Long)]): Unit = {
+    val body = stats.toSeq.sorted.map { case (p, (lo, hi)) =>
+      s"${q(p)}: [$lo, $hi]" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(sidecar(root, version, col), body): Unit
+  }
+
+  /** relPath -> (min, max), or None when no sidecar exists for this
+    * (version, column) — scans then read every manifest file, exactly
+    * the pre-zone-map behavior.
+    */
+  def read(root: String, version: Int, col: String): Option[Map[String, (Long, Long)]] = {
+    val p = sidecar(root, version, col)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some {
+      val s = java.nio.file.Files.readString(p)
+      """"([^"]+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    }
+  }
+
+  /** Expand a manifest entry (group dir or single file) to leaf parquet
+    * files, as root-relative paths.
+    */
+  def leafFiles(root: String, entry: String): Seq[String] = {
+    val f = new java.io.File(s"$root/$entry")
+    if (f.isDirectory)
+      f.listFiles().toSeq.collect {
+        case x if x.isFile && x.getName.endsWith(".parquet") => s"$entry/${x.getName}"
+      }.sorted
+    else Seq(entry)
+  }
+
+  /** Back-fill the sidecar for manifest `version` with one distributed
+    * aggregation (min/max of `col` grouped by file) — the file-level
+    * ANALYZE for data written before clustering existed.
+    */
+  def analyze(spark: SparkSession, root: String, version: Int, zcol: String): Int = {
+    val files = VersionedTable.manifest(root, version).flatMap(leafFiles(root, _))
+    val prefix = new java.io.File(root).getAbsolutePath + "/"
+    val stats = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(min(zcol).cast("long").as("lo"), max(zcol).cast("long").as("hi"))
+      .collect()
+      .map { r =>
+        val abs = java.net.URLDecoder.decode(
+          r.getString(0).stripPrefix("file://"), "UTF-8")
+        abs.stripPrefix(prefix) -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    write(root, version, zcol, stats)
+    stats.size
+  }
+
+  /** The files a scan must read: drop every file whose [min, max] range
+    * the pushed filters PROVE empty. Conservative by construction —
+    * only predicates on the zone column prune, unknown filter shapes
+    * keep the file, and a file missing from the sidecar is kept.
+    */
+  def prune(stats: Map[String, (Long, Long)], col: String,
+      filters: Seq[Filter], files: Seq[String]): Seq[String] =
+    files.filter { file =>
+      stats.get(file) match {
+        case None => true
+        case Some((lo, hi)) => filters.forall(mayMatch(_, col, lo, hi))
+      }
+    }
+
+  /** Can any value in [lo, hi] satisfy `filter`? (three-valued: unknown
+    * shapes and other columns answer true).
+    */
+  private def mayMatch(filter: Filter, zcol: String, lo: Long, hi: Long): Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    filter match {
+      case EqualTo(c, v) if c == zcol =>
+        asLong(v).forall(x => x >= lo && x <= hi)
+      case GreaterThan(c, v) if c == zcol => asLong(v).forall(_ < hi)
+      case GreaterThanOrEqual(c, v) if c == zcol => asLong(v).forall(_ <= hi)
+      case LessThan(c, v) if c == zcol => asLong(v).forall(_ > lo)
+      case LessThanOrEqual(c, v) if c == zcol => asLong(v).forall(_ >= lo)
+      case In(c, vs) if c == zcol =>
+        vs.isEmpty || vs.exists(v => asLong(v).forall(x => x >= lo && x <= hi))
+      case And(l, r) => mayMatch(l, zcol, lo, hi) && mayMatch(r, zcol, lo, hi)
+      case Or(l, r) => mayMatch(l, zcol, lo, hi) || mayMatch(r, zcol, lo, hi)
+      case _ => true
+    }
+  }
+}
