@@ -265,4 +265,42 @@ object SqlDml {
         |  FROM graft_vt.vt_documents VERSION AS OF 2)
         |GROUP BY version, source""".stripMargin)
   }
+
+  /** `TIMESTAMP AS OF` through the parser — the wall-clock spelling of
+    * time travel: each commit instant IS its manifest's mtime, and the
+    * catalog binds the largest version committed at or before the
+    * requested time. The chain's two commits can land in the same
+    * millisecond on a fast build, so the helper first spaces them 2 s
+    * apart (idempotent — commit ORDER is already right, only the clock
+    * resolution needs help); production commits are seconds-to-minutes
+    * apart and need no such fix-up. Same oracle as the VERSION AS OF
+    * twin: v1 read at v1's commit instant, v2 at v2's.
+    */
+  def sqlTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    // space the commit instants: v(n) at least 2 s after v(n-1)
+    val manifests = graft.sources.GraftVtTable.versionCommitMicros(root)
+      .map { case (v, _) => new java.io.File(s"$root/_manifest_v$v.txt") }
+    manifests.sliding(2).foreach {
+      case Seq(a, b) if b.lastModified() < a.lastModified() + 2000 =>
+        b.setLastModified(a.lastModified() + 2000): Unit
+      case _ => ()
+    }
+    def tsLiteral(f: java.io.File): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(f.lastModified()))
+    val Seq(t1, t2) = manifests.map(tsLiteral)
+    spark.sql(
+      s"""SELECT version, source, COUNT(*) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT 1 AS version, source, text
+         |  FROM graft_vt.vt_documents TIMESTAMP AS OF '$t1'
+         |  UNION ALL
+         |  SELECT 2 AS version, source, text
+         |  FROM graft_vt.vt_documents TIMESTAMP AS OF '$t2')
+         |GROUP BY version, source""".stripMargin)
+  }
 }

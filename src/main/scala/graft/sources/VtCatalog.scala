@@ -85,6 +85,24 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     lookup(ident, Some(version.toInt))
 
+  /** `TIMESTAMP AS OF t` (micros since epoch): bind the LARGEST version
+    * whose manifest was committed at or before `t` — manifest mtime IS
+    * the commit instant, so resolution is a driver-side directory
+    * listing, never a data read.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = GraftVtCatalog.registry.get(ident.name()) match {
+      case Some((r, _)) => r
+      case None => throw new NoSuchTableException(ident)
+    }
+    val vs = GraftVtTable.versionCommitMicros(root)
+    val eligible = vs.collect { case (v, us) if us <= timestamp => v }
+    require(eligible.nonEmpty,
+      s"no version of ${ident.name()} existed at timestamp $timestamp " +
+        s"(earliest commit: ${vs.map(_._2).min})")
+    lookup(ident, Some(eligible.max))
+  }
+
   private def lookup(ident: Identifier, version: Option[Int]): Table =
     GraftVtCatalog.registry.get(ident.name()) match {
       case Some((root, schema)) => new GraftVtTable(ident.name(), root, schema, version)
@@ -314,6 +332,16 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
 }
 
 object GraftVtTable {
+  /** (version, manifest mtime in micros) for every retained version. */
+  def versionCommitMicros(root: String): Seq[(Int, Long)] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .toSeq
+      .collect {
+        case f if f.getName.startsWith("_manifest_v") && f.getName.endsWith(".txt") =>
+          (f.getName.stripPrefix("_manifest_v").stripSuffix(".txt").toInt,
+            f.lastModified() * 1000L)
+      }.sortBy(_._1)
+
   def latestVersion(root: String): Int = {
     val names = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
     val vs = names.collect { case n if n.startsWith("_manifest_v") && n.endsWith(".txt") =>
