@@ -524,12 +524,27 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     // zero-row task outputs are dropped from the manifest AND from disk
     // (ADVICE r09: leaving them leaked a file per empty task forever)
     empty.foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
-    // commit = write the next manifest naming exactly the files that
-    // reported success (empty-result DML still commits a valid, empty
-    // version by naming no files)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
-      (baseEntries ++ kept.map(_.relPath)).sorted.mkString("\n")): Unit
+    // commit = atomically CREATE the next manifest naming exactly the
+    // files that reported success (empty-result DML still commits a
+    // valid, empty version by naming no files). CREATE_NEW is the
+    // optimistic-concurrency check: two writers that both planned
+    // against version N race to create N+1, exactly one wins, and the
+    // loser aborts with a conflict instead of silently overwriting the
+    // winner's commit — its files are cleaned by abort(), and the
+    // caller re-runs against the new snapshot (the standard
+    // table-format retry contract).
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
+        (baseEntries ++ kept.map(_.relPath)).sorted.mkString("\n"),
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        abort(messages)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: version $newVersion of $root was committed " +
+            "by a concurrent writer; re-run the statement")
+    }
     // clustered tables get the new version's zone-map sidecar for free:
     // each writer reported its file's [min, max] in the commit message,
     // and appended base files inherit the prior version's entries

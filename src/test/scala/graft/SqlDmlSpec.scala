@@ -87,6 +87,35 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally { cached.unpersist(): Unit }
   }
 
+  test("concurrent commit conflict aborts the loser and keeps the table intact") {
+    // drive the commit protocol directly at the race point: both writers
+    // planned against version N and produced their files; the second
+    // commit of N+1 must fail AND clean its own output
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_conflict").toString
+    graft.sources.VersionedTable.writeManifest(root, 1, Nil)
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    def writeOf(tag: String) = {
+      val f = new java.io.File(s"$root/files/dml_v2/$tag.parquet")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, tag): Unit
+      (new graft.sources.GraftVtBatchWrite(root, 2, schema, Nil),
+        Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+          graft.sources.GraftVtCommitMessage(s"files/dml_v2/$tag.parquet", 1)))
+    }
+    val (w1, m1) = writeOf("winner")
+    val (w2, m2) = writeOf("loser")
+    w1.commit(m1)
+    val e = intercept[java.util.ConcurrentModificationException] { w2.commit(m2) }
+    assert(e.getMessage.contains("conflict"))
+    // the winner's manifest stands and names only its own file; the
+    // loser's output was aborted off disk
+    assert(graft.sources.VersionedTable.manifest(root, 2)
+      == Seq("files/dml_v2/winner.parquet"))
+    assert(!new java.io.File(s"$root/files/dml_v2/loser.parquet").exists())
+    assert(new java.io.File(s"$root/files/dml_v2/winner.parquet").exists())
+  }
+
   test("DELETE removes exactly the predicated rows") {
     import org.apache.spark.sql.functions._
     val out = SqlDml.sqlDelete(spark, dir)
