@@ -169,6 +169,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => graft.functions.MisraGries.heavyHitters(s, d)),
     "q_approx_topk" -> ((s, d) => TextAnalysis.approxTopTokens(s, d)),
     "q_lm_score" -> (TextAnalysis.lmScore(_, _)),
+    "q_dsir_resample" -> (TextAnalysis.dsirResample(_, _)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
@@ -1276,6 +1277,30 @@ object SparkEntry {
          |SELECT p.doc_id, COUNT(*) AS n_pairs,
          |  round(CAST(SUM(CAST(round(lp, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
          |FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+         |GROUP BY 1""".stripMargin,
+    // DSIR importance resampling: Laplace-smoothed hashed-bucket
+    // distributions, per-occurrence ln ratio summed on the decimal
+    // contract, threshold keep — everything recomputable in SQL
+    "q_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+         |    CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS INTEGER) AS bucket
+         |  FROM (SELECT doc_id, source, unnest($toksSql) AS token FROM documents)),
+         |counts AS (SELECT bucket,
+         |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+         |  FROM tok GROUP BY 1),
+         |totals AS (SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS nt,
+         |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS nr FROM tok),
+         |w AS (SELECT bucket,
+         |    ln((CAST(ct + 1 AS DOUBLE) / (nt + 64)) /
+         |       (CAST(cr + 1 AS DOUBLE) / (nr + 64))) AS lw
+         |  FROM counts CROSS JOIN totals)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  round(CAST(SUM(CAST(round(lw, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logweight,
+         |  round(CAST(SUM(CAST(round(lw, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) > 0 AS keep
+         |FROM tok t JOIN w USING (bucket)
+         |WHERE NOT t.is_target
          |GROUP BY 1""".stripMargin,
     // hashing-trick featurizer: bucket = md5(token) % 64, the shared md5
     // contract; sparse relational output, nonzero features only

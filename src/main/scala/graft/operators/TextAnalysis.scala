@@ -161,6 +161,57 @@ object TextAnalysis {
         round(col("slp").cast("double") / col("n_pairs"), 6).as("avg_logprob"))
   }
 
+  /** DSIR-style importance resampling (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every RAW-pool document by how
+    * much more likely its hashed-n-gram features are under a TARGET
+    * domain's distribution than under the raw pool's, and keep the
+    * target-like documents — the principled replacement for "filter by
+    * a quality heuristic" when what you actually want is "more data
+    * that looks like this domain".
+    *
+    * Features are the [[featureHash]] buckets (md5(token) % dim — no
+    * fitted vocabulary, shards featurize identically forever). Both
+    * bucket distributions are Laplace-smoothed exact integer counts;
+    * each document's log importance weight is the sum over its token
+    * OCCURRENCES of `ln(p_target(b) / p_raw(b))` under the house
+    * decimal-sum contract (round-9 → DECIMAL(38,9) sum → round-6), so
+    * scores hash-match across engines. Deterministic keep rule:
+    * mean log weight > 0 (more target-like than raw-like); the paper's
+    * Gumbel-noise resampling replaces the threshold in production,
+    * orthogonal to everything distributed here.
+    *
+    * 100 TB shape: two map-side-combined bucket counts (dim-bounded),
+    * one dim-row broadcast of the weight table, one map-side scoring
+    * pass — no corpus-sized shuffle anywhere, same skeleton as
+    * [[lmScore]].
+    */
+  def dsirResample(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val isTarget = col("source").isin("src0", "src1")
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket", graft.functions.GraftFunctions.md5Bucket(col("token"), dim))
+    val counts = tok.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = tok.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("nr"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((col("ct") + 1).cast("double") / (col("nt") + dim)) /
+          ((col("cr") + 1).cast("double") / (col("nr") + dim))).as("lw"))
+    tok.filter(!col("is_target"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(col("lw"), 9).cast(DecimalType(38, 9))).as("slw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slw").cast("double") / col("n_tokens"), 6).as("avg_logweight"))
+      .withColumn("keep", col("avg_logweight") > 0)
+  }
+
   /** Per-document token statistics: counts, distincts, mean token length
     * (null for empty docs — no divide-by-zero).
     */
