@@ -270,6 +270,7 @@ object SparkEntry {
     "q_stream_file_sink" -> (Streaming.fileSinkPurchases(_, _)),
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_stream_vt_sink" -> (Streaming.vtSinkLatestEvents(_, _)),
+    "q_stream_vt_source" -> (Streaming.vtSourceStream(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- data-contract / observability tier ------------------------------
@@ -2694,6 +2695,13 @@ object SparkEntry {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // custom DSv2 streaming source: one micro-batch per commit over the
+    // append-only chain; the aggregated stream == the final snapshot
+    "q_stream_vt_source" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  3 AS n_commits
+        |FROM documents GROUP BY 1""".stripMargin,
     // same merge, committed as one manifest version per micro-batch
     // through the versioned-table sink — final state identical
     "q_stream_vt_sink" ->

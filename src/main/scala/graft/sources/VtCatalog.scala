@@ -279,7 +279,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** Delegate to Spark's parquet DSv2 table over the manifest's files —
     * vectorized scan + pushdown + pruning, bound to one snapshot.
@@ -302,6 +302,11 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     * residual, the sidecar only shrinks the FILE LIST the scan binds.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming read (one micro-batch per committed version) is opt-in
+    // so the batch path keeps Spark's parquet scan — and its stats/DPP
+    // integration — completely untouched
+    if (options.getBoolean("graft.stream", false))
+      return new VtStreamScanBuilder(root, tableSchema)
     val v = readVersionN
     (for {
       zc <- clusterCol

@@ -1120,4 +1120,40 @@ object Streaming {
     spark.sql(
       "SELECT user_id, last_event_id, last_value FROM graft_vt.stream_latest")
   }
+
+  /** STREAM a versioned table's commits — the consumer side of the
+    * table-format streaming story (the sink above is the producer): an
+    * append-only chain of three commits is read through the custom
+    * [[graft.sources.VtMicroBatchStream]] source, ONE COMMIT PER
+    * MICRO-BATCH (admission control pins batch boundaries to commit
+    * boundaries — VtStreamSourceSpec asserts the 1:1), and the
+    * aggregated stream equals the batch read of the final version. At
+    * 100 TB each batch reads exactly the files its commit added, one
+    * task per file through Spark's own vectorized parquet reader.
+    */
+  def vtSourceStream(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = graft.sources.VersionedTable.freshRoot(s"$dir#vtsource")
+    if (!new java.io.File(s"$root/_manifest_v3.txt").exists()) {
+      // append-only chain: v1 ⊂ v2 ⊂ v3, union = the whole corpus
+      (0 until 3).foreach { i =>
+        base.filter(pmod(col("doc_id"), lit(3)) === i)
+          .write.mode("overwrite").parquet(s"$root/files/append_v${i + 1}")
+      }
+      (1 to 3).foreach(v => graft.sources.VersionedTable.writeManifest(
+        root, v, (1 to v).map(i => s"files/append_v$i")))
+    }
+    graft.sources.GraftVtCatalog.register(spark, "vt_stream_src", root, base.schema)
+    val session = replaySession(spark)
+    graft.sources.GraftVtCatalog.ensure(session) // runtime conf isn't inherited
+    val stream = session.readStream
+      .option("graft.stream", "true")
+      .table("graft_vt.vt_stream_src")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+    runToTable(stream, OutputMode.Complete())
+      .withColumn("n_commits", lit(3))
+  }
 }

@@ -39,7 +39,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_key_skew", // 1-row corpus total against the per-key counts
     "q_ks_test", "q_mwu", // 1-row min/max bounds + 1-row arm totals
     "q_rrf", // 1-row bm25 stats + 1-row query vector
-    "q_lm_score") // 1-row vocabulary count into the smoothing denominator
+    "q_lm_score", // 1-row vocabulary count into the smoothing denominator
+    "q_dsir_resample") // 1-row (nt, nr) totals into the smoothed bucket ratios
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
