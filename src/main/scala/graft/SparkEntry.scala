@@ -241,6 +241,7 @@ object SparkEntry {
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
+    "q_sql_delete_files" -> (SqlDml.sqlDeleteFiles(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
     "q_zonemap_scan" -> (SqlDml.sqlZonedTable(_, _)),
@@ -1577,6 +1578,11 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // metadata-only DELETE: the >= 100 file is dropped from the manifest
+    // without any data IO — result is exactly the surviving range
+    "q_sql_delete_files" ->
+      """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     // INSERT OVERWRITE resets to the %4=0 slice; INSERT INTO appends the
     // shifted %4=1 slice — final state recomputed logically
     "q_sql_insert" ->

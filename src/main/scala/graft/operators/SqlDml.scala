@@ -138,6 +138,35 @@ object SqlDml {
         |FROM graft_vt.dml_insert""".stripMargin)
   }
 
+  /** METADATA-ONLY DELETE through the parser: the table is clustered
+    * into two provably-disjoint key-range files, so
+    * `DELETE WHERE doc_id >= 100` resolves entirely from zone maps —
+    * Spark's OptimizeMetadataOnlyDeleteFromTable swaps the COW rewrite
+    * for the table's `SupportsDelete.deleteWhere`, and the statement
+    * costs ONE driver-side manifest commit: no data file read, none
+    * written (SqlDmlSpec pins the no-new-files property and the
+    * fallback to rewrite for a predicate that splits a file).
+    */
+  def sqlDeleteFiles(spark: SparkSession, dir: String): DataFrame = {
+    val name = "dml_del_files"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.filter(col("doc_id") < 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/files/lo_v1")
+      base.filter(col("doc_id") >= 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/files/hi_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/lo_v1", "files/hi_v1"))
+      ZoneMap.analyze(spark, r, 1, "doc_id"): Unit
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema, clusterCol = Some("doc_id"))
+    spark.sql(s"DELETE FROM graft_vt.$name WHERE doc_id >= 100")
+    spark.sql(
+      s"""SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+         |FROM graft_vt.$name""".stripMargin)
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

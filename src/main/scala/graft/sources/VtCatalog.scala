@@ -267,7 +267,8 @@ object GraftVtCatalog {
   */
 class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     pinnedVersion: Option[Int])
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsDelete {
 
   private def spark = SparkSession.active
 
@@ -334,6 +335,58 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       override def build(): RowLevelOperation = new GraftVtRowLevelOperation(
         GraftVtTable.this, info.command())
     }
+
+  /** METADATA-ONLY DELETE — the fast path Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` rule swaps in ahead of the
+    * COW rewrite whenever `canDeleteWhere` accepts: when every manifest
+    * file is PROVABLY all-deleted or all-kept under the predicate (zone
+    * maps decide — [[ZoneMap.mustMatch]] / [[ZoneMap.mayMatch]]), the
+    * delete is one driver-side manifest commit naming the kept files.
+    * NO data file is read or written. A predicate that splits any file
+    * returns false and the ordinary distributed rewrite runs — the
+    * clustered layout is exactly what makes range deletes (retention by
+    * id/time) land on this path at 100 TB: dropping 30% of a corpus
+    * costs a directory listing, not a 30 TB rewrite.
+    */
+  private def planMetadataDelete(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[String]] =
+    for {
+      zc <- clusterCol
+      v = currentVersion
+      stats <- ZoneMap.read(root, v, zc)
+      files = VersionedTable.manifest(root, v).flatMap(ZoneMap.leafFiles(root, _))
+      classified = files.map { f =>
+        stats.get(f) match {
+          case Some((lo, hi)) if filters.forall(ZoneMap.mustMatch(_, zc, lo, hi)) =>
+            Some(None) // provably all-deleted: drop
+          case Some((lo, hi)) if filters.exists(!ZoneMap.mayMatch(_, zc, lo, hi)) =>
+            Some(Some(f)) // provably untouched: keep
+          case _ => None // split or un-stats'd: undecidable
+        }
+      }
+      kept <- if (classified.forall(_.isDefined)) Some(classified.flatMap(_.get))
+              else None
+    } yield kept
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    planMetadataDelete(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val kept = planMetadataDelete(filters).getOrElse(
+      throw new IllegalStateException("deleteWhere called without canDeleteWhere"))
+    val v = currentVersion
+    val newV = v + 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_manifest_v$newV.txt"),
+      kept.sorted.mkString("\n"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    clusterCol.foreach { zc =>
+      ZoneMap.read(root, v, zc).foreach { stats =>
+        ZoneMap.write(root, newV, zc, stats.filter { case (f, _) => kept.contains(f) })
+      }
+    }
+    VersionedTable.vacuum(root, Seq(v, newV)): Unit
+  }
 }
 
 object GraftVtTable {

@@ -100,10 +100,35 @@ object ZoneMap {
       }
     }
 
+  /** Does EVERY value in [lo, hi] satisfy `filter`? The dual of
+    * [[mayMatch]], conservative the other way: unknown shapes and other
+    * columns answer false. `mustMatch` true ⇒ a DELETE with this
+    * predicate removes the whole file; `mayMatch` false ⇒ it touches
+    * none of it — the two bounds that make metadata-only DELETE sound.
+    */
+  def mustMatch(filter: Filter, zcol: String, lo: Long, hi: Long): Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    filter match {
+      case EqualTo(c, v) if c == zcol => asLong(v).exists(x => lo == hi && lo == x)
+      case GreaterThan(c, v) if c == zcol => asLong(v).exists(lo > _)
+      case GreaterThanOrEqual(c, v) if c == zcol => asLong(v).exists(lo >= _)
+      case LessThan(c, v) if c == zcol => asLong(v).exists(hi < _)
+      case LessThanOrEqual(c, v) if c == zcol => asLong(v).exists(hi <= _)
+      case In(c, vs) if c == zcol => lo == hi && vs.exists(v => asLong(v).contains(lo))
+      case And(l, r) => mustMatch(l, zcol, lo, hi) && mustMatch(r, zcol, lo, hi)
+      case Or(l, r) => mustMatch(l, zcol, lo, hi) || mustMatch(r, zcol, lo, hi)
+      case Not(f) => !mayMatch(f, zcol, lo, hi)
+      case _ => false
+    }
+  }
+
   /** Can any value in [lo, hi] satisfy `filter`? (three-valued: unknown
     * shapes and other columns answer true).
     */
-  private def mayMatch(filter: Filter, zcol: String, lo: Long, hi: Long): Boolean = {
+  def mayMatch(filter: Filter, zcol: String, lo: Long, hi: Long): Boolean = {
     def asLong(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
       case _ => None

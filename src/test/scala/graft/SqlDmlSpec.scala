@@ -116,6 +116,34 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/files/dml_v2/winner.parquet").exists())
   }
 
+  test("aligned DELETE is metadata-only; a splitting predicate falls back to rewrite") {
+    SqlDml.sqlDeleteFiles(spark, dir).collect(): Unit
+    val root = graft.sources.GraftVtCatalog.rootOf("dml_del_files").get
+    val v = manifests(root).max
+    val entries = graft.sources.VersionedTable.manifest(root, v)
+    // the surviving manifest references the ORIGINAL lo file — no dml
+    // rewrite group was written, the delete was one manifest commit
+    assert(entries.nonEmpty && entries.forall(_.startsWith("files/lo_v1")),
+      s"metadata delete must keep the original file untouched, got $entries")
+    assert(groups(root).forall(g => !g.startsWith("dml_")),
+      s"metadata delete must write no data files, got ${groups(root)}")
+
+    // a predicate that SPLITS the surviving file can't resolve from
+    // zone maps: the ordinary COW rewrite must run (correct rows, and
+    // this time a dml group exists)
+    spark.sql("DELETE FROM graft_vt.dml_del_files WHERE doc_id >= 50")
+    val after = spark.sql("SELECT max(doc_id) AS m, count(*) AS n FROM graft_vt.dml_del_files")
+      .collect().head
+    assert(after.getLong(0) == 49 && after.getLong(1) == 50)
+    val v2entries = graft.sources.VersionedTable.manifest(root, manifests(root).max)
+    assert(v2entries.exists(_.startsWith("files/dml_")),
+      s"splitting delete must go through the rewrite, got $v2entries")
+    // restore the canonical state for any later q_sql_delete_files run
+    // in this JVM: rebuild is cheap and keyed caches keep the root
+    spark.sql("INSERT OVERWRITE graft_vt.dml_del_files " +
+      s"SELECT doc_id, text, source FROM parquet.`$dir/documents.parquet` WHERE doc_id < 100")
+  }
+
   test("DELETE removes exactly the predicated rows") {
     import org.apache.spark.sql.functions._
     val out = SqlDml.sqlDelete(spark, dir)
