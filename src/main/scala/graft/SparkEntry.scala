@@ -239,6 +239,7 @@ object SparkEntry {
     "q_cdc_feed" -> (graft.sources.VersionedTable.changeFeed(_, _)),
     "q_vacuum" -> (graft.sources.VersionedTable.vacuumSummary(_, _)),
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
+    "q_sql_merge_source" -> (SqlDml.sqlMergeSource(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
     "q_sql_delete_files" -> (SqlDml.sqlDeleteFiles(_, _)),
@@ -1569,6 +1570,15 @@ object SparkEntry {
         |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
         |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // full-sync MERGE: after the statement the table IS the source
+    "q_sql_merge_source" ->
+      """WITH src AS (
+        |  SELECT doc_id, upper(text) AS text, 'sync' AS source
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000 AS doc_id, text, 'sync_new' AS source
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, source, md5(text) AS digest FROM src""".stripMargin,
     "q_sql_update" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN 'updated' ELSE source END AS source,

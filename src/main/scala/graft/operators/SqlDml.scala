@@ -82,6 +82,35 @@ object SqlDml {
         |FROM graft_vt.dml_merge""".stripMargin)
   }
 
+  /** MERGE with the Spark-4 `WHEN NOT MATCHED BY SOURCE` arm — the
+    * full-sync shape: after the statement the table IS the source
+    * (matched rows updated, new rows inserted, rows absent from the
+    * source deleted), which also makes it naturally idempotent. The
+    * source is the %3=0 corpus slice with derived text, so every arm
+    * fires: ~1/3 matched-update, the +30M keys insert, the other ~2/3
+    * not-matched-by-source delete.
+    */
+  def sqlMergeSource(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_sync")
+    val base = docsBase(spark, dir)
+    base.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), lit("sync").as("source"))
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"),
+          lit("sync_new").as("source")))
+      .createOrReplaceTempView("graft_sync_source")
+    spark.sql(
+      """MERGE INTO graft_vt.dml_sync t
+        |USING graft_sync_source s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.dml_sync""".stripMargin)
+  }
+
   /** `UPDATE` through the parser — `upper` is a fixpoint, so re-running
     * converges. One scan + conditional projection + one group write.
     */
