@@ -329,7 +329,18 @@ object ScaleBench {
     "q_logreg" -> ((s, d) => graft.operators.LogReg.trainEnClassifier(s, d)),
     "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     // cell moments broadcast over the growing stream; flags filter map-side
-    "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomalies(s, d)))
+    "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomalies(s, d)),
+    // round-10 table-format verbs: the COW DML pair is the one whose
+    // cost is the REWRITE itself (one scan + one ordered write of
+    // factor× documents — the table build on first touch is part of the
+    // same data-dominated path); zonemap_scan couples a clustered COW
+    // update to a range scan whose file pruning should hold the READ
+    // side near-constant; dsir is two bucket-count passes + a broadcast
+    // scoring join riding the token stream like lm_score
+    "q_sql_update" -> ((s, d) => graft.operators.SqlDml.sqlUpdate(s, d)),
+    "q_sql_merge" -> ((s, d) => graft.operators.SqlDml.sqlMerge(s, d)),
+    "q_zonemap_scan" -> ((s, d) => graft.operators.SqlDml.sqlZonedTable(s, d)),
+    "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
