@@ -72,6 +72,10 @@ object SparkEntry {
     "q_sql_text" -> (Relational.sqlShippingPriority(_, _)),
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
     "q_sql_multijoin" -> (Relational.sqlMarketShare(_, _)),
+    "q_sql_pipe" -> (Relational.sqlPipeSyntax(_, _)),
+    "q_sql_variables" -> (Relational.sqlVariables(_, _)),
+    "q_sql_params" -> (Relational.sqlNamedParams(_, _)),
+    "q_sql_script" -> (Relational.sqlScripting(_, _)),
     "q_cbo_multijoin" -> (Cbo.cboMarketShare(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
@@ -273,6 +277,7 @@ object SparkEntry {
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_stream_vt_sink" -> (Streaming.vtSinkLatestEvents(_, _)),
     "q_stream_vt_source" -> (Streaming.vtSourceStream(_, _)),
+    "q_stream_state_reader" -> (Streaming.stateStoreReader(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // --- data-contract / observability tier ------------------------------
@@ -651,6 +656,41 @@ object SparkEntry {
          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    // pipe-syntax Q1: the |> stages desugar to the identical plan
+    "q_sql_pipe" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST($discPriceSql AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session variable graft_prio is SET to '2-HIGH' before the query
+    "q_sql_variables" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '2-HIGH'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // named parameters bind qmin=25, dmax=0.05 as typed literals
+    "q_sql_params" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 25 AND l_discount <= 0.05
+        |GROUP BY l_returnflag""".stripMargin,
+    // the scripting loop "double thr until < 100 orders clear it",
+    // re-derived set-wise: doublings = least k with count(> 1000*2^k) < 100
+    "q_sql_script" ->
+      """WITH ks AS (SELECT unnest(range(0, 41)) AS k),
+        |counts AS (
+        |  SELECT ks.k, COUNT(o.o_orderkey) AS n
+        |  FROM ks LEFT JOIN orders o
+        |    ON CAST(o.o_totalprice AS DOUBLE) > 1000.0 * power(2.0, ks.k)
+        |  GROUP BY ks.k),
+        |d AS (SELECT MIN(k) AS doublings FROM counts WHERE n < 100)
+        |SELECT CAST(d.doublings AS INTEGER) AS doublings,
+        |  1000.0 * power(2.0, d.doublings) AS final_threshold,
+        |  (SELECT n FROM counts WHERE k = d.doublings) AS orders_above
+        |FROM d""".stripMargin,
     // six-table parser-path join (TPC-H Q8 market-share shape); share
     // arithmetic mirrored (exact decimal sums, one double division)
     "q_sql_multijoin" ->
@@ -2711,6 +2751,12 @@ object SparkEntry {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // the state store read back as a table must equal the batch
+    // aggregate over everything the stream consumed
+    "q_stream_state_reader" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // custom DSv2 streaming source: one micro-batch per commit over the
     // append-only chain; the aggregated stream == the final snapshot
     "q_stream_vt_source" ->

@@ -1166,6 +1166,92 @@ object Relational {
         |FROM graft_events GROUP BY user_id""".stripMargin)
   }
 
+  /** SQL PIPE syntax (Spark 4, SQL:2023-style `|>` operators) — TPC-H
+    * Q1's shape written as a linear pipeline: FROM |> WHERE |> EXTEND
+    * |> AGGREGATE ... GROUP BY |> ORDER BY. The parser desugars each
+    * stage onto the same Catalyst operators as the nested spelling, so
+    * the PLAN (and therefore the 100 TB behavior) is identical — the
+    * surface is what changes: transformation order reads top-to-bottom,
+    * the way the DataFrame API and every ETL author already think.
+    */
+  def sqlPipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """FROM graft_lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        ||> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc_price
+        ||> AGGREGATE COUNT(*) AS n,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |     CAST(SUM(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** SQL session VARIABLES (Spark 4 `DECLARE` / `SET VAR`): the
+    * parameterization idiom for SQL-text pipelines — a threshold set
+    * once, referenced by later statements, folded as a literal at plan
+    * time (so pushdown still reaches the scan). Re-DECLARE is
+    * idempotent (`OR REPLACE`), keeping bench reps convergent.
+    */
+  def sqlVariables(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_prio STRING DEFAULT '1-URGENT'")
+    spark.sql("SET VAR graft_prio = '2-HIGH'")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM graft_orders
+        |WHERE o_orderpriority = graft_prio
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Parameterized SQL (`spark.sql(text, args)` with named `:param`
+    * markers, Spark 3.4+/4): the injection-safe API face — parameters
+    * bind as typed literals in the analyzer, never string-spliced, and
+    * constant-fold into the scan filters like any literal.
+    */
+  def sqlNamedParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM graft_lineitem
+        |WHERE l_quantity >= :qmin AND l_discount <= :dmax
+        |GROUP BY l_returnflag""".stripMargin,
+      Map("qmin" -> 25, "dmax" -> 0.05))
+  }
+
+  /** SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements:
+    * variables, WHILE, conditional control flow) — the procedural tier
+    * stored-procedure authors expect, here computing an iterative
+    * doubling sweep: how many times must a revenue threshold double
+    * before fewer than 100 orders clear it? Each loop iteration is one
+    * ordinary distributed COUNT (driver-side control flow, cluster-side
+    * data flow — the same split as the engine's iterative verbs), and
+    * the script's final SELECT is the statement's result.
+    */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 1000.0;
+        |  DECLARE doublings INT DEFAULT 0;
+        |  DECLARE n_above BIGINT DEFAULT 0;
+        |  SET n_above = (SELECT COUNT(*) FROM graft_orders
+        |                 WHERE CAST(o_totalprice AS DOUBLE) > thr);
+        |  WHILE n_above >= 100 DO
+        |    SET thr = thr * 2;
+        |    SET doublings = doublings + 1;
+        |    SET n_above = (SELECT COUNT(*) FROM graft_orders
+        |                   WHERE CAST(o_totalprice AS DOUBLE) > thr);
+        |  END WHILE;
+        |  SELECT doublings, CAST(thr AS DOUBLE) AS final_threshold,
+        |         n_above AS orders_above;
+        |END""".stripMargin)
+  }
+
   /** ANSI-mode safe-error family (`try_cast` / `try_divide` /
     * `try_add` / `try_element_at`): Spark 4 runs ANSI by default, so
     * invalid casts and overflows are ERRORS — these are the sanctioned

@@ -1121,6 +1121,49 @@ object Streaming {
       "SELECT user_id, last_event_id, last_value FROM graft_vt.stream_latest")
   }
 
+  /** STATE STORE as a TABLE (Spark 4's `statestore` batch source) — the
+    * ops/debugging face of stateful streaming: after a stateful query
+    * runs, its checkpoint's state store reads back as an ordinary
+    * DataFrame (`key` / `value` structs per operator), so "what is this
+    * stream remembering?" is a SQL question, not a log dive. Here a
+    * windowless running (event_type) count/total runs to completion
+    * in UPDATE mode and the final state rows — read from the CHECKPOINT,
+    * not the sink — must equal the batch aggregate over the same events,
+    * which is precisely the "state = aggregate of everything consumed"
+    * invariant an operator debugs against. At 100 TB the read scales
+    * like any other source: one task per state-store partition.
+    */
+  def stateStoreReader(spark: SparkSession, dir: String): DataFrame = {
+    val session = replaySession(spark)
+    val name = "graft_stream_state_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(checkpointRoot, name)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckpt)
+    }
+    val agg = eventsStream(session, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .format("noop")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // state rows carry the AGGREGATION BUFFER, not the output projection:
+    // (count, sum, isEmpty) for count+decimal-sum — reading state means
+    // reading the operator's internal representation, which is the point
+    spark.read.format("statestore")
+      .load(ckpt.getAbsolutePath)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").cast("double").as("total_value"))
+  }
+
   /** STREAM a versioned table's commits — the consumer side of the
     * table-format streaming story (the sink above is the producer): an
     * append-only chain of three commits is read through the custom
