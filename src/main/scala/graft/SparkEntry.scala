@@ -247,6 +247,9 @@ object SparkEntry {
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
     "q_sql_delete_files" -> (SqlDml.sqlDeleteFiles(_, _)),
+    "q_sql_delete_mor" -> (SqlDml.sqlDeleteMor(_, _)),
+    "q_sql_update_mor" -> (SqlDml.sqlUpdateMor(_, _)),
+    "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
     "q_zonemap_scan" -> (SqlDml.sqlZonedTable(_, _)),
@@ -1628,6 +1631,26 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // merge-on-read twins of the COW verbs: identical statements and
+    // logical results, delta+tombstone physical contract
+    "q_sql_delete_mor" ->
+      """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    "q_sql_update_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'updated' ELSE source END AS source,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS digest
+        |FROM documents""".stripMargin,
+    "q_sql_merge_mor" ->
+      """WITH upd AS (SELECT doc_id, upper(text) || ' M' AS text, 'recrawl' AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |kept AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
     // metadata-only DELETE: the >= 100 file is dropped from the manifest
     // without any data IO — result is exactly the surviving range
     "q_sql_delete_files" ->

@@ -167,6 +167,89 @@ object SqlDml {
         |FROM graft_vt.dml_insert""".stripMargin)
   }
 
+  /** Idempotently materialize `documents` as a MERGE-ON-READ table
+    * (key = doc_id) and register it for the given dir.
+    */
+  private def ensureMorTable(spark: SparkSession, dir: String, name: String): Unit = {
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      graft.sources.VtMor.createVersion1(spark, r, base)
+      r
+    })
+    // the row-id column must be declared NOT NULL (Spark rejects
+    // nullable row ids for delta operations) — doc_id is the corpus key
+    val schema = org.apache.spark.sql.types.StructType(base.schema.fields.map(f =>
+      if (f.name == "doc_id") f.copy(nullable = false) else f))
+    GraftVtCatalog.registerMor(spark, name, root, schema, keyCol = "doc_id")
+  }
+
+  /** MERGE-ON-READ `DELETE` — same statement and oracle as the
+    * copy-on-write [[sqlDelete]], opposite physical contract: the write
+    * is |matched keys| TOMBSTONES in the version sidecar, no data file
+    * is read-modified or written (MorSpec pins that), and the read
+    * merges them out. One verb, two write-amplification regimes — the
+    * dial a 100 TB deployment turns per table.
+    */
+  def sqlDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureMorTable(spark, dir, "mor_delete")
+    spark.sql(
+      """DELETE FROM graft_vt.mor_delete
+        |WHERE doc_id % 3 = 0 AND length(text) > 50""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+        |FROM graft_vt.mor_delete""".stripMargin)
+  }
+
+  /** MERGE-ON-READ `UPDATE` (delete+insert deltas): writes only the
+    * touched rows' replacements plus their tombstones — cost ∝ updated
+    * rows, not table size.
+    */
+  def sqlUpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureMorTable(spark, dir, "mor_update")
+    spark.sql(
+      """UPDATE graft_vt.mor_update
+        |SET text = upper(text), source = 'updated'
+        |WHERE doc_id % 5 = 0""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.mor_update""".stripMargin)
+  }
+
+  /** MERGE-ON-READ `MERGE` — all three WHEN arms as a delta stream
+    * (same statement + oracle as [[sqlMerge]]); update arms become
+    * tombstone+insert pairs, the delete arm pure tombstones, inserts
+    * plain rows. The final SELECT then COMPACTS the table
+    * ([[graft.sources.VtMor.compact]]) and reads the clean version, so
+    * the query also pins that compaction preserves the logical rows
+    * exactly while resetting read amplification.
+    */
+  def sqlMergeMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureMorTable(spark, dir, "mor_merge")
+    val base = docsBase(spark, dir)
+    base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
+        lit("recrawl").as("source"), lit("upsert").as("op"))
+      .unionByName(base.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"), lit("delete").as("op")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit("inserted").as("source"), lit("upsert").as("op")))
+      .createOrReplaceTempView("graft_mor_merge_updates")
+    spark.sql(
+      """MERGE INTO graft_vt.mor_merge t
+        |USING graft_mor_merge_updates s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+        |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+        |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+    graft.sources.VtMor.compact(spark, "mor_merge"): Unit
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.mor_merge""".stripMargin)
+  }
+
   /** METADATA-ONLY DELETE through the parser: the table is clustered
     * into two provably-disjoint key-range files, so
     * `DELETE WHERE doc_id >= 100` resolves entirely from zone maps —

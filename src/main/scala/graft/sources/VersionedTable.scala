@@ -143,13 +143,18 @@ object VersionedTable {
       .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)
       .filterNot(keep)
       .foreach(v => new java.io.File(s"$root/_manifest_v$v.txt").delete(): Unit)
-    // a dropped version's zone-map sidecars go with its manifest
+    // a dropped version's sidecars (zone maps, MOR metadata) go with
+    // its manifest
     Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("_zonemap_v"))
-      .filter { n =>
-        n.stripPrefix("_zonemap_v").takeWhile(_.isDigit).toIntOption.exists(!keep(_))
+      .flatMap { n =>
+        Seq("_zonemap_v", "_mor_v").collectFirst {
+          case p if n.startsWith(p) => (n, n.stripPrefix(p))
+        }
       }
-      .foreach(n => new java.io.File(s"$root/$n").delete(): Unit)
+      .filter { case (_, rest) =>
+        rest.takeWhile(_.isDigit).toIntOption.exists(!keep(_))
+      }
+      .foreach { case (n, _) => new java.io.File(s"$root/$n").delete(): Unit }
     doomed
   }
 

@@ -247,6 +247,21 @@ object GraftVtCatalog {
     */
   private[sources] val clusterCols = TrieMap.empty[String, String]
 
+  /** table name -> long KEY column for MERGE-ON-READ tables: row-level
+    * ops write key tombstones + delta files instead of rewriting groups,
+    * and reads merge them (see [[VtMor]]).
+    */
+  private[sources] val morKeys = TrieMap.empty[String, String]
+
+  /** Register a merge-on-read table (root must hold a `_mor_v1.json`
+    * built by [[VtMor.createVersion1]]).
+    */
+  def registerMor(spark: SparkSession, name: String, root: String,
+      schema: StructType, keyCol: String): Unit = {
+    register(spark, name, root, schema)
+    morKeys.put(name, keyCol): Unit
+  }
+
   def register(spark: SparkSession, name: String, root: String, schema: StructType,
       clusterCol: Option[String] = None): Unit = {
     ensure(spark)
@@ -302,12 +317,19 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     * otherwise. Pruning never changes semantics — every filter stays
     * residual, the sidecar only shrinks the FILE LIST the scan binds.
     */
+  private[sources] def morKey: Option[String] =
+    GraftVtCatalog.morKeys.get(tableName)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // streaming read (one micro-batch per committed version) is opt-in
     // so the batch path keeps Spark's parquet scan — and its stats/DPP
     // integration — completely untouched
     if (options.getBoolean("graft.stream", false))
       return new VtStreamScanBuilder(root, tableSchema)
+    // merge-on-read tables merge tombstones in a custom scan
+    morKey.foreach { k =>
+      return new MorScanBuilder(root, tableSchema, k, readVersionN)
+    }
     val v = readVersionN
     (for {
       zc <- clusterCol
@@ -332,8 +354,10 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new GraftVtRowLevelOperation(
-        GraftVtTable.this, info.command())
+      override def build(): RowLevelOperation = morKey match {
+        case Some(k) => new MorRowLevelOperation(GraftVtTable.this, info.command(), k)
+        case None => new GraftVtRowLevelOperation(GraftVtTable.this, info.command())
+      }
     }
 
   /** METADATA-ONLY DELETE — the fast path Spark's
@@ -439,38 +463,8 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     Array.empty
   override def pruneColumns(s: StructType): Unit = required = s
 
-  /** Minimal catalyst→v1 translation of exactly the shapes zone maps can
-    * use (comparisons/IN on a column vs literals, AND/OR). Anything else
-    * maps to None and simply doesn't prune — Spark's own translator is
-    * `protected[sql]`, and conservativeness is the contract anyway.
-    */
-  private def toV1(e: Expression): Option[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    import org.apache.spark.sql.{sources => s1}
-    e match {
-      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.EqualTo(a.name, v))
-      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.EqualTo(a.name, v))
-      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThan(a.name, v))
-      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThan(a.name, v))
-      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThanOrEqual(a.name, v))
-      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThanOrEqual(a.name, v))
-      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThan(a.name, v))
-      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThan(a.name, v))
-      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThanOrEqual(a.name, v))
-      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThanOrEqual(a.name, v))
-      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
-        Some(s1.In(a.name, vs.map(_.asInstanceOf[ce.Literal].value).toArray))
-      case ce.And(l, r) => (toV1(l), toV1(r)) match {
-        case (Some(a), Some(b)) => Some(s1.And(a, b))
-        case (one, other) => one.orElse(other) // AND may prune on either side alone
-      }
-      case ce.Or(l, r) => for (a <- toV1(l); b <- toV1(r)) yield s1.Or(a, b)
-      case _ => None
-    }
-  }
-
   override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val v1 = pushed.flatMap(toV1)
+    val v1 = pushed.flatMap(ZoneMap.toV1Filter)
     val all = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
     val kept = ZoneMap.prune(stats, zcol, v1, all)
     ZoneMapScanBuilder.lastPrune = (all.size, kept.size)

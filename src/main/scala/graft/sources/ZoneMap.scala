@@ -100,6 +100,37 @@ object ZoneMap {
       }
     }
 
+  /** Minimal catalyst→v1 translation of exactly the shapes the
+    * zone-map / tombstone readers can use (comparisons/IN on a column
+    * vs literals, AND/OR). Anything else maps to None and simply
+    * doesn't prune — Spark's own translator is `protected[sql]`, and
+    * conservativeness is the contract anyway.
+    */
+  def toV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => s1}
+    e match {
+      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.EqualTo(a.name, v))
+      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.EqualTo(a.name, v))
+      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThan(a.name, v))
+      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThan(a.name, v))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.GreaterThanOrEqual(a.name, v))
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.LessThanOrEqual(a.name, v))
+      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThan(a.name, v))
+      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThan(a.name, v))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(s1.LessThanOrEqual(a.name, v))
+      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(s1.GreaterThanOrEqual(a.name, v))
+      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(s1.In(a.name, vs.map(_.asInstanceOf[ce.Literal].value).toArray))
+      case ce.And(l, r) => (toV1Filter(l), toV1Filter(r)) match {
+        case (Some(a), Some(b)) => Some(s1.And(a, b))
+        case (one, other) => one.orElse(other) // AND may prune on either side alone
+      }
+      case ce.Or(l, r) => for (a <- toV1Filter(l); b <- toV1Filter(r)) yield s1.Or(a, b)
+      case _ => None
+    }
+  }
+
   /** Does EVERY value in [lo, hi] satisfy `filter`? The dual of
     * [[mayMatch]], conservative the other way: unknown shapes and other
     * columns answer false. `mustMatch` true ⇒ a DELETE with this
