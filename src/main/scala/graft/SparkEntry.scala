@@ -250,6 +250,7 @@ object SparkEntry {
     "q_sql_delete_mor" -> (SqlDml.sqlDeleteMor(_, _)),
     "q_sql_update_mor" -> (SqlDml.sqlUpdateMor(_, _)),
     "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
+    "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
     "q_zonemap_scan" -> (SqlDml.sqlZonedTable(_, _)),
@@ -1631,6 +1632,10 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // metadata-only ADD COLUMNS then a backfilling UPDATE
+    "q_sql_alter_evolve" ->
+      """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
+        |FROM documents""".stripMargin,
     // merge-on-read twins of the COW verbs: identical statements and
     // logical results, delta+tombstone physical contract
     "q_sql_delete_mor" ->

@@ -279,6 +279,24 @@ object SqlDml {
          |FROM graft_vt.$name""".stripMargin)
   }
 
+  /** SCHEMA EVOLUTION through the parser: `ALTER TABLE … ADD COLUMNS`
+    * is metadata-only (no file rewritten; pre-evolution files read the
+    * new column as NULL), and the follow-up UPDATE populates it through
+    * the ordinary COW write. The SELECT pins both the evolved schema
+    * and the backfilled values.
+    */
+  def sqlAlterEvolve(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_evolve")
+    // ensureDocsTable re-registers the 3-column base schema, so the
+    // column add re-applies idempotently per invocation
+    if (!spark.table("graft_vt.dml_evolve").schema.fieldNames.contains("n_chars"))
+      spark.sql("ALTER TABLE graft_vt.dml_evolve ADD COLUMNS (n_chars INT)")
+    spark.sql(
+      "UPDATE graft_vt.dml_evolve SET n_chars = CAST(length(text) AS INT)")
+    spark.sql(
+      "SELECT doc_id, source, n_chars FROM graft_vt.dml_evolve")
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

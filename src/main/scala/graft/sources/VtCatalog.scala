@@ -114,8 +114,31 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       "graft_vt tables are registered via GraftVtCatalog.register")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution: `ADD COLUMNS` updates the registered schema —
+    * files written before the change simply lack the column and read as
+    * NULL (the parquet reader null-fills requested-but-absent columns),
+    * files written after carry it. No data is rewritten; this is the
+    * same metadata-only evolution contract every production format
+    * ships. Other change kinds are rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (root, schema) = GraftVtCatalog.registry.get(ident.name()) match {
+      case Some(rs) => rs
+      case None => throw new NoSuchTableException(ident)
+    }
+    val newSchema = changes.foldLeft(schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested column additions not supported")
+        StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+          add.fieldNames().head, add.dataType(), add.isNullable))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"unsupported table change: $other (only ADD COLUMNS)")
+    }
+    GraftVtCatalog.registry.put(ident.name(), (root, newSchema)): Unit
+    new GraftVtTable(ident.name(), root, newSchema, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftVtCatalog.registry.remove(ident.name()).isDefined
