@@ -242,6 +242,7 @@ object SparkEntry {
     "q_time_travel" -> (graft.sources.VersionedTable.timeTravelSummary(_, _)),
     "q_cdc_feed" -> (graft.sources.VersionedTable.changeFeed(_, _)),
     "q_vacuum" -> (graft.sources.VersionedTable.vacuumSummary(_, _)),
+    "q_wap" -> (graft.sources.VersionedTable.wapSummary(_, _)),
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
     "q_sql_merge_source" -> (SqlDml.sqlMergeSource(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
@@ -1632,6 +1633,17 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND LENGTH(text) > 50)""".stripMargin,
+    // write-audit-publish: the published v2 = re-crawled hot slice +
+    // reused cold group, audit saw zero violations
+    "q_wap" ->
+      """WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(0 AS BIGINT) AS audit_violations
+        |FROM v2 GROUP BY 1""".stripMargin,
     // metadata-only ADD COLUMNS then a backfilling UPDATE
     "q_sql_alter_evolve" ->
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars

@@ -185,6 +185,108 @@ object VersionedTable {
     })
   }
 
+  /** WRITE-AUDIT-PUBLISH: stage a version's manifest under a name
+    * readers never resolve (`_staged_vN.txt`), audit the staged data
+    * through an ordinary read, then PUBLISH by atomically moving the
+    * staged manifest into place — the quality-gate commit pattern
+    * (Iceberg's WAP): bad data never becomes a readable version, and
+    * the publish inherits the same one-writer-wins conflict semantics
+    * as every other commit (the move fails if the version exists).
+    */
+  def stage(root: String, version: Int, groups: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_staged_v$version.txt"),
+      groups.mkString("\n")): Unit
+
+  def readStaged(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val entries = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_staged_v$version.txt"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    spark.read.parquet(entries.map(g => s"$root/$g"): _*)
+  }
+
+  def publish(root: String, version: Int): Unit =
+    try
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/_staged_v$version.txt"),
+        java.nio.file.Paths.get(s"$root/_manifest_v$version.txt")): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"publish conflict: version $version of $root already exists")
+    }
+
+  /** Abandon a staged version: the staged manifest and any group ONLY
+    * it references are deleted; groups shared with published versions
+    * survive (the cold-reuse contract).
+    */
+  def discardStaged(root: String, version: Int): Unit = {
+    val p = java.nio.file.Paths.get(s"$root/_staged_v$version.txt")
+    val staged = java.nio.file.Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+    val published = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)
+      .flatMap(v => manifest(root, v)).map(_.split("/").take(2).mkString("/")).toSet
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    staged.map(_.split("/").take(2).mkString("/")).distinct
+      .filterNot(published)
+      .foreach(g => del(new java.io.File(s"$root/$g")))
+    java.nio.file.Files.delete(p)
+  }
+
+  /** The WAP flow end-to-end, oracle-checkable: v1 = the corpus; a
+    * re-crawl refresh (hot %7 slice re-fetched, cold group REUSED by
+    * reference) is STAGED as v2, audited through a read of the staged
+    * manifest (the quality gate: no empty text, no null source — 0
+    * violations on this corpus by construction), and only then
+    * PUBLISHED. Readers meanwhile resolve v1 — a staged manifest is
+    * invisible to [[latestVersion]] by name. Output pins the published
+    * v2 content plus the audit count the gate saw.
+    */
+  def wapSummary(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val root = builtRoots.getOrElseUpdate(s"$dir#wap", {
+      val r = freshRoot(s"$dir#wap")
+      val base = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      base.filter(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$r/files/cold_v1")
+      base.filter(col("doc_id") % 7 === 0)
+        .write.mode("overwrite").parquet(s"$r/files/hot_v1")
+      writeManifest(r, 1, Seq("files/cold_v1", "files/hot_v1"))
+      r
+    })
+    val audited =
+      if (latestVersionOf(root) >= 2) 0L
+      else {
+        val base = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            lit("recrawl").as("source"))
+          .write.mode("overwrite").parquet(s"$root/files/hot_v2")
+        stage(root, 2, Seq("files/cold_v1", "files/hot_v2"))
+        val staged = readStaged(spark, root, 2)
+        val violations = staged.filter(
+          length(col("text")) === 0 || col("source").isNull).count()
+        require(violations == 0, s"audit failed: $violations bad rows — not publishing")
+        publish(root, 2)
+        violations
+      }
+    readVersion(spark, root, 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .withColumn("audit_violations", lit(audited))
+  }
+
+  private def latestVersionOf(root: String): Int =
+    Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+      .collect { case n if n.startsWith("_manifest_v") && n.endsWith(".txt") =>
+        n.stripPrefix("_manifest_v").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+
   /** Oracle-checkable post-vacuum read: per (version, source) counts and
     * characters for the two RETAINED versions, read through their
     * manifests after the unreferenced groups were deleted — pins that
