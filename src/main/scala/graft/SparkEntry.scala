@@ -258,6 +258,7 @@ object SparkEntry {
     "q_sql_optimize" -> (SqlDml.sqlOptimize(_, _)),
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_sql_time_travel_ts" -> (SqlDml.sqlTimeTravelTs(_, _)),
+    "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1716,6 +1717,17 @@ object SparkEntry {
     // SQL time travel == the Scala-API q_time_travel oracle: both
     // snapshots recomputed logically, the engine reads VERSION AS OF
     "q_sql_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source,
+        |    2 AS version FROM documents),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    // tags resolve to the same two snapshots as the numeric spelling
+    "q_sql_tags" ->
       """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
         |v2 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,

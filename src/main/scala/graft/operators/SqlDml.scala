@@ -425,6 +425,28 @@ object SqlDml {
         |GROUP BY version, source""".stripMargin)
   }
 
+  /** Named TAGS through the parser — `VERSION AS OF 'tag'`: the
+    * audit/release-marker pattern ("the exact corpus the model trained
+    * on", resolvable by name forever). Tags are one-line driver files;
+    * the query pins both tagged snapshots' full content.
+    */
+  def sqlTags(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    graft.sources.GraftVtTable.tag(root, "pretrain-v1", 1)
+    graft.sources.GraftVtTable.tag(root, "release", 2)
+    spark.sql(
+      """SELECT version, source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT 1 AS version, source, text
+        |  FROM graft_vt.vt_documents VERSION AS OF 'pretrain-v1'
+        |  UNION ALL
+        |  SELECT 2 AS version, source, text
+        |  FROM graft_vt.vt_documents VERSION AS OF 'release')
+        |GROUP BY version, source""".stripMargin)
+  }
+
   /** `TIMESTAMP AS OF` through the parser — the wall-clock spelling of
     * time travel: each commit instant IS its manifest's mtime, and the
     * catalog binds the largest version committed at or before the

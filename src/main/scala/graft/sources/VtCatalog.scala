@@ -81,9 +81,21 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = lookup(ident, None)
 
-  /** `VERSION AS OF n` lands here (string form of the version). */
+  /** `VERSION AS OF n` (numeric) or `VERSION AS OF 'tag'` — a TAG is a
+    * named pointer to a version (`_ref_<tag>.txt` in the table root),
+    * the audit/release marker pattern: pin "the corpus the model was
+    * trained on" by name, keep resolving it as versions advance.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    lookup(ident, Some(version.toInt))
+    version.toIntOption match {
+      case Some(v) => lookup(ident, Some(v))
+      case None =>
+        val root = GraftVtCatalog.registry.get(ident.name()) match {
+          case Some((r, _)) => r
+          case None => throw new NoSuchTableException(ident)
+        }
+        lookup(ident, Some(GraftVtTable.resolveTag(root, version)))
+    }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): bind the LARGEST version
     * whose manifest was committed at or before `t` — manifest mtime IS
@@ -437,6 +449,23 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
 }
 
 object GraftVtTable {
+  /** Create/overwrite a named tag pointing at `version`. Tags are
+    * driver-side one-line files; vacuum ignores them deliberately — a
+    * tag PINS its version against retention policies that would
+    * otherwise drop it (callers pass tagged versions into the keep-set).
+    */
+  def tag(root: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_-]*"), s"invalid tag name: $name")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_ref_$name.txt"), version.toString): Unit
+  }
+
+  def resolveTag(root: String, name: String): Int = {
+    val p = java.nio.file.Paths.get(s"$root/_ref_$name.txt")
+    require(java.nio.file.Files.exists(p), s"no such tag: $name under $root")
+    java.nio.file.Files.readString(p).trim.toInt
+  }
+
   /** (version, manifest mtime in micros) for every retained version. */
   def versionCommitMicros(root: String): Seq[(Int, Long)] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
