@@ -161,6 +161,7 @@ object SparkEntry {
     "q_token_chunks_gen" -> ((s, d) => TextAnalysis.tokenChunksGen(s, d)),
     "q_pack_offsets" -> ((s, d) => TextAnalysis.packedOffsets(s, d)),
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
+    "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     // rows-only by design: Bloom membership bits aren't SQL-expressible;
@@ -1645,6 +1646,19 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  CAST(0 AS BIGINT) AS audit_violations
         |FROM v2 GROUP BY 1""".stripMargin,
+    // k-anonymity ladder: level 1 = fine bucket >= k, level 2 = failing
+    // rows re-form classes at the coarse bucket, level 0 = suppress
+    "q_k_anonymity" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars,
+        |    n_chars // 100 * 100 AS b_fine, n_chars // 500 * 500 AS b_coarse
+        |  FROM documents),
+        |f AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, source, b_fine) AS n_fine FROM d),
+        |c AS (SELECT *, COUNT(CASE WHEN n_fine < 5 THEN 1 END)
+        |    OVER (PARTITION BY lang, source, b_coarse) AS n_coarse FROM f)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN n_fine >= 5 THEN 1 WHEN n_coarse >= 5 THEN 2 ELSE 0 END AS level,
+        |  CAST(CASE WHEN n_fine >= 5 THEN n_fine ELSE n_coarse END AS BIGINT) AS set_size
+        |FROM c""".stripMargin,
     // metadata-only ADD COLUMNS then a backfilling UPDATE
     "q_sql_alter_evolve" ->
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars

@@ -89,6 +89,38 @@ object Quality {
     * column and exact counts), so the row hash-matches a DuckDB oracle
     * computing the same aggregates directly.
     */
+  /** K-ANONYMITY screening with a generalization ladder — the
+    * release-governance gate for corpus metadata: every document's
+    * quasi-identifier tuple (lang, source, length bucket) must be
+    * shared by ≥ k documents before metadata can ship with the text.
+    * Rows failing at the fine bucket (100 chars) GENERALIZE to the
+    * coarse one (500) and re-form equivalence classes among themselves
+    * (the standard ladder: a generalized row's anonymity set is the
+    * other rows generalized with it); rows still under k are marked
+    * for suppression. Two window counts over the same partitioning
+    * family — no self-joins, no collect; at 100 TB this is two
+    * shuffles keyed on low-cardinality quasi-identifier tuples, with
+    * skew handled by the same salting toolkit as any hot-key aggregate.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("b_fine", expr("n_chars DIV 100 * 100"))
+      .withColumn("b_coarse", expr("n_chars DIV 500 * 500"))
+    val fine = docs.withColumn("n_fine",
+      count(lit(1)).over(Window.partitionBy(col("lang"), col("source"), col("b_fine"))))
+    val coarse = fine.withColumn("n_coarse",
+      count(when(col("n_fine") < k, 1)).over(
+        Window.partitionBy(col("lang"), col("source"), col("b_coarse"))))
+    coarse.select(col("doc_id"), col("lang"), col("source"),
+      when(col("n_fine") >= k, lit(1))
+        .when(col("n_coarse") >= k, lit(2))
+        .otherwise(lit(0)).as("level"),
+      when(col("n_fine") >= k, col("n_fine"))
+        .otherwise(col("n_coarse")).cast("long").as("set_size"))
+  }
+
   def observedPipeline(spark: SparkSession, dir: String): DataFrame = {
     val obs = Observation()
     Tables(spark, dir, "lineitem")
