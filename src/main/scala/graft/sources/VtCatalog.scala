@@ -234,7 +234,23 @@ object GraftVtProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = SparkSession.active
-          val root = rootOf(input.getUTF8String(0).toString)
+          val tbl = input.getUTF8String(0).toString
+          val root = rootOf(tbl)
+          // merge-on-read tables compact through the tombstone-aware
+          // path (reading raw files here would resurrect deleted rows)
+          if (GraftVtCatalog.morKeys.contains(tbl)) {
+            val before = VersionedTable
+              .manifest(root, GraftVtTable.latestVersion(root))
+              .flatMap(ZoneMap.leafFiles(root, _)).size
+            val newV = VtMor.compact(spark, tbl)
+            val after = VersionedTable.manifest(root, newV)
+              .flatMap(ZoneMap.leafFiles(root, _)).size
+            return resultScan(
+              StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+                StructField("files_after", IntegerType, nullable = false),
+                StructField("new_version", IntegerType, nullable = false))),
+              Array[Any](before, after, newV))
+          }
           val latest = GraftVtTable.latestVersion(root)
           val entries = VersionedTable.manifest(root, latest)
           def leafFiles(rel: String): Seq[java.io.File] = {
@@ -378,7 +394,14 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     * Both are one distributed write + a one-line driver commit — the
     * append never rewrites existing data, so cost ∝ inserted rows.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the plain COW append doesn't maintain MOR sequence metadata — an
+    // appended file would default to an ancient sequence and old
+    // tombstones could swallow its rows. Refuse loudly; MOR tables
+    // mutate through MERGE (insert arm) until the append path learns
+    // to stamp sequences.
+    require(morKey.isEmpty,
+      s"INSERT INTO merge-on-read table $tableName is not supported; use MERGE")
     new WriteBuilder with SupportsTruncate {
       private var base: () => Seq[String] =
         () => VersionedTable.manifest(root, currentVersion)
@@ -386,6 +409,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
         info.schema(), base(), clusterCol, s"graft_vt INSERT")
     }
+  }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {

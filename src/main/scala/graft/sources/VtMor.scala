@@ -301,7 +301,10 @@ class MorScanBuilder(root: String, tableSchema: StructType, keyCol: String,
           files.map { rel =>
             val f = new java.io.File(s"$root/$rel")
             MorFilePartition(f.getAbsolutePath, f.length(),
-              meta.files.getOrElse(rel, 1)): InputPartition
+              // a file absent from the meta (shouldn't happen through the
+              // supported write paths) reads as NEWEST — conservative:
+              // no tombstone can suppress rows we can't date
+              meta.files.getOrElse(rel, Int.MaxValue)): InputPartition
           }.toArray
         override def createReaderFactory(): PartitionReaderFactory =
           MorReaderFactory(readFunc, meta.tombMap, keyOrd,
