@@ -1232,9 +1232,15 @@ object Relational {
     * the script's final SELECT is the statement's result.
     */
   def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
-    spark.sql(
+    // scope the scripting conf to a child session — the global session
+    // must not silently start accepting BEGIN...END (the Cbo.cboSession
+    // precedent); temp views are session-local, so re-create there
+    val s = spark.newSession()
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
       """BEGIN
         |  DECLARE thr DOUBLE DEFAULT 1000.0;
         |  DECLARE doublings INT DEFAULT 0;

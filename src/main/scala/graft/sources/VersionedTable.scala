@@ -44,6 +44,25 @@ object VersionedTable {
     dirF.getAbsolutePath
   }
 
+  /** One-winner commit of a version that may be racing other writers:
+    * CREATE_NEW, conflict = ConcurrentModificationException (the same
+    * protocol as the DSv2 write paths). Maintenance verbs use this;
+    * [[writeManifest]] stays for fixture construction where the target
+    * version is provably fresh.
+    */
+  private[graft] def commitManifest(root: String, version: Int, groups: Seq[String]): Unit =
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_manifest_v$version.txt"),
+        groups.mkString("\n"),
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: version $version of $root was committed by " +
+            "a concurrent writer; re-run the maintenance verb")
+    }
+
   private[graft] def writeManifest(root: String, version: Int, groups: Seq[String]): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_manifest_v$version.txt"),
@@ -129,7 +148,24 @@ object VersionedTable {
     */
   def vacuum(root: String, keepVersions: Seq[Int]): Seq[String] = {
     def groupOf(entry: String): String = entry.split("/").take(2).mkString("/")
-    val referenced = keepVersions.flatMap(v => manifest(root, v)).map(groupOf).toSet
+    val rootFiles = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+    // TAGS pin their versions against any retention policy, and STAGED
+    // manifests pin their groups (an in-flight write-audit-publish must
+    // not have its data collected before the publish decision)
+    val tagged = rootFiles
+      .collect { case n if n.startsWith("_ref_") && n.endsWith(".txt") =>
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$root/$n")).trim.toInt }
+    val keepVs = (keepVersions ++ tagged).distinct
+      .filter(v => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_manifest_v$v.txt")))
+    val stagedEntries = rootFiles
+      .collect { case n if n.startsWith("_staged_v") && n.endsWith(".txt") =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/$n"))
+          .split("\n").toSeq.filter(_.nonEmpty) }
+      .flatten
+    val referenced = (keepVs.flatMap(v => manifest(root, v)) ++ stagedEntries)
+      .map(groupOf).toSet
     val onDisk = Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String])
       .map(n => s"files/$n").toSeq.sorted
     val doomed = onDisk.filterNot(referenced)
@@ -137,7 +173,7 @@ object VersionedTable {
       Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
     }
     doomed.foreach(g => del(new java.io.File(s"$root/$g")))
-    val keep = keepVersions.toSet
+    val keep = keepVs.toSet
     Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("_manifest_v") && n.endsWith(".txt"))
       .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)

@@ -110,8 +110,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     val vs = GraftVtTable.versionCommitMicros(root)
     val eligible = vs.collect { case (v, us) if us <= timestamp => v }
     require(eligible.nonEmpty,
-      s"no version of ${ident.name()} existed at timestamp $timestamp " +
-        s"(earliest commit: ${vs.map(_._2).min})")
+      s"no version of ${ident.name()} existed at timestamp $timestamp" +
+        vs.map(_._2).minOption.fold("")(m => s" (earliest commit: $m)"))
     lookup(ident, Some(eligible.max))
   }
 
@@ -253,13 +253,8 @@ object GraftVtProcedures {
           }
           val latest = GraftVtTable.latestVersion(root)
           val entries = VersionedTable.manifest(root, latest)
-          def leafFiles(rel: String): Seq[java.io.File] = {
-            val f = new java.io.File(s"$root/$rel")
-            if (f.isDirectory)
-              f.listFiles().toSeq.filter(x => x.isFile && x.getName.endsWith(".parquet"))
-            else Seq(f)
-          }
-          val before = entries.flatMap(leafFiles)
+          val before = entries.flatMap(ZoneMap.leafFiles(root, _))
+            .map(f => new java.io.File(s"$root/$f"))
           val totalBytes = before.map(_.length).sum
           val targetFiles = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
           val newV = latest + 1
@@ -267,9 +262,15 @@ object GraftVtProcedures {
           spark.read.parquet(before.map(_.getAbsolutePath): _*)
             .coalesce(targetFiles)
             .write.mode("overwrite").parquet(s"$root/$groupRel")
-          VersionedTable.writeManifest(root, newV, Seq(groupRel))
+          // one-winner commit, then re-derive the zone-map sidecar for
+          // clustered tables — compaction must not silently disable
+          // pruning and metadata deletes for every later version
+          VersionedTable.commitManifest(root, newV, Seq(groupRel))
+          GraftVtCatalog.clusterCols.get(tbl).foreach { zc =>
+            ZoneMap.analyze(spark, root, newV, zc): Unit
+          }
           VersionedTable.vacuum(root, Seq(newV - 1, newV).filter(_ >= 1)): Unit
-          val after = leafFiles(groupRel).size
+          val after = ZoneMap.leafFiles(root, groupRel).size
           resultScan(
             StructType(Seq(StructField("files_before", IntegerType, nullable = false),
               StructField("files_after", IntegerType, nullable = false),
@@ -321,6 +322,10 @@ object GraftVtCatalog {
       case Some(c) => clusterCols.put(name, c): Unit
       case None => clusterCols.remove(name): Unit
     }
+    // a plain re-register resets ALL per-table modes — a stale MOR key
+    // would route the new root through tombstone machinery it lacks
+    // (registerMor re-adds its key after delegating here)
+    morKeys.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -437,25 +442,42 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       zc <- clusterCol
       v = currentVersion
       stats <- ZoneMap.read(root, v, zc)
+      nulls = ZoneMap.readNullCounts(root, v, zc)
       files = VersionedTable.manifest(root, v).flatMap(ZoneMap.leafFiles(root, _))
       classified = files.map { f =>
         stats.get(f) match {
-          case Some((lo, hi)) if filters.forall(ZoneMap.mustMatch(_, zc, lo, hi)) =>
+          // a whole-file DROP needs the range proof AND a proof the file
+          // holds no NULL keys — a null key never satisfies a comparison,
+          // so null rows must SURVIVE any predicate delete; unknown null
+          // counts (legacy sidecars) make the file undecidable
+          case Some((lo, hi)) if filters.forall(ZoneMap.mustMatch(_, zc, lo, hi))
+              && nulls.get(f).contains(0L) =>
             Some(None) // provably all-deleted: drop
           case Some((lo, hi)) if filters.exists(!ZoneMap.mayMatch(_, zc, lo, hi)) =>
             Some(Some(f)) // provably untouched: keep
-          case _ => None // split or un-stats'd: undecidable
+          case _ => None // split, un-stats'd, or null-bearing: undecidable
         }
       }
       kept <- if (classified.forall(_.isDefined)) Some(classified.flatMap(_.get))
               else None
     } yield kept
 
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    planMetadataDelete(filters).isDefined
+  /** canDeleteWhere's plan, reused by the deleteWhere that follows it —
+    * one sidecar read and directory listing per statement, not two.
+    */
+  @volatile private var plannedDelete
+      : Option[(Seq[org.apache.spark.sql.sources.Filter], Option[Seq[String]])] = None
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val plan = planMetadataDelete(filters)
+    plannedDelete = Some((filters.toSeq, plan))
+    plan.isDefined
+  }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val kept = planMetadataDelete(filters).getOrElse(
+    val kept = plannedDelete.collect {
+      case (fs, plan) if fs == filters.toSeq => plan
+    }.getOrElse(planMetadataDelete(filters)).getOrElse(
       throw new IllegalStateException("deleteWhere called without canDeleteWhere"))
     val v = currentVersion
     val newV = v + 1
@@ -464,8 +486,11 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       kept.sorted.mkString("\n"),
       java.nio.file.StandardOpenOption.CREATE_NEW): Unit
     clusterCol.foreach { zc =>
+      val keptSet = kept.toSet
       ZoneMap.read(root, v, zc).foreach { stats =>
-        ZoneMap.write(root, newV, zc, stats.filter { case (f, _) => kept.contains(f) })
+        ZoneMap.write(root, newV, zc,
+          stats.filter { case (f, _) => keptSet(f) },
+          ZoneMap.readNullCounts(root, v, zc).filter { case (f, _) => keptSet(f) })
       }
     }
     VersionedTable.vacuum(root, Seq(v, newV)): Unit
@@ -682,10 +707,15 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
       val baseFiles = baseEntries.flatMap(ZoneMap.leafFiles(root, _)).toSet
       val prior = ZoneMap.read(root, newVersion - 1, zc).getOrElse(Map.empty)
         .filter { case (f, _) => baseFiles(f) }
+      val priorNulls = ZoneMap.readNullCounts(root, newVersion - 1, zc)
+        .filter { case (f, _) => baseFiles(f) }
       val fresh = kept.collect {
         case m if m.zMin <= m.zMax => m.relPath -> (m.zMin, m.zMax)
       }.toMap
-      ZoneMap.write(root, newVersion, zc, prior ++ fresh)
+      val freshNulls = kept.collect {
+        case m if m.zMin <= m.zMax => m.relPath -> m.zNulls
+      }.toMap
+      ZoneMap.write(root, newVersion, zc, prior ++ fresh, priorNulls ++ freshNulls)
     }
     // Retention: every COW DML rewrites the WHOLE table, so unreferenced
     // old groups grow linearly with statements (one full copy per bench
@@ -711,7 +741,8 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
   * either the table is unclustered or the file saw only null keys.
   */
 case class GraftVtCommitMessage(relPath: String, rows: Long,
-    zMin: Long = Long.MaxValue, zMax: Long = Long.MinValue) extends WriterCommitMessage
+    zMin: Long = Long.MaxValue, zMax: Long = Long.MinValue,
+    zNulls: Long = 0L) extends WriterCommitMessage
 
 /** View of an incoming row with its first `offset` fields hidden.
   *
@@ -789,6 +820,7 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
       private var shifted: OpShiftedRow = _
       private var zMin = Long.MaxValue
       private var zMax = Long.MinValue
+      private var zNulls = 0L
       override def write(record: InternalRow): Unit = {
         if (offset < 0) {
           offset = record.numFields - schema.length
@@ -801,7 +833,8 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
         // zone-map stats ride along for free — one comparison per row,
         // no second pass over the data
         clusterIdx.foreach { i =>
-          if (!aligned.isNullAt(i)) {
+          if (aligned.isNullAt(i)) zNulls += 1
+          else {
             val v = aligned.getLong(i)
             if (v < zMin) zMin = v
             if (v > zMax) zMax = v
@@ -812,7 +845,7 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
       }
       override def commit(): WriterCommitMessage = {
         writer.close()
-        GraftVtCommitMessage(s"$groupRel/$fileName", n, zMin, zMax)
+        GraftVtCommitMessage(s"$groupRel/$fileName", n, zMin, zMax, zNulls)
       }
       override def abort(): Unit = {
         writer.close()

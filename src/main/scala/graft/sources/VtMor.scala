@@ -106,7 +106,9 @@ object VtMor {
     spark.sql(s"SELECT * FROM graft_vt.$tableName")
       .write.mode("overwrite").parquet(s"$root/$groupRel")
     val files = ZoneMap.leafFiles(root, groupRel)
-    VersionedTable.writeManifest(root, newV, files)
+    // one-winner: a concurrent DML that commits newV first wins and this
+    // compaction aborts (its tombstones must not be silently dropped)
+    VersionedTable.commitManifest(root, newV, files)
     writeMeta(root, newV, Meta(files.map(_ -> newV).toMap, Nil))
     VersionedTable.vacuum(root, Seq(newV - 1, newV)): Unit
     newV

@@ -88,6 +88,14 @@ class VtMicroBatchStream(root: String, schema: StructType)
 
   private def files(v: Int): Set[String] =
     if (v <= 0) Set.empty
+    else if (!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifest_v$v.txt")))
+      // retention may have vacuumed old manifests: a missing version
+      // contributes no files of its own, and its surviving data (files
+      // carried forward) enters the stream at the first RETAINED
+      // version's batch — history reads degrade gracefully instead of
+      // crashing the first micro-batch
+      Set.empty
     else VersionedTable.manifest(root, v).flatMap(ZoneMap.leafFiles(root, _)).toSet
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

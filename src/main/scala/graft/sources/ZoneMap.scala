@@ -33,10 +33,22 @@ object ZoneMap {
   private def sidecar(root: String, version: Int, col: String) =
     java.nio.file.Paths.get(s"$root/_zonemap_v${version}_$col.json")
 
+  /** `nulls` carries the per-file NULL-key count where known — the bit
+    * that makes whole-file metadata deletes sound (a null key never
+    * satisfies a comparison predicate, so a file with null keys can
+    * never be PROVABLY all-deleted from its [lo, hi] range alone).
+    * Files absent from `nulls` serialize as 2-element entries and read
+    * back as "null count unknown" — conservative for drops.
+    */
   def write(root: String, version: Int, col: String,
-      stats: Map[String, (Long, Long)]): Unit = {
+      stats: Map[String, (Long, Long)],
+      nulls: Map[String, Long] = Map.empty): Unit = {
     val body = stats.toSeq.sorted.map { case (p, (lo, hi)) =>
-      s"${q(p)}: [$lo, $hi]" }.mkString("{", ",", "}")
+      nulls.get(p) match {
+        case Some(n) => s"${q(p)}: [$lo, $hi, $n]"
+        case None => s"${q(p)}: [$lo, $hi]"
+      }
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(sidecar(root, version, col), body): Unit
   }
 
@@ -49,9 +61,23 @@ object ZoneMap {
     if (!java.nio.file.Files.exists(p)) None
     else Some {
       val s = java.nio.file.Files.readString(p)
-      """"([^"]+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r.findAllMatchIn(s)
+      entryRe.findAllMatchIn(s)
         .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
     }
+  }
+
+  private val entryRe =
+    """"([^"]+)":\s*\[(-?\d+),\s*(-?\d+)(?:,\s*(\d+))?\]""".r
+
+  /** relPath -> known NULL-key count (files with 2-element legacy
+    * entries are absent — "unknown", never "zero").
+    */
+  def readNullCounts(root: String, version: Int, col: String): Map[String, Long] = {
+    val p = sidecar(root, version, col)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else entryRe.findAllMatchIn(java.nio.file.Files.readString(p))
+      .collect { case m if m.group(4) != null => m.group(1) -> m.group(4).toLong }
+      .toMap
   }
 
   /** Expand a manifest entry (group dir or single file) to leaf parquet
@@ -73,17 +99,23 @@ object ZoneMap {
   def analyze(spark: SparkSession, root: String, version: Int, zcol: String): Int = {
     val files = VersionedTable.manifest(root, version).flatMap(leafFiles(root, _))
     val prefix = new java.io.File(root).getAbsolutePath + "/"
-    val stats = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val rows = spark.read.parquet(files.map(f => s"$root/$f"): _*)
       .groupBy(input_file_name().as("__file"))
-      .agg(min(zcol).cast("long").as("lo"), max(zcol).cast("long").as("hi"))
+      .agg(min(zcol).cast("long").as("lo"), max(zcol).cast("long").as("hi"),
+        count(when(col(zcol).isNull, 1)).as("nulls"))
       .collect()
-      .map { r =>
+      .flatMap { r =>
         val abs = java.net.URLDecoder.decode(
           r.getString(0).stripPrefix("file://"), "UTF-8")
-        abs.stripPrefix(prefix) -> (r.getLong(1), r.getLong(2))
-      }.toMap
-    write(root, version, zcol, stats)
-    stats.size
+        // a file whose keys are ALL null has no range: leave it out of
+        // the sidecar (kept by every scan, undecidable for drops)
+        if (r.isNullAt(1)) None
+        else Some((abs.stripPrefix(prefix), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+      }
+    write(root, version, zcol,
+      rows.map { case (f, range, _) => f -> range }.toMap,
+      rows.map { case (f, _, n) => f -> n }.toMap)
+    rows.length
   }
 
   /** The files a scan must read: drop every file whose [min, max] range
