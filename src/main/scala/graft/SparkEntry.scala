@@ -76,6 +76,7 @@ object SparkEntry {
     "q_sql_variables" -> (Relational.sqlVariables(_, _)),
     "q_sql_params" -> (Relational.sqlNamedParams(_, _)),
     "q_sql_script" -> (Relational.sqlScripting(_, _)),
+    "q_sql_exec_immediate" -> (Relational.sqlExecuteImmediate(_, _)),
     "q_cbo_multijoin" -> (Cbo.cboMarketShare(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
@@ -684,6 +685,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity >= 25 AND l_discount <= 0.05
         |GROUP BY l_returnflag""".stripMargin,
+    // EXECUTE IMMEDIATE with a ? binding and IDENTIFIER(table-variable)
+    "q_sql_exec_immediate" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 5000.0
+        |GROUP BY o_orderpriority""".stripMargin,
     // the scripting loop "double thr until < 100 orders clear it",
     // re-derived set-wise: doublings = least k with count(> 1000*2^k) < 100
     "q_sql_script" ->

@@ -1222,6 +1222,27 @@ object Relational {
       Map("qmin" -> 25, "dmax" -> 0.05))
   }
 
+  /** `EXECUTE IMMEDIATE` + the `IDENTIFIER()` clause (Spark 4): dynamic
+    * SQL done safely — the statement text is a parameter-marked string
+    * executed with typed USING bindings, and the table name flows
+    * through IDENTIFIER() from a session variable instead of string
+    * concatenation. Together they are the sanctioned template-query
+    * idiom (multi-tenant dashboards, generated reports) with zero
+    * injection surface.
+    */
+  def sqlExecuteImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_tab STRING DEFAULT 'graft_orders'")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT o_orderpriority, COUNT(*) AS n,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |   FROM IDENTIFIER(graft_tab)
+        |   WHERE o_totalprice > ? GROUP BY o_orderpriority'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING 5000.0")
+  }
+
   /** SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements:
     * variables, WHILE, conditional control flow) — the procedural tier
     * stored-procedure authors expect, here computing an iterative
