@@ -261,6 +261,8 @@ object SparkEntry {
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_sql_time_travel_ts" -> (SqlDml.sqlTimeTravelTs(_, _)),
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
+    "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
+    "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1769,6 +1771,29 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // metadata tables: history rows pin version/group/row totals the
+    // manifests + footers report; the oracle derives the same numbers
+    // from the corpus and the chain's construction rules
+    "q_meta_history" ->
+      """SELECT 1 AS version, 2 AS n_groups,
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS total_rows
+        |UNION ALL
+        |SELECT 2 AS version, 2 AS n_groups,
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS total_rows""".stripMargin,
+    // files metadata composed with VERSION AS OF: both versions share
+    // files/cold_v1 by reference; each owns its hot group
+    "q_meta_files" ->
+      """SELECT 1 AS version, 'files/cold_v1' AS group_path,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 1, 'files/hot_v1', CAST(COUNT(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 2, 'files/cold_v1', CAST(COUNT(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 2, 'files/hot_v2', CAST(COUNT(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "q_time_travel" ->
       """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),
         |v2 AS (SELECT doc_id,

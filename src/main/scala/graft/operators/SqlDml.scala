@@ -447,6 +447,43 @@ object SqlDml {
         |GROUP BY version, source""".stripMargin)
   }
 
+  /** METADATA TABLES through the parser — `graft_vt.t.history`, the
+    * Iceberg-style inspection surface: one row per committed version
+    * with group/file/byte/row totals, served from manifests + parquet
+    * footers as a [[org.apache.spark.sql.connector.read.LocalScan]]
+    * (driver metadata, zero jobs). The query pins the columns that are
+    * invariant to write parallelism — version, group count, and total
+    * rows — and cross-checks the row totals a SQL user would otherwise
+    * need a full COUNT(*) scan per version to learn.
+    */
+  def sqlMetaHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    spark.sql(
+      """SELECT version, n_groups, total_rows
+        |FROM graft_vt.vt_documents.history""".stripMargin)
+  }
+
+  /** `graft_vt.t.files` — per-file inspection of a snapshot, composed
+    * with time travel: `VERSION AS OF` pins which manifest's file list
+    * the metadata table describes, so the query shows the cold group
+    * shared by reference across both versions and the hot group each
+    * version owns — the physical proof of incremental commits.
+    */
+  def sqlMetaFiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    spark.sql(
+      """SELECT version, group_path, CAST(SUM(row_count) AS BIGINT) AS n_rows
+        |FROM (
+        |  SELECT 1 AS version, group_path, row_count
+        |  FROM graft_vt.vt_documents.files VERSION AS OF 1
+        |  UNION ALL
+        |  SELECT 2 AS version, group_path, row_count
+        |  FROM graft_vt.vt_documents.files VERSION AS OF 2)
+        |GROUP BY version, group_path""".stripMargin)
+  }
+
   /** `TIMESTAMP AS OF` through the parser — the wall-clock spelling of
     * time travel: each commit instant IS its manifest's mtime, and the
     * catalog binds the largest version committed at or before the

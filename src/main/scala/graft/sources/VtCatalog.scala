@@ -90,11 +90,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     version.toIntOption match {
       case Some(v) => lookup(ident, Some(v))
       case None =>
-        val root = GraftVtCatalog.registry.get(ident.name()) match {
-          case Some((r, _)) => r
-          case None => throw new NoSuchTableException(ident)
-        }
-        lookup(ident, Some(GraftVtTable.resolveTag(root, version)))
+        lookup(ident, Some(GraftVtTable.resolveTag(rootFor(ident), version)))
     }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): bind the LARGEST version
@@ -103,10 +99,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     * listing, never a data read.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val root = GraftVtCatalog.registry.get(ident.name()) match {
-      case Some((r, _)) => r
-      case None => throw new NoSuchTableException(ident)
-    }
+    val root = rootFor(ident)
     val vs = GraftVtTable.versionCommitMicros(root)
     val eligible = vs.collect { case (v, us) if us <= timestamp => v }
     require(eligible.nonEmpty,
@@ -115,10 +108,33 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     lookup(ident, Some(eligible.max))
   }
 
-  private def lookup(ident: Identifier, version: Option[Int]): Table =
-    GraftVtCatalog.registry.get(ident.name()) match {
-      case Some((root, schema)) => new GraftVtTable(ident.name(), root, schema, version)
+  /** The BASE table's root, whether `ident` names the table itself
+    * (`graft_vt.t`) or one of its metadata tables (`graft_vt.t.files`).
+    */
+  private def rootFor(ident: Identifier): String = {
+    val base = ident.namespace() match {
+      case Array(b) if GraftVtMetaTable.kinds(ident.name()) => b
+      case _ => ident.name()
+    }
+    GraftVtCatalog.registry.get(base) match {
+      case Some((r, _)) => r
       case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  private def lookup(ident: Identifier, version: Option[Int]): Table =
+    ident.namespace() match {
+      // Iceberg-style metadata tables: `graft_vt.<table>.<kind>` —
+      // the base table name rides in the identifier's namespace
+      case Array(base) if GraftVtMetaTable.kinds(ident.name()) &&
+          GraftVtCatalog.registry.contains(base) =>
+        new GraftVtMetaTable(base, GraftVtCatalog.registry(base)._1,
+          ident.name(), version)
+      case _ =>
+        GraftVtCatalog.registry.get(ident.name()) match {
+          case Some((root, schema)) => new GraftVtTable(ident.name(), root, schema, version)
+          case None => throw new NoSuchTableException(ident)
+        }
     }
 
   override def createTable(ident: Identifier, columns: Array[Column],
