@@ -263,6 +263,7 @@ object SparkEntry {
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
+    "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1771,6 +1772,12 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // rename text->body reads the ORIGINAL physical bytes under the new
+    // name; the dropped-then-re-added source starts fresh and the UPDATE
+    // fills it — final state recomputed logically from the corpus
+    "q_sql_rename_drop" ->
+      """SELECT doc_id, 'refreshed' AS source, md5(upper(text)) AS digest
+        |FROM documents""".stripMargin,
     // metadata tables: history rows pin version/group/row totals the
     // manifests + footers report; the oracle derives the same numbers
     // from the corpus and the chain's construction rules

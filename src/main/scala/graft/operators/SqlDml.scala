@@ -447,6 +447,32 @@ object SqlDml {
         |GROUP BY version, source""".stripMargin)
   }
 
+  /** RENAME + DROP + re-ADD COLUMN through the parser — the full
+    * metadata-only schema-evolution story: `text` is renamed to `body`
+    * (no file rewritten — the logical→physical mapping reads the old
+    * physical column under the new name), `source` is dropped and
+    * RE-ADDED (the re-add binds a FRESH physical name, so the old
+    * files' source values can never resurrect — SchemaEvolutionSpec
+    * pins the NULL read in between), and an UPDATE then writes through
+    * the evolved schema (fixpoint text, so reps converge). The oracle
+    * pins that the renamed column still reads the original corpus
+    * bytes end-to-end.
+    */
+  def sqlRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_schema")
+    // ensureDocsTable re-registers the base 3-column schema and clears
+    // the column mapping, so the ALTER ladder re-applies per invocation
+    spark.sql("ALTER TABLE graft_vt.dml_schema RENAME COLUMN text TO body")
+    spark.sql("ALTER TABLE graft_vt.dml_schema DROP COLUMN source")
+    spark.sql("ALTER TABLE graft_vt.dml_schema ADD COLUMNS (source STRING)")
+    spark.sql(
+      """UPDATE graft_vt.dml_schema
+        |SET body = upper(body), source = 'refreshed'""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(body AS BINARY)) AS digest
+        |FROM graft_vt.dml_schema""".stripMargin)
+  }
+
   /** METADATA TABLES through the parser — `graft_vt.t.history`, the
     * Iceberg-style inspection surface: one row per committed version
     * with group/file/byte/row totals, served from manifests + parquet

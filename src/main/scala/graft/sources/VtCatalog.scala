@@ -142,30 +142,79 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       "graft_vt tables are registered via GraftVtCatalog.register")
 
-  /** Schema evolution: `ADD COLUMNS` updates the registered schema —
-    * files written before the change simply lack the column and read as
-    * NULL (the parquet reader null-fills requested-but-absent columns),
-    * files written after carry it. No data is rewritten; this is the
-    * same metadata-only evolution contract every production format
-    * ships. Other change kinds are rejected loudly.
+  /** Schema evolution — ALL metadata-only, no file is ever rewritten:
+    *
+    *   - `ADD COLUMNS`: files written before the change lack the column
+    *     and read as NULL (the parquet reader null-fills
+    *     requested-but-absent columns); files written after carry it.
+    *   - `RENAME COLUMN`: recorded as a LOGICAL→PHYSICAL name mapping —
+    *     files keep their original (physical) column names forever,
+    *     scans translate on the way down and relabel on the way up
+    *     ([[ColMapScanBuilder]]), writes translate the incoming logical
+    *     schema back to physical names. This is the same decoupling a
+    *     production format gets from field IDs, keyed by name here.
+    *   - `DROP COLUMN`: removed from the logical schema; the physical
+    *     name is RETIRED, so a later ADD of the same name gets a fresh
+    *     physical name and old files' stale values can never
+    *     resurrect — the classic drop-then-re-add corruption every
+    *     field-ID design exists to prevent.
+    *
+    * Guards: the cluster column and MOR tables are immutable here (zone
+    * maps and tombstone keys are physical artifacts), and unsupported
+    * change kinds fail loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (root, schema) = GraftVtCatalog.registry.get(ident.name()) match {
+    val name = ident.name()
+    val (root, schema) = GraftVtCatalog.registry.get(name) match {
       case Some(rs) => rs
       case None => throw new NoSuchTableException(ident)
     }
+    require(!GraftVtCatalog.morKeys.contains(name),
+      s"ALTER TABLE on merge-on-read table $name is not supported")
+    var mapping = GraftVtCatalog.colMaps.getOrElse(name, GraftVtCatalog.ColMapping())
+    def physInUse(s: StructType, phys: String): Boolean =
+      s.fields.exists(f => mapping.l2p.getOrElse(f.name, f.name) == phys)
     val newSchema = changes.foldLeft(schema) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           "nested column additions not supported")
+        val logical = add.fieldNames().head
+        if (mapping.retired.contains(logical) || physInUse(s, logical)) {
+          val fresh = Iterator.from(2).map(i => s"${logical}__r$i")
+            .find(c => !mapping.retired.contains(c) && !physInUse(s, c)).get
+          mapping = mapping.copy(l2p = mapping.l2p + (logical -> fresh))
+        }
         StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-          add.fieldNames().head, add.dataType(), add.isNullable))
+          logical, add.dataType(), add.isNullable))
+      case (s, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1, "nested column renames not supported")
+        val from = rn.fieldNames().head
+        val to = rn.newName()
+        require(s.fieldNames.contains(from), s"no such column: $from")
+        require(!s.fieldNames.contains(to), s"column already exists: $to")
+        require(!GraftVtCatalog.clusterCols.get(name).contains(from),
+          s"renaming the cluster column $from is not supported")
+        val phys = mapping.l2p.getOrElse(from, from)
+        mapping = mapping.copy(l2p = mapping.l2p - from + (to -> phys))
+        StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1, "nested column drops not supported")
+        val from = del.fieldNames().head
+        require(s.fieldNames.contains(from), s"no such column: $from")
+        require(!GraftVtCatalog.clusterCols.get(name).contains(from),
+          s"dropping the cluster column $from is not supported")
+        require(s.fields.length > 1, "cannot drop the last column")
+        val phys = mapping.l2p.getOrElse(from, from)
+        mapping = mapping.copy(l2p = mapping.l2p - from,
+          retired = mapping.retired + phys)
+        StructType(s.fields.filterNot(_.name == from))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"unsupported table change: $other (only ADD COLUMNS)")
+          s"unsupported table change: $other (ADD / RENAME / DROP COLUMN only)")
     }
-    GraftVtCatalog.registry.put(ident.name(), (root, newSchema)): Unit
-    new GraftVtTable(ident.name(), root, newSchema, None)
+    GraftVtCatalog.colMaps.put(name, mapping): Unit
+    GraftVtCatalog.registry.put(name, (root, newSchema)): Unit
+    new GraftVtTable(name, root, newSchema, None)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -315,6 +364,16 @@ object GraftVtCatalog {
     */
   private[sources] val clusterCols = TrieMap.empty[String, String]
 
+  /** Per-table RENAME/DROP state: `l2p` maps logical column names to
+    * the physical names stored in files (identity entries omitted);
+    * `retired` holds physical names of dropped columns, permanently
+    * unavailable for reuse (resurrection guard). See [[GraftVtCatalog
+    * .alterTable]].
+    */
+  private[sources] case class ColMapping(l2p: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty)
+  private[sources] val colMaps = TrieMap.empty[String, ColMapping]
+
   /** table name -> long KEY column for MERGE-ON-READ tables: row-level
     * ops write key tombstones + delta files instead of rewriting groups,
     * and reads merge them (see [[VtMor]]).
@@ -340,8 +399,10 @@ object GraftVtCatalog {
     }
     // a plain re-register resets ALL per-table modes — a stale MOR key
     // would route the new root through tombstone machinery it lacks
-    // (registerMor re-adds its key after delegating here)
+    // (registerMor re-adds its key after delegating here), and a stale
+    // column mapping would mistranslate the fresh schema's names
     morKeys.remove(name): Unit
+    colMaps.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -369,13 +430,29 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
+  /** Logical→physical column renames in force (identity omitted) —
+    * empty for tables that never saw RENAME COLUMN.
+    */
+  private[sources] def colMap: Map[String, String] =
+    GraftVtCatalog.colMaps.get(tableName)
+      .map(_.l2p.filter { case (l, p) => l != p }).getOrElse(Map.empty)
+
+  /** Rename a logical-schema struct to the PHYSICAL names files store —
+    * positional identity, only labels change.
+    */
+  private[sources] def physify(s: StructType): StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = colMap.getOrElse(f.name, f.name))))
+
   /** Delegate to Spark's parquet DSv2 table over the manifest's files —
-    * vectorized scan + pushdown + pruning, bound to one snapshot.
+    * vectorized scan + pushdown + pruning, bound to one snapshot. Reads
+    * request PHYSICAL column names; [[ColMapScanBuilder]] relabels the
+    * scan output back to logical names when a mapping is in force.
     */
   private[sources] def parquetTable(version: Int): ParquetTable = {
     val paths = VersionedTable.manifest(root, version).map(g => s"$root/$g")
     ParquetTable(name(), spark, CaseInsensitiveStringMap.empty(), paths,
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(physify(tableSchema)), classOf[ParquetFileFormat])
   }
 
   private[sources] def clusterCol: Option[String] =
@@ -396,18 +473,31 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     // streaming read (one micro-batch per committed version) is opt-in
     // so the batch path keeps Spark's parquet scan — and its stats/DPP
     // integration — completely untouched
-    if (options.getBoolean("graft.stream", false))
+    if (options.getBoolean("graft.stream", false)) {
+      require(colMap.isEmpty,
+        s"streaming read of $tableName after RENAME COLUMN is not supported")
       return new VtStreamScanBuilder(root, tableSchema)
+    }
     // merge-on-read tables merge tombstones in a custom scan
     morKey.foreach { k =>
       return new MorScanBuilder(root, tableSchema, k, readVersionN)
     }
-    val v = readVersionN
-    (for {
+    batchScanBuilder(readVersionN, options)
+  }
+
+  /** The batch scan for one snapshot: zone-map-pruned when clustered +
+    * analyzed, plain parquet otherwise; wrapped in the logical↔physical
+    * name translation when a RENAME mapping is in force.
+    */
+  private[sources] def batchScanBuilder(version: Int,
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = (for {
       zc <- clusterCol
-      stats <- ZoneMap.read(root, v, zc)
-    } yield new ZoneMapScanBuilder(name(), root, tableSchema, v, zc, stats, options))
-      .getOrElse(parquetTable(v).newScanBuilder(options))
+      stats <- ZoneMap.read(root, version, zc)
+    } yield new ZoneMapScanBuilder(name(), root, physify(tableSchema), version,
+        zc, stats, options))
+      .getOrElse(parquetTable(version).newScanBuilder(options))
+    if (colMap.isEmpty) inner else new ColMapScanBuilder(inner, colMap)
   }
 
   /** `INSERT INTO` (append: new manifest = current entries + new group)
@@ -428,7 +518,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
         () => VersionedTable.manifest(root, currentVersion)
       override def truncate(): WriteBuilder = { base = () => Nil; this }
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
-        info.schema(), base(), clusterCol, s"graft_vt INSERT")
+        physify(info.schema()), base(), clusterCol, s"graft_vt INSERT")
     }
   }
 
@@ -602,6 +692,72 @@ object ZoneMapScanBuilder {
   @volatile var lastPrune: (Int, Int) = (0, 0)
 }
 
+/** Logical↔physical name translation around any delegate scan builder —
+  * the read half of metadata-only RENAME COLUMN. Required columns and
+  * pushed filters are translated LOGICAL→PHYSICAL on the way into the
+  * delegate (so parquet's by-name column matching, row-group skipping,
+  * and zone-map pruning all see the names files actually store), and
+  * the built scan's readSchema is relabeled PHYSICAL→LOGICAL on the way
+  * out (rows are positional; only labels change — zero per-row cost).
+  * Every filter is reported residual, so translation can never change
+  * results; the delegate still gets the full pushdown for speed.
+  */
+private[sources] class ColMapScanBuilder(delegate: ScanBuilder, l2p: Map[String, String])
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+
+  private val p2l = l2p.map(_.swap)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    delegate match {
+      case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        d.pushFilters(filters.map(_.transform {
+          case a: AttributeReference if l2p.contains(a.name) => a.withName(l2p(a.name))
+        })): Unit
+      case _ => ()
+    }
+    filters // ALL residual — the rename veneer is never a correctness contract
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  override def pruneColumns(s: StructType): Unit = delegate match {
+    case d: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      d.pruneColumns(StructType(s.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name)))))
+    case _ => ()
+  }
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new RelabeledScan(delegate.build(), p2l)
+}
+
+/** A delegate scan whose readSchema is relabeled physical→logical.
+  * Statistics pass through so join-size estimation (broadcast choice)
+  * is unaffected by the rename veneer.
+  */
+private[sources] class RelabeledScan(delegate: org.apache.spark.sql.connector.read.Scan,
+    p2l: Map[String, String])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType =
+    StructType(delegate.readSchema().fields.map(f =>
+      f.copy(name = p2l.getOrElse(f.name, f.name))))
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+}
+
 /** Group-based (copy-on-write) row-level operation: the affected-row scan
   * is the table's ordinary parquet scan of the CURRENT snapshot, and the
   * write lands the complete replacement rows as a new file group +
@@ -613,14 +769,16 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
 
   override def command(): RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.parquetTable(table.currentVersion).newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = table.parquetTable(table.currentVersion).newScanBuilder(options)
+    if (table.colMap.isEmpty) inner else new ColMapScanBuilder(inner, table.colMap)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new GraftVtWrite(table.root,
-        table.currentVersion + 1, info.schema(), Nil, table.clusterCol,
-        s"graft_vt COW ${cmd.name()}")
+        table.currentVersion + 1, table.physify(info.schema()), Nil,
+        table.clusterCol, s"graft_vt COW ${cmd.name()}")
     }
 }
 
