@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, Cbo, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, Similarity, Skew, SqlDml, Stats, TextAnalysis}
+import graft.operators.{Analytics, Cbo, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, RetrievalEval, Similarity, Skew, SqlDml, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -264,6 +264,7 @@ object SparkEntry {
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
+    "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1772,6 +1773,40 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // retrieval eval: ranking (portable md5 scores) AND metric math
+    // (recall@10 / MRR / nDCG@10) replicated exactly — DCG/IDCG terms
+    // rounded to 9 and summed as DECIMAL so fold order can't matter
+    "q_retrieval_eval" ->
+      """WITH q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, c.doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || '_' ||
+        |      CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS INTEGER) AS score,
+        |    CASE WHEN CAST(('0x' || substr(md5('rel_' || CAST(q.query_id AS VARCHAR) || '_' ||
+        |      CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END AS is_rel
+        |  FROM c, q),
+        |ranked AS (SELECT query_id, doc_id, is_rel,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |  FROM pairs),
+        |nrel AS (SELECT query_id, CAST(SUM(is_rel) AS BIGINT) AS n_rel
+        |  FROM pairs GROUP BY query_id),
+        |agg AS (SELECT query_id,
+        |    CAST(SUM(is_rel) AS BIGINT) AS hits,
+        |    MIN(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel,
+        |    CAST(SUM(CASE WHEN is_rel = 1
+        |      THEN CAST(round(CAST(1 AS DOUBLE)/log2(rnk+1), 9) AS DECIMAL(20,9))
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE) AS dcg
+        |  FROM ranked WHERE rnk <= 10 GROUP BY query_id)
+        |SELECT a.query_id, n.n_rel,
+        |  round(CASE WHEN n.n_rel > 0 THEN CAST(a.hits AS DOUBLE) / n.n_rel
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS recall_at_10,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / a.first_rel, CAST(0 AS DOUBLE)), 6) AS mrr,
+        |  round(CASE WHEN n.n_rel > 0 THEN a.dcg / CAST(list_sum(list_transform(
+        |      range(1, CAST(least(n.n_rel, 10) AS INTEGER) + 1),
+        |      i -> CAST(round(CAST(1 AS DOUBLE)/log2(i+1), 9) AS DECIMAL(20,9)))) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS ndcg_at_10
+        |FROM agg a JOIN nrel n USING (query_id)""".stripMargin,
     // rename text->body reads the ORIGINAL physical bytes under the new
     // name; the dropped-then-re-added source starts fresh and the UPDATE
     // fills it — final state recomputed logically from the corpus

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Retrieval-quality EVALUATION — recall@k, MRR, and nDCG@k per query,
+  * the scoreboard every ANN/dedup/search change is judged by before it
+  * ships. Generic over any (query_id, doc_id, rank) result set and any
+  * (query_id, doc_id) relevance set, so it scores the engine's own LSH
+  * / IVF / PQ retrievers against brute-force truth (SimilaritySpec
+  * does) as readily as the portable fixture the oracle gate replays.
+  *
+  * Shape at 100 TB: one equi-join of results against truth on
+  * (query_id, doc_id) and two aggregations keyed by query_id — fully
+  * distributed, cost ∝ |results| + |truth|, no per-query driver work.
+  * The nDCG normalizer is computed per query from its relevant count
+  * with a bounded k-term fold, not a second pass over data.
+  *
+  * Cross-engine determinism (the gate hash-compares against DuckDB):
+  * every summed DCG/IDCG term is rounded to 9 decimals and accumulated
+  * as DECIMAL(20,9) — bit-exact under any fold order — and final
+  * metrics are rounded to 6 (the house double-totals contract).
+  */
+object RetrievalEval {
+
+  private val K = 10
+
+  private def dcgTerm(rank: Column): Column =
+    round(lit(1.0) / log2(rank + lit(1)), 9).cast("decimal(20,9)")
+
+  /** Per-query metrics: `results` carries (query_id, doc_id, rank),
+    * `truth` the relevant (query_id, doc_id) pairs. Queries absent from
+    * `truth` score 0 across the board (never a divide-by-zero — ANSI).
+    */
+  def metrics(results: DataFrame, truth: DataFrame, k: Int = K): DataFrame = {
+    val rel = truth.select(col("query_id"), col("doc_id"), lit(1).as("is_rel"))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(sum(col("is_rel")).cast("long").as("n_rel"))
+    val top = results.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0)))
+    val perQuery = top.groupBy(col("query_id")).agg(
+      sum(col("is_rel")).cast("long").as("hits"),
+      min(when(col("is_rel") === 1, col("rank"))).as("first_rel"),
+      sum(when(col("is_rel") === 1, dcgTerm(col("rank")))
+        .otherwise(lit(0).cast("decimal(20,9)"))).cast("double").as("dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("n_rel"), lit(k)).cast("int")),
+      lit(0).cast("decimal(20,9)"),
+      (acc, i) => (acc + dcgTerm(i)).cast("decimal(20,9)")).cast("double")
+    perQuery.join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(
+        col("query_id"), col("n_rel"),
+        round(when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel")).otherwise(0.0), 6)
+          .as(s"recall_at_$k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        round(when(col("n_rel") > 0, col("dcg") / idcg).otherwise(0.0), 6)
+          .as(s"ndcg_at_$k"))
+  }
+
+  /** The oracle-gated fixture: a deterministic retrieval run over the
+    * corpus — queries are the %97 doc slice, the candidate pool the %9
+    * slice, scores and relevance labels derive from the portable md5
+    * contract (same arithmetic in DuckDB), so BOTH the ranking and the
+    * metric math are pinned end-to-end. The query set is bounded by
+    * construction (an eval set, like decontamination's), so the
+    * broadcast cross-score is |candidates| × |queries| with the tiny
+    * side broadcast — never a data×data cartesian.
+    */
+  def evalFixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"))
+    val cands = docs.filter(col("doc_id") % 9 === 0)
+    val pairs = cands.crossJoin(broadcast(queries))
+      .withColumn("score", graft.functions.GraftFunctions.md5Bucket(
+        concat(col("query_id").cast("string"), lit("_"),
+          col("doc_id").cast("string")), 1000000))
+    val ranked = pairs.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+    val truth = pairs.filter(graft.functions.GraftFunctions.md5Bucket(
+        concat(lit("rel_"), col("query_id").cast("string"), lit("_"),
+          col("doc_id").cast("string")), 7) === 0)
+      .select(col("query_id"), col("doc_id"))
+    metrics(ranked.select(col("query_id"), col("doc_id"), col("rank")), truth)
+  }
+}

@@ -40,7 +40,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ks_test", "q_mwu", // 1-row min/max bounds + 1-row arm totals
     "q_rrf", // 1-row bm25 stats + 1-row query vector
     "q_lm_score", // 1-row vocabulary count into the smoothing denominator
-    "q_dsir_resample") // 1-row (nt, nr) totals into the smoothed bucket ratios
+    "q_dsir_resample", // 1-row (nt, nr) totals into the smoothed bucket ratios
+    "q_retrieval_eval") // bounded broadcast query set × candidate pool (eval contract)
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
