@@ -264,6 +264,7 @@ object SparkEntry {
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
+    "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
@@ -1773,6 +1774,15 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // CTAS creates + fills the table, INSERT INTO appends — final
+    // state recomputed logically
+    "q_sql_ctas" ->
+      """WITH base AS (SELECT doc_id, upper(text) AS text, source
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |app AS (SELECT doc_id + 40000000 AS doc_id, text, 'ctas_new' AS source
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |fin AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
     // retrieval eval: ranking (portable md5 scores) AND metric math
     // (recall@10 / MRR / nDCG@10) replicated exactly — DCG/IDCG terms
     // rounded to 9 and summed as DECIMAL so fold order can't matter

@@ -447,6 +447,31 @@ object SqlDml {
         |GROUP BY version, source""".stripMargin)
   }
 
+  /** CTAS through the parser — the user's FIRST statement against a
+    * new catalog: `CREATE TABLE graft_vt.t AS SELECT …` (planned by
+    * Spark as createTable + append through the same manifest-commit
+    * write as every other verb), followed by a plain `INSERT INTO` to
+    * pin that a created table behaves like a registered one. The
+    * DROP + CREATE prefix makes the statement trio idempotent across
+    * bench reps; the catalog wipes only roots it created itself.
+    */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.ctas_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.ctas_docs AS
+        |SELECT doc_id, upper(text) AS text, source
+        |FROM graft_ctas_src WHERE doc_id % 6 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_vt.ctas_docs
+        |SELECT doc_id + 40000000, text, 'ctas_new'
+        |FROM graft_ctas_src WHERE doc_id % 6 = 3""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.ctas_docs""".stripMargin)
+  }
+
   /** RENAME + DROP + re-ADD COLUMN through the parser — the full
     * metadata-only schema-evolution story: `text` is renamed to `body`
     * (no file rewritten — the logical→physical mapping reads the old

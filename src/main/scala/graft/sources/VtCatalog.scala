@@ -137,10 +137,43 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
         }
     }
 
+  /** `CREATE TABLE graft_vt.t (…)` and CTAS (`CREATE TABLE … AS
+    * SELECT`, which Spark plans as createTable + AppendData through the
+    * ordinary [[GraftVtWrite]] commit). The table root is a
+    * catalog-owned directory initialized with an EMPTY version-1
+    * manifest — a zero-file snapshot is a perfectly valid version, so
+    * reads work immediately and the CTAS append commits version 2
+    * naming exactly the written files. `TBLPROPERTIES ('cluster' =
+    * '<col>')` opts into the clustered layout (ordered writes +
+    * zone-map sidecars). Partition transforms are rejected loudly —
+    * clustering IS this format's layout story.
+    */
   override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft_vt tables are registered via GraftVtCatalog.register")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft_vt does not support PARTITIONED BY; use TBLPROPERTIES ('cluster' = '<col>')")
+    val name = ident.name()
+    require(!GraftVtCatalog.registry.contains(name),
+      s"table graft_vt.$name already exists")
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val clusterCol = Option(properties.get("cluster"))
+    clusterCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c is not in the table schema"))
+    // catalog-OWNED root (always under the per-JVM tmp namespace):
+    // wiped on (re-)create so a DROP + CREATE cycle starts empty —
+    // never the case for register()ed roots, which the catalog does
+    // not own and never deletes
+    val root = VersionedTable.freshRoot(s"create#$name")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    VersionedTable.writeManifest(root, 1, Nil)
+    GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
+    new GraftVtTable(name, root, schema, None)
+  }
 
   /** Schema evolution — ALL metadata-only, no file is ever rewritten:
     *
