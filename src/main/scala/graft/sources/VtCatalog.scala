@@ -551,7 +551,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
         () => VersionedTable.manifest(root, currentVersion)
       override def truncate(): WriteBuilder = { base = () => Nil; this }
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
-        physify(info.schema()), base(), clusterCol, s"graft_vt INSERT")
+        physify(info.schema()), base, clusterCol, s"graft_vt INSERT")
     }
   }
 
@@ -791,28 +791,101 @@ private[sources] class RelabeledScan(delegate: org.apache.spark.sql.connector.re
     }
 }
 
-/** Group-based (copy-on-write) row-level operation: the affected-row scan
-  * is the table's ordinary parquet scan of the CURRENT snapshot, and the
-  * write lands the complete replacement rows as a new file group +
-  * manifest. Spark's rewrite rules own the plan in between (the join for
-  * MERGE, the conditional projection for UPDATE, the filter for DELETE).
+/** Group-based (copy-on-write) row-level operation, NARROWED to the
+  * affected files: the scan binds only files the command's condition
+  * may touch ([[GraftVtRowLevelScanBuilder]] decides via zone maps on
+  * clustered tables; everything, conservatively, otherwise), the write
+  * lands the replacement rows as new files, and the commit RETAINS the
+  * skipped files by reference — the write replaces exactly the files
+  * the scan read ([[boundFiles]] is that contract). Spark's rewrite
+  * rules own the plan in between (the join for MERGE, the conditional
+  * projection for UPDATE, the filter for DELETE). A selective
+  * key-range UPDATE on a clustered 100 TB table rewrites O(matching
+  * files), not the table.
   */
 class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
+  /** Files the rewrite's scan bound (root-relative); the commit
+    * replaces exactly these. None = no scan built yet; defaults to
+    * every file (full rewrite) if the write somehow commits first.
+    */
+  @volatile private[sources] var boundFiles: Option[Seq[String]] = None
+
+  private[sources] def allLeafFiles: Seq[String] =
+    VersionedTable.manifest(table.root, table.currentVersion)
+      .flatMap(ZoneMap.leafFiles(table.root, _))
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = table.parquetTable(table.currentVersion).newScanBuilder(options)
+    val inner = new GraftVtRowLevelScanBuilder(this, table, table.currentVersion, options)
     if (table.colMap.isEmpty) inner else new ColMapScanBuilder(inner, table.colMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new GraftVtWrite(table.root,
-        table.currentVersion + 1, table.physify(info.schema()), Nil,
+        table.currentVersion + 1, table.physify(info.schema()),
+        // evaluated at COMMIT time: retained files = snapshot − replaced
+        () => {
+          val replaced = boundFiles.getOrElse(allLeafFiles).toSet
+          allLeafFiles.filterNot(replaced)
+        },
         table.clusterCol, s"graft_vt COW ${cmd.name()}")
     }
+}
+
+/** Scan builder for the group-based COW rewrite. Spark pushes the
+  * command's CONDITION here with GROUP semantics — "skip whole groups
+  * that provably contain no matching row, but return EVERY row of any
+  * group you bind" — which a raw parquet builder violates: parquet
+  * row-group skipping drops exactly the non-matching rows the rewrite
+  * must carry forward (a DELETE's keepers), silently losing data for
+  * any source-translatable predicate. This builder therefore NEVER
+  * forwards the condition to parquet as a row filter; it uses it only
+  * to narrow WHICH FILES the rewrite binds, via the zone-map sidecar
+  * on clustered tables (missing sidecar, unclustered tables, or
+  * untranslatable predicates bind everything — conservative, never
+  * wrong). Column pruning still reaches parquet.
+  */
+class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTable,
+    version: Int, options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private val physSchema = table.physify(table.schema())
+  private var pushed: Seq[Expression] = Nil
+  private var required: StructType = physSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    filters // ALL residual — group semantics forbid row-level filtering here
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val all = VersionedTable.manifest(table.root, version)
+      .flatMap(ZoneMap.leafFiles(table.root, _))
+    val bound = (for {
+      zc <- table.clusterCol
+      stats <- ZoneMap.read(table.root, version, zc)
+    } yield ZoneMap.prune(stats, zc, pushed.flatMap(ZoneMap.toV1Filter), all))
+      .getOrElse(all)
+    op.boundFiles = Some(bound)
+    val pt = ParquetTable(table.name(), SparkSession.active,
+      CaseInsensitiveStringMap.empty(), bound.map(f => s"${table.root}/$f"),
+      Some(physSchema), classOf[ParquetFileFormat])
+    val b = pt.newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+    b.pruneColumns(required)
+    b.build()
+  }
 }
 
 /** The physical write contract shared by INSERT and the COW DML verbs.
@@ -825,7 +898,7 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
   * ranges, and an unclustered table imposes nothing.
   */
 class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
-    baseEntries: Seq[String], cluster: Option[String], desc: String)
+    baseEntries: () => Seq[String], cluster: Option[String], desc: String)
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -856,7 +929,7 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
   * the driver-side `commit` records them as version `newVersion`.
   */
 class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
-    baseEntries: Seq[String], cluster: Option[(String, Int)] = None)
+    baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None)
   extends BatchWrite {
 
   private val groupRel = s"files/dml_v$newVersion"
@@ -884,6 +957,9 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     // zero-row task outputs are dropped from the manifest AND from disk
     // (ADVICE r09: leaving them leaked a file per empty task forever)
     empty.foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
+    // retained-by-reference entries, resolved NOW: for a narrowed COW
+    // rewrite this is "current snapshot minus the files the scan bound"
+    val baseEnt = baseEntries()
     // commit = atomically CREATE the next manifest naming exactly the
     // files that reported success (empty-result DML still commits a
     // valid, empty version by naming no files). CREATE_NEW is the
@@ -896,7 +972,7 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
-        (baseEntries ++ kept.map(_.relPath)).sorted.mkString("\n"),
+        (baseEnt ++ kept.map(_.relPath)).sorted.mkString("\n"),
         java.nio.file.StandardOpenOption.CREATE_NEW): Unit
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -910,8 +986,9 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     // and appended base files inherit the prior version's entries
     cluster.foreach { case (zc, _) =>
       // prior entries carry over ONLY for files this manifest still
-      // references (appends); a COW rewrite starts a clean sidecar
-      val baseFiles = baseEntries.flatMap(ZoneMap.leafFiles(root, _)).toSet
+      // references (appends and retained-by-narrowing files); a full
+      // COW rewrite starts a clean sidecar
+      val baseFiles = baseEnt.flatMap(ZoneMap.leafFiles(root, _)).toSet
       val prior = ZoneMap.read(root, newVersion - 1, zc).getOrElse(Map.empty)
         .filter { case (f, _) => baseFiles(f) }
       val priorNulls = ZoneMap.readNullCounts(root, newVersion - 1, zc)

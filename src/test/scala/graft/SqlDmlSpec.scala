@@ -99,7 +99,7 @@ class SqlDmlSpec extends AnyFunSuite {
       val f = new java.io.File(s"$root/files/dml_v2/$tag.parquet")
       f.getParentFile.mkdirs()
       java.nio.file.Files.writeString(f.toPath, tag): Unit
-      (new graft.sources.GraftVtBatchWrite(root, 2, schema, Nil),
+      (new graft.sources.GraftVtBatchWrite(root, 2, schema, () => Nil),
         Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
           graft.sources.GraftVtCommitMessage(s"files/dml_v2/$tag.parquet", 1)))
     }
