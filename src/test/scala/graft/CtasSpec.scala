@@ -85,6 +85,18 @@ class CtasSpec extends AnyFunSuite {
     assert(versions.nonEmpty && versions.last >= 3)
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT swaps content atomically for readers") {
+    src()
+    spark.sql("DROP TABLE IF EXISTS graft_vt.ctas_replace")
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft_vt.ctas_replace AS SELECT * FROM ctas_spec_src WHERE doc_id < 50")
+    assert(spark.table("graft_vt.ctas_replace").count() == 50)
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft_vt.ctas_replace AS SELECT * FROM ctas_spec_src WHERE doc_id < 20")
+    assert(spark.table("graft_vt.ctas_replace").count() == 20,
+      "REPLACE must swap to the new definition's content")
+  }
+
   test("PARTITIONED BY and duplicate CREATE fail loudly") {
     src()
     spark.sql("DROP TABLE IF EXISTS graft_vt.ctas_guard")
