@@ -340,6 +340,12 @@ object ScaleBench {
     "q_sql_update" -> ((s, d) => graft.operators.SqlDml.sqlUpdate(s, d)),
     "q_sql_merge" -> ((s, d) => graft.operators.SqlDml.sqlMerge(s, d)),
     "q_zonemap_scan" -> ((s, d) => graft.operators.SqlDml.sqlZonedTable(s, d)),
+    // narrowed COW: a FIXED key-range update + range read on the
+    // clustered table — the verb whose cost must NOT ride the factor
+    // (zone maps bind O(matching files) on both the rewrite and the
+    // read regardless of corpus size; only the first-touch table build
+    // is data-sized)
+    "q_cow_narrow" -> ((s, d) => graft.operators.SqlDml.sqlNarrowUpdate(s, d)),
     "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)))
 
   def main(args: Array[String]): Unit = {

@@ -265,6 +265,7 @@ object SparkEntry {
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
+    "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
@@ -1774,6 +1775,14 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // narrowed COW: only zone-intersecting files rewritten; boundary
+    // rows on both edges of the updated range pin that retained files
+    // read back byte-identical
+    "q_cow_narrow" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id BETWEEN 100 AND 199 THEN 'narrow' ELSE source END AS source,
+        |  md5(CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(text) ELSE text END) AS digest
+        |FROM documents WHERE doc_id BETWEEN 50 AND 249""".stripMargin,
     // CTAS creates + fills the table, INSERT INTO appends — final
     // state recomputed logically
     "q_sql_ctas" ->

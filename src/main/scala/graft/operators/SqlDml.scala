@@ -406,6 +406,38 @@ object SqlDml {
         |WHERE doc_id BETWEEN 100 AND 299""".stripMargin)
   }
 
+  /** NARROWED COW end-to-end: a clustered table, a FIXED key-range
+    * UPDATE whose predicate is source-translatable, and a range read
+    * back. The zone-map sidecar bounds BOTH sides — the rewrite binds
+    * only the files whose zones intersect [100, 199] (skipped files
+    * retained by reference in the commit), and the final scan binds
+    * only [50, 249] — so at any corpus size the statement costs
+    * O(matching files), never a table rewrite. This is the verb whose
+    * ScaleBench time must NOT ride the factor; the oracle pins the
+    * boundary rows on both edges of the updated range.
+    */
+  def sqlNarrowUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_narrow"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      ZoneMap.analyze(spark, r, 1, "doc_id"): Unit
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema, clusterCol = Some("doc_id"))
+    spark.sql(
+      s"""UPDATE graft_vt.$name
+         |SET text = upper(text), source = 'narrow'
+         |WHERE doc_id BETWEEN 100 AND 199""".stripMargin)
+    spark.sql(
+      s"""SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+         |FROM graft_vt.$name
+         |WHERE doc_id BETWEEN 50 AND 249""".stripMargin)
+  }
+
   /** `VERSION AS OF` through the parser over the two-version chain —
     * the SQL spelling of [[VersionedTable.timeTravelSummary]]; both
     * versions' scans bind to their manifest's exact file lists.
