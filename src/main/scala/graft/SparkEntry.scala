@@ -266,6 +266,7 @@ object SparkEntry {
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
+    "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
@@ -1775,6 +1776,13 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // storage-partitioned join: the bucketed corpus ⋈ annotations join
+    // is 1:1 on doc_id, so the whole thing recomputes from one table;
+    // the SHUFFLE-FREE plan shape is pinned in SpjSpec
+    "q_spj_join" ->
+      """SELECT source, CAST(doc_id % 5 AS INTEGER) AS grade, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // narrowed COW: only zone-intersecting files rewritten; boundary
     // rows on both edges of the updated range pin that retained files
     // read back byte-identical

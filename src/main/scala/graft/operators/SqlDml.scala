@@ -438,6 +438,41 @@ object SqlDml {
          |WHERE doc_id BETWEEN 50 AND 249""".stripMargin)
   }
 
+  /** STORAGE-PARTITIONED JOIN: two versioned tables bucketed the same
+    * way on doc_id (corpus ⋈ per-doc annotations — the fact-to-fact
+    * join every curation pipeline runs) join with ZERO shuffle: both
+    * scans report `KeyGroupedPartitioning(bucket(8, doc_id))` resolved
+    * through the catalog's own bucket function, and EnsureRequirements
+    * aligns partitions instead of planning exchanges (SpjSpec pins the
+    * no-Exchange plan). At 100 TB this is the difference between a
+    * map-side merge and shuffling both tables across the wire.
+    */
+  def sqlSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VtBucket
+    val nB = 8
+    val base = docsBase(spark, dir)
+    val ann = base.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (col("doc_id") % 5).cast("int").as("grade"))
+    def bucketedRoot(name: String, df: DataFrame): String =
+      roots.getOrElseUpdate((dir, name), {
+        val r = VersionedTable.freshRoot(s"$dir#$name")
+        VtBucket.writeBucketed(df, "doc_id", nB, s"$r/files/base_v1")
+        VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+        r
+      })
+    GraftVtCatalog.registerBucketed(spark, "spj_docs",
+      bucketedRoot("spj_docs", base), base.schema, "doc_id", nB)
+    GraftVtCatalog.registerBucketed(spark, "spj_ann",
+      bucketedRoot("spj_ann", ann), ann.schema, "doc_id", nB)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      """SELECT a.source, b.grade, COUNT(*) AS n,
+        |  CAST(SUM(b.n_chars) AS BIGINT) AS total_chars
+        |FROM graft_vt.spj_docs a JOIN graft_vt.spj_ann b ON a.doc_id = b.doc_id
+        |GROUP BY a.source, b.grade""".stripMargin)
+  }
+
   /** `VERSION AS OF` through the parser over the two-version chain —
     * the SQL spelling of [[VersionedTable.timeTravelSummary]]; both
     * versions' scans bind to their manifest's exact file lists.

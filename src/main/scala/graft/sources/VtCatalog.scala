@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan + one write, and time-travel reads price identically to ordinary
   * reads of the pinned file list.
   */
-class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
+class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = "graft_vt"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -75,6 +75,23 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("vacuum", "optimize").map(Identifier.of(Array.empty[String], _))
+
+  /** FunctionCatalog face: `bucket` is the one function the catalog
+    * owns — it is how Spark's storage-partitioned-join machinery
+    * verifies that two bucketed scans share a layout (the transform in
+    * each scan's [[org.apache.spark.sql.connector.read.partitioning
+    * .KeyGroupedPartitioning]] resolves through here, and both sides
+    * must bind the same canonical function).
+    */
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => VtBucket.BucketFunction
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftVtCatalog.registry.keys.map(Identifier.of(Array.empty[String], _)).toArray
@@ -413,6 +430,23 @@ object GraftVtCatalog {
     */
   private[sources] val morKeys = TrieMap.empty[String, String]
 
+  /** table name -> (long key column, bucket count) for BUCKETED
+    * layouts: scans report KeyGroupedPartitioning over bucket(n, key)
+    * and storage-partitioned joins skip the shuffle (see [[VtBucket]]).
+    */
+  private[sources] val bucketSpecs = TrieMap.empty[String, (String, Int)]
+
+  /** Register a bucketed table (every file group under the root must
+    * use the `b=<i>` layout written by [[VtBucket.writeBucketed]]).
+    */
+  def registerBucketed(spark: SparkSession, name: String, root: String,
+      schema: StructType, keyCol: String, numBuckets: Int): Unit = {
+    require(schema.fieldNames.contains(keyCol), s"no such column: $keyCol")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    register(spark, name, root, schema)
+    bucketSpecs.put(name, (keyCol, numBuckets)): Unit
+  }
+
   /** Register a merge-on-read table (root must hold a `_mor_v1.json`
     * built by [[VtMor.createVersion1]]).
     */
@@ -432,10 +466,12 @@ object GraftVtCatalog {
     }
     // a plain re-register resets ALL per-table modes — a stale MOR key
     // would route the new root through tombstone machinery it lacks
-    // (registerMor re-adds its key after delegating here), and a stale
-    // column mapping would mistranslate the fresh schema's names
+    // (registerMor re-adds its key after delegating here), a stale
+    // column mapping would mistranslate the fresh schema's names, and
+    // a stale bucket spec would misreport partitioning
     morKeys.remove(name): Unit
     colMaps.remove(name): Unit
+    bucketSpecs.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -462,6 +498,17 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+
+  private[sources] def bucketSpec: Option[(String, Int)] =
+    GraftVtCatalog.bucketSpecs.get(tableName)
+
+  /** Bucketed tables DECLARE their layout — `DESCRIBE` shows it, and
+    * the scan's KeyGroupedPartitioning reports the matching transform.
+    */
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (k, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)
+    }.toArray
 
   /** Logical→physical column renames in force (identity omitted) —
     * empty for tables that never saw RENAME COLUMN.
@@ -515,6 +562,11 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     morKey.foreach { k =>
       return new MorScanBuilder(root, tableSchema, k, readVersionN)
     }
+    // bucketed tables report KeyGroupedPartitioning for shuffle-free joins
+    bucketSpec.foreach { case (k, n) =>
+      return new BucketedScanBuilder(name(), root, physify(tableSchema),
+        readVersionN, k, n, options)
+    }
     batchScanBuilder(readVersionN, options)
   }
 
@@ -546,6 +598,11 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     // to stamp sequences.
     require(morKey.isEmpty,
       s"INSERT INTO merge-on-read table $tableName is not supported; use MERGE")
+    // a plain append would break the b=<i> layout contract every scan
+    // reports — bucketed tables are rebuilt through writeBucketed
+    require(bucketSpec.isEmpty,
+      s"INSERT INTO bucketed table $tableName is not supported; " +
+        "rebuild the group via VtBucket.writeBucketed")
     new WriteBuilder with SupportsTruncate {
       private var base: () => Seq[String] =
         () => VersionedTable.manifest(root, currentVersion)
@@ -559,7 +616,11 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = morKey match {
         case Some(k) => new MorRowLevelOperation(GraftVtTable.this, info.command(), k)
-        case None => new GraftVtRowLevelOperation(GraftVtTable.this, info.command())
+        case None =>
+          require(bucketSpec.isEmpty,
+            s"row-level DML on bucketed table $tableName is not supported; " +
+              "rebuild the group via VtBucket.writeBucketed")
+          new GraftVtRowLevelOperation(GraftVtTable.this, info.command())
       }
     }
 
