@@ -78,20 +78,19 @@ object VtBucket {
       .write.mode("overwrite").partitionBy("b").parquet(dest)
   }
 
-  /** Root-relative leaf files of `entry`, keyed by bucket id parsed
-    * from the `b=<i>` directory layer.
+  /** Root-relative leaf files of `entry` (group dir OR individual
+    * committed file), keyed by bucket id parsed from the `b=<i>` path
+    * layer. A bucketed manifest may name whole groups (fixture builds)
+    * or exact files (DML/INSERT commits) — both carry the layer.
     */
-  def bucketFiles(root: String, entry: String): Map[Int, Seq[String]] = {
-    val dir = new java.io.File(s"$root/$entry")
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .map { bd =>
-        bd.getName.stripPrefix("b=").toInt ->
-          Option(bd.listFiles()).getOrElse(Array.empty).toSeq
-            .collect { case f if f.getName.endsWith(".parquet") =>
-              s"$entry/${bd.getName}/${f.getName}" }.sorted
-      }.toMap
-  }
+  def bucketFiles(root: String, entry: String): Map[Int, Seq[String]] =
+    ZoneMap.leafFiles(root, entry)
+      .flatMap { f =>
+        f.split("/").find(_.startsWith("b=")).map(seg =>
+          seg.stripPrefix("b=").toInt -> f)
+      }
+      .groupBy(_._1)
+      .map { case (b, fs) => b -> fs.map(_._2).sorted }
 }
 
 /** Scan builder for a bucketed table: parquet pushdown and column

@@ -167,14 +167,42 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     */
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft_vt does not support PARTITIONED BY; use TBLPROPERTIES ('cluster' = '<col>')")
+    // the ONE transform this format speaks: PARTITIONED BY
+    // (bucket(n, key)) declares the storage-partitioned-join layout;
+    // anything else is rejected loudly
+    val bucketSpec: Option[(String, Int)] = partitions match {
+      case Array() => None
+      case Array(t) if t.name() == "bucket" =>
+        val args = t.arguments()
+        require(args.length == 2, s"bucket takes (n, key), got ${args.toSeq}")
+        val n = args.head match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bucket count must be a literal, got $other")
+        }
+        val key = args(1) match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames().mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"bucket key must be a column, got $other")
+        }
+        Some((key, n))
+      case other => throw new UnsupportedOperationException(
+        s"graft_vt supports only PARTITIONED BY (bucket(n, key)), got ${other.toSeq}; " +
+          "use TBLPROPERTIES ('cluster' = '<col>') for the clustered layout")
+    }
     val name = ident.name()
     require(!GraftVtCatalog.registry.contains(name),
       s"table graft_vt.$name already exists")
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    bucketSpec.foreach { case (k, _) =>
+      require(schema.fieldNames.contains(k), s"bucket column $k is not in the table schema")
+    }
     val clusterCol = Option(properties.get("cluster"))
+    require(clusterCol.isEmpty || bucketSpec.isEmpty,
+      "a table is clustered OR bucketed, not both")
     clusterCol.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c is not in the table schema"))
     // catalog-OWNED root (always under the per-JVM tmp namespace):
@@ -188,7 +216,12 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     del(new java.io.File(root))
     new java.io.File(root).mkdirs()
     VersionedTable.writeManifest(root, 1, Nil)
-    GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
+    bucketSpec match {
+      case Some((k, n)) =>
+        GraftVtCatalog.registerBucketed(SparkSession.active, name, root, schema, k, n)
+      case None =>
+        GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
+    }
     new GraftVtTable(name, root, schema, None)
   }
 
@@ -244,6 +277,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         require(!s.fieldNames.contains(to), s"column already exists: $to")
         require(!GraftVtCatalog.clusterCols.get(name).contains(from),
           s"renaming the cluster column $from is not supported")
+        require(!GraftVtCatalog.bucketSpecs.contains(name),
+          s"RENAME COLUMN on bucketed table $name is not supported")
         val phys = mapping.l2p.getOrElse(from, from)
         mapping = mapping.copy(l2p = mapping.l2p - from + (to -> phys))
         StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
@@ -253,6 +288,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         require(s.fieldNames.contains(from), s"no such column: $from")
         require(!GraftVtCatalog.clusterCols.get(name).contains(from),
           s"dropping the cluster column $from is not supported")
+        require(!GraftVtCatalog.bucketSpecs.get(name).exists(_._1 == from),
+          s"dropping the bucket key $from is not supported")
         require(s.fields.length > 1, "cannot drop the last column")
         val phys = mapping.l2p.getOrElse(from, from)
         mapping = mapping.copy(l2p = mapping.l2p - from,
@@ -442,6 +479,8 @@ object GraftVtCatalog {
   def registerBucketed(spark: SparkSession, name: String, root: String,
       schema: StructType, keyCol: String, numBuckets: Int): Unit = {
     require(schema.fieldNames.contains(keyCol), s"no such column: $keyCol")
+    require(schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
+      s"bucket key $keyCol must be BIGINT, got ${schema(keyCol).dataType}")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     register(spark, name, root, schema)
     bucketSpecs.put(name, (keyCol, numBuckets)): Unit
@@ -598,17 +637,12 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     // to stamp sequences.
     require(morKey.isEmpty,
       s"INSERT INTO merge-on-read table $tableName is not supported; use MERGE")
-    // a plain append would break the b=<i> layout contract every scan
-    // reports — bucketed tables are rebuilt through writeBucketed
-    require(bucketSpec.isEmpty,
-      s"INSERT INTO bucketed table $tableName is not supported; " +
-        "rebuild the group via VtBucket.writeBucketed")
     new WriteBuilder with SupportsTruncate {
       private var base: () => Seq[String] =
         () => VersionedTable.manifest(root, currentVersion)
       override def truncate(): WriteBuilder = { base = () => Nil; this }
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
-        physify(info.schema()), base, clusterCol, s"graft_vt INSERT")
+        physify(info.schema()), base, clusterCol, s"graft_vt INSERT", bucketSpec)
     }
   }
 
@@ -616,11 +650,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = morKey match {
         case Some(k) => new MorRowLevelOperation(GraftVtTable.this, info.command(), k)
-        case None =>
-          require(bucketSpec.isEmpty,
-            s"row-level DML on bucketed table $tableName is not supported; " +
-              "rebuild the group via VtBucket.writeBucketed")
-          new GraftVtRowLevelOperation(GraftVtTable.this, info.command())
+        case None => new GraftVtRowLevelOperation(GraftVtTable.this, info.command())
       }
     }
 
@@ -893,7 +923,7 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
           val replaced = boundFiles.getOrElse(allLeafFiles).toSet
           allLeafFiles.filterNot(replaced)
         },
-        table.clusterCol, s"graft_vt COW ${cmd.name()}")
+        table.clusterCol, s"graft_vt COW ${cmd.name()}", table.bucketSpec)
     }
 }
 
@@ -959,7 +989,8 @@ class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTab
   * ranges, and an unclustered table imposes nothing.
   */
 class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
-    baseEntries: () => Seq[String], cluster: Option[String], desc: String)
+    baseEntries: () => Seq[String], cluster: Option[String], desc: String,
+    bucketRoute: Option[(String, Int)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -968,18 +999,29 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
   // a cluster column absent from this write's schema (never the case for
   // our own registrations, but cheap to guard) degrades to unclustered
   private val effective = cluster.filter(schema.fieldNames.contains)
+  private val effBucket = bucketRoute.filter { case (k, _) => schema.fieldNames.contains(k) }
 
   private def order: Array[SortOrder] = effective.map(c =>
     Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
+  /** Clustered tables ask for an ORDERED distribution (disjoint key
+    * ranges per file → selective zone maps); bucketed tables ask for a
+    * CLUSTERED distribution on the bucket transform (one file per
+    * bucket instead of per task×bucket). Both non-strict: the routing
+    * writer is correct under ANY distribution, the request only shapes
+    * file counts.
+    */
   override def requiredDistribution(): Distribution =
     if (effective.isDefined) Distributions.ordered(order)
-    else Distributions.unspecified()
+    else effBucket.map { case (k, n) =>
+      Distributions.clustered(Array(Expressions.bucket(n, k)))
+    }.getOrElse(Distributions.unspecified())
   override def distributionStrictlyRequired(): Boolean = false
   override def requiredOrdering(): Array[SortOrder] = order
 
   override def toBatch: BatchWrite = new GraftVtBatchWrite(root, newVersion,
-    schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))))
+    schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))),
+    effBucket.map { case (k, n) => (schema.fieldIndex(k), n) })
   override def description(): String = desc
 }
 
@@ -990,7 +1032,8 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
   * the driver-side `commit` records them as version `newVersion`.
   */
 class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
-    baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None)
+    baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None,
+    bucketRoute: Option[(Int, Int)] = None)
   extends BatchWrite {
 
   private val groupRel = s"files/dml_v$newVersion"
@@ -1009,12 +1052,15 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     val confEntries = job.getConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new GraftVtWriterFactory(s"$root/$groupRel", groupRel, schema, owf, confEntries,
-      cluster.map(_._2))
+      cluster.map(_._2), bucketRoute)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (kept, empty) = messages.collect { case m: GraftVtCommitMessage => m }
-      .partition(_.rows > 0)
+    val (kept, empty) = messages.flatMap {
+      case m: GraftVtCommitMessage => Seq(m)
+      case b: GraftVtBucketedCommitMessage => b.files
+      case _ => Nil
+    }.partition(_.rows > 0)
     // zero-row task outputs are dropped from the manifest AND from disk
     // (ADVICE r09: leaving them leaked a file per empty task forever)
     empty.foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
@@ -1078,6 +1124,8 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     messages.foreach {
       case m: GraftVtCommitMessage =>
         new java.io.File(s"$root/${m.relPath}").delete(): Unit
+      case b: GraftVtBucketedCommitMessage =>
+        b.files.foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
       case _ => ()
     }
 }
@@ -1088,6 +1136,71 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
 case class GraftVtCommitMessage(relPath: String, rows: Long,
     zMin: Long = Long.MaxValue, zMax: Long = Long.MinValue,
     zNulls: Long = 0L) extends WriterCommitMessage
+
+/** One task's output on a BUCKETED table: one file per bucket the task
+  * actually saw (paths carry the `b=<i>` layer).
+  */
+case class GraftVtBucketedCommitMessage(files: Seq[GraftVtCommitMessage])
+  extends WriterCommitMessage
+
+/** Task-side DYNAMIC BUCKET ROUTING: one parquet writer per bucket the
+  * task actually sees, opened lazily, files under the group's `b=<i>`
+  * layer — the write half of the storage-partitioned-join layout.
+  * Under the clustered-by-bucket distribution the plan requests, each
+  * task sees one bucket and writes one file; under any other
+  * distribution correctness is identical, only file counts grow (the
+  * optimize verb compacts). Null bucket keys are a loud error: a
+  * bucketed table's key is its join identity.
+  */
+private[sources] class BucketRoutingDataWriter(groupDir: String, groupRel: String,
+    schema: StructType, owf: OutputWriterFactory,
+    ctx: org.apache.hadoop.mapreduce.TaskAttemptContext,
+    partitionId: Int, taskId: Long, keyIdx: Int, numBuckets: Int)
+  extends DataWriter[InternalRow] {
+
+  private val writers = scala.collection.mutable.Map.empty[
+    Int, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
+  private val rowCounts = scala.collection.mutable.Map.empty[Int, Long]
+  private var offset = -1
+  private var shifted: OpShiftedRow = _
+
+  override def write(record: InternalRow): Unit = {
+    if (offset < 0) {
+      offset = record.numFields - schema.length
+      require(offset == 0 || offset == 1,
+        s"row arity ${record.numFields} does not match write schema " +
+          s"${schema.length} (+ optional __row_operation)")
+      if (offset == 1) shifted = new OpShiftedRow(1)
+    }
+    val aligned = if (offset == 0) record else shifted.set(record)
+    require(!aligned.isNullAt(keyIdx),
+      s"null bucket key (field $keyIdx) on a bucketed table")
+    val b = VtBucket.bucketOf(aligned.getLong(keyIdx), numBuckets)
+    val (w, _) = writers.getOrElseUpdate(b, {
+      val fileName = f"part-$partitionId%05d-$taskId.parquet"
+      (owf.newInstance(s"$groupDir/b=$b/$fileName", schema, ctx),
+        s"$groupRel/b=$b/$fileName")
+    })
+    w.write(aligned)
+    rowCounts(b) = rowCounts.getOrElse(b, 0L) + 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    GraftVtBucketedCommitMessage(writers.toSeq.sortBy(_._1).map { case (b, (_, rel)) =>
+      GraftVtCommitMessage(rel, rowCounts.getOrElse(b, 0L))
+    })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, rel) =>
+      w.close()
+      new java.io.File(s"$groupDir/${rel.stripPrefix(groupRel + "/")}").delete(): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}
 
 /** View of an incoming row with its first `offset` fields hidden.
   *
@@ -1143,7 +1256,7 @@ private[sources] final class OpShiftedRow(offset: Int) extends InternalRow {
 
 class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructType,
     owf: OutputWriterFactory, confEntries: Array[(String, String)],
-    clusterIdx: Option[Int] = None)
+    clusterIdx: Option[Int] = None, bucketRoute: Option[(Int, Int)] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1152,6 +1265,10 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
     val attempt = new TaskAttemptID(
       new TaskID(new JobID("graft_vt", 0), TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt)
     val ctx = new TaskAttemptContextImpl(conf, attempt)
+    bucketRoute.foreach { case (keyIdx, n) =>
+      return new BucketRoutingDataWriter(groupDir, groupRel, schema, owf, ctx,
+        partitionId, taskId, keyIdx, n)
+    }
     val fileName = f"part-$partitionId%05d-$taskId.parquet"
     val writer = owf.newInstance(s"$groupDir/$fileName", schema, ctx)
     new DataWriter[InternalRow] {

@@ -81,14 +81,19 @@ object ZoneMap {
   }
 
   /** Expand a manifest entry (group dir or single file) to leaf parquet
-    * files, as root-relative paths.
+    * files, as root-relative paths. Recursive: bucketed groups nest one
+    * `b=<i>` directory layer and every consumer (row-level scans,
+    * vacuum's reference check, metadata tables, compaction) must see
+    * through it.
     */
   def leafFiles(root: String, entry: String): Seq[String] = {
     val f = new java.io.File(s"$root/$entry")
     if (f.isDirectory)
-      f.listFiles().toSeq.collect {
-        case x if x.isFile && x.getName.endsWith(".parquet") => s"$entry/${x.getName}"
-      }.sorted
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName).flatMap {
+        case d if d.isDirectory => leafFiles(root, s"$entry/${d.getName}")
+        case x if x.getName.endsWith(".parquet") => Seq(s"$entry/${x.getName}")
+        case _ => Nil
+      }
     else Seq(entry)
   }
 

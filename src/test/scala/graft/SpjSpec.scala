@@ -98,13 +98,63 @@ class SpjSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (10L to 19L).toSeq)
   }
 
-  test("writes into bucketed tables are guarded") {
+  test("bucketed CTAS via PARTITIONED BY (bucket(n, key)), INSERT and DML keep the layout") {
     setup()
+    base.createOrReplaceTempView("spj_write_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.spj_w")
+    spark.sql(
+      """CREATE TABLE graft_vt.spj_w PARTITIONED BY (bucket(8, doc_id)) AS
+        |SELECT doc_id, text, source FROM spj_write_src WHERE doc_id < 100""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_vt.spj_w
+        |SELECT doc_id, text, source FROM spj_write_src WHERE doc_id >= 100""".stripMargin)
+    assert(spark.table("graft_vt.spj_w").count() == base.count())
+    // every leaf file sits under a b=<i> layer, rows in the right bucket
+    val root = GraftVtCatalog.rootOf("spj_w").get
+    val v = graft.sources.GraftVtTable.latestVersion(root)
+    val leaves = VersionedTable.manifest(root, v)
+      .flatMap(graft.sources.ZoneMap.leafFiles(root, _))
+    assert(leaves.nonEmpty && leaves.forall(_.contains("/b=")),
+      s"bucketed writes must land under b= dirs, got $leaves")
+    leaves.groupBy(f => f.split("/").find(_.startsWith("b=")).get).foreach {
+      case (bdir, fs) =>
+        val b = bdir.stripPrefix("b=").toInt
+        val bad = spark.read.parquet(fs.map(f => s"$root/$f"): _*)
+          .filter(org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(8L)) =!= b)
+          .count()
+        assert(bad == 0, s"rows in $bdir with wrong bucket: $bad")
+    }
+    // DML through the routing writer keeps the layout and the data
+    spark.sql("UPDATE graft_vt.spj_w SET source = 'routed' WHERE doc_id % 3 = 0")
+    assert(spark.table("graft_vt.spj_w").count() == base.count())
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_vt.spj_w WHERE source = 'routed'")
+      .collect().head.getLong(0) == base.filter(col("doc_id") % 3 === 0).count())
+    // and the rewritten table still joins shuffle-free
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.sql(
+      """SELECT a.doc_id FROM graft_vt.spj_w a
+        |JOIN graft_vt.spj_b b ON a.doc_id = b.doc_id""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a DML-rewritten bucketed table must keep its SPJ capability")
+    assert(df.count() == base.count())
+  }
+
+  test("null bucket keys and non-bigint keys fail loudly") {
+    setup()
+    base.createOrReplaceTempView("spj_write_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.spj_nulls")
+    spark.sql(
+      "CREATE TABLE graft_vt.spj_nulls (doc_id BIGINT, text STRING) PARTITIONED BY (bucket(4, doc_id))")
     intercept[Exception] {
-      spark.sql("INSERT INTO graft_vt.spj_a VALUES (9999999L, 'x', 'y')")
+      spark.sql("INSERT INTO graft_vt.spj_nulls VALUES (CAST(NULL AS BIGINT), 'x')")
     }: Unit
     intercept[Exception] {
-      spark.sql("UPDATE graft_vt.spj_a SET source = 'nope'")
+      GraftVtCatalog.registerBucketed(spark, "spj_badkey",
+        java.nio.file.Files.createTempDirectory("spj_bad").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))), "k", 4)
     }: Unit
   }
 }
