@@ -256,6 +256,7 @@ object SparkEntry {
     "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
+    "q_sql_expire" -> (SqlDml.sqlExpire(_, _)),
     "q_zonemap_scan" -> (SqlDml.sqlZonedTable(_, _)),
     "q_sql_optimize" -> (SqlDml.sqlOptimize(_, _)),
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
@@ -1735,6 +1736,18 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  1 AS deleted_groups
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // CALL expire_versions dropped v1+v2 (committed before v3's
+    // instant), deleting their two hot groups; v3 retained and its
+    // content recomputed logically; the cold group survives by reference
+    "q_sql_expire" ->
+      """WITH v3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v3' ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  2 AS expired_versions, 2 AS deleted_groups, 1 AS retained_versions
+        |FROM v3 GROUP BY 1""".stripMargin,
     // CALL optimize compacted the 8-file group into one file without
     // touching a row: content identical to the corpus
     "q_sql_optimize" ->

@@ -373,6 +373,59 @@ object SqlDml {
       .withColumn("files_after", lit(after))
   }
 
+  /** `CALL graft_vt.expire_versions(tbl, older_than)` — TIME-based
+    * retention over a three-version chain: versions committed before
+    * v3's instant expire (v1, v2), the latest is always retained, and
+    * collection deletes exactly the two hot groups only the expired
+    * manifests referenced (the cold group survives by reference —
+    * the reuse contract). `timestamp_micros` keeps the cutoff literal
+    * timezone-independent. First-call results replay across reps
+    * (expiry is a destructive one-shot).
+    */
+  def sqlExpire(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_expire"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.filter(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$r/files/cold_v1")
+      val hot = base.filter(col("doc_id") % 7 === 0)
+      hot.write.mode("overwrite").parquet(s"$r/files/hot_v1")
+      Seq(2, 3).foreach { v =>
+        hot.select(col("doc_id"), concat(col("text"), lit(s" v$v")).as("text"),
+            lit("recrawl").as("source"))
+          .write.mode("overwrite").parquet(s"$r/files/hot_v$v")
+      }
+      (1 to 3).foreach(v => VersionedTable.writeManifest(r, v,
+        Seq("files/cold_v1", s"files/hot_v${if (v == 1) 1 else v}")))
+      // space commit instants so "before v3" is unambiguous on fast builds
+      val ms = (1 to 3).map(v => new java.io.File(s"$r/_manifest_v$v.txt"))
+      ms.sliding(2).foreach {
+        case Seq(a, b) if b.lastModified() < a.lastModified() + 2000 =>
+          b.setLastModified(a.lastModified() + 2000): Unit
+        case _ => ()
+      }
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema)
+    val Array(expired, deleted, retained) = callResults.getOrElseUpdate((dir, name), {
+      val cutoffUs = graft.sources.GraftVtTable.versionCommitMicros(root)
+        .map(_._2).max
+      val r = spark.sql(
+        s"CALL graft_vt.expire_versions('$name', timestamp_micros(${cutoffUs}L))")
+        .collect().head
+      Array(r.getInt(0), r.getInt(1), r.getInt(2))
+    })
+    spark.read.parquet(VersionedTable.manifest(root,
+        graft.sources.GraftVtTable.latestVersion(root)).map(g => s"$root/$g"): _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .withColumn("expired_versions", lit(expired))
+      .withColumn("deleted_groups", lit(deleted))
+      .withColumn("retained_versions", lit(retained))
+  }
+
   /** The zone-map story end-to-end: a table CLUSTERED BY doc_id —
     * v1 range-partitioned then file-level-ANALYZEd ([[graft.sources
     * .ZoneMap.analyze]]), an UPDATE whose COW write is planned with an

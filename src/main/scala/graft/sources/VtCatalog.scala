@@ -70,11 +70,12 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     ident.name() match {
       case "vacuum"   => GraftVtProcedures.vacuumProc
       case "optimize" => GraftVtProcedures.optimizeProc
+      case "expire_versions" => GraftVtProcedures.expireProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("vacuum", "optimize").map(Identifier.of(Array.empty[String], _))
+    Array("vacuum", "optimize", "expire_versions").map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
     * owns — it is how Spark's storage-partitioned-join machinery
@@ -364,6 +365,44 @@ object GraftVtProcedures {
               StructField("retained_from", IntegerType, nullable = false),
               StructField("retained_to", IntegerType, nullable = false))),
             Array[Any](deleted.size, keep.min, keep.max))
+        }
+      }
+  }
+
+  /** `CALL graft_vt.expire_versions(tbl, olderThanMicros)` — the
+    * TIME-based retention flavor (vacuum's count-based twin, Iceberg's
+    * expire_snapshots): drop every version whose commit instant is
+    * strictly before the cutoff — except the LATEST version, which is
+    * always retained (a table never loses its head) — then collect the
+    * newly-unreferenced groups. Tags keep pinning their versions
+    * through [[VersionedTable.vacuum]]'s keep-set logic. Driver-only
+    * metadata work.
+    */
+  val expireProc: procedures.UnboundProcedure = new procedures.UnboundProcedure {
+    override def name(): String = "expire_versions"
+    override def description(): String =
+      "drop versions committed before a cutoff (latest always retained), collect garbage"
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      new procedures.BoundProcedure {
+        override def name(): String = "expire_versions"
+        override def description(): String = expireProc.description()
+        override def parameters(): Array[procedures.ProcedureParameter] =
+          Array(param("tbl", StringType),
+            param("older_than", org.apache.spark.sql.types.TimestampType))
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(input.getUTF8String(0).toString)
+          val cutoff = input.getLong(1) // micros
+          val vs = GraftVtTable.versionCommitMicros(root)
+          require(vs.nonEmpty, s"no versions under $root")
+          val latest = vs.map(_._1).max
+          val keep = vs.collect { case (v, us) if us >= cutoff || v == latest => v }
+          val deleted = VersionedTable.vacuum(root, keep)
+          resultScan(
+            StructType(Seq(StructField("expired_versions", IntegerType, nullable = false),
+              StructField("deleted_groups", IntegerType, nullable = false),
+              StructField("retained_versions", IntegerType, nullable = false))),
+            Array[Any](vs.size - keep.size, deleted.size, keep.size))
         }
       }
   }

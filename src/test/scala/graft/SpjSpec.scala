@@ -91,6 +91,18 @@ class SpjSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("GROUP BY the bucket key aggregates without an exchange") {
+    setup()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.sql(
+      """SELECT doc_id, COUNT(*) AS n, MAX(n_chars) AS mx
+        |FROM graft_vt.spj_b GROUP BY doc_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"aggregation keyed by the bucket key must not shuffle:\n$plan")
+    assert(df.count() == base.count())
+  }
+
   test("filters and pruning still work on bucketed scans") {
     setup()
     val df = spark.sql(

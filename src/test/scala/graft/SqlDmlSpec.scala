@@ -21,6 +21,38 @@ class SqlDmlSpec extends AnyFunSuite {
   private def groups(root: String): Seq[String] =
     Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String]).toSeq.sorted
 
+  test("expire_versions keeps the latest version and tag-pinned versions") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_expire_spec").toString
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    (1 to 3).foreach { v =>
+      base.limit(10 * v).coalesce(1).write.parquet(s"$root/files/g$v")
+      graft.sources.VersionedTable.writeManifest(root, v, Seq(s"files/g$v"))
+    }
+    val ms = (1 to 3).map(v => new java.io.File(s"$root/_manifest_v$v.txt"))
+    ms.sliding(2).foreach {
+      case Seq(a, b) if b.lastModified() < a.lastModified() + 2000 =>
+        b.setLastModified(a.lastModified() + 2000): Unit
+      case _ => ()
+    }
+    graft.sources.GraftVtCatalog.register(spark, "expire_spec", root, base.schema)
+    graft.sources.GraftVtTable.tag(root, "keepme", 1)
+    val cutoff = graft.sources.GraftVtTable.versionCommitMicros(root).map(_._2).max
+    val r = spark.sql(
+      s"CALL graft_vt.expire_versions('expire_spec', timestamp_micros(${cutoff}L))")
+      .collect().head
+    // v2 expired; v1 survives via the tag, v3 as the head
+    assert(manifests(root) == Seq(1, 3), s"got ${manifests(root)}")
+    assert(r.getInt(0) == 2, s"two versions fell before the cutoff: $r")
+    assert(groups(root).sorted == Seq("g1", "g3"),
+      s"only the untagged, non-head group dies: ${groups(root)}")
+    // both survivors still read
+    assert(spark.sql("SELECT COUNT(*) FROM graft_vt.expire_spec VERSION AS OF 1")
+      .collect().head.getLong(0) == 10)
+    assert(spark.table("graft_vt.expire_spec").count() == 30)
+  }
+
   test("UPDATE is idempotent and retention caps disk at two versions") {
     val r1 = SqlDml.sqlUpdate(spark, dir).collect().map(_.toString).sorted
     val root = graft.sources.GraftVtCatalog.rootOf("dml_update").get
