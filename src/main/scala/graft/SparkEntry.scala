@@ -269,6 +269,7 @@ object SparkEntry {
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
     "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
+    "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1813,6 +1814,36 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 6 = 3),
         |fin AS (SELECT * FROM base UNION ALL SELECT * FROM app)
         |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // threshold sweep: same saturating length score, same md5 labels,
+    // same guarded precision/recall/F1 arithmetic — f1 derives from the
+    // ROUNDED prec/rec on both sides
+    "q_pr_curve" ->
+      """WITH scored AS (SELECT
+        |    least(CAST(LENGTH(text) AS DOUBLE) / CAST(1000 AS DOUBLE),
+        |      CAST(1 AS DOUBLE)) AS score,
+        |    CASE WHEN CAST(('0x' || substr(md5('lbl_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |ts AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS t),
+        |g AS (SELECT t,
+        |    CAST(SUM(CASE WHEN score >= CAST(t AS DOUBLE)/10 AND label = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= CAST(t AS DOUBLE)/10 AND label = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < CAST(t AS DOUBLE)/10 AND label = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM scored, ts GROUP BY t),
+        |pr AS (SELECT t, round(CAST(t AS DOUBLE)/10, 6) AS thr, tp, fp, fn,
+        |    round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp)
+        |      ELSE CAST(0 AS DOUBLE) END, 6) AS prec,
+        |    round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn)
+        |      ELSE CAST(0 AS DOUBLE) END, 6) AS rec
+        |  FROM g)
+        |SELECT t, thr, tp, fp, fn, prec, rec,
+        |  round(CASE WHEN prec + rec > 0
+        |    THEN CAST(2 AS DOUBLE)*prec*rec/(prec+rec)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS f1
+        |FROM pr""".stripMargin,
     // retrieval eval: ranking (portable md5 scores) AND metric math
     // (recall@10 / MRR / nDCG@10) replicated exactly — DCG/IDCG terms
     // rounded to 9 and summed as DECIMAL so fold order can't matter

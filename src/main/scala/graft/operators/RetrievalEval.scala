@@ -63,6 +63,55 @@ object RetrievalEval {
           .as(s"ndcg_at_$k"))
   }
 
+  /** Classifier-threshold calibration: precision / recall / F1 at a
+    * grid of K score thresholds — the sweep that picks a quality
+    * filter's operating point before it gates a corpus. One explode
+    * (K rows per scored doc) + one grouped aggregation; fully
+    * distributed, cost ∝ K·|docs|. ANSI-guarded: empty predicted or
+    * relevant sets give 0.0, never a divide error.
+    */
+  def prCurve(scored: DataFrame, k: Int = 9): DataFrame = {
+    val denomGuard = (num: Column, den: Column) =>
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    val g = scored
+      .select(col("score"), col("label"),
+        explode(sequence(lit(1), lit(k))).as("t"))
+      .withColumn("thr", col("t").cast("double") / (k + 1))
+      .groupBy(col("t"), col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr") && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+    val p = denomGuard(col("tp"), col("tp") + col("fp"))
+    val r = denomGuard(col("tp"), col("tp") + col("fn"))
+    // `prec`/`rec`, not precision/recall: PRECISION is a type keyword
+    // in the oracle engine
+    g.select(col("t"), round(col("thr"), 6).as("thr"),
+        col("tp"), col("fp"), col("fn"),
+        p.as("prec"), r.as("rec"))
+      .withColumn("f1",
+        round(when(col("prec") + col("rec") > 0,
+          lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec"))).otherwise(0.0), 6))
+  }
+
+  /** The prCurve fixture: a real quality signal (length-saturating
+    * score — the shortest docs score lowest, the shape every
+    * length-based quality filter has) against portable md5 labels, so
+    * both the sweep math AND the operating points are oracle-pinned.
+    */
+  def prCurveFixture(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir, "documents").select(
+      least(length(col("text")).cast("double") / lit(1000.0), lit(1.0)).as("score"),
+      when(graft.functions.GraftFunctions.md5Bucket(
+        concat(lit("lbl_"), col("doc_id").cast("string")), 3) === 0, 1)
+        .otherwise(0).as("label"))
+    prCurve(scored)
+  }
+
   /** The oracle-gated fixture: a deterministic retrieval run over the
     * corpus — queries are the %97 doc slice, the candidate pool the %9
     * slice, scores and relevance labels derive from the portable md5

@@ -83,6 +83,40 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(m.count() == 10)
   }
 
+  test("prCurve: hand-computed operating points on a tiny scored set") {
+    val s = spark
+    import s.implicits._
+    // scores 0.05..0.95; labels: top half positive
+    val scored = (1 to 10).map(i => (i / 10.0 - 0.05, if (i > 5) 1 else 0))
+      .toDF("score", "label")
+    val m = RetrievalEval.prCurve(scored).collect()
+      .map(r => r.getAs[Int]("t") -> r).toMap
+    // t=5 → thr 0.5: predicted = scores ≥ 0.5 = {0.55..0.95} = 5 docs, all positive
+    assert(m(5).getAs[Long]("tp") == 5 && m(5).getAs[Long]("fp") == 0)
+    assert(m(5).getAs[Double]("prec") == 1.0 && m(5).getAs[Double]("rec") == 1.0)
+    assert(m(5).getAs[Double]("f1") == 1.0)
+    // t=1 → thr 0.1: predicted = 9 docs (all but 0.05), tp=5, fp=4
+    assert(m(1).getAs[Long]("tp") == 5 && m(1).getAs[Long]("fp") == 4)
+    assert(m(1).getAs[Double]("prec") == math.rint(5.0 / 9 * 1e6) / 1e6)
+    // t=9 → thr 0.9: predicted = {0.95}, tp=1, fn=4 → recall 0.2
+    assert(m(9).getAs[Long]("tp") == 1 && m(9).getAs[Long]("fn") == 4)
+    assert(m(9).getAs[Double]("rec") == 0.2)
+    // recall is monotonically non-increasing in the threshold
+    val recs = (1 to 9).map(t => m(t).getAs[Double]("rec"))
+    assert(recs.sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
+  test("prCurve: all-negative labels give zero metrics without ANSI errors") {
+    val s = spark
+    import s.implicits._
+    val scored = (1 to 5).map(i => (i / 10.0, 0)).toDF("score", "label")
+    val rows = RetrievalEval.prCurve(scored).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rec") == 0.0 && r.getAs[Double]("f1") == 0.0)
+    }
+  }
+
   test("fixture query is deterministic across invocations") {
     val a = RetrievalEval.evalFixture(spark, dir).collect().map(_.toString).sorted.toSeq
     val b = RetrievalEval.evalFixture(spark, dir).collect().map(_.toString).sorted.toSeq
