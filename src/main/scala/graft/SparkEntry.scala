@@ -115,6 +115,7 @@ object SparkEntry {
     // --- dedup -----------------------------------------------------------
     "q_dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
     "q_dedup_survivors" -> (Dedup.exactDedupSurvivors(_, _)),
+    "q_incremental_dedup" -> (Dedup.incrementalDedup(_, _)),
     "q_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
     "q_jaccard_prefix" -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
     "q_fuzzy_edit" -> ((s, d) => Dedup.fuzzyEditPairs(s, d)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     // --- statistics tier --------------------------------------------------
     "q_spearman" -> (Stats.spearmanQuantityPrice(_, _)),
+    "q_cohen_kappa" -> (Stats.cohenKappa(_, _)),
     "q_ab_test" -> (Stats.welchTTest(_, _)),
     "q_histogram" -> ((s, d) => Stats.priceHistogram(s, d)),
     "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
@@ -998,6 +1000,19 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
     "q_dedup_survivors" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    // incremental dedup: the batch's genuinely-new docs survive, the
+    // re-crawled copies of indexed content anti-join away
+    "q_incremental_dedup" ->
+      """WITH idx AS (SELECT DISTINCT md5(text) AS digest
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, source, md5(text) AS digest
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000000, 'recrawl', md5(text)
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0)
+        |SELECT b.doc_id, b.source, b.digest FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.digest = b.digest)""".stripMargin,
     "q_ngram_jaccard" -> jaccardOracleSql,
     "q_jaccard_prefix" -> jaccardOracleSql,
     // Edit-distance tier: co-shingle candidates refined by exact
@@ -2266,6 +2281,40 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // Cohen's kappa from exact integer counts; po/pe divisions and the
+    // fixed-order marginal products mirrored verbatim
+    "q_cohen_kappa" ->
+      """WITH lab AS (SELECT
+        |    CAST(CAST(('0x' || substr(md5('a_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 AS INTEGER) AS a,
+        |    CASE WHEN CAST(('0x' || substr(md5('agree_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 4 < 3
+        |      THEN CAST(CAST(('0x' || substr(md5('a_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 3 AS INTEGER)
+        |      ELSE CAST(CAST(('0x' || substr(md5('b_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 3 AS INTEGER) END AS b
+        |  FROM documents),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+        |  FROM lab),
+        |m AS (SELECT n,
+        |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    (CAST(a0 AS DOUBLE)*CAST(b0 AS DOUBLE)
+        |      + CAST(a1 AS DOUBLE)*CAST(b1 AS DOUBLE)
+        |      + CAST(a2 AS DOUBLE)*CAST(b2 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS pe
+        |  FROM c)
+        |SELECT n, round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
+        |  round(CASE WHEN CAST(1 AS DOUBLE) - pe > 0
+        |    THEN (po - pe) / (CAST(1 AS DOUBLE) - pe)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS kappa
+        |FROM m""".stripMargin,
     // mid-rank identity: Spark's histogram rank 2·below+cnt+1 ==
     // 2·RANK()+COUNT(per value)−1; sums exact integer, rho mirrored double
     "q_spearman" ->

@@ -70,6 +70,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
+  /** INCREMENTAL dedup against an existing index — the corpus-GROWTH
+    * verb: a new crawl batch (genuinely-new documents plus re-crawled
+    * copies of already-kept ones) is screened against the kept
+    * corpus's content digests, and only content the index has never
+    * seen survives. One digest projection on each side + one shuffled
+    * LEFT ANTI join keyed on the 16-byte digest — at 100 TB the
+    * per-key payload is the digest, not the document, and the join
+    * cost scales with |batch| + |index digests|, never re-reading the
+    * corpus text twice (a production deployment materializes the index
+    * digest column once per snapshot; a bloom pre-filter —
+    * [[graft.operators.TextAnalysis.decontaminateBloom]]'s shape —
+    * drops the obviously-new keys map-side before the shuffle).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val index = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(index.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"),
+          lit("recrawl").as("source")))
+    batch
+      .withColumn("digest", md5(col("text").cast("binary")))
+      .join(index.select(md5(col("text").cast("binary")).as("digest")).distinct(),
+        Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("source"), col("digest"))
+  }
+
   /** Character 15-gram shingles. `distinct = true` gives one row per
     * distinct (doc_id, shingle) — needed for exact Jaccard counting;
     * MinHash skips the dedup shuffle entirely (min over a multiset equals

@@ -539,4 +539,48 @@ object Stats {
       pearsonFromSums(col("cnt"), col("sx"), col("sy"),
         col("sxy"), col("sxx"), col("syy")).as("autocorr"))
   }
+
+  /** COHEN'S KAPPA — inter-annotator agreement over a 3-category
+    * labeling task, the QA gate every human- or model-labeled training
+    * set passes before its labels are trusted. Two deterministic
+    * md5-derived annotators with engineered partial agreement (B copies
+    * A on ~3/4 of documents, relabels independently otherwise), so the
+    * full (observed, expected, kappa) arithmetic is oracle-pinned.
+    *
+    * One pass: a single aggregate row carries the agreement count and
+    * all six per-category marginals; p_o and p_e derive from EXACT
+    * integer counts (cast to double only for the final divisions), so
+    * no cross-engine float accumulation exists anywhere. Cost = one
+    * scan + one 1-row aggregate at any corpus size.
+    */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Bucket
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val a = md5Bucket(concat(lit("a_"), col("doc_id").cast("string")), 3)
+    val b0 = md5Bucket(concat(lit("b_"), col("doc_id").cast("string")), 3)
+    val copies = md5Bucket(concat(lit("agree_"), col("doc_id").cast("string")), 4) < 3
+    val labeled = docs.select(a.as("a"), when(copies, a).otherwise(b0).as("b"))
+    val counts = labeled.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+      sum(when(col("a") === 0, 1L).otherwise(0L)).as("a0"),
+      sum(when(col("a") === 1, 1L).otherwise(0L)).as("a1"),
+      sum(when(col("a") === 2, 1L).otherwise(0L)).as("a2"),
+      sum(when(col("b") === 0, 1L).otherwise(0L)).as("b0"),
+      sum(when(col("b") === 1, 1L).otherwise(0L)).as("b1"),
+      sum(when(col("b") === 2, 1L).otherwise(0L)).as("b2"))
+    // products as doubles in a FIXED order (mirrored verbatim by the
+    // oracle): exact for any per-category count < 2^26, and immune to
+    // the n² bigint overflow a trillion-row corpus would hit
+    def d(c: Column) = c.cast("double")
+    val po = d(col("agree")) / d(col("n"))
+    val pe = (d(col("a0")) * d(col("b0")) + d(col("a1")) * d(col("b1")) +
+      d(col("a2")) * d(col("b2"))) / (d(col("n")) * d(col("n")))
+    counts.select(
+        col("n"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round(when(lit(1.0) - pe > 0, (po - pe) / (lit(1.0) - pe))
+          .otherwise(0.0), 6).as("kappa"))
+  }
 }

@@ -217,4 +217,20 @@ class DedupSpec extends AnyFunSuite {
         assert(sig((id, j)) == shingles.map(sh => h(j, sh)).min, s"doc $id perm $j")
     }
   }
+
+  test("incremental dedup: re-crawled content drops, new content survives") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Dedup.incrementalDedup(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every re-crawl row carries content the index already holds
+    assert(!rows.exists(_.getAs[String]("source") == "recrawl"),
+      "re-crawled copies of indexed content must not survive")
+    // survivors are exactly the batch rows whose digest is new
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val idxDigests = docs.filter(col("doc_id") % 3 =!= 0)
+      .selectExpr("md5(CAST(text AS BINARY)) AS d").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(!idxDigests(r.getAs[String]("digest"))))
+  }
 }

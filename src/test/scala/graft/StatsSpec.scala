@@ -426,4 +426,14 @@ class StatsSpec extends AnyFunSuite {
     val cell = ev.filter(e => e._1 == t0 && e._2 == h0)
     assert(math.abs(cell.map(_._3).sum.toDouble / cell.length - mean0) < 1e-5)
   }
+
+  test("cohen kappa: engineered 3/4-copy annotators agree well above chance") {
+    val r = graft.operators.Stats.cohenKappa(spark, sf).collect().head
+    val (po, pe, k) = (r.getAs[Double]("p_observed"),
+      r.getAs[Double]("p_expected"), r.getAs[Double]("kappa"))
+    assert(po > pe, s"copying annotators must beat chance: po=$po pe=$pe")
+    assert(k > 0.4 && k <= 1.0, s"kappa out of the engineered band: $k")
+    // identity check on the rounded outputs
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4)
+  }
 }
