@@ -346,6 +346,12 @@ object ScaleBench {
     // read regardless of corpus size; only the first-touch table build
     // is data-sized)
     "q_cow_narrow" -> ((s, d) => graft.operators.SqlDml.sqlNarrowUpdate(s, d)),
+    // incremental dedup rides two digest scans + one anti-join shuffle
+    // (both sides grow with the factor — expect ~linear); the SPJ join
+    // is the shuffle-free fact⋈fact (first touch builds both bucketed
+    // tables; steady-state reps measure the aligned merge itself)
+    "q_incremental_dedup" -> ((s, d) => graft.operators.Dedup.incrementalDedup(s, d)),
+    "q_spj_join" -> ((s, d) => graft.operators.SqlDml.sqlSpjJoin(s, d)),
     "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)))
 
   def main(args: Array[String]): Unit = {
