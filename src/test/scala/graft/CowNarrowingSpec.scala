@@ -110,6 +110,31 @@ class CowNarrowingSpec extends AnyFunSuite {
       == base.filter(col("doc_id") > 19).count())
   }
 
+  test("MERGE + NOT MATCHED BY SOURCE with a target-only ON conjunct deletes beyond any pruned range") {
+    // the adversarial shape for file narrowing: if the planner pushed
+    // `t.doc_id < 100` into the row-level scan and we pruned the files
+    // above it, their rows would be RETAINED — but NMBS semantics
+    // demand their deletion (they match no source row). Full-sync
+    // correctness is the pin.
+    zonedTable("cow_nmbs")
+    val src = base.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.upper(col("text")).as("text"),
+        org.apache.spark.sql.functions.lit("sync").as("source"))
+    src.createOrReplaceTempView("cow_nmbs_src")
+    spark.sql(
+      """MERGE INTO graft_vt.cow_nmbs t USING cow_nmbs_src s
+        |ON t.doc_id = s.doc_id AND t.doc_id < 100
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val after = spark.table("graft_vt.cow_nmbs")
+    assert(after.count() == src.count(),
+      "after a full-sync MERGE the table must BE the source — rows outside " +
+        "the ON range must be deleted, not retained by file pruning")
+    assert(after.filter(col("doc_id") >= 100).count() == 0)
+  }
+
   test("MERGE on a narrowed table stays correct (join keys reach every file)") {
     val root = zonedTable("cow_narrow_merge")
     base.filter(col("doc_id") % 50 === 0)
