@@ -266,6 +266,7 @@ object SparkEntry {
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
+    "q_meta_tags" -> (SqlDml.sqlMetaTags(_, _)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
@@ -1908,6 +1909,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2 AS version, 2 AS n_groups,
         |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS total_rows""".stripMargin,
+    // tags metadata: two fixed refs created by the query itself
+    "q_meta_tags" ->
+      """SELECT 'pretrain-v1' AS tag, 1 AS version
+        |UNION ALL
+        |SELECT 'release' AS tag, 2 AS version""".stripMargin,
     // files metadata composed with VERSION AS OF: both versions share
     // files/cold_v1 by reference; each owns its hot group
     "q_meta_files" ->

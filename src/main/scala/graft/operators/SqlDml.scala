@@ -655,6 +655,21 @@ object SqlDml {
         |GROUP BY version, group_path""".stripMargin)
   }
 
+  /** `graft_vt.t.tags` — the named-ref inspection table, composed with
+    * the tag-creating flow of [[sqlTags]]: fixed tag names pointing at
+    * the two chain versions, listed back through SQL. Driver metadata,
+    * zero jobs.
+    */
+  def sqlMetaTags(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "vt_documents", root, docsBase(spark, dir).schema)
+    graft.sources.GraftVtTable.tag(root, "pretrain-v1", 1)
+    graft.sources.GraftVtTable.tag(root, "release", 2)
+    spark.sql(
+      """SELECT tag, version FROM graft_vt.vt_documents.tags
+        |WHERE tag IN ('pretrain-v1', 'release')""".stripMargin)
+  }
+
   /** `TIMESTAMP AS OF` through the parser — the wall-clock spelling of
     * time travel: each commit instant IS its manifest's mtime, and the
     * catalog binds the largest version committed at or before the
