@@ -110,6 +110,33 @@ class CowNarrowingSpec extends AnyFunSuite {
       == base.filter(col("doc_id") > 19).count())
   }
 
+  test("differential sweep: stacked range updates through narrowing equal the logical fold") {
+    import org.apache.spark.sql.functions.{concat_ws, lit, when}
+    val root = zonedTable("cow_sweep")
+    // edges on purpose: degenerate single-key ranges, a range past the
+    // corpus max, a range straddling zero, and interior ranges that
+    // split files — every one narrows differently
+    val ranges = Seq((0L, 0L), (37L, 171L), (100L, 100L), (450L, 10000000L), (-5L, 3L))
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      spark.sql(
+        s"""UPDATE graft_vt.cow_sweep SET source = 's_$i'
+           |WHERE doc_id BETWEEN $lo AND $hi""".stripMargin)
+    }
+    val expected = ranges.zipWithIndex.foldLeft(
+        base.select(col("doc_id"), col("source"))) { case (df, ((lo, hi), i)) =>
+        df.select(col("doc_id"),
+          when(col("doc_id").between(lo, hi), lit(s"s_$i")).otherwise(col("source"))
+            .as("source"))
+      }
+    val got = spark.sql("SELECT doc_id, source FROM graft_vt.cow_sweep")
+    assert(got.count() == base.count())
+    val diff = got.select(concat_ws("|", col("doc_id"), col("source")).as("k"))
+      .exceptAll(expected.select(concat_ws("|", col("doc_id"), col("source")).as("k")))
+    assert(diff.count() == 0,
+      s"narrowed updates diverged from the logical fold: ${diff.take(5).toSeq}")
+    VersionedTable.manifest(root, graft.sources.GraftVtTable.latestVersion(root)): Unit
+  }
+
   test("MERGE + NOT MATCHED BY SOURCE with a target-only ON conjunct deletes beyond any pruned range") {
     // the adversarial shape for file narrowing: if the planner pushed
     // `t.doc_id < 100` into the row-level scan and we pruned the files
