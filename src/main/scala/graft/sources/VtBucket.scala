@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -48,7 +48,8 @@ object VtBucket {
         s"bucket takes (numBuckets INT, key BIGINT), got $inputType")
       Bound
     }
-    object Bound extends ScalarFunction[Integer] {
+    object Bound extends ScalarFunction[Integer]
+      with ReducibleFunction[Integer, Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
@@ -60,7 +61,30 @@ object VtBucket {
           val n = input.getInt(0)
           bucketOf(input.getLong(1), n): Integer
         }
+
+      /** COMPATIBLE bucket counts stay shuffle-free: when the other
+        * side's count divides this one's, this side's bucket ids
+        * REDUCE onto the other's (`((k mod an) mod n) == k mod n`), so
+        * Spark coalesces this side's partitions instead of planning
+        * exchanges — a bucket(16) fact joins a bucket(8) fact by
+        * merging partition pairs. Incompatible counts return null and
+        * fall back to the ordinary shuffle.
+        */
+      override def reducer(thisNumBuckets: Int,
+          otherFunc: ReducibleFunction[_, _],
+          otherNumBuckets: Int): Reducer[Integer, Integer] =
+        if ((otherFunc eq this) && thisNumBuckets != otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0)
+          ModReducer(otherNumBuckets)
+        else null
     }
+  }
+
+  /** Standalone (serializable — reducers ship inside task closures):
+    * reduce a bucket id onto the coarser count.
+    */
+  private case class ModReducer(n: Int) extends Reducer[Integer, Integer] {
+    override def reduce(v: Integer): Integer = v % n
   }
 
   def bucketOf(key: Long, n: Int): Int = (((key % n) + n) % n).toInt

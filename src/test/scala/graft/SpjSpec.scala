@@ -91,6 +91,36 @@ class SpjSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("compatible bucket counts (16 vs 8) join shuffle-free via reduction") {
+    setup() // spj_a at nB=8
+    val wide = java.nio.file.Files.createTempDirectory("graft_spj_wide").toString
+    val df16 = base.select(col("doc_id"), length(col("text")).cast("long").as("len16"))
+    VtBucket.writeBucketed(df16, "doc_id", 16, s"$wide/files/base_v1")
+    VersionedTable.writeManifest(wide, 1, Seq("files/base_v1"))
+    GraftVtCatalog.registerBucketed(spark, "spj_wide", wide, df16.schema, "doc_id", 16)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val df = spark.sql(
+      """SELECT a.doc_id FROM graft_vt.spj_a a
+        |JOIN graft_vt.spj_wide w ON a.doc_id = w.doc_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"divisible bucket counts must reduce, not shuffle:\n$plan")
+    assert(df.count() == base.count())
+    // an indivisible pair (8 vs 12) falls back to the shuffle, correctly
+    val odd = java.nio.file.Files.createTempDirectory("graft_spj_odd").toString
+    val df12 = base.select(col("doc_id"), length(col("text")).cast("long").as("len12"))
+    VtBucket.writeBucketed(df12, "doc_id", 12, s"$odd/files/base_v1")
+    VersionedTable.writeManifest(odd, 1, Seq("files/base_v1"))
+    GraftVtCatalog.registerBucketed(spark, "spj_odd", odd, df12.schema, "doc_id", 12)
+    val df2 = spark.sql(
+      """SELECT a.doc_id FROM graft_vt.spj_a a
+        |JOIN graft_vt.spj_odd o ON a.doc_id = o.doc_id""".stripMargin)
+    assert(df2.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(df2.count() == base.count())
+  }
+
   test("GROUP BY the bucket key aggregates without an exchange") {
     setup()
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
