@@ -271,6 +271,8 @@ object SparkEntry {
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
     "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
+    "q_agg_pushdown" -> (SqlDml.sqlAggPushdown(_, _)),
+    "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1821,6 +1823,19 @@ object SparkEntry {
         |  CASE WHEN doc_id BETWEEN 100 AND 199 THEN 'narrow' ELSE source END AS source,
         |  md5(CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(text) ELSE text END) AS digest
         |FROM documents WHERE doc_id BETWEEN 50 AND 249""".stripMargin,
+    // manifest-level aggregate pushdown: the one-row LocalScan answer
+    // must equal the real aggregates over the corpus
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(doc_id) AS BIGINT) AS n_keys,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
+    // join-driven runtime file pruning: pruning must be invisible to
+    // results — the join recomputed logically (dim flag=0 iff doc_id
+    // in the fixed [300, 399] band)
+    "q_runtime_prune" ->
+      """SELECT doc_id, source, md5(text) AS digest
+        |FROM documents WHERE doc_id BETWEEN 300 AND 399""".stripMargin,
     // CTAS creates + fills the table, INSERT INTO appends — final
     // state recomputed logically
     "q_sql_ctas" ->

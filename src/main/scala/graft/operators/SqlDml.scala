@@ -459,6 +459,68 @@ object SqlDml {
         |WHERE doc_id BETWEEN 100 AND 299""".stripMargin)
   }
 
+  /** MANIFEST-LEVEL AGGREGATE PUSHDOWN: whole-table COUNT(*) /
+    * COUNT(key) / MIN(key) / MAX(key) on a clustered table answer from
+    * the zone-map sidecar as a one-row LocalScan — zero files opened,
+    * zero tasks launched (VtScanPushdownSpec pins the plan shape; the
+    * oracle pins the values). At 100 TB this is the "how many
+    * documents, what id range" query answered in driver microseconds
+    * where even parquet-footer pushdown schedules a task per file.
+    */
+  def sqlAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_aggmeta"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      ZoneMap.analyze(spark, r, 1, "doc_id"): Unit
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema, clusterCol = Some("doc_id"))
+    spark.sql(
+      s"""SELECT count(*) AS n_docs, count(doc_id) AS n_keys,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM graft_vt.$name""".stripMargin)
+  }
+
+  /** JOIN-DRIVEN RUNTIME FILE PRUNING: the dim side's filter is on a
+    * DATA column of a materialized table, so nothing propagates to the
+    * fact statically — only after the broadcast build executes does
+    * Spark deliver the surviving join keys to the fact scan
+    * ([[graft.sources.ZoneMapRuntimeScan]]), which re-binds to the few
+    * files whose [min, max] can hold them. The star-join shape at
+    * 100 TB: "documents for these selected keys" reads those keys'
+    * files, not the corpus. The oracle recomputes the join logically.
+    */
+  def sqlRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_rtfact"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      ZoneMap.analyze(spark, r, 1, "doc_id"): Unit
+      // the dim is MATERIALIZED (its flag derivation must not be
+      // visible to the optimizer, or predicate inference would hand
+      // static pruning the keys first); the selected keys are a FIXED
+      // band, so the pruned fact scan reads O(band) files at any SF
+      base.select(col("doc_id"),
+          when(col("doc_id").between(300, 399), 0).otherwise(1).cast("int").as("flag"))
+        .write.mode("overwrite").parquet(s"$r/dim")
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema, clusterCol = Some("doc_id"))
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("graft_rt_dim")
+    spark.sql(
+      s"""SELECT f.doc_id, f.source, md5(CAST(f.text AS BINARY)) AS digest
+         |FROM graft_vt.$name f
+         |JOIN graft_rt_dim d ON f.doc_id = d.doc_id
+         |WHERE d.flag = 0""".stripMargin)
+  }
+
   /** NARROWED COW end-to-end: a clustered table, a FIXED key-range
     * UPDATE whose predicate is source-translatable, and a range read
     * back. The zone-map sidecar bounds BOTH sides — the rewrite binds

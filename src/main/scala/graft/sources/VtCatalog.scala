@@ -759,7 +759,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       ZoneMap.read(root, v, zc).foreach { stats =>
         ZoneMap.write(root, newV, zc,
           stats.filter { case (f, _) => keptSet(f) },
-          ZoneMap.readNullCounts(root, v, zc).filter { case (f, _) => keptSet(f) })
+          ZoneMap.readNullCounts(root, v, zc).filter { case (f, _) => keptSet(f) },
+          ZoneMap.readRowCounts(root, v, zc).filter { case (f, _) => keptSet(f) })
       }
     }
     VersionedTable.vacuum(root, Seq(v, newV)): Unit
@@ -818,12 +819,17 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types.{LongType, StructField}
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = tableSchema
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -833,13 +839,139 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     Array.empty
   override def pruneColumns(s: StructType): Unit = required = s
 
+  /** MANIFEST-LEVEL AGGREGATE PUSHDOWN — whole-table `COUNT(*)` /
+    * `COUNT(zcol)` / `MIN(zcol)` / `MAX(zcol)` answered from the
+    * zone-map sidecar alone: min of the per-file minima, sum of the
+    * per-file row counts. No file is opened, no task is launched — the
+    * scan collapses to a one-row [[LocalScan]]. This is the query a
+    * 100 TB table gets asked constantly ("how many documents? what's
+    * the id range?"), and the sidecar answers it in driver microseconds
+    * where even parquet-footer pushdown schedules a task per file.
+    *
+    * Declined (conservative, falls back to the ordinary scan) unless
+    * the answer is PROVABLE from metadata: no residual filters, no
+    * GROUP BY, no DISTINCT, every manifest file present in the sidecar
+    * (an all-null-key or never-analyzed file makes min/max unknowable),
+    * and — for counts — per-file row counts recorded (sidecars written
+    * before the row-count column read back as "unknown").
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAggregate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planAggregate(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  private def isZcol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference =>
+        nr.fieldNames().length == 1 && nr.fieldNames()(0) == zcol
+      case _ => false
+    }
+
+  private def planAggregate(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (!tableSchema.fieldNames.contains(zcol) ||
+        tableSchema(zcol).dataType != LongType) return None
+    val files = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
+    // every file must carry range stats — a file absent from the
+    // sidecar is either unanalyzed or all-null-keyed; both make the
+    // metadata answer unprovable
+    if (!files.forall(stats.contains)) return None
+    lazy val rowCounts = ZoneMap.readRowCounts(root, version, zcol)
+    lazy val nullCounts = ZoneMap.readNullCounts(root, version, zcol)
+    val cols = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        if (files.forall(rowCounts.contains))
+          Some((StructField(s"count(*)", LongType, nullable = false),
+            files.map(rowCounts).sum: Any))
+        else None
+      case c: Count if !c.isDistinct && isZcol(c.column) =>
+        if (files.forall(f => rowCounts.contains(f) && nullCounts.contains(f)))
+          Some((StructField(s"count($zcol)", LongType, nullable = false),
+            files.map(f => rowCounts(f) - nullCounts(f)).sum: Any))
+        else None
+      case m: Min if isZcol(m.column) =>
+        Some((StructField(s"min($zcol)", LongType, nullable = true),
+          if (files.isEmpty) null else files.map(stats(_)._1).min: Any))
+      case m: Max if isZcol(m.column) =>
+        Some((StructField(s"max($zcol)", LongType, nullable = true),
+          if (files.isEmpty) null else files.map(stats(_)._2).max: Any))
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.map(_.get._1)), cols.map(_.get._2)))
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    aggResult.foreach { case (schema, values) =>
+      ZoneMapScanBuilder.lastAggPushdown = Some(schema.fieldNames.mkString(","))
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+        override def description(): String =
+          s"GraftZoneMapAggScan ${schema.fieldNames.mkString(",")}"
+      }
+    }
     val v1 = pushed.flatMap(ZoneMap.toV1Filter)
     val all = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
     val kept = ZoneMap.prune(stats, zcol, v1, all)
     ZoneMapScanBuilder.lastPrune = (all.size, kept.size)
+    new ZoneMapRuntimeScan(tableName, root, tableSchema, zcol, stats,
+      options, pushed, required, kept)
+  }
+}
+
+object ZoneMapScanBuilder {
+  /** (manifest files, files the last scan kept) — spec inspection hook. */
+  @volatile var lastPrune: (Int, Int) = (0, 0)
+
+  /** Pushed-aggregate columns of the last metadata-answered scan. */
+  @volatile var lastAggPushdown: Option[String] = None
+}
+
+/** The zone-map scan itself — a delegating wrapper over Spark's parquet
+  * DSv2 scan that adds RUNTIME file-level pruning
+  * ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]):
+  * when this table is the FACT side of a join whose other side carries a
+  * selective filter, Spark's dynamic-pruning rule plans the dim side's
+  * join keys as a runtime IN-filter, delivers it here after the build
+  * side executes, and the scan re-binds to only the files whose
+  * [min, max] can hold one of those keys — join-driven data skipping
+  * with no static predicate on the fact table at all. At 100 TB this is
+  * the star-join shape: "events for these 12 customers" reads the
+  * customers' files, not the corpus.
+  *
+  * Conservative by construction: only IN/= predicates on the zone
+  * column prune (anything else leaves the file list untouched), pruning
+  * uses the same [[ZoneMap.mayMatch]] proof as static pruning, and the
+  * join's own row-level filter still runs above — dropped files are
+  * provably row-free for the delivered keys.
+  */
+class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructType,
+    zcol: String, stats: Map[String, (Long, Long)],
+    options: CaseInsensitiveStringMap,
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    required: StructType, initialFiles: Seq[String])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private type LitV = org.apache.spark.sql.connector.expressions.Literal[_]
+
+  @volatile private var currentFiles: Seq[String] = initialFiles
+  @volatile private var inner: org.apache.spark.sql.connector.read.Scan =
+    buildInner(initialFiles)
+
+  private def buildInner(files: Seq[String]): org.apache.spark.sql.connector.read.Scan = {
     val pt = ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
-      kept.map(f => s"$root/$f"), Some(tableSchema), classOf[ParquetFileFormat])
+      files.map(f => s"$root/$f"), Some(tableSchema), classOf[ParquetFileFormat])
     val b = pt.newScanBuilder(options)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
     // replay the full pushdown into the delegated parquet builder: the
@@ -848,11 +980,62 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     b.pruneColumns(required)
     b.build()
   }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(zcol))
+
+  /** Translate the runtime predicates Spark delivers (IN / = on the
+    * zone column, values from the executed build side) into v1 filters
+    * and re-prune the bound file list. Untranslatable predicates are
+    * ignored — the scan stays correct, just unpruned.
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap { p =>
+      (p.name(), p.children()) match {
+        case ("IN", children) if children.nonEmpty && isZcol(children.head) &&
+            children.tail.forall(_.isInstanceOf[LitV]) =>
+          Some(org.apache.spark.sql.sources.In(zcol,
+            children.tail.map(_.asInstanceOf[LitV].value().asInstanceOf[Any])))
+        case ("=", Array(c, l: LitV)) if isZcol(c) =>
+          Some(org.apache.spark.sql.sources.EqualTo(zcol, l.value()))
+        case _ => None
+      }
+    }
+    if (v1.nonEmpty) {
+      val kept = ZoneMap.prune(stats, zcol, v1.toSeq, currentFiles)
+      ZoneMapRuntimeScan.lastRuntimePrune = (currentFiles.size, kept.size)
+      if (kept.size < currentFiles.size) {
+        currentFiles = kept
+        inner = buildInner(kept)
+      }
+    }
+  }
+
+  private def isZcol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference =>
+        nr.fieldNames().length == 1 && nr.fieldNames()(0) == zcol
+      case _ => false
+    }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String =
+    s"GraftZoneMapScan(files=${currentFiles.size}) " + inner.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 }
 
-object ZoneMapScanBuilder {
-  /** (manifest files, files the last scan kept) — spec inspection hook. */
-  @volatile var lastPrune: (Int, Int) = (0, 0)
+object ZoneMapRuntimeScan {
+  /** (files before, files after) of the last runtime prune — spec hook. */
+  @volatile var lastRuntimePrune: (Int, Int) = (0, 0)
 }
 
 /** Logical↔physical name translation around any delegate scan builder —
@@ -1139,13 +1322,19 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
         .filter { case (f, _) => baseFiles(f) }
       val priorNulls = ZoneMap.readNullCounts(root, newVersion - 1, zc)
         .filter { case (f, _) => baseFiles(f) }
+      val priorRows = ZoneMap.readRowCounts(root, newVersion - 1, zc)
+        .filter { case (f, _) => baseFiles(f) }
       val fresh = kept.collect {
         case m if m.zMin <= m.zMax => m.relPath -> (m.zMin, m.zMax)
       }.toMap
       val freshNulls = kept.collect {
         case m if m.zMin <= m.zMax => m.relPath -> m.zNulls
       }.toMap
-      ZoneMap.write(root, newVersion, zc, prior ++ fresh, priorNulls ++ freshNulls)
+      val freshRows = kept.collect {
+        case m if m.zMin <= m.zMax => m.relPath -> m.rows
+      }.toMap
+      ZoneMap.write(root, newVersion, zc, prior ++ fresh, priorNulls ++ freshNulls,
+        priorRows ++ freshRows)
     }
     // Retention: every COW DML rewrites the WHOLE table, so unreferenced
     // old groups grow linearly with statements (one full copy per bench

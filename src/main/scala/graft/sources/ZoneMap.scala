@@ -37,16 +37,21 @@ object ZoneMap {
     * that makes whole-file metadata deletes sound (a null key never
     * satisfies a comparison predicate, so a file with null keys can
     * never be PROVABLY all-deleted from its [lo, hi] range alone).
-    * Files absent from `nulls` serialize as 2-element entries and read
-    * back as "null count unknown" — conservative for drops.
+    * `rows` carries the per-file ROW count where known — the bit that
+    * lets a whole-table COUNT(*) answer from the sidecar with zero data
+    * IO (see [[ZoneMapScanBuilder]]'s aggregate pushdown). Files absent
+    * from `nulls`/`rows` serialize as shorter entries and read back as
+    * "unknown" — conservative for drops and for pushed aggregates alike.
     */
   def write(root: String, version: Int, col: String,
       stats: Map[String, (Long, Long)],
-      nulls: Map[String, Long] = Map.empty): Unit = {
+      nulls: Map[String, Long] = Map.empty,
+      rows: Map[String, Long] = Map.empty): Unit = {
     val body = stats.toSeq.sorted.map { case (p, (lo, hi)) =>
-      nulls.get(p) match {
-        case Some(n) => s"${q(p)}: [$lo, $hi, $n]"
-        case None => s"${q(p)}: [$lo, $hi]"
+      (nulls.get(p), rows.get(p)) match {
+        case (Some(n), Some(r)) => s"${q(p)}: [$lo, $hi, $n, $r]"
+        case (Some(n), None) => s"${q(p)}: [$lo, $hi, $n]"
+        case _ => s"${q(p)}: [$lo, $hi]"
       }
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(sidecar(root, version, col), body): Unit
@@ -67,7 +72,7 @@ object ZoneMap {
   }
 
   private val entryRe =
-    """"([^"]+)":\s*\[(-?\d+),\s*(-?\d+)(?:,\s*(\d+))?\]""".r
+    """"([^"]+)":\s*\[(-?\d+),\s*(-?\d+)(?:,\s*(\d+))?(?:,\s*(\d+))?\]""".r
 
   /** relPath -> known NULL-key count (files with 2-element legacy
     * entries are absent — "unknown", never "zero").
@@ -77,6 +82,17 @@ object ZoneMap {
     if (!java.nio.file.Files.exists(p)) Map.empty
     else entryRe.findAllMatchIn(java.nio.file.Files.readString(p))
       .collect { case m if m.group(4) != null => m.group(1) -> m.group(4).toLong }
+      .toMap
+  }
+
+  /** relPath -> known ROW count (entries without the 4th element are
+    * absent — "unknown", never "zero").
+    */
+  def readRowCounts(root: String, version: Int, col: String): Map[String, Long] = {
+    val p = sidecar(root, version, col)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else entryRe.findAllMatchIn(java.nio.file.Files.readString(p))
+      .collect { case m if m.group(5) != null => m.group(1) -> m.group(5).toLong }
       .toMap
   }
 
@@ -107,7 +123,7 @@ object ZoneMap {
     val rows = spark.read.parquet(files.map(f => s"$root/$f"): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(min(zcol).cast("long").as("lo"), max(zcol).cast("long").as("hi"),
-        count(when(col(zcol).isNull, 1)).as("nulls"))
+        count(when(col(zcol).isNull, 1)).as("nulls"), count(lit(1)).as("rows"))
       .collect()
       .flatMap { r =>
         val abs = java.net.URLDecoder.decode(
@@ -115,11 +131,13 @@ object ZoneMap {
         // a file whose keys are ALL null has no range: leave it out of
         // the sidecar (kept by every scan, undecidable for drops)
         if (r.isNullAt(1)) None
-        else Some((abs.stripPrefix(prefix), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+        else Some((abs.stripPrefix(prefix), (r.getLong(1), r.getLong(2)),
+          r.getLong(3), r.getLong(4)))
       }
     write(root, version, zcol,
-      rows.map { case (f, range, _) => f -> range }.toMap,
-      rows.map { case (f, _, n) => f -> n }.toMap)
+      rows.map { case (f, range, _, _) => f -> range }.toMap,
+      rows.map { case (f, _, n, _) => f -> n }.toMap,
+      rows.map { case (f, _, _, rc) => f -> rc }.toMap)
     rows.length
   }
 
