@@ -352,7 +352,15 @@ object ScaleBench {
     // tables; steady-state reps measure the aligned merge itself)
     "q_incremental_dedup" -> ((s, d) => graft.operators.Dedup.incrementalDedup(s, d)),
     "q_spj_join" -> ((s, d) => graft.operators.SqlDml.sqlSpjJoin(s, d)),
-    "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)))
+    "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)),
+    // scan-side metadata answers (round-10 final session): agg_pushdown
+    // must be ~CONSTANT at any factor (a one-row LocalScan from the
+    // sidecar; only the first-touch table build is data-sized);
+    // runtime_prune joins a fixed key band, so the pruned fact read is
+    // O(band) files while the dim scan grows linearly — the ratio
+    // should sit well under the factor
+    "q_agg_pushdown" -> ((s, d) => graft.operators.SqlDml.sqlAggPushdown(s, d)),
+    "q_runtime_prune" -> ((s, d) => graft.operators.SqlDml.sqlRuntimePrune(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -273,6 +273,7 @@ object SparkEntry {
     "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
     "q_agg_pushdown" -> (SqlDml.sqlAggPushdown(_, _)),
     "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
+    "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1823,6 +1824,13 @@ object SparkEntry {
         |  CASE WHEN doc_id BETWEEN 100 AND 199 THEN 'narrow' ELSE source END AS source,
         |  md5(CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(text) ELSE text END) AS digest
         |FROM documents WHERE doc_id BETWEEN 50 AND 249""".stripMargin,
+    // ALTER TABLE RENAME TO is catalog metadata only: the read under
+    // the new name must equal the mutated corpus
+    "q_sql_rename_table" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'renamed' ELSE source END AS source,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
     // manifest-level aggregate pushdown: the one-row LocalScan answer
     // must equal the real aggregates over the corpus
     "q_agg_pushdown" ->

@@ -459,6 +459,25 @@ object SqlDml {
         |WHERE doc_id BETWEEN 100 AND 299""".stripMargin)
   }
 
+  /** `ALTER TABLE … RENAME TO` through the parser — pure catalog
+    * metadata (the root, manifests, sidecars, and files are untouched;
+    * only the name binding moves), so history and time travel survive
+    * the rename. The statement sequence per invocation is idempotent:
+    * drop the target name if a prior rep left it, re-register the
+    * source, mutate, rename, read back under the NEW name.
+    */
+  def sqlRenameTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_vt.dml_renamed")
+    ensureDocsTable(spark, dir, "dml_rename_src")
+    spark.sql(
+      """UPDATE graft_vt.dml_rename_src SET source = 'renamed'
+        |WHERE doc_id % 9 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft_vt.dml_rename_src RENAME TO graft_vt.dml_renamed")
+    spark.sql(
+      """SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.dml_renamed""".stripMargin)
+  }
+
   /** MANIFEST-LEVEL AGGREGATE PUSHDOWN: whole-table COUNT(*) /
     * COUNT(key) / MIN(key) / MAX(key) on a clustered table answer from
     * the zone-map sidecar as a one-row LocalScan — zero files opened,

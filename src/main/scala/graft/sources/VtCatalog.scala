@@ -308,8 +308,40 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
   override def dropTable(ident: Identifier): Boolean =
     GraftVtCatalog.registry.remove(ident.name()).isDefined
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME not supported")
+  /** `ALTER TABLE graft_vt.a RENAME TO graft_vt.b` — pure catalog
+    * metadata: the root directory, every manifest, sidecar, and data
+    * file stay byte-identical; only the name→root binding and the
+    * per-table mode registries (cluster column, rename mappings, MOR
+    * key, bucket spec) move. Time travel, tags, and metadata tables
+    * keep working under the new name because they all key off the
+    * ROOT, which is unchanged.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // `RENAME TO graft_vt.b` arrives with the catalog name still in the
+    // new identifier's namespace; `RENAME TO b` arrives bare — both
+    // mean the same top-level table. Anything else (a metadata-table
+    // path) is rejected.
+    def bare(i: Identifier): String = i.namespace() match {
+      case Array() => i.name()
+      case Array(c) if c == catalogName => i.name()
+      case _ => throw new IllegalArgumentException(
+        s"cannot rename to/from a nested identifier: $i")
+    }
+    val from = bare(oldIdent)
+    val to = bare(newIdent)
+    val entry = GraftVtCatalog.registry.get(from) match {
+      case Some(e) => e
+      case None => throw new NoSuchTableException(oldIdent)
+    }
+    if (GraftVtCatalog.registry.contains(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    GraftVtCatalog.registry.put(to, entry): Unit
+    GraftVtCatalog.clusterCols.remove(from).foreach(GraftVtCatalog.clusterCols.put(to, _))
+    GraftVtCatalog.colMaps.remove(from).foreach(GraftVtCatalog.colMaps.put(to, _))
+    GraftVtCatalog.morKeys.remove(from).foreach(GraftVtCatalog.morKeys.put(to, _))
+    GraftVtCatalog.bucketSpecs.remove(from).foreach(GraftVtCatalog.bucketSpecs.put(to, _))
+    GraftVtCatalog.registry.remove(from): Unit
+  }
 }
 
 /** The two maintenance procedures, bound by [[GraftVtCatalog.loadProcedure]].
@@ -872,7 +904,8 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     }
 
   private def planAggregate(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return None
     if (!tableSchema.fieldNames.contains(zcol) ||
         tableSchema(zcol).dataType != LongType) return None
     val files = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))

@@ -182,4 +182,43 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") % 3 === 0 && col("n_chars") > 50).count() == 0)
     assert(out.count() > 0)
   }
+
+  test("RENAME TO moves the name, keeps history, and guards collisions") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_rename").toString
+    base.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/files/base_v1")
+    graft.sources.VersionedTable.writeManifest(root, 1, Seq("files/base_v1"))
+    graft.sources.ZoneMap.analyze(spark, root, 1, "doc_id"): Unit
+    graft.sources.GraftVtCatalog.register(spark, "rn_a", root, base.schema,
+      clusterCol = Some("doc_id"))
+    spark.sql("DROP TABLE IF EXISTS graft_vt.rn_b")
+    spark.sql("UPDATE graft_vt.rn_a SET source = 'v2' WHERE doc_id < 50")
+    spark.sql("ALTER TABLE graft_vt.rn_a RENAME TO graft_vt.rn_b")
+    // old name is gone, new name serves current AND historical versions
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft_vt.rn_a").collect())
+    val cur = spark.sql(
+      "SELECT count(*) FROM graft_vt.rn_b WHERE source = 'v2'")
+      .collect().head.getLong(0)
+    assert(cur > 0)
+    val old = spark.sql(
+      "SELECT count(*) FROM graft_vt.rn_b VERSION AS OF 1 WHERE source = 'v2'")
+      .collect().head.getLong(0)
+    assert(old == 0, "time travel must survive the rename (root unchanged)")
+    // the clustered mode moved with the name: static pruning still fires
+    graft.sources.ZoneMapScanBuilder.lastPrune = (0, 0)
+    spark.sql("SELECT * FROM graft_vt.rn_b WHERE doc_id BETWEEN 500 AND 520")
+      .collect(): Unit
+    val (all, kept) = graft.sources.ZoneMapScanBuilder.lastPrune
+    assert(all > 1 && kept < all,
+      s"cluster column must ride the rename ($kept/$all files bound)")
+    // renaming onto an existing name is rejected; the victim is intact
+    graft.sources.GraftVtCatalog.register(spark, "rn_victim", root, base.schema)
+    assertThrows[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+      spark.sql("ALTER TABLE graft_vt.rn_b RENAME TO graft_vt.rn_victim"))
+    assert(spark.sql("SELECT count(*) FROM graft_vt.rn_b").collect().head.getLong(0) > 0)
+  }
 }
