@@ -360,7 +360,12 @@ object ScaleBench {
     // O(band) files while the dim scan grows linearly — the ratio
     // should sit well under the factor
     "q_agg_pushdown" -> ((s, d) => graft.operators.SqlDml.sqlAggPushdown(s, d)),
-    "q_runtime_prune" -> ((s, d) => graft.operators.SqlDml.sqlRuntimePrune(s, d)))
+    "q_runtime_prune" -> ((s, d) => graft.operators.SqlDml.sqlRuntimePrune(s, d)),
+    // z-ordered 2-D box: the box is RANGE-RELATIVE (~6% of rows at any
+    // SF), so the read grows with the corpus but tile pruning holds the
+    // bound FILE FRACTION constant — expect well under the factor, not
+    // constant (first touch builds the Morton layout)
+    "q_zorder_table" -> ((s, d) => graft.operators.SqlDml.sqlZOrderTable(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -274,6 +274,7 @@ object SparkEntry {
     "q_agg_pushdown" -> (SqlDml.sqlAggPushdown(_, _)),
     "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
     "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
+    "q_zorder_table" -> (SqlDml.sqlZOrderTable(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1831,6 +1832,17 @@ object SparkEntry {
         |  CASE WHEN doc_id % 9 = 0 THEN 'renamed' ELSE source END AS source,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // z-ordered layout: 2-D box scan over the Morton-curve table must
+    // equal the box recomputed from the raw corpus (pruning is provably
+    // invisible — all filters residual)
+    "q_zorder_table" ->
+      """WITH b AS (SELECT min(event_id) AS xmin, max(event_id) AS xmax,
+        |  min(user_id) AS ymin, max(user_id) AS ymax FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type FROM events e, b
+        |WHERE e.event_id BETWEEN b.xmin + (b.xmax - b.xmin) * 1 // 10
+        |                     AND b.xmin + (b.xmax - b.xmin) * 3 // 10
+        |  AND e.user_id BETWEEN b.ymin + (b.ymax - b.ymin) * 2 // 10
+        |                    AND b.ymin + (b.ymax - b.ymin) * 5 // 10""".stripMargin,
     // manifest-level aggregate pushdown: the one-row LocalScan answer
     // must equal the real aggregates over the corpus
     "q_agg_pushdown" ->

@@ -540,6 +540,57 @@ object SqlDml {
          |WHERE d.flag = 0""".stripMargin)
   }
 
+  /** Z-ORDERED TABLE LAYOUT: events laid out along the Morton curve
+    * over (event_id, user_id) — one sort order, narrow per-file
+    * [min, max] footprints in BOTH dimensions — registered with
+    * per-column sidecars so a 2-D box predicate prunes to the
+    * intersecting tiles ([[graft.sources.ZoneMapScanBuilder]] prunes
+    * with every covered column; `ZOrderTableSpec` pins that each
+    * dimension ALONE narrows the file list, which a single-column sort
+    * cannot give). The scan itself is provably exact: all filters stay
+    * residual, the oracle recomputes the box from the raw corpus.
+    */
+  def sqlZOrderTable(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_zordered"
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      val bounds = ev.agg(
+        min(col("event_id")).as("xmin"), max(col("event_id")).as("xmax"),
+        min(col("user_id")).as("ymin"), max(col("user_id")).as("ymax"))
+      val zvalued = ev.crossJoin(broadcast(bounds))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          ZOrder.interleave16(
+            expr("(event_id - xmin) * 65535 DIV greatest(xmax - xmin, 1)"),
+            expr("(user_id - ymin) * 65535 DIV greatest(ymax - ymin, 1)")).as("zval"))
+      // zval rides into the files as an extra physical column (the
+      // registered logical schema simply never requests it)
+      ZOrder.writeZOrdered(zvalued, col("zval"), s"$r/files/base_v1", 16)
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      ZoneMap.analyze(spark, r, 1, "event_id"): Unit
+      ZoneMap.analyze(spark, r, 1, "user_id"): Unit
+      r
+    })
+    GraftVtCatalog.registerZOrdered(spark, name, root, ev.schema,
+      Seq("event_id", "user_id"))
+    // box bounds are RANGE-RELATIVE (10–30% of event_id span, 20–50%
+    // of user_id span) so the query is meaningful at every SF; they
+    // are bound as LITERALS (one 4-long aggregate, driver-side) so the
+    // pushed filters are zone-map-prunable — the oracle reproduces the
+    // same integer arithmetic from the corpus
+    val b = ev.agg(min(col("event_id")), max(col("event_id")),
+      min(col("user_id")), max(col("user_id"))).collect().head
+    val (xmin, xmax, ymin, ymax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (xlo, xhi) = (xmin + (xmax - xmin) * 1 / 10, xmin + (xmax - xmin) * 3 / 10)
+    val (ylo, yhi) = (ymin + (ymax - ymin) * 2 / 10, ymin + (ymax - ymin) * 5 / 10)
+    spark.sql(
+      s"""SELECT event_id, user_id, event_type
+         |FROM graft_vt.$name
+         |WHERE event_id BETWEEN $xlo AND $xhi
+         |  AND user_id BETWEEN $ylo AND $yhi""".stripMargin)
+  }
+
   /** NARROWED COW end-to-end: a clustered table, a FIXED key-range
     * UPDATE whose predicate is source-translatable, and a range read
     * back. The zone-map sidecar bounds BOTH sides — the rewrite binds

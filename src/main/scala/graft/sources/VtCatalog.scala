@@ -278,6 +278,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         require(!s.fieldNames.contains(to), s"column already exists: $to")
         require(!GraftVtCatalog.clusterCols.get(name).contains(from),
           s"renaming the cluster column $from is not supported")
+        require(!GraftVtCatalog.statsCols.get(name).exists(_.contains(from)),
+          s"renaming the z-order stats column $from is not supported")
         require(!GraftVtCatalog.bucketSpecs.contains(name),
           s"RENAME COLUMN on bucketed table $name is not supported")
         val phys = mapping.l2p.getOrElse(from, from)
@@ -289,6 +291,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         require(s.fieldNames.contains(from), s"no such column: $from")
         require(!GraftVtCatalog.clusterCols.get(name).contains(from),
           s"dropping the cluster column $from is not supported")
+        require(!GraftVtCatalog.statsCols.get(name).exists(_.contains(from)),
+          s"dropping the z-order stats column $from is not supported")
         require(!GraftVtCatalog.bucketSpecs.get(name).exists(_._1 == from),
           s"dropping the bucket key $from is not supported")
         require(s.fields.length > 1, "cannot drop the last column")
@@ -340,6 +344,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.colMaps.remove(from).foreach(GraftVtCatalog.colMaps.put(to, _))
     GraftVtCatalog.morKeys.remove(from).foreach(GraftVtCatalog.morKeys.put(to, _))
     GraftVtCatalog.bucketSpecs.remove(from).foreach(GraftVtCatalog.bucketSpecs.put(to, _))
+    GraftVtCatalog.statsCols.remove(from).foreach(GraftVtCatalog.statsCols.put(to, _))
     GraftVtCatalog.registry.remove(from): Unit
   }
 }
@@ -538,6 +543,34 @@ object GraftVtCatalog {
     */
   private[sources] val morKeys = TrieMap.empty[String, String]
 
+  /** table name -> EXTRA file-skipping stats columns (beyond the
+    * cluster column): the Z-ORDERED layout registers both interleaved
+    * dimensions here, so scans prune on predicates against EITHER.
+    * Stats enter via [[ZoneMap.analyze]] per column; versions written
+    * later without fresh sidecars simply stop pruning (conservative)
+    * until re-analyzed or optimized.
+    */
+  private[sources] val statsCols = TrieMap.empty[String, Seq[String]]
+
+  /** Register a Z-ORDERED table: the files were laid out along a
+    * Morton curve over `cols` (see [[graft.operators.ZOrder]]), so each
+    * file's [min, max] footprint is narrow in EVERY dimension at once
+    * and the per-column sidecars make box predicates prune to the
+    * intersecting tiles. Callers must [[ZoneMap.analyze]] each column
+    * for the registered version.
+    */
+  def registerZOrdered(spark: SparkSession, name: String, root: String,
+      schema: StructType, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "z-ordered registration needs at least one stats column")
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+      require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"stats column $c must be BIGINT, got ${schema(c).dataType}")
+    }
+    register(spark, name, root, schema)
+    statsCols.put(name, cols): Unit
+  }
+
   /** table name -> (long key column, bucket count) for BUCKETED
     * layouts: scans report KeyGroupedPartitioning over bucket(n, key)
     * and storage-partitioned joins skip the shuffle (see [[VtBucket]]).
@@ -582,6 +615,7 @@ object GraftVtCatalog {
     morKeys.remove(name): Unit
     colMaps.remove(name): Unit
     bucketSpecs.remove(name): Unit
+    statsCols.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -686,12 +720,17 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     */
   private[sources] def batchScanBuilder(version: Int,
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = (for {
-      zc <- clusterCol
-      stats <- ZoneMap.read(root, version, zc)
-    } yield new ZoneMapScanBuilder(name(), root, physify(tableSchema), version,
-        zc, stats, options))
-      .getOrElse(parquetTable(version).newScanBuilder(options))
+    // every stats-bearing column with a sidecar for THIS version prunes:
+    // the cluster column (single-dimension layout) and/or the z-order
+    // dimensions (multi-dimension layout)
+    val statsByCol = (clusterCol.toSeq ++
+        GraftVtCatalog.statsCols.getOrElse(tableName, Nil)).distinct
+      .flatMap(c => ZoneMap.read(root, version, c).map(c -> _))
+    val inner =
+      if (statsByCol.nonEmpty)
+        new ZoneMapScanBuilder(name(), root, physify(tableSchema), version,
+          statsByCol, options)
+      else parquetTable(version).newScanBuilder(options)
     if (colMap.isEmpty) inner else new ColMapScanBuilder(inner, colMap)
   }
 
@@ -847,7 +886,7 @@ object GraftVtTable {
   * column pruning intact below the file-level skip.
   */
 class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructType,
-    version: Int, zcol: String, stats: Map[String, (Long, Long)],
+    version: Int, statsByCol: Seq[(String, Map[String, (Long, Long)])],
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -858,6 +897,11 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.types.{LongType, StructField}
+
+  /** Single-stats-column convenience (clustered tables). */
+  def this(tableName: String, root: String, tableSchema: StructType, version: Int,
+      zcol: String, stats: Map[String, (Long, Long)], options: CaseInsensitiveStringMap) =
+    this(tableName, root, tableSchema, version, Seq(zcol -> stats), options)
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = tableSchema
@@ -896,42 +940,56 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
       case None => false
     }
 
-  private def isZcol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+  /** The stats column `e` names, if we hold a sidecar for it, its type
+    * is BIGINT, and the sidecar covers EVERY manifest file — a file
+    * absent from a sidecar is either unanalyzed or all-null-keyed, and
+    * both make a metadata answer on that column unprovable.
+    */
+  private def coveredCol(e: org.apache.spark.sql.connector.expressions.Expression,
+      files: Seq[String]): Option[(String, Map[String, (Long, Long)])] =
     e match {
-      case nr: NamedReference =>
-        nr.fieldNames().length == 1 && nr.fieldNames()(0) == zcol
-      case _ => false
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val n = nr.fieldNames()(0)
+        statsByCol.find(_._1 == n).filter { case (c, stats) =>
+          tableSchema.fieldNames.contains(c) &&
+            tableSchema(c).dataType == LongType && files.forall(stats.contains)
+        }
+      case _ => None
     }
 
   private def planAggregate(agg: Aggregation): Option[(StructType, Array[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
         agg.aggregateExpressions().isEmpty) return None
-    if (!tableSchema.fieldNames.contains(zcol) ||
-        tableSchema(zcol).dataType != LongType) return None
     val files = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
-    // every file must carry range stats — a file absent from the
-    // sidecar is either unanalyzed or all-null-keyed; both make the
-    // metadata answer unprovable
-    if (!files.forall(stats.contains)) return None
-    lazy val rowCounts = ZoneMap.readRowCounts(root, version, zcol)
-    lazy val nullCounts = ZoneMap.readNullCounts(root, version, zcol)
+    // COUNT(*) can answer from ANY column's sidecar that records a row
+    // count for every file
+    lazy val starRows: Option[Map[String, Long]] = statsByCol.view
+      .filter { case (_, stats) => files.forall(stats.contains) }
+      .map { case (c, _) => ZoneMap.readRowCounts(root, version, c) }
+      .find(rc => files.forall(rc.contains))
     val cols = agg.aggregateExpressions().map {
       case _: CountStar =>
-        if (files.forall(rowCounts.contains))
-          Some((StructField(s"count(*)", LongType, nullable = false),
-            files.map(rowCounts).sum: Any))
-        else None
-      case c: Count if !c.isDistinct && isZcol(c.column) =>
-        if (files.forall(f => rowCounts.contains(f) && nullCounts.contains(f)))
-          Some((StructField(s"count($zcol)", LongType, nullable = false),
-            files.map(f => rowCounts(f) - nullCounts(f)).sum: Any))
-        else None
-      case m: Min if isZcol(m.column) =>
-        Some((StructField(s"min($zcol)", LongType, nullable = true),
-          if (files.isEmpty) null else files.map(stats(_)._1).min: Any))
-      case m: Max if isZcol(m.column) =>
-        Some((StructField(s"max($zcol)", LongType, nullable = true),
-          if (files.isEmpty) null else files.map(stats(_)._2).max: Any))
+        starRows.map(rc => (StructField(s"count(*)", LongType, nullable = false),
+          files.map(rc).sum: Any))
+      case c: Count if !c.isDistinct =>
+        coveredCol(c.column, files).flatMap { case (n, _) =>
+          val rowCounts = ZoneMap.readRowCounts(root, version, n)
+          val nullCounts = ZoneMap.readNullCounts(root, version, n)
+          if (files.forall(f => rowCounts.contains(f) && nullCounts.contains(f)))
+            Some((StructField(s"count($n)", LongType, nullable = false),
+              files.map(f => rowCounts(f) - nullCounts(f)).sum: Any))
+          else None
+        }
+      case m: Min =>
+        coveredCol(m.column, files).map { case (n, stats) =>
+          (StructField(s"min($n)", LongType, nullable = true),
+            if (files.isEmpty) null else files.map(stats(_)._1).min: Any)
+        }
+      case m: Max =>
+        coveredCol(m.column, files).map { case (n, stats) =>
+          (StructField(s"max($n)", LongType, nullable = true),
+            if (files.isEmpty) null else files.map(stats(_)._2).max: Any)
+        }
       case _ => None
     }
     if (cols.exists(_.isEmpty)) None
@@ -951,9 +1009,15 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     }
     val v1 = pushed.flatMap(ZoneMap.toV1Filter)
     val all = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
-    val kept = ZoneMap.prune(stats, zcol, v1, all)
+    // every stats column prunes independently; a file survives only if
+    // NO sidecar can prove it empty — on a Z-ORDERED layout this is the
+    // 2-D tile intersection (a box predicate on (x, y) keeps only files
+    // whose x-span AND y-span both overlap the box)
+    val kept = statsByCol.foldLeft(all) { case (files, (c, stats)) =>
+      ZoneMap.prune(stats, c, v1, files)
+    }
     ZoneMapScanBuilder.lastPrune = (all.size, kept.size)
-    new ZoneMapRuntimeScan(tableName, root, tableSchema, zcol, stats,
+    new ZoneMapRuntimeScan(tableName, root, tableSchema, statsByCol,
       options, pushed, required, kept)
   }
 }
@@ -985,7 +1049,7 @@ object ZoneMapScanBuilder {
   * provably row-free for the delivered keys.
   */
 class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructType,
-    zcol: String, stats: Map[String, (Long, Long)],
+    statsByCol: Seq[(String, Map[String, (Long, Long)])],
     options: CaseInsensitiveStringMap,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     required: StructType, initialFiles: Seq[String])
@@ -1015,27 +1079,31 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
   }
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(zcol))
+    statsByCol.map { case (c, _) => Expressions.column(c) }.toArray
 
-  /** Translate the runtime predicates Spark delivers (IN / = on the
-    * zone column, values from the executed build side) into v1 filters
-    * and re-prune the bound file list. Untranslatable predicates are
-    * ignored — the scan stays correct, just unpruned.
+  /** Translate the runtime predicates Spark delivers (IN / = on a
+    * stats column, values from the executed build side) into v1 filters
+    * and re-prune the bound file list — each predicate prunes with its
+    * own column's sidecar. Untranslatable predicates are ignored — the
+    * scan stays correct, just unpruned.
     */
   override def filter(predicates: Array[Predicate]): Unit = {
-    val v1 = predicates.flatMap { p =>
+    val byCol: Seq[(String, org.apache.spark.sql.sources.Filter)] = predicates.toSeq.flatMap { p =>
       (p.name(), p.children()) match {
-        case ("IN", children) if children.nonEmpty && isZcol(children.head) &&
+        case ("IN", children) if children.nonEmpty &&
             children.tail.forall(_.isInstanceOf[LitV]) =>
-          Some(org.apache.spark.sql.sources.In(zcol,
-            children.tail.map(_.asInstanceOf[LitV].value().asInstanceOf[Any])))
-        case ("=", Array(c, l: LitV)) if isZcol(c) =>
-          Some(org.apache.spark.sql.sources.EqualTo(zcol, l.value()))
+          statsCol(children.head).map(c => c -> org.apache.spark.sql.sources.In(c,
+            children.tail.map(_.asInstanceOf[LitV].value().asInstanceOf[Any]).toArray))
+        case ("=", Array(e, l: LitV)) =>
+          statsCol(e).map(c => c -> org.apache.spark.sql.sources.EqualTo(c, l.value()))
         case _ => None
       }
     }
-    if (v1.nonEmpty) {
-      val kept = ZoneMap.prune(stats, zcol, v1.toSeq, currentFiles)
+    if (byCol.nonEmpty) {
+      val kept = byCol.foldLeft(currentFiles) { case (files, (c, f)) =>
+        ZoneMap.prune(statsByCol.find(_._1 == c).map(_._2).getOrElse(Map.empty),
+          c, Seq(f), files)
+      }
       ZoneMapRuntimeScan.lastRuntimePrune = (currentFiles.size, kept.size)
       if (kept.size < currentFiles.size) {
         currentFiles = kept
@@ -1044,11 +1112,13 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
     }
   }
 
-  private def isZcol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+  /** The stats column `e` names, if any. */
+  private def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
-      case nr: NamedReference =>
-        nr.fieldNames().length == 1 && nr.fieldNames()(0) == zcol
-      case _ => false
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          statsByCol.exists(_._1 == nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
     }
 
   override def readSchema(): StructType = inner.readSchema()
