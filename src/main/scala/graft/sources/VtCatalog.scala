@@ -206,6 +206,21 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       "a table is clustered OR bucketed, not both")
     clusterCol.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c is not in the table schema"))
+    // TBLPROPERTIES ('zorder' = 'x,y') declares the Morton layout's two
+    // dimensions; data lands unpruned until `CALL graft_vt.optimize`
+    // lays it out and builds both sidecars (the OPTIMIZE ZORDER shape)
+    val zorder = Option(properties.get("zorder"))
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+    zorder.foreach { cols =>
+      require(cols.size == 2, s"zorder takes exactly two columns, got $cols")
+      require(clusterCol.isEmpty && bucketSpec.isEmpty,
+        "a table is z-ordered OR clustered OR bucketed")
+      cols.foreach { c =>
+        require(schema.fieldNames.contains(c), s"zorder column $c is not in the table schema")
+        require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"zorder column $c must be BIGINT, got ${schema(c).dataType}")
+      }
+    }
     // catalog-OWNED root (always under the per-JVM tmp namespace):
     // wiped on (re-)create so a DROP + CREATE cycle starts empty —
     // never the case for register()ed roots, which the catalog does
@@ -217,10 +232,12 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     del(new java.io.File(root))
     new java.io.File(root).mkdirs()
     VersionedTable.writeManifest(root, 1, Nil)
-    bucketSpec match {
-      case Some((k, n)) =>
+    (bucketSpec, zorder) match {
+      case (Some((k, n)), _) =>
         GraftVtCatalog.registerBucketed(SparkSession.active, name, root, schema, k, n)
-      case None =>
+      case (None, Some(cols)) =>
+        GraftVtCatalog.registerZOrdered(SparkSession.active, name, root, schema, cols)
+      case _ =>
         GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
     }
     new GraftVtTable(name, root, schema, None)
@@ -444,11 +461,14 @@ object GraftVtProcedures {
       }
   }
 
-  /** `CALL graft_vt.optimize(tbl)` — compact the CURRENT version's file
-    * set into size-targeted files (128 MB target) as a NEW version, then
-    * apply keep-last-2 retention. One distributed read + one distributed
-    * write; at 100 TB a production refinement compacts only small-file
-    * groups, which narrows the same rewrite, not a different shape.
+  /** `CALL graft_vt.optimize(tbl [, target_bytes])` — compact the
+    * CURRENT version's file set into size-targeted files (default
+    * 128 MB) as a NEW version, then apply keep-last-2 retention. One
+    * distributed read + one distributed write; at 100 TB a production
+    * refinement compacts only small-file groups, which narrows the
+    * same rewrite, not a different shape. On a Z-ORDERED table this is
+    * OPTIMIZE ZORDER: the rewrite lays files out along the Morton
+    * curve and rebuilds both sidecars.
     */
   val optimizeProc: procedures.UnboundProcedure = new procedures.UnboundProcedure {
     override def name(): String = "optimize"
@@ -458,11 +478,15 @@ object GraftVtProcedures {
         override def name(): String = "optimize"
         override def description(): String = optimizeProc.description()
         override def parameters(): Array[procedures.ProcedureParameter] =
-          Array(param("tbl", StringType))
+          Array(param("tbl", StringType),
+            procedures.ProcedureParameter.in("target_bytes",
+              org.apache.spark.sql.types.LongType)
+              .defaultValue((128L * 1024 * 1024).toString).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = SparkSession.active
           val tbl = input.getUTF8String(0).toString
+          val targetBytes = math.max(1L, input.getLong(1))
           val root = rootOf(tbl)
           // merge-on-read tables compact through the tombstone-aware
           // path (reading raw files here would resurrect deleted rows)
@@ -484,9 +508,43 @@ object GraftVtProcedures {
           val before = entries.flatMap(ZoneMap.leafFiles(root, _))
             .map(f => new java.io.File(s"$root/$f"))
           val totalBytes = before.map(_.length).sum
-          val targetFiles = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+          val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
           val newV = latest + 1
           val groupRel = s"files/opt_v$newV"
+          // Z-ORDERED tables optimize along the Morton curve (the
+          // OPTIMIZE ZORDER shape): re-grid both dimensions from fresh
+          // global bounds, range-partition by the interleaved code, and
+          // re-ANALYZE both sidecars — this is also how DML-degraded
+          // pruning is restored, since COW versions ship without
+          // multi-column stats
+          GraftVtCatalog.statsCols.get(tbl) match {
+            case Some(Seq(xc, yc)) =>
+              import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
+              val raw = spark.read.parquet(before.map(_.getAbsolutePath): _*)
+                .drop("zval") // re-optimizing a laid-out group recomputes it
+              val bounds = raw.agg(
+                min(col(xc)).as("xmin"), max(col(xc)).as("xmax"),
+                min(col(yc)).as("ymin"), max(col(yc)).as("ymax"))
+              val zvalued = raw.crossJoin(broadcast(bounds))
+                .withColumn("zval", graft.operators.ZOrder.interleave16(
+                  expr(s"($xc - xmin) * 65535 DIV greatest(xmax - xmin, 1)"),
+                  expr(s"($yc - ymin) * 65535 DIV greatest(ymax - ymin, 1)")))
+                .drop("xmin", "xmax", "ymin", "ymax")
+              graft.operators.ZOrder.writeZOrdered(
+                zvalued, col("zval"), s"$root/$groupRel", targetFiles)
+              VersionedTable.commitManifest(root, newV, Seq(groupRel))
+              ZoneMap.analyze(spark, root, newV, xc): Unit
+              ZoneMap.analyze(spark, root, newV, yc): Unit
+              VersionedTable.vacuum(root, Seq(newV - 1, newV).filter(_ >= 1)): Unit
+              return resultScan(
+                StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+                  StructField("files_after", IntegerType, nullable = false),
+                  StructField("new_version", IntegerType, nullable = false))),
+                Array[Any](before.size, ZoneMap.leafFiles(root, groupRel).size, newV))
+            case Some(other) => throw new IllegalStateException(
+              s"z-ordered table $tbl must declare exactly two dimensions, has $other")
+            case None => ()
+          }
           spark.read.parquet(before.map(_.getAbsolutePath): _*)
             .coalesce(targetFiles)
             .write.mode("overwrite").parquet(s"$root/$groupRel")

@@ -89,6 +89,41 @@ class ZOrderTableSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("z-order stats column"))
   }
 
+  test("DDL + OPTIMIZE lifecycle: data lands unpruned, optimize builds the layout") {
+    spark.sql("DROP TABLE IF EXISTS graft_vt.zlife")
+    spark.sql(
+      """CREATE TABLE graft_vt.zlife (event_id BIGINT, user_id BIGINT, event_type STRING)
+        |TBLPROPERTIES ('zorder' = 'event_id,user_id')""".stripMargin)
+    graft.sources.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(6).createOrReplaceTempView("zlife_src")
+    spark.sql("INSERT INTO graft_vt.zlife SELECT * FROM zlife_src")
+    val total = spark.sql("SELECT * FROM graft_vt.zlife").count()
+    assert(total > 0)
+    // fresh data has no sidecars: the box query binds everything (the
+    // plain parquet path, so the prune hook stays untouched)
+    ZoneMapScanBuilder.lastPrune = (-1, -1)
+    val boxSql =
+      """SELECT count(*) AS n FROM graft_vt.zlife
+        |WHERE event_id BETWEEN 100 AND 299 AND user_id BETWEEN 2 AND 5""".stripMargin
+    val nBefore = spark.sql(boxSql).collect().head.getLong(0)
+    assert(ZoneMapScanBuilder.lastPrune == ((-1, -1)),
+      "no sidecar -> no zone-map scan builder")
+    // OPTIMIZE lays out the Morton curve and builds both sidecars (a
+    // small target size forces a multi-file layout on the tiny fixture)
+    val r = spark.sql("CALL graft_vt.optimize('zlife', 8192)").collect().head
+    assert(r.getInt(2) >= 2, "optimize must commit a new version")
+    ZoneMapScanBuilder.lastPrune = (-1, -1)
+    val nAfter = spark.sql(boxSql).collect().head.getLong(0)
+    assert(nAfter == nBefore, "optimize must not change content")
+    val (all, kept) = ZoneMapScanBuilder.lastPrune
+    assert(all > 0 && kept < all, s"optimized layout must prune ($kept/$all)")
+    // and the sidecars now serve aggregate pushdown
+    val agg = spark.sql("SELECT count(*) AS n, max(user_id) AS hi FROM graft_vt.zlife")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agg.collect().head.getLong(0) == total)
+  }
+
   test("a z-ordered file set has narrow spans in both dimensions") {
     SqlDml.sqlZOrderTable(spark, dir).collect(): Unit
     val root = GraftVtCatalog.rootOf("vt_zordered").get
