@@ -275,6 +275,7 @@ object SparkEntry {
     "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
     "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
     "q_zorder_table" -> (SqlDml.sqlZOrderTable(_, _)),
+    "q_check_constraint" -> (SqlDml.sqlCheckConstraint(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1832,6 +1833,12 @@ object SparkEntry {
         |  CASE WHEN doc_id % 9 = 0 THEN 'renamed' ELSE source END AS source,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // check-constrained writes: the accepting path's final state
+    // recomputed logically (every row satisfied the contract)
+    "q_check_constraint" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(upper(text)) AS digest
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // z-ordered layout: 2-D box scan over the Morton-curve table must
     // equal the box recomputed from the raw corpus (pruning is provably
     // invisible — all filters residual)

@@ -540,6 +540,35 @@ object SqlDml {
          |WHERE d.flag = 0""".stripMargin)
   }
 
+  /** CHECK-CONSTRAINED TABLE: the write-boundary data contract.
+    * `TBLPROPERTIES ('check' = '…')` attaches a boolean expression
+    * (cross-column here: `n_chars = length(text)`), and EVERY writer
+    * task of every INSERT/COW statement validates each row before it
+    * reaches parquet — a violation fails the task, the write aborts,
+    * and the manifest never commits (CheckConstraintSpec pins the
+    * rejection paths; this query pins the accepting path end to end:
+    * CREATE → INSERT → UPDATE under the contract).
+    */
+  def sqlCheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_vt.dml_checked")
+    spark.sql(
+      """CREATE TABLE graft_vt.dml_checked
+        |  (doc_id BIGINT, text STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('check' = 'n_chars >= 0 AND n_chars = length(text)')""".stripMargin)
+    docsBase(spark, dir).createOrReplaceTempView("graft_check_src")
+    spark.sql(
+      """INSERT INTO graft_vt.dml_checked
+        |SELECT doc_id, text, CAST(length(text) AS BIGINT)
+        |FROM graft_check_src WHERE doc_id % 3 = 0""".stripMargin)
+    // upper() preserves length, so the contract holds through the COW
+    // rewrite too (and upper∘upper makes reps idempotent)
+    spark.sql("UPDATE graft_vt.dml_checked SET text = upper(text)")
+    spark.sql(
+      """SELECT doc_id, n_chars, md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.dml_checked""".stripMargin)
+  }
+
   /** Z-ORDERED TABLE LAYOUT: events laid out along the Morton curve
     * over (event_id, user_id) — one sort order, narrow per-file
     * [min, max] footprints in BOTH dimensions — registered with

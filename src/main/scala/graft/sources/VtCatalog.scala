@@ -240,6 +240,13 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case _ =>
         GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
     }
+    // TBLPROPERTIES ('check' = '<boolean expr>') — the write-boundary
+    // data contract; validated eagerly so a typo fails the CREATE, not
+    // the first INSERT
+    Option(properties.get("check")).foreach { exprSql =>
+      GraftVtCatalog.registerCheck(name, exprSql)
+      new GraftVtTable(name, root, schema, None).boundCheck: Unit
+    }
     new GraftVtTable(name, root, schema, None)
   }
 
@@ -362,6 +369,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.morKeys.remove(from).foreach(GraftVtCatalog.morKeys.put(to, _))
     GraftVtCatalog.bucketSpecs.remove(from).foreach(GraftVtCatalog.bucketSpecs.put(to, _))
     GraftVtCatalog.statsCols.remove(from).foreach(GraftVtCatalog.statsCols.put(to, _))
+    GraftVtCatalog.checks.remove(from).foreach(GraftVtCatalog.checks.put(to, _))
     GraftVtCatalog.registry.remove(from): Unit
   }
 }
@@ -601,6 +609,25 @@ object GraftVtCatalog {
     */
   private[sources] val morKeys = TrieMap.empty[String, String]
 
+  /** table name -> CHECK constraint (a boolean SQL expression over the
+    * table's columns, SQL-standard semantics: a write row violates only
+    * when the expression is FALSE — NULL passes). Enforced at the WRITE
+    * boundary by every COW/INSERT writer task: a violating row fails
+    * the task, the write aborts, and the manifest never commits — the
+    * table is contract-clean by construction, not by audit.
+    */
+  private[sources] val checks = TrieMap.empty[String, String]
+
+  /** Attach a CHECK constraint to a registered table (`TBLPROPERTIES
+    * ('check' = '<expr>')` is the DDL face). Takes effect on the next
+    * write; existing data is not re-validated (re-validate by running
+    * the expression as a query).
+    */
+  def registerCheck(name: String, exprSql: String): Unit = {
+    require(registry.contains(name), s"unknown graft_vt table: $name")
+    checks.put(name, exprSql): Unit
+  }
+
   /** table name -> EXTRA file-skipping stats columns (beyond the
     * cluster column): the Z-ORDERED layout registers both interleaved
     * dimensions here, so scans prune on predicates against EITHER.
@@ -674,6 +701,7 @@ object GraftVtCatalog {
     colMaps.remove(name): Unit
     bucketSpecs.remove(name): Unit
     statsCols.remove(name): Unit
+    checks.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -792,6 +820,32 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     if (colMap.isEmpty) inner else new ColMapScanBuilder(inner, colMap)
   }
 
+  /** The table's CHECK constraint, analyzed and BOUND BY POSITION to
+    * the table schema: the raw expression is resolved through the real
+    * analyzer (type coercion included) against a LocalRelation of the
+    * LOGICAL schema's attributes, wrapped in `coalesce(expr, true)`
+    * (SQL-standard CHECK: only FALSE violates, NULL passes), and bound
+    * to ordinals — rows are positional, so the bound form is valid on
+    * physical rows regardless of any RENAME COLUMN mapping.
+    */
+  private[sources] def boundCheck
+      : Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    GraftVtCatalog.checks.get(tableName).map { exprSql =>
+      import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, BindReferences}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+      val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(tableSchema)
+      val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+      val analyzed = spark.sessionState.analyzer
+        .execute(Filter(parsed, LocalRelation(attrs)))
+      val cond = analyzed.collectFirst { case f: Filter => f.condition }
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot analyze CHECK constraint for $tableName: $exprSql"))
+      require(cond.resolved && cond.dataType == org.apache.spark.sql.types.BooleanType,
+        s"CHECK constraint must be a boolean expression over the table's columns: $exprSql")
+      exprSql -> BindReferences.bindReference(
+        Coalesce(Seq(cond, Literal(true))), attrs)
+    }
+
   /** `INSERT INTO` (append: new manifest = current entries + new group)
     * and `INSERT OVERWRITE` (truncate: new manifest = new group only).
     * Both are one distributed write + a one-line driver commit — the
@@ -810,7 +864,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
         () => VersionedTable.manifest(root, currentVersion)
       override def truncate(): WriteBuilder = { base = () => Nil; this }
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
-        physify(info.schema()), base, clusterCol, s"graft_vt INSERT", bucketSpec)
+        physify(info.schema()), base, clusterCol, s"graft_vt INSERT", bucketSpec,
+        boundCheck)
     }
   }
 
@@ -1306,7 +1361,8 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
           val replaced = boundFiles.getOrElse(allLeafFiles).toSet
           allLeafFiles.filterNot(replaced)
         },
-        table.clusterCol, s"graft_vt COW ${cmd.name()}", table.bucketSpec)
+        table.clusterCol, s"graft_vt COW ${cmd.name()}", table.bucketSpec,
+        table.boundCheck)
     }
 }
 
@@ -1373,7 +1429,8 @@ class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTab
   */
 class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[String], desc: String,
-    bucketRoute: Option[(String, Int)] = None)
+    bucketRoute: Option[(String, Int)] = None,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1404,7 +1461,7 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
 
   override def toBatch: BatchWrite = new GraftVtBatchWrite(root, newVersion,
     schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))),
-    effBucket.map { case (k, n) => (schema.fieldIndex(k), n) })
+    effBucket.map { case (k, n) => (schema.fieldIndex(k), n) }, check)
   override def description(): String = desc
 }
 
@@ -1416,7 +1473,8 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
   */
 class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None,
-    bucketRoute: Option[(Int, Int)] = None)
+    bucketRoute: Option[(Int, Int)] = None,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends BatchWrite {
 
   private val groupRel = s"files/dml_v$newVersion"
@@ -1435,7 +1493,7 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     val confEntries = job.getConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new GraftVtWriterFactory(s"$root/$groupRel", groupRel, schema, owf, confEntries,
-      cluster.map(_._2), bucketRoute)
+      cluster.map(_._2), bucketRoute, check)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1544,7 +1602,8 @@ case class GraftVtBucketedCommitMessage(files: Seq[GraftVtCommitMessage])
 private[sources] class BucketRoutingDataWriter(groupDir: String, groupRel: String,
     schema: StructType, owf: OutputWriterFactory,
     ctx: org.apache.hadoop.mapreduce.TaskAttemptContext,
-    partitionId: Int, taskId: Long, keyIdx: Int, numBuckets: Int)
+    partitionId: Int, taskId: Long, keyIdx: Int, numBuckets: Int,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable.Map.empty[
@@ -1552,6 +1611,9 @@ private[sources] class BucketRoutingDataWriter(groupDir: String, groupRel: Strin
   private val rowCounts = scala.collection.mutable.Map.empty[Int, Long]
   private var offset = -1
   private var shifted: OpShiftedRow = _
+  private lazy val checkPred = check.map { case (sql, e) =>
+    (sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
 
   override def write(record: InternalRow): Unit = {
     if (offset < 0) {
@@ -1562,6 +1624,10 @@ private[sources] class BucketRoutingDataWriter(groupDir: String, groupRel: Strin
       if (offset == 1) shifted = new OpShiftedRow(1)
     }
     val aligned = if (offset == 0) record else shifted.set(record)
+    checkPred.foreach { case (sql, p) =>
+      if (!p.eval(aligned)) throw new IllegalArgumentException(
+        s"CHECK constraint violated by a written row: $sql")
+    }
     require(!aligned.isNullAt(keyIdx),
       s"null bucket key (field $keyIdx) on a bucketed table")
     val b = VtBucket.bucketOf(aligned.getLong(keyIdx), numBuckets)
@@ -1645,7 +1711,8 @@ private[sources] final class OpShiftedRow(offset: Int) extends InternalRow {
 
 class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructType,
     owf: OutputWriterFactory, confEntries: Array[(String, String)],
-    clusterIdx: Option[Int] = None, bucketRoute: Option[(Int, Int)] = None)
+    clusterIdx: Option[Int] = None, bucketRoute: Option[(Int, Int)] = None,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1656,7 +1723,7 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
     val ctx = new TaskAttemptContextImpl(conf, attempt)
     bucketRoute.foreach { case (keyIdx, n) =>
       return new BucketRoutingDataWriter(groupDir, groupRel, schema, owf, ctx,
-        partitionId, taskId, keyIdx, n)
+        partitionId, taskId, keyIdx, n, check)
     }
     val fileName = f"part-$partitionId%05d-$taskId.parquet"
     val writer = owf.newInstance(s"$groupDir/$fileName", schema, ctx)
@@ -1672,6 +1739,9 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
       private var zMin = Long.MaxValue
       private var zMax = Long.MinValue
       private var zNulls = 0L
+      private lazy val checkPred = check.map { case (sql, e) =>
+        (sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+      }
       override def write(record: InternalRow): Unit = {
         if (offset < 0) {
           offset = record.numFields - schema.length
@@ -1681,6 +1751,10 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
           if (offset == 1) shifted = new OpShiftedRow(1)
         }
         val aligned = if (offset == 0) record else shifted.set(record)
+        checkPred.foreach { case (sql, p) =>
+          if (!p.eval(aligned)) throw new IllegalArgumentException(
+            s"CHECK constraint violated by a written row: $sql")
+        }
         // zone-map stats ride along for free — one comparison per row,
         // no second pass over the data
         clusterIdx.foreach { i =>
