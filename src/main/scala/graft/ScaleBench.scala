@@ -365,7 +365,12 @@ object ScaleBench {
     // SF), so the read grows with the corpus but tile pruning holds the
     // bound FILE FRACTION constant — expect well under the factor, not
     // constant (first touch builds the Morton layout)
-    "q_zorder_table" -> ((s, d) => graft.operators.SqlDml.sqlZOrderTable(s, d)))
+    "q_zorder_table" -> ((s, d) => graft.operators.SqlDml.sqlZOrderTable(s, d)),
+    // bloom-sidecar point lookup: 3 fixed keys on a hash layout — the
+    // probe binds O(keys) files at any corpus size (only the
+    // first-touch table build and the per-file sidecar pass are
+    // data-sized)
+    "q_bloom_skip" -> ((s, d) => graft.operators.SqlDml.sqlBloomSkip(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

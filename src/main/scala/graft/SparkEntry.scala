@@ -276,6 +276,7 @@ object SparkEntry {
     "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
     "q_zorder_table" -> (SqlDml.sqlZOrderTable(_, _)),
     "q_check_constraint" -> (SqlDml.sqlCheckConstraint(_, _)),
+    "q_bloom_skip" -> (SqlDml.sqlBloomSkip(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
@@ -1833,6 +1834,11 @@ object SparkEntry {
         |  CASE WHEN doc_id % 9 = 0 THEN 'renamed' ELSE source END AS source,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+    // bloom-sidecar point lookup: file skipping must be invisible to
+    // results — the probe recomputed from the corpus
+    "q_bloom_skip" ->
+      """SELECT doc_id, source, md5(text) AS digest
+        |FROM documents WHERE doc_id IN (10, 25, 99)""".stripMargin,
     // check-constrained writes: the accepting path's final state
     // recomputed logically (every row satisfied the contract)
     "q_check_constraint" ->

@@ -540,6 +540,34 @@ object SqlDml {
          |WHERE d.flag = 0""".stripMargin)
   }
 
+  /** BLOOM-INDEXED POINT LOOKUP: documents HASH-distributed across 8
+    * files (the layout a cluster column does NOT order — per-file
+    * [min,max] on doc_id spans everything, so zone maps and parquet
+    * row-group stats are both useless here), with a per-file bloom
+    * sidecar on doc_id. The IN probe drops every file whose filter
+    * proves the keys absent — at 100 TB the point lookup schedules
+    * O(keys) tasks instead of one per file. False positives only add
+    * files; the residual filter keeps results exact (the oracle pins
+    * that).
+    */
+  def sqlBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_bloomed"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$r/files/base_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+      graft.sources.BloomMap.analyze(spark, r, 1, "doc_id"): Unit
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema)
+    GraftVtCatalog.registerBloomCols(name, Seq("doc_id"))
+    spark.sql(
+      s"""SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+         |FROM graft_vt.$name WHERE doc_id IN (10, 25, 99)""".stripMargin)
+  }
+
   /** CHECK-CONSTRAINED TABLE: the write-boundary data contract.
     * `TBLPROPERTIES ('check' = '…')` attaches a boolean expression
     * (cross-column here: `n_chars = length(text)`), and EVERY writer

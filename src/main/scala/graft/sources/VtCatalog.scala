@@ -370,6 +370,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.bucketSpecs.remove(from).foreach(GraftVtCatalog.bucketSpecs.put(to, _))
     GraftVtCatalog.statsCols.remove(from).foreach(GraftVtCatalog.statsCols.put(to, _))
     GraftVtCatalog.checks.remove(from).foreach(GraftVtCatalog.checks.put(to, _))
+    GraftVtCatalog.bloomCols.remove(from).foreach(GraftVtCatalog.bloomCols.put(to, _))
     GraftVtCatalog.registry.remove(from): Unit
   }
 }
@@ -628,6 +629,24 @@ object GraftVtCatalog {
     checks.put(name, exprSql): Unit
   }
 
+  /** table name -> BLOOM-INDEXED columns: per-file bloom sidecars
+    * ([[BloomMap]]) give point-lookup file skipping on columns the
+    * layout does NOT order — orthogonal to (and freely combined with)
+    * the cluster/z-order range stats.
+    */
+  private[sources] val bloomCols = TrieMap.empty[String, Seq[String]]
+
+  /** Declare bloom-indexed columns for a registered table. Callers run
+    * [[BloomMap.analyze]] per column to build the current version's
+    * sidecars; versions without sidecars read unpruned.
+    */
+  def registerBloomCols(name: String, cols: Seq[String]): Unit = {
+    require(registry.contains(name), s"unknown graft_vt table: $name")
+    val schema = registry(name)._2
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
+    bloomCols.put(name, cols): Unit
+  }
+
   /** table name -> EXTRA file-skipping stats columns (beyond the
     * cluster column): the Z-ORDERED layout registers both interleaved
     * dimensions here, so scans prune on predicates against EITHER.
@@ -702,6 +721,7 @@ object GraftVtCatalog {
     bucketSpecs.remove(name): Unit
     statsCols.remove(name): Unit
     checks.remove(name): Unit
+    bloomCols.remove(name): Unit
   }
 
   /** The registered root for a table, if any (test/inspection hook). */
@@ -728,6 +748,24 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+
+  /** Layout and contract surfaced to `DESCRIBE TABLE EXTENDED` / `SHOW
+    * TBLPROPERTIES`: what a user needs to know to predict this table's
+    * pruning, join, and write behavior.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft_vt")
+    m.put("current_version", currentVersion.toString)
+    GraftVtCatalog.clusterCols.get(tableName).foreach(m.put("cluster", _))
+    GraftVtCatalog.statsCols.get(tableName).foreach(cs => m.put("zorder", cs.mkString(",")))
+    GraftVtCatalog.checks.get(tableName).foreach(m.put("check", _))
+    GraftVtCatalog.morKeys.get(tableName).foreach(m.put("merge_on_read_key", _))
+    GraftVtCatalog.bucketSpecs.get(tableName).foreach { case (k, n) =>
+      m.put("bucket_key", k); m.put("num_buckets", n.toString): Unit
+    }
+    m
+  }
 
   private[sources] def bucketSpec: Option[(String, Int)] =
     GraftVtCatalog.bucketSpecs.get(tableName)
@@ -812,10 +850,12 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     val statsByCol = (clusterCol.toSeq ++
         GraftVtCatalog.statsCols.getOrElse(tableName, Nil)).distinct
       .flatMap(c => ZoneMap.read(root, version, c).map(c -> _))
+    val bloomByCol = GraftVtCatalog.bloomCols.getOrElse(tableName, Nil)
+      .flatMap(c => BloomMap.read(root, version, c).map(c -> _))
     val inner =
-      if (statsByCol.nonEmpty)
+      if (statsByCol.nonEmpty || bloomByCol.nonEmpty)
         new ZoneMapScanBuilder(name(), root, physify(tableSchema), version,
-          statsByCol, options)
+          statsByCol, options, bloomByCol)
       else parquetTable(version).newScanBuilder(options)
     if (colMap.isEmpty) inner else new ColMapScanBuilder(inner, colMap)
   }
@@ -1000,7 +1040,8 @@ object GraftVtTable {
   */
 class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructType,
     version: Int, statsByCol: Seq[(String, Map[String, (Long, Long)])],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    bloomByCol: Seq[(String, Map[String, org.apache.spark.util.sketch.BloomFilter])] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1126,12 +1167,19 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
     // NO sidecar can prove it empty — on a Z-ORDERED layout this is the
     // 2-D tile intersection (a box predicate on (x, y) keeps only files
     // whose x-span AND y-span both overlap the box)
-    val kept = statsByCol.foldLeft(all) { case (files, (c, stats)) =>
+    val zoneKept = statsByCol.foldLeft(all) { case (files, (c, stats)) =>
       ZoneMap.prune(stats, c, v1, files)
+    }
+    // bloom sidecars prune the remainder on equality/IN probes —
+    // point-lookup skipping on columns the layout does not order
+    val kept = bloomByCol.foldLeft(zoneKept) { case (files, (c, blooms)) =>
+      if (tableSchema.fieldNames.contains(c))
+        BloomMap.prune(blooms, c, tableSchema(c).dataType, v1, files)
+      else files
     }
     ZoneMapScanBuilder.lastPrune = (all.size, kept.size)
     new ZoneMapRuntimeScan(tableName, root, tableSchema, statsByCol,
-      options, pushed, required, kept)
+      options, pushed, required, kept, bloomByCol)
   }
 }
 
@@ -1165,7 +1213,8 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
     statsByCol: Seq[(String, Map[String, (Long, Long)])],
     options: CaseInsensitiveStringMap,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    required: StructType, initialFiles: Seq[String])
+    required: StructType, initialFiles: Seq[String],
+    bloomByCol: Seq[(String, Map[String, org.apache.spark.util.sketch.BloomFilter])] = Nil)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1192,7 +1241,8 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
   }
 
   override def filterAttributes(): Array[NamedReference] =
-    statsByCol.map { case (c, _) => Expressions.column(c) }.toArray
+    (statsByCol.map(_._1) ++ bloomByCol.map(_._1)).distinct
+      .map(Expressions.column).toArray
 
   /** Translate the runtime predicates Spark delivers (IN / = on a
     * stats column, values from the executed build side) into v1 filters
@@ -1214,8 +1264,15 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
     }
     if (byCol.nonEmpty) {
       val kept = byCol.foldLeft(currentFiles) { case (files, (c, f)) =>
-        ZoneMap.prune(statsByCol.find(_._1 == c).map(_._2).getOrElse(Map.empty),
-          c, Seq(f), files)
+        val zoned = statsByCol.find(_._1 == c).map(_._2) match {
+          case Some(stats) => ZoneMap.prune(stats, c, Seq(f), files)
+          case None => files
+        }
+        bloomByCol.find(_._1 == c).map(_._2) match {
+          case Some(blooms) if tableSchema.fieldNames.contains(c) =>
+            BloomMap.prune(blooms, c, tableSchema(c).dataType, Seq(f), zoned)
+          case _ => zoned
+        }
       }
       ZoneMapRuntimeScan.lastRuntimePrune = (currentFiles.size, kept.size)
       if (kept.size < currentFiles.size) {
@@ -1225,11 +1282,12 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
     }
   }
 
-  /** The stats column `e` names, if any. */
+  /** The stats/bloom column `e` names, if any. */
   private def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case nr: NamedReference if nr.fieldNames().length == 1 &&
-          statsByCol.exists(_._1 == nr.fieldNames()(0)) =>
+          (statsByCol.exists(_._1 == nr.fieldNames()(0)) ||
+            bloomByCol.exists(_._1 == nr.fieldNames()(0))) =>
         Some(nr.fieldNames()(0))
       case _ => None
     }

@@ -77,6 +77,15 @@ class CheckConstraintSpec extends AnyFunSuite {
         |TBLPROPERTIES ('check' = 'doc_id + 1')""".stripMargin))
   }
 
+  test("DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface the layout and contract") {
+    mk("chk_props", "val >= 0")
+    val props = spark.sql("SHOW TBLPROPERTIES graft_vt.chk_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("format").contains("graft_vt"))
+    assert(props.get("check").contains("val >= 0"))
+    assert(props.get("current_version").contains("1"))
+  }
+
   test("the constraint rides a table rename") {
     mk("chk_rn_a", "val >= 0")
     spark.sql("DROP TABLE IF EXISTS graft_vt.chk_rn_b")
