@@ -613,17 +613,10 @@ object SqlDml {
       .select(col("event_id"), col("user_id"), col("event_type"))
     val root = roots.getOrElseUpdate((dir, name), {
       val r = VersionedTable.freshRoot(s"$dir#$name")
-      val bounds = ev.agg(
-        min(col("event_id")).as("xmin"), max(col("event_id")).as("xmax"),
-        min(col("user_id")).as("ymin"), max(col("user_id")).as("ymax"))
-      val zvalued = ev.crossJoin(broadcast(bounds))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          ZOrder.interleave16(
-            expr("(event_id - xmin) * 65535 DIV greatest(xmax - xmin, 1)"),
-            expr("(user_id - ymin) * 65535 DIV greatest(ymax - ymin, 1)")).as("zval"))
       // zval rides into the files as an extra physical column (the
       // registered logical schema simply never requests it)
-      ZOrder.writeZOrdered(zvalued, col("zval"), s"$r/files/base_v1", 16)
+      ZOrder.writeZOrdered(ZOrder.zValued(ev, "event_id", "user_id"),
+        col("zval"), s"$r/files/base_v1", 16)
       VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
       ZoneMap.analyze(spark, r, 1, "event_id"): Unit
       ZoneMap.analyze(spark, r, 1, "user_id"): Unit

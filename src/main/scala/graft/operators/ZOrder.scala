@@ -66,6 +66,32 @@ object ZOrder {
         interleave16(col("zx"), col("zy")).as("zval"))
   }
 
+  /** Append an overflow-safe Morton `zval` column over two BIGINT
+    * dimensions of `df` — the shared gridding used by every z-LAYOUT
+    * site (the table format's writer and OPTIMIZE ZORDER). Bounds come
+    * from one tiny aggregate broadcast back; the grid arithmetic runs
+    * in DECIMAL(38,0), so a dimension spanning the full BIGINT range
+    * (where `(x - min) * 65535` overflows Long and ANSI mode would
+    * fail the statement) still grids exactly; `span + 1` as the
+    * divisor keeps the result in [0, 65535] and dodges div-by-zero in
+    * one move. Layout-only: zval never reaches results, so callers'
+    * oracles are untouched by the arithmetic choice (unlike
+    * [[zValuedEvents]], whose formula IS oracle-mirrored and stays).
+    */
+  def zValued(df: DataFrame, xc: String, yc: String): DataFrame = {
+    val bounds = df.agg(
+      min(col(xc)).as("zb_xmin"), max(col(xc)).as("zb_xmax"),
+      min(col(yc)).as("zb_ymin"), max(col(yc)).as("zb_ymax"))
+    def grid(c: String, lo: String, hi: String) = expr(
+      s"""CAST((CAST($c AS DECIMAL(38,0)) - CAST($lo AS DECIMAL(38,0))) * 65535
+         | DIV (CAST($hi AS DECIMAL(38,0)) - CAST($lo AS DECIMAL(38,0)) + 1)
+         | AS BIGINT)""".stripMargin.replace("\n", ""))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zval",
+        interleave16(grid(xc, "zb_xmin", "zb_xmax"), grid(yc, "zb_ymin", "zb_ymax")))
+      .drop("zb_xmin", "zb_xmax", "zb_ymin", "zb_ymax")
+  }
+
   /** Write `df` in z-order: range-partition by the Morton code (each
     * output file owns a contiguous z-range → a compact 2-D tile) and
     * sort within partitions so row-group stats are tight too. Layout

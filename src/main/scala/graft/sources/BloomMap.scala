@@ -77,13 +77,21 @@ object BloomMap {
   def read(root: String, version: Int, col: String): Option[Map[String, BloomFilter]] = {
     val p = sidecar(root, version, col)
     if (!java.nio.file.Files.exists(p)) None
-    else Some(cache.getOrElseUpdate(
-      (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis), {
+    else {
+      val key = (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      Some(cache.getOrElseUpdate(key, {
+        // bound the cache: superseded mtimes of this sidecar always go,
+        // and a hard cap stops version churn across many tables from
+        // accumulating filters (each entry is files × ~100 KB of heap)
+        cache.keys.filter(k => k._1 == key._1 && k._2 != key._2)
+          .foreach(cache.remove(_): Unit)
+        if (cache.size >= 64) cache.clear()
         entryRe.findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
           m.group(1) -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(
             java.util.Base64.getDecoder.decode(m.group(2))))
         }.toMap
       }))
+    }
   }
 
   /** The same hash the aggregation inserted: `xxhash64(col)` with

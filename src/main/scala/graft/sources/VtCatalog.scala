@@ -221,6 +221,11 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
           s"zorder column $c must be BIGINT, got ${schema(c).dataType}")
       }
     }
+    // TBLPROPERTIES ('check' = '<boolean expr>') — the write-boundary
+    // data contract; validated HERE, before any directory or registry
+    // mutation, so a typo fails the CREATE and leaves the name free
+    val checkSql = Option(properties.get("check"))
+    checkSql.foreach(GraftVtTable.bindCheck(SparkSession.active, schema, _): Unit)
     // catalog-OWNED root (always under the per-JVM tmp namespace):
     // wiped on (re-)create so a DROP + CREATE cycle starts empty —
     // never the case for register()ed roots, which the catalog does
@@ -240,13 +245,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case _ =>
         GraftVtCatalog.register(SparkSession.active, name, root, schema, clusterCol)
     }
-    // TBLPROPERTIES ('check' = '<boolean expr>') — the write-boundary
-    // data contract; validated eagerly so a typo fails the CREATE, not
-    // the first INSERT
-    Option(properties.get("check")).foreach { exprSql =>
-      GraftVtCatalog.registerCheck(name, exprSql)
-      new GraftVtTable(name, root, schema, None).boundCheck: Unit
-    }
+    checkSql.foreach(GraftVtCatalog.registerCheck(name, _))
     new GraftVtTable(name, root, schema, None)
   }
 
@@ -328,13 +327,40 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         throw new UnsupportedOperationException(
           s"unsupported table change: $other (ADD / RENAME / DROP COLUMN only)")
     }
+    // a schema change must not orphan the CHECK constraint: a rename or
+    // drop of a referenced column would make every later write fail at
+    // boundCheck with no SQL path to unset the contract — reject the
+    // ALTER instead, loudly
+    GraftVtCatalog.checks.get(name).foreach { exprSql =>
+      try GraftVtTable.bindCheck(SparkSession.active, newSchema, exprSql): Unit
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"this change would break the table's CHECK constraint ($exprSql); " +
+            "drop or adjust the constraint first", e)
+      }
+    }
     GraftVtCatalog.colMaps.put(name, mapping): Unit
     GraftVtCatalog.registry.put(name, (root, newSchema)): Unit
     new GraftVtTable(name, root, newSchema, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    GraftVtCatalog.registry.remove(ident.name()).isDefined
+  /** DROP clears EVERY per-table registry, not just the name binding —
+    * a later CREATE or RENAME binding the same name must start with no
+    * modes, or it would inherit the dropped table's MOR key / CHECK /
+    * layout registrations (stale-mode resurrection).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val name = ident.name()
+    val existed = GraftVtCatalog.registry.remove(name).isDefined
+    GraftVtCatalog.clusterCols.remove(name): Unit
+    GraftVtCatalog.colMaps.remove(name): Unit
+    GraftVtCatalog.morKeys.remove(name): Unit
+    GraftVtCatalog.bucketSpecs.remove(name): Unit
+    GraftVtCatalog.statsCols.remove(name): Unit
+    GraftVtCatalog.checks.remove(name): Unit
+    GraftVtCatalog.bloomCols.remove(name): Unit
+    existed
+  }
 
   /** `ALTER TABLE graft_vt.a RENAME TO graft_vt.b` — pure catalog
     * metadata: the root directory, every manifest, sidecar, and data
@@ -504,6 +530,8 @@ object GraftVtProcedures {
               .manifest(root, GraftVtTable.latestVersion(root))
               .flatMap(ZoneMap.leafFiles(root, _)).size
             val newV = VtMor.compact(spark, tbl)
+            GraftVtCatalog.bloomCols.getOrElse(tbl, Nil)
+              .foreach(BloomMap.analyze(spark, root, newV, _): Unit)
             val after = VersionedTable.manifest(root, newV)
               .flatMap(ZoneMap.leafFiles(root, _)).size
             return resultScan(
@@ -528,22 +556,19 @@ object GraftVtProcedures {
           // multi-column stats
           GraftVtCatalog.statsCols.get(tbl) match {
             case Some(Seq(xc, yc)) =>
-              import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
+              import org.apache.spark.sql.functions.col
               val raw = spark.read.parquet(before.map(_.getAbsolutePath): _*)
                 .drop("zval") // re-optimizing a laid-out group recomputes it
-              val bounds = raw.agg(
-                min(col(xc)).as("xmin"), max(col(xc)).as("xmax"),
-                min(col(yc)).as("ymin"), max(col(yc)).as("ymax"))
-              val zvalued = raw.crossJoin(broadcast(bounds))
-                .withColumn("zval", graft.operators.ZOrder.interleave16(
-                  expr(s"($xc - xmin) * 65535 DIV greatest(xmax - xmin, 1)"),
-                  expr(s"($yc - ymin) * 65535 DIV greatest(ymax - ymin, 1)")))
-                .drop("xmin", "xmax", "ymin", "ymax")
               graft.operators.ZOrder.writeZOrdered(
-                zvalued, col("zval"), s"$root/$groupRel", targetFiles)
+                graft.operators.ZOrder.zValued(raw, xc, yc),
+                col("zval"), s"$root/$groupRel", targetFiles)
               VersionedTable.commitManifest(root, newV, Seq(groupRel))
               ZoneMap.analyze(spark, root, newV, xc): Unit
               ZoneMap.analyze(spark, root, newV, yc): Unit
+              // optimize must not silently disable ANY sidecar tier:
+              // bloom-indexed columns get fresh filters too
+              GraftVtCatalog.bloomCols.getOrElse(tbl, Nil)
+                .foreach(BloomMap.analyze(spark, root, newV, _): Unit)
               VersionedTable.vacuum(root, Seq(newV - 1, newV).filter(_ >= 1)): Unit
               return resultScan(
                 StructType(Seq(StructField("files_before", IntegerType, nullable = false),
@@ -564,6 +589,8 @@ object GraftVtProcedures {
           GraftVtCatalog.clusterCols.get(tbl).foreach { zc =>
             ZoneMap.analyze(spark, root, newV, zc): Unit
           }
+          GraftVtCatalog.bloomCols.getOrElse(tbl, Nil)
+            .foreach(BloomMap.analyze(spark, root, newV, _): Unit)
           VersionedTable.vacuum(root, Seq(newV - 1, newV).filter(_ >= 1)): Unit
           val after = ZoneMap.leafFiles(root, groupRel).size
           resultScan(
@@ -760,6 +787,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     GraftVtCatalog.clusterCols.get(tableName).foreach(m.put("cluster", _))
     GraftVtCatalog.statsCols.get(tableName).foreach(cs => m.put("zorder", cs.mkString(",")))
     GraftVtCatalog.checks.get(tableName).foreach(m.put("check", _))
+    GraftVtCatalog.bloomCols.get(tableName).foreach(cs =>
+      m.put("bloom_columns", cs.mkString(",")))
     GraftVtCatalog.morKeys.get(tableName).foreach(m.put("merge_on_read_key", _))
     GraftVtCatalog.bucketSpecs.get(tableName).foreach { case (k, n) =>
       m.put("bucket_key", k); m.put("num_buckets", n.toString): Unit
@@ -870,21 +899,8 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     */
   private[sources] def boundCheck
       : Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
-    GraftVtCatalog.checks.get(tableName).map { exprSql =>
-      import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, BindReferences}
-      import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
-      val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(tableSchema)
-      val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
-      val analyzed = spark.sessionState.analyzer
-        .execute(Filter(parsed, LocalRelation(attrs)))
-      val cond = analyzed.collectFirst { case f: Filter => f.condition }
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot analyze CHECK constraint for $tableName: $exprSql"))
-      require(cond.resolved && cond.dataType == org.apache.spark.sql.types.BooleanType,
-        s"CHECK constraint must be a boolean expression over the table's columns: $exprSql")
-      exprSql -> BindReferences.bindReference(
-        Coalesce(Seq(cond, Literal(true))), attrs)
-    }
+    GraftVtCatalog.checks.get(tableName).map(exprSql =>
+      exprSql -> GraftVtTable.bindCheck(spark, tableSchema, exprSql))
 
   /** `INSERT INTO` (append: new manifest = current entries + new group)
     * and `INSERT OVERWRITE` (truncate: new manifest = new group only).
@@ -992,6 +1008,31 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
 }
 
 object GraftVtTable {
+  /** Analyze a CHECK constraint against `schema` and bind it by
+    * position (see [[GraftVtTable.boundCheck]]): the real analyzer runs
+    * (type coercion included) over a LocalRelation of the schema's
+    * attributes, the condition is wrapped in `coalesce(expr, true)`
+    * (SQL-standard CHECK: only FALSE violates), and the result is
+    * ordinal-bound — valid on positional physical rows. Throws on
+    * unresolvable or non-boolean text, which is also how DDL sites
+    * validate BEFORE registering anything.
+    */
+  private[sources] def bindCheck(spark: SparkSession, schema: StructType,
+      exprSql: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val analyzed = spark.sessionState.analyzer
+      .execute(Filter(parsed, LocalRelation(attrs)))
+    val cond = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot analyze CHECK constraint: $exprSql"))
+    require(cond.resolved && cond.dataType == org.apache.spark.sql.types.BooleanType,
+      s"CHECK constraint must be a boolean expression over the table's columns: $exprSql")
+    BindReferences.bindReference(Coalesce(Seq(cond, Literal(true))), attrs)
+  }
+
   /** Create/overwrite a named tag pointing at `version`. Tags are
     * driver-side one-line files; vacuum ignores them deliberately — a
     * tag PINS its version against retention policies that would
@@ -1111,15 +1152,38 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
       case _ => None
     }
 
+  // the planner probes twice (supportCompletePushDown, then
+  // pushAggregation with the same Aggregation) and each Count walks the
+  // same sidecar — memoize the manifest listing, the per-column
+  // row/null maps, and the last plan, so one query costs one sidecar
+  // parse however many aggregates it carries (at 10^6 files the
+  // repeated driver IO would otherwise eat the metadata-answer win)
+  private lazy val manifestFiles: Seq[String] =
+    VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
+  private val rowCountsFor = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+  private val nullCountsFor = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+  private def rowCounts(c: String) =
+    rowCountsFor.getOrElseUpdate(c, ZoneMap.readRowCounts(root, version, c))
+  private def nullCounts(c: String) =
+    nullCountsFor.getOrElseUpdate(c, ZoneMap.readNullCounts(root, version, c))
+  private var lastPlanned: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+
   private def planAggregate(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    lastPlanned.collect { case (a, p) if a eq agg => return p }: Unit
+    val p = planAggregateUncached(agg)
+    lastPlanned = Some((agg, p))
+    p
+  }
+
+  private def planAggregateUncached(agg: Aggregation): Option[(StructType, Array[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
         agg.aggregateExpressions().isEmpty) return None
-    val files = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
+    val files = manifestFiles
     // COUNT(*) can answer from ANY column's sidecar that records a row
     // count for every file
     lazy val starRows: Option[Map[String, Long]] = statsByCol.view
       .filter { case (_, stats) => files.forall(stats.contains) }
-      .map { case (c, _) => ZoneMap.readRowCounts(root, version, c) }
+      .map { case (c, _) => rowCounts(c) }
       .find(rc => files.forall(rc.contains))
     val cols = agg.aggregateExpressions().map {
       case _: CountStar =>
@@ -1127,11 +1191,9 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
           files.map(rc).sum: Any))
       case c: Count if !c.isDistinct =>
         coveredCol(c.column, files).flatMap { case (n, _) =>
-          val rowCounts = ZoneMap.readRowCounts(root, version, n)
-          val nullCounts = ZoneMap.readNullCounts(root, version, n)
-          if (files.forall(f => rowCounts.contains(f) && nullCounts.contains(f)))
+          if (files.forall(f => rowCounts(n).contains(f) && nullCounts(n).contains(f)))
             Some((StructField(s"count($n)", LongType, nullable = false),
-              files.map(f => rowCounts(f) - nullCounts(f)).sum: Any))
+              files.map(f => rowCounts(n)(f) - nullCounts(n)(f)).sum: Any))
           else None
         }
       case m: Min =>
@@ -1162,7 +1224,7 @@ class ZoneMapScanBuilder(tableName: String, root: String, tableSchema: StructTyp
       }
     }
     val v1 = pushed.flatMap(ZoneMap.toV1Filter)
-    val all = VersionedTable.manifest(root, version).flatMap(ZoneMap.leafFiles(root, _))
+    val all = manifestFiles
     // every stats column prunes independently; a file survives only if
     // NO sidecar can prove it empty — on a Z-ORDERED layout this is the
     // 2-D tile intersection (a box predicate on (x, y) keeps only files

@@ -95,6 +95,40 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(stateOf("chk_rn_b")._2 == 0)
   }
 
+  test("a failed CREATE leaves the name free; DROP clears every mode") {
+    GraftVtCatalog.ensure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_vt.chk_free")
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft_vt.chk_free (doc_id BIGINT)
+        |TBLPROPERTIES ('check' = 'nope > 0')""".stripMargin))
+    // the bad CREATE must not have taken the name
+    spark.sql("CREATE TABLE graft_vt.chk_free (doc_id BIGINT, val BIGINT)")
+    spark.sql("INSERT INTO graft_vt.chk_free VALUES (1, -999)") // no contract
+    assert(stateOf("chk_free")._2 == 1)
+    // DROP clears the modes: a constrained table's name, dropped and
+    // re-bound by RENAME, must not inherit the old CHECK
+    mk("chk_stale", "val >= 0")
+    spark.sql("DROP TABLE graft_vt.chk_stale")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.chk_plain")
+    spark.sql("CREATE TABLE graft_vt.chk_plain (doc_id BIGINT, val BIGINT)")
+    spark.sql("ALTER TABLE graft_vt.chk_plain RENAME TO graft_vt.chk_stale")
+    spark.sql("INSERT INTO graft_vt.chk_stale VALUES (1, -5)") // would violate the stale check
+    assert(stateOf("chk_stale")._2 == 1)
+  }
+
+  test("an ALTER that would orphan the constraint is rejected") {
+    mk("chk_alter", "val >= 0")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft_vt.chk_alter RENAME COLUMN val TO amount"))
+    assert(e.getMessage.contains("CHECK constraint"))
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft_vt.chk_alter DROP COLUMN val"))
+    assert(e2.getMessage.contains("CHECK constraint"))
+    // the table still writes under the intact contract
+    spark.sql("INSERT INTO graft_vt.chk_alter VALUES (1, 5)")
+    assert(stateOf("chk_alter")._2 == 1)
+  }
+
   test("cross-column contracts hold through the COW rewrite (gate twin)") {
     val out = graft.operators.SqlDml.sqlCheckConstraint(spark, dir).collect()
     val exp = graft.sources.Tables(spark, dir, "documents")
