@@ -264,6 +264,8 @@ object SparkEntry {
     "q_sql_time_travel" -> (SqlDml.sqlTimeTravel(_, _)),
     "q_sql_time_travel_ts" -> (SqlDml.sqlTimeTravelTs(_, _)),
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
+    "q_branch_merge" -> (SqlDml.sqlBranch(_, _)),
+    "q_rollback" -> (SqlDml.sqlRollback(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_meta_tags" -> (SqlDml.sqlMetaTags(_, _)),
@@ -1801,6 +1803,27 @@ object SparkEntry {
         |SELECT version, source, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1, 2""".stripMargin,
+    // branch lifecycle: main after fast-forward = corpus + both branch
+    // commits; the version arithmetic and the isolation row count are
+    // pinned as literal columns
+    "q_branch_merge" ->
+      """WITH final AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL SELECT 'backfill' AS source, text FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL SELECT 'backfill' AS source, text FROM documents WHERE doc_id % 9 = 1),
+        |c AS (SELECT COUNT(*) AS main_rows_during_branch FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(1 AS INT) AS fork_version, CAST(3 AS INT) AS merged_head,
+        |  CAST(2 AS INT) AS promoted_commits, main_rows_during_branch
+        |FROM final CROSS JOIN c
+        |GROUP BY source, main_rows_during_branch""".stripMargin,
+    // rollback: head content = the pre-DELETE corpus, restored as v3
+    "q_rollback" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(1 AS INT) AS restored_from, CAST(3 AS INT) AS head_version
+        |FROM documents GROUP BY source""".stripMargin,
     // wall-clock spelling: same two snapshots bound by commit instant
     "q_sql_time_travel_ts" ->
       """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),

@@ -889,4 +889,75 @@ object SqlDml {
          |  FROM graft_vt.vt_documents TIMESTAMP AS OF '$t2')
          |GROUP BY version, source""".stripMargin)
   }
+
+  /** BRANCH lifecycle through SQL ([[graft.sources.VtBranch]]): fork the
+    * corpus table, stage a two-commit backfill on the branch
+    * (`INSERT INTO graft_vt.t.branch_<name>`), verify main ISOLATION
+    * (main row count unmoved while the branch holds both commits — the
+    * count is pinned into the output as `main_rows_during_branch`), read
+    * the branch by ref (`VERSION AS OF 'backfill'`), then FAST-FORWARD:
+    * both commits promote onto main as ordinary versions and the branch
+    * drops. The mutation runs once per JVM (a branch flow is a one-shot
+    * story); reps replay the recorded CALL results — same contract as
+    * the vacuum/optimize/expire queries.
+    */
+  def sqlBranch(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_branch"
+    ensureDocsTable(spark, dir, name)
+    val Array(fork, newHead, promoted, mainDuring) =
+      callResults.getOrElseUpdate((dir, name), {
+        docsBase(spark, dir).createOrReplaceTempView("graft_branch_src")
+        val f = spark.sql(s"CALL graft_vt.create_branch('$name', 'backfill')")
+          .collect().head.getInt(1)
+        spark.sql(
+          s"""INSERT INTO graft_vt.$name.branch_backfill
+             |SELECT doc_id + 20000000, text, 'backfill' AS source
+             |FROM graft_branch_src WHERE doc_id % 9 = 0""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO graft_vt.$name.branch_backfill
+             |SELECT doc_id + 40000000, text, 'backfill' AS source
+             |FROM graft_branch_src WHERE doc_id % 9 = 1""".stripMargin)
+        // isolation: the branch holds both commits, main still reads v1
+        val mainN = spark.sql(s"SELECT COUNT(*) FROM graft_vt.$name")
+          .collect().head.getLong(0)
+        val branchN = spark.sql(
+          s"SELECT COUNT(*) FROM graft_vt.$name VERSION AS OF 'backfill'")
+          .collect().head.getLong(0)
+        require(branchN > mainN,
+          s"branch read ($branchN rows) must exceed main ($mainN) before merge")
+        val ff = spark.sql(s"CALL graft_vt.fast_forward('$name', 'backfill')")
+          .collect().head
+        Array(f, ff.getInt(0), ff.getInt(1), mainN.toInt)
+      })
+    spark.sql(
+      s"""SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM graft_vt.$name GROUP BY source""".stripMargin)
+      .withColumn("fork_version", lit(fork))
+      .withColumn("merged_head", lit(newHead))
+      .withColumn("promoted_commits", lit(promoted))
+      .withColumn("main_rows_during_branch", lit(mainDuring.toLong))
+  }
+
+  /** `CALL graft_vt.rollback(tbl, v)` — recover from a bad statement:
+    * a DELETE (v2) is rolled back by committing a NEW head (v3) with
+    * v1's exact file list (history preserved — the roll-forward flavor,
+    * matching a head-is-max-manifest format). Output pins the restored
+    * corpus content plus the procedure's version arithmetic.
+    */
+  def sqlRollback(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_rollback"
+    ensureDocsTable(spark, dir, name)
+    val Array(restoredFrom, newV) = callResults.getOrElseUpdate((dir, name), {
+      spark.sql(s"DELETE FROM graft_vt.$name WHERE doc_id % 2 = 0")
+      val r = spark.sql(s"CALL graft_vt.rollback('$name', 1)").collect().head
+      Array(r.getInt(0), r.getInt(1))
+    })
+    spark.sql(
+      s"""SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM graft_vt.$name GROUP BY source""".stripMargin)
+      .withColumn("restored_from", lit(restoredFrom))
+      .withColumn("head_version", lit(newV))
+  }
 }

@@ -164,7 +164,15 @@ object VersionedTable {
         java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/$n"))
           .split("\n").toSeq.filter(_.nonEmpty) }
       .flatten
-    val referenced = (keepVs.flatMap(v => manifest(root, v)) ++ stagedEntries)
+    // BRANCH manifests pin their groups for as long as the branch lives:
+    // a branch is a readable line of history, so main-line retention
+    // must never collect data only a branch references (see [[VtBranch]])
+    val branchEntries = rootFiles
+      .collect { case n if n.startsWith("_manifest_b_") && n.endsWith(".txt") =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/$n"))
+          .split("\n").toSeq.filter(_.nonEmpty) }
+      .flatten
+    val referenced = (keepVs.flatMap(v => manifest(root, v)) ++ stagedEntries ++ branchEntries)
       .map(groupOf).toSet
     val onDisk = Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String])
       .map(n => s"files/$n").toSeq.sorted

@@ -71,11 +71,17 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case "vacuum"   => GraftVtProcedures.vacuumProc
       case "optimize" => GraftVtProcedures.optimizeProc
       case "expire_versions" => GraftVtProcedures.expireProc
+      case "create_branch" => GraftVtProcedures.createBranchProc
+      case "fast_forward" => GraftVtProcedures.fastForwardProc
+      case "drop_branch" => GraftVtProcedures.dropBranchProc
+      case "rollback" => GraftVtProcedures.rollbackProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("vacuum", "optimize", "expire_versions").map(Identifier.of(Array.empty[String], _))
+    Array("vacuum", "optimize", "expire_versions",
+      "create_branch", "fast_forward", "drop_branch", "rollback")
+      .map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
     * owns — it is how Spark's storage-partitioned-join machinery
@@ -107,6 +113,13 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
   override def loadTable(ident: Identifier, version: String): Table =
     version.toIntOption match {
       case Some(v) => lookup(ident, Some(v))
+      // a non-numeric ref resolves BRANCH first (live line of history),
+      // then TAG (pinned version) — same precedence as Iceberg refs.
+      // Only base-table identifiers have a branch face; a metadata
+      // table's VERSION AS OF keeps resolving through tags.
+      case None if GraftVtCatalog.registry.contains(ident.name()) &&
+          VtBranch.exists(rootFor(ident), version) =>
+        branchTable(ident.name(), version)
       case None =>
         lookup(ident, Some(GraftVtTable.resolveTag(rootFor(ident), version)))
     }
@@ -148,12 +161,32 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
           GraftVtCatalog.registry.contains(base) =>
         new GraftVtMetaTable(base, GraftVtCatalog.registry(base)._1,
           ident.name(), version)
+      // branch face: `graft_vt.<table>.branch_<name>` — reads the
+      // branch head, INSERTs commit onto the branch line
+      case Array(base) if ident.name().startsWith("branch_") &&
+          GraftVtCatalog.registry.contains(base) =>
+        branchTable(base, ident.name().stripPrefix("branch_"))
       case _ =>
         GraftVtCatalog.registry.get(ident.name()) match {
           case Some((root, schema)) => new GraftVtTable(ident.name(), root, schema, version)
           case None => throw new NoSuchTableException(ident)
         }
     }
+
+  private def branchTable(base: String, branch: String): Table = {
+    val (root, schema) = GraftVtCatalog.registry(base)
+    require(VtBranch.exists(root, branch),
+      s"no such branch '$branch' on graft_vt.$base")
+    // a MOR branch read through raw files would resurrect tombstoned
+    // rows, and a bucket-routed branch write would break the layout
+    // invariant on fast-forward — both refused at the door
+    require(!GraftVtCatalog.morKeys.contains(base),
+      s"branches on merge-on-read table graft_vt.$base are not supported")
+    require(!GraftVtCatalog.bucketSpecs.contains(base),
+      s"branches on bucketed table graft_vt.$base are not supported")
+    new GraftVtBranchTable(base, root, schema, branch,
+      new GraftVtTable(base, root, schema, None))
+  }
 
   /** `CREATE TABLE graft_vt.t (…)` and CTAS (`CREATE TABLE … AS
     * SELECT`, which Spark plans as createTable + AppendData through the
@@ -601,6 +634,117 @@ object GraftVtProcedures {
         }
       }
   }
+
+  /** One-row result schema + scan shared by the branch procedures. */
+  private def simpleProc(procName: String, procDesc: String,
+      params: => Array[procedures.ProcedureParameter],
+      run: InternalRow => (StructType, Array[Any])): procedures.UnboundProcedure =
+    new procedures.UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = procDesc
+      override def bind(inputType: StructType): procedures.BoundProcedure =
+        new procedures.BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = procDesc
+          override def parameters(): Array[procedures.ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val (schema, values) = run(input)
+            resultScan(schema, values)
+          }
+        }
+    }
+
+  /** `CALL graft_vt.create_branch(tbl, name)` — fork the table's current
+    * head as a named branch (see [[VtBranch]]); metadata-only.
+    */
+  val createBranchProc: procedures.UnboundProcedure = simpleProc(
+    "create_branch", "fork the table's current head as a named branch",
+    Array(param("tbl", StringType), param("name", StringType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      require(!GraftVtCatalog.morKeys.contains(tbl),
+        s"branches on merge-on-read table graft_vt.$tbl are not supported")
+      require(!GraftVtCatalog.bucketSpecs.contains(tbl),
+        s"branches on bucketed table graft_vt.$tbl are not supported")
+      val r = VtBranch.create(rootOf(tbl), name)
+      (StructType(Seq(StructField("branch", StringType, nullable = false),
+        StructField("fork_version", IntegerType, nullable = false))),
+        Array[Any](UTF8String.fromString(name), r.fork))
+    })
+
+  /** `CALL graft_vt.fast_forward(tbl, name)` — promote the branch's
+    * commits onto main (requires main unmoved since the fork) and drop
+    * the branch. Manifest copies only — no data moves.
+    */
+  val fastForwardProc: procedures.UnboundProcedure = simpleProc(
+    "fast_forward", "promote a branch's commits onto main and drop the branch",
+    Array(param("tbl", StringType), param("name", StringType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val (newHead, promoted) = VtBranch.fastForward(rootOf(tbl), name)
+      (StructType(Seq(StructField("new_head_version", IntegerType, nullable = false),
+        StructField("promoted_commits", IntegerType, nullable = false))),
+        Array[Any](newHead, promoted))
+    })
+
+  /** `CALL graft_vt.drop_branch(tbl, name)` — delete the ref and branch
+    * manifests; branch-only file groups become garbage for the next
+    * vacuum.
+    */
+  val dropBranchProc: procedures.UnboundProcedure = simpleProc(
+    "drop_branch", "delete a branch ref and its manifests",
+    Array(param("tbl", StringType), param("name", StringType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val head = VtBranch.ref(rootOf(tbl), name).head
+      VtBranch.drop(rootOf(tbl), name)
+      (StructType(Seq(StructField("dropped_branch", StringType, nullable = false),
+        StructField("abandoned_commits", IntegerType, nullable = false))),
+        Array[Any](UTF8String.fromString(name), head))
+    })
+
+  /** `CALL graft_vt.rollback(tbl, to_version)` — commit a NEW head whose
+    * file list is exactly version `to_version`'s (history preserved; the
+    * roll-forward-copy flavor of rollback, since this format's head is
+    * the max manifest). Sidecars (zone maps, blooms, MOR state) are
+    * copied with the manifest so pruning and merge-on-read semantics
+    * survive the rollback. Driver metadata work only.
+    */
+  val rollbackProc: procedures.UnboundProcedure = simpleProc(
+    "rollback", "commit a new head restoring an older version's file list",
+    Array(param("tbl", StringType), param("to_version", IntegerType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val target = input.getInt(1)
+      val root = rootOf(tbl)
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_manifest_v$target.txt")),
+        s"version $target of graft_vt.$tbl is not retained (vacuumed or never existed)")
+      val entries = VersionedTable.manifest(root, target)
+      val newV = GraftVtTable.latestVersion(root) + 1
+      VersionedTable.commitManifest(root, newV, entries)
+      // the restored version's sidecars are valid verbatim (same files)
+      Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+        .foreach { n =>
+          Seq("_zonemap_v", "_bloom_v", "_mor_v").foreach { p =>
+            if (n.startsWith(s"$p${target}_") || n == s"$p$target.json") {
+              val renamed = n.replaceFirst(
+                s"${p}$target(?=[_.])", s"$p$newV")
+              java.nio.file.Files.copy(
+                java.nio.file.Paths.get(s"$root/$n"),
+                java.nio.file.Paths.get(s"$root/$renamed"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            }
+          }
+        }
+      (StructType(Seq(StructField("restored_from", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false))),
+        Array[Any](target, newV))
+    })
 }
 
 object GraftVtCatalog {
@@ -1550,7 +1694,8 @@ class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTab
 class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[String], desc: String,
     bucketRoute: Option[(String, Int)] = None,
-    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None,
+    branchCommit: Option[(String, Seq[String] => Unit)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1581,7 +1726,8 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
 
   override def toBatch: BatchWrite = new GraftVtBatchWrite(root, newVersion,
     schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))),
-    effBucket.map { case (k, n) => (schema.fieldIndex(k), n) }, check)
+    effBucket.map { case (k, n) => (schema.fieldIndex(k), n) }, check,
+    branchCommit)
   override def description(): String = desc
 }
 
@@ -1594,10 +1740,17 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
 class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None,
     bucketRoute: Option[(Int, Int)] = None,
-    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None,
+    branchCommit: Option[(String, Seq[String] => Unit)] = None)
   extends BatchWrite {
 
-  private val groupRel = s"files/dml_v$newVersion"
+  // a BRANCH write lands its group under a branch-scoped, uniquified
+  // name (a dropped-and-recreated branch must never write into a stale
+  // group dir) and commits through the branch's own manifest line
+  // instead of `_manifest_v<n>`
+  private val groupRel = branchCommit.fold(s"files/dml_v$newVersion") { case (b, _) =>
+    s"files/br_${b}_v${newVersion}_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
@@ -1628,6 +1781,17 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     // retained-by-reference entries, resolved NOW: for a narrowed COW
     // rewrite this is "current snapshot minus the files the scan bound"
     val baseEnt = baseEntries()
+    // a branch write commits through the branch's own manifest line
+    // (CREATE_NEW one-winner inside VtBranch.commitEntries) and skips
+    // main-line concerns: no zone-map sidecar (sidecars are keyed by
+    // MAIN version numbers) and no main retention pass
+    if (branchCommit.isDefined) {
+      try branchCommit.get._2(baseEnt ++ kept.map(_.relPath))
+      catch { case e: java.util.ConcurrentModificationException =>
+        abort(messages); throw e
+      }
+      return
+    }
     // commit = atomically CREATE the next manifest naming exactly the
     // files that reported success (empty-result DML still commits a
     // valid, empty version by naming no files). CREATE_NEW is the

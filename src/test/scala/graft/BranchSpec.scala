@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftVtCatalog, VersionedTable, VtBranch}
+
+/** Branch + rollback lifecycle on the graft_vt format: the oracle gate
+  * pins q_branch_merge / q_rollback end states; this suite pins the
+  * contracts the end states can't show — main-line ISOLATION while a
+  * branch holds commits, the fast-forward precondition (moved main =
+  * loud failure, nothing merged), vacuum pinning of branch-referenced
+  * groups, CHECK enforcement on branch writers, drop/garbage-collect
+  * economics, and rollback's history preservation.
+  */
+class BranchSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  /** Fresh single-version table over a small corpus slice. */
+  private def mkTable(name: String): String = {
+    GraftVtCatalog.ensure(spark)
+    spark.sql(s"DROP TABLE IF EXISTS graft_vt.$name")
+    graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 60)
+      .createOrReplaceTempView("branch_spec_src")
+    spark.sql(
+      s"CREATE TABLE graft_vt.$name AS SELECT * FROM branch_spec_src")
+    GraftVtCatalog.rootOf(name).get
+  }
+
+  test("branch isolation: main never sees branch commits; VERSION AS OF reads the branch") {
+    val name = "br_iso"
+    mkTable(name)
+    val mainN = spark.table(s"graft_vt.$name").count()
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'dev')")
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_dev
+         |SELECT doc_id + 1000, text, 'staged' FROM branch_spec_src WHERE doc_id < 10""".stripMargin)
+    assert(spark.table(s"graft_vt.$name").count() == mainN,
+      "main must not see branch commits")
+    assert(spark.table(s"graft_vt.$name.branch_dev").count() == mainN + 10)
+    assert(spark.sql(s"SELECT * FROM graft_vt.$name VERSION AS OF 'dev'").count()
+      == mainN + 10, "VERSION AS OF '<branch>' must read the branch head")
+    spark.sql(s"CALL graft_vt.drop_branch('$name', 'dev')")
+  }
+
+  test("fast-forward promotes all commits; a moved main fails loudly and merges nothing") {
+    val name = "br_ff"
+    val root = mkTable(name)
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'dev')")
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_dev
+         |SELECT doc_id + 1000, text, 'b1' FROM branch_spec_src WHERE doc_id < 5""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_dev
+         |SELECT doc_id + 2000, text, 'b2' FROM branch_spec_src WHERE doc_id < 3""".stripMargin)
+    val before = graft.sources.GraftVtTable.latestVersion(root)
+    val r = spark.sql(s"CALL graft_vt.fast_forward('$name', 'dev')").collect().head
+    assert(r.getInt(0) == before + 2 && r.getInt(1) == 2)
+    assert(spark.table(s"graft_vt.$name").count() == 60 + 5 + 3)
+    assert(!VtBranch.exists(root, "dev"), "fast-forward consumes the branch")
+    // each promoted version is an ordinary readable main version
+    assert(spark.sql(s"SELECT * FROM graft_vt.$name VERSION AS OF ${before + 1}")
+      .count() == 60 + 5)
+
+    // moved main: fork, commit to MAIN, then try to fast-forward
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'dev2')")
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_dev2
+         |SELECT doc_id + 3000, text, 'b3' FROM branch_spec_src WHERE doc_id < 2""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name
+         |SELECT doc_id + 4000, text, 'main-moved' FROM branch_spec_src WHERE doc_id < 1""".stripMargin)
+    val mainN = spark.table(s"graft_vt.$name").count()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft_vt.fast_forward('$name', 'dev2')").collect()
+    }
+    assert(e.getMessage.contains("rebase"), s"wanted the rebase error, got: ${e.getMessage}")
+    assert(spark.table(s"graft_vt.$name").count() == mainN,
+      "a failed fast-forward must merge nothing")
+    spark.sql(s"CALL graft_vt.drop_branch('$name', 'dev2')")
+  }
+
+  test("vacuum never collects groups a live branch references; drop releases them") {
+    val name = "br_vac"
+    val root = mkTable(name)
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'keepme')")
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_keepme
+         |SELECT doc_id + 1000, text, 'staged' FROM branch_spec_src WHERE doc_id < 10""".stripMargin)
+    // push main forward so retention has something to do, then vacuum
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name
+         |SELECT doc_id + 5000, text, 'main2' FROM branch_spec_src WHERE doc_id < 1""".stripMargin)
+    spark.sql(s"CALL graft_vt.vacuum('$name', 1)")
+    // the branch must still read completely — its groups were pinned
+    assert(spark.table(s"graft_vt.$name.branch_keepme").count() == 70,
+      "vacuum must not collect branch-referenced groups")
+    // dropping the branch releases its exclusive group to the next vacuum
+    val branchGroups = VtBranch.entries(root, "keepme")
+      .map(_.split("/").take(2).mkString("/")).distinct
+    spark.sql(s"CALL graft_vt.drop_branch('$name', 'keepme')")
+    val deleted = VersionedTable.vacuum(root,
+      Seq(graft.sources.GraftVtTable.latestVersion(root)))
+    assert(branchGroups.exists(deleted.contains),
+      s"drop + vacuum must collect the branch-only group (deleted: $deleted)")
+  }
+
+  test("CHECK constraints bind branch writers like main writers") {
+    val name = "br_check"
+    mkTable(name)
+    GraftVtCatalog.registerCheck(name, "doc_id >= 0")
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'dev')")
+    intercept[Exception] {
+      spark.sql(
+        s"""INSERT INTO graft_vt.$name.branch_dev
+           |SELECT -doc_id - 1, text, 'bad' FROM branch_spec_src WHERE doc_id < 3""".stripMargin)
+    }: Unit
+    assert(spark.table(s"graft_vt.$name.branch_dev").count() == 60,
+      "a CHECK-failing branch write must not advance the branch head")
+    spark.sql(s"CALL graft_vt.drop_branch('$name', 'dev')")
+  }
+
+  test("branches are refused on MOR and bucketed tables") {
+    GraftVtCatalog.ensure(spark)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).filter(col("doc_id") < 20)
+    val morRoot = VersionedTable.freshRoot(s"$dir#branchspec_mor")
+    graft.sources.VtMor.createVersion1(spark, morRoot, docs)
+    GraftVtCatalog.registerMor(spark, "br_mor", morRoot, docs.schema, "doc_id")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_vt.create_branch('br_mor', 'dev')").collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("rollback restores an older file list as a NEW head; history survives") {
+    val name = "br_rb"
+    val root = mkTable(name)
+    val v1 = graft.sources.GraftVtTable.latestVersion(root)
+    spark.sql(s"DELETE FROM graft_vt.$name WHERE doc_id % 2 = 0")
+    val afterDelete = spark.table(s"graft_vt.$name").count()
+    assert(afterDelete < 60)
+    val r = spark.sql(s"CALL graft_vt.rollback('$name', $v1)").collect().head
+    assert(r.getInt(0) == v1 && r.getInt(1) == v1 + 2)
+    assert(spark.table(s"graft_vt.$name").count() == 60)
+    // history preserved: the rolled-back DELETE state is still queryable
+    assert(spark.sql(s"SELECT * FROM graft_vt.$name VERSION AS OF ${v1 + 1}")
+      .count() == afterDelete)
+    // a rollback target outside retention fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft_vt.rollback('$name', 99)").collect()
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("branch refs survive table RENAME (state lives in the root)") {
+    val name = "br_ren"
+    mkTable(name)
+    spark.sql(s"DROP TABLE IF EXISTS graft_vt.br_ren2")
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'dev')")
+    spark.sql(
+      s"""INSERT INTO graft_vt.$name.branch_dev
+         |SELECT doc_id + 1000, text, 'staged' FROM branch_spec_src WHERE doc_id < 4""".stripMargin)
+    spark.sql(s"ALTER TABLE graft_vt.$name RENAME TO br_ren2")
+    assert(spark.table("graft_vt.br_ren2.branch_dev").count() == 64,
+      "branches must follow the table through RENAME")
+    val r = spark.sql("CALL graft_vt.fast_forward('br_ren2', 'dev')").collect().head
+    assert(r.getInt(1) == 1)
+    assert(spark.table("graft_vt.br_ren2").count() == 64)
+    spark.sql("DROP TABLE graft_vt.br_ren2")
+  }
+}
