@@ -153,6 +153,8 @@ object SparkEntry {
     // word counts and pins the full rule sequence
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
+    "q_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
     "q_bpe_tokens" ->(TextAnalysis.bpePieceStats(_, _)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),

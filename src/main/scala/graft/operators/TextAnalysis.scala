@@ -966,4 +966,182 @@ object TextAnalysis {
         round(col("n_pieces").cast("double") / greatest(col("n_words"), lit(1)), 4)
           .as("pieces_per_word"))
   }
+
+  /** Viterbi segmentation of one word under a unigram piece model —
+    * max-log-prob split via the classic O(len × maxPieceLen) DP.
+    * Deterministic tie-break: strict `>` keeps the FIRST (smallest
+    * start index = longest piece) candidate at equal score, so the
+    * executors and the spec's driver replay segment identically.
+    * Shared by the trainer's E-step and the apply verb — the same
+    * contract as [[mergeAdjacent]] for BPE.
+    */
+  private[graft] def viterbiSegment(word: String, logProb: collection.Map[String, Double],
+      maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          logProb.get(word.substring(j, i)) match {
+            case Some(p) =>
+              val s = best(j) + p
+              if (s > best(i)) { best(i) = s; back(i) = j }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) == Double.NegativeInfinity) return Array(word) // no cover (unseen char)
+    var pieces = List.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); pieces ::= word.substring(j, k); k = j }
+    pieces.toArray
+  }
+
+  /** UNIGRAM-LM tokenizer training (SentencePiece's unigram model,
+    * Kudo 2018) — the OTHER tokenizer-training family next to
+    * [[bpeTrain]]'s merge rules: a vocabulary of pieces with log-
+    * probabilities, fit by hard-EM (Viterbi E-step) and pruned to a
+    * target size. Same distributed economics as BPE: the corpus
+    * collapses ONCE to (word, count); the substring-seed pass and every
+    * EM round run over that |vocab|-sized relation with the piece table
+    * broadcast (seed ≤ `seedSize` + alphabet rows — the bounded-model
+    * contract), and the only driver traffic is the per-round piece-count
+    * aggregate, vocabulary-sized, never corpus-sized. At 100 TB the
+    * word-count pass dominates; the EM rounds are a property of the
+    * LANGUAGE's vocabulary, not the corpus.
+    *
+    *  1. seed: all substrings (len ≤ `maxPieceLen`) of the word list
+    *     weighted by word count — top `seedSize` by (count, piece) — plus
+    *     every single character (coverage guarantee);
+    *  2. hard-EM × `emRounds`: broadcast log-probs, Viterbi-segment every
+    *     word map-side, sum piece counts, re-normalize;
+    *  3. prune to `vocabSize` by (count desc, piece asc), single chars
+    *     exempt, then one final E-step re-normalizes the survivors.
+    *
+    * Iterative + typed-map execution → no SQL oracle (rows-only tier,
+    * like BPE); UnigramSpec replays the identical algorithm driver-side
+    * from the collected word counts and pins the full (piece, count,
+    * logprob) table, plus hand-built fixtures with known-best
+    * segmentations.
+    */
+  def unigramTrain(spark: SparkSession, dir: String, vocabSize: Int = 120,
+      seedSize: Int = 400, maxPieceLen: Int = 6, emRounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val words = Tables(spark, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .persist()
+    words.count()
+    try {
+      val model = trainUnigramModel(words, vocabSize, seedSize, maxPieceLen, emRounds)
+      model.toSeq.toDF("piece", "freq", "logprob")
+        .select(col("piece"), col("freq"), round(col("logprob"), 6).as("logprob"))
+    } finally { words.unpersist(): Unit }
+  }
+
+  /** The trainer's core, shared verbatim with UnigramSpec's driver
+    * replay (the spec feeds a LOCAL Dataset of the same word counts —
+    * identical code path, so divergence is impossible by construction).
+    */
+  private[graft] def trainUnigramModel(
+      words: org.apache.spark.sql.Dataset[(String, Long)], vocabSize: Int,
+      seedSize: Int, maxPieceLen: Int, emRounds: Int): Array[(String, Long, Double)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    // the alphabet, counted exactly (|alphabet|-bounded): single chars
+    // are coverage-exempt from every cut, or EM could strand a word
+    // with no segmentation at all
+    val charCounts: Map[String, Long] = words
+      .flatMap { case (w, c) => w.map(ch => (ch.toString, c)) }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+      .collect().toMap
+    // multi-char substring seed: top `seedSize` by occurrence weight
+    val multiSeed = words.flatMap { case (w, c) =>
+        for {
+          i <- 0 until w.length
+          l <- 2 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), c)
+      }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+      .orderBy(col("_2").desc, col("_1").asc)
+      .limit(seedSize)
+      .collect()
+    // every char stays in the model forever (count floored at 1 inside
+    // normalize, re-added here if an E-step never used it)
+    def cover(counts: Array[(String, Long)]): Array[(String, Long)] = {
+      val m = counts.toMap
+      counts ++ charCounts.keysIterator.filterNot(m.contains).map(_ -> 0L)
+    }
+    def normalize(counts: Array[(String, Long)]): Map[String, Double] = {
+      val total = math.max(1L, counts.map(c => math.max(1L, c._2)).sum).toDouble
+      counts.map { case (p, c) => p -> math.log(math.max(1L, c) / total) }.toMap
+    }
+    def eStep(model: Map[String, Double]): Array[(String, Long)] = {
+      val bc = spark.sparkContext.broadcast(model)
+      val out = words.flatMap { case (w, c) =>
+          viterbiSegment(w, bc.value, maxPieceLen).map(p => (p, c)) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, c) => (p, c) }
+        .collect()
+      bc.destroy()
+      cover(out)
+    }
+    var counts: Array[(String, Long)] = cover(charCounts.toArray ++ multiSeed)
+    var lp = normalize(counts)
+    (1 to emRounds).foreach { _ =>
+      counts = eStep(lp)
+      lp = normalize(counts)
+    }
+    // prune to the target vocabulary (single chars exempt — coverage),
+    // deterministic order: count desc, piece asc
+    val (charPieces, multi) = counts.partition(_._1.length == 1)
+    val kept = charPieces ++
+      multi.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - charPieces.length))
+    lp = normalize(kept)
+    val finalCounts = eStep(lp).toMap
+    val total = math.max(1L,
+      kept.map(p => math.max(1L, finalCounts.getOrElse(p._1, 0L))).sum).toDouble
+    kept.map { case (p, _) =>
+      val c = finalCounts.getOrElse(p, 0L)
+      (p, c, math.log(math.max(1L, c) / total))
+    }.sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** APPLY the unigram model — Viterbi-segment every document with the
+    * trained piece table (driver-resident by the bounded-model
+    * contract, broadcast map-side; no shuffle) and report per-document
+    * compression, the same audit shape as [[bpeApply]] so the two
+    * tokenizer families are directly comparable on pieces-per-word.
+    * Rows-only tier; UnigramSpec pins the segmentation against the
+    * driver replay.
+    */
+  def unigramApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = unigramTrain(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val bc = spark.sparkContext.broadcast(model)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        var pieces = 0
+        toks.foreach { w => pieces += viterbiSegment(w, bc.value, 6).length }
+        (id, toks.length, pieces)
+      }
+      .toDF("doc_id", "n_words", "n_pieces")
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / greatest(col("n_words"), lit(1)), 4)
+          .as("pieces_per_word"))
+  }
 }
