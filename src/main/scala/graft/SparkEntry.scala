@@ -155,6 +155,9 @@ object SparkEntry {
     "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
     "q_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
+    "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "q_benford" -> ((s, d) => Quality.benford(s, d)),
+    "q_attribution" -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
     "q_bpe_tokens" ->(TextAnalysis.bpePieceStats(_, _)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "q_split_assign" -> (TextAnalysis.deterministicSplit(_, _)),
@@ -1321,6 +1324,48 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // inverted index: (token, doc) term frequencies re-aggregated to
+    // df/total_tf + an order-independent 60-bit-md5 XOR posting digest
+    "q_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok, doc_id)
+        |SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
+        |    AS postings_xor
+        |FROM tf GROUP BY tok""".stripMargin,
+    // Benford screen: first digit from INTEGER string length (a float
+    // log10 can misclassify at exact powers of ten, engine-dependently)
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(FLOOR(o_totalprice /
+        |    POWER(10, LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 1))
+        |    AS INT) AS digit
+        |  FROM orders),
+        |counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+        |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected_p,
+        |  ROUND(POWER(CAST(n AS DOUBLE) - total * LOG10(1.0 + 1.0 / digit), 2)
+        |    / (total * LOG10(1.0 + 1.0 / digit)), 4) AS chi2_contrib
+        |FROM counts CROSS JOIN t""".stripMargin,
+    // last-touch attribution: most recent preceding non-purchase event
+    // per user credits the purchase; no prior touch = 'direct'
+    "q_attribution" ->
+      """WITH touched AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS conversions,
+        |  ROUND(SUM(value), 2) AS attributed_value
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     // the engine sketch tracks far more items than this vocabulary, so
     // its counts are exact and the top-9 SET is pinned (k sits clear of
     // a count tie at verify scale)

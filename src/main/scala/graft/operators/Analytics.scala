@@ -591,4 +591,30 @@ object Analytics {
       .select(col("user_id"), col("a_id"), col("b_id"),
         (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
   }
+
+  /** LAST-TOUCH ATTRIBUTION — every purchase credits the user's most
+    * recent preceding non-purchase event (the marketing-analytics
+    * staple next to [[funnelConversion]]'s ordered funnel): one window
+    * pass per user (`last(..., ignoreNulls)` over the strictly-
+    * preceding frame, event_id tiebreak for equal timestamps), then a
+    * channel-level rollup of conversion counts and attributed revenue.
+    * A purchase with no prior touch is 'direct'. Scales as one shuffle
+    * on user_id — per-user sorted streams, no self-join, state is the
+    * single carried last-touch value.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
 }

@@ -146,4 +146,34 @@ object Quality {
         StructField("revenue", DoubleType, nullable = false),
         StructField("null_disc", LongType, nullable = false))))
   }
+
+  /** BENFORD'S-LAW conformance over `orders.o_totalprice` — the
+    * classic fabricated-data screen (Benford 1938; standard in fraud
+    * audit): naturally-occurring multi-scale amounts put first digit d
+    * at probability log10(1 + 1/d), and a synthetic or tampered column
+    * deviates. One scan → 9-row aggregate with map-side combine; the
+    * chi-square contribution per digit is the audit statistic (compare
+    * to χ²(8) critical values downstream).
+    *
+    * The first digit comes from INTEGER string length, never from
+    * `log10`: `floor(x / 10^(len(floor(x)) - 1))`. A float `log10`
+    * at an exact power of ten can land an ulp below the integer and
+    * misclassify the digit — engine-dependently, which would also skew
+    * the oracle compare.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digit = floor(col("o_totalprice") /
+      pow(lit(10.0), length(floor(col("o_totalprice")).cast("long").cast("string")) - 1))
+      .cast("int").as("digit")
+    val counts = Tables(spark, dir, "orders")
+      .select(digit)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected_p"),
+        round(pow(col("n").cast("double") - col("total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2)
+          / (col("total") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4)
+          .as("chi2_contrib"))
+  }
 }

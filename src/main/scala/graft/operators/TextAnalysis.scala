@@ -967,6 +967,31 @@ object TextAnalysis {
           .as("pieces_per_word"))
   }
 
+  /** INVERTED-INDEX build — the retrieval-engine layout verb: token →
+    * (document frequency, total term frequency, posting-set digest).
+    * Two map-side-combined aggregations, both keyed small: (token, doc)
+    * then token — never a per-token list in memory. The posting digest
+    * is `bit_xor` of a 60-bit md5 prefix of each doc_id: ORDER-
+    * INDEPENDENT and O(1) state, so the stopword token whose posting
+    * list is corpus-sized costs the same as a hapax — the property that
+    * lets this run at 100 TB where a `collect_list(doc_id)` per token
+    * would buffer the corpus into single reducers. (A production index
+    * writes the postings themselves as rows bucketed by token; the
+    * digest is the verifiable fingerprint of exactly that content.)
+    * The 15-hex-digit (60-bit) md5 prefix is the portable-hash contract
+    * shared with q_minhash_sig — positive BIGINT on both engines.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        expr("bit_xor(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint))")
+          .as("postings_xor"))
+
   /** Viterbi segmentation of one word under a unigram piece model —
     * max-log-prob split via the classic O(len × maxPieceLen) DP.
     * Deterministic tie-break: strict `>` keeps the FIRST (smallest

@@ -316,4 +316,42 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(hot2.count() > 0)
     assert(hot2.filter(!col("text").endsWith(" v2") || col("source") =!= "recrawl").count() == 0)
   }
+
+  test("benford: nine digits, probabilities sum to one, expected follows the law") {
+    val rows = graft.operators.Quality.benford(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 9))
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"observed_p must sum to ~1, got $obsSum")
+    rows.foreach { r =>
+      val want = math.log10(1.0 + 1.0 / r.getInt(0))
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    }
+  }
+
+  test("attribution: every purchase is attributed exactly once; channels are real touches") {
+    val events = Tables(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    val rows = graft.operators.Analytics.lastTouchAttribution(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == purchases,
+      "conversions must partition the purchase set")
+    val channels = rows.map(_.getString(0)).toSet
+    val legal = Set("view", "click", "signup", "error", "direct")
+    assert(channels.subsetOf(legal), s"unexpected channels: ${channels -- legal}")
+    assert(!channels.contains("purchase"), "a purchase never self-attributes")
+  }
+
+  test("inverted index: df bounded by corpus size, total_tf consistent with token count") {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val idx = graft.operators.TextAnalysis.invertedIndex(spark, dir).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      assert(r.getLong(1) <= nDocs, s"df > corpus for ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(1), "total_tf >= df")
+    }
+    val totalToks = docs
+      .select(sum(size(TextAnalysis.tokens(lower(col("text")))))).collect().head.getLong(0)
+    assert(idx.map(_.getLong(2)).sum == totalToks,
+      "sum of total_tf must equal the corpus token count")
+  }
 }
