@@ -137,6 +137,8 @@ object SparkEntry {
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
     "q_ann_pq" -> ((s, d) => Similarity.pqCosine(s, d)),
     "q_quantized_knn" -> ((s, d) => Quantization.quantizedKnn(s, d)),
+    "q_binary_knn" -> ((s, d) => Quantization.binaryKnn(s, d)),
+    "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapMeans(s, d)),
     "q_quant_error" -> ((s, d) => Quantization.quantError(s, d)),
     "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_countmin" -> ((s, d) => CountMin.heavyKeys(s, d)),
@@ -156,6 +158,7 @@ object SparkEntry {
     "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
     "q_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
     "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "q_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "q_benford" -> ((s, d) => Quality.benford(s, d)),
     "q_attribution" -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
     "q_bpe_tokens" ->(TextAnalysis.bpePieceStats(_, _)),
@@ -1262,6 +1265,50 @@ object SparkEntry {
         |  SELECT q_id, vec_id, qcos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // Poisson bootstrap: md5-derived Poisson(1) multiplicities, exact
+    // cents, one final division per replica — no double accumulation
+    "q_bootstrap_ci" ->
+      """WITH m AS (
+        |  SELECT b, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    CASE
+        |      WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      ELSE 6 END AS m
+        |  FROM (
+        |    SELECT e.value, CAST(r.range AS INT) AS b,
+        |      CAST(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
+        |        CAST(CAST(r.range AS INT) AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |        / (2.0 ^ 60) AS u
+        |    FROM events e CROSS JOIN range(0, 50) r))
+        |SELECT b, CAST(SUM(m) AS BIGINT) AS n_eff,
+        |  CAST(SUM(m * cents) AS BIGINT) AS sum_cents,
+        |  ROUND(CASE WHEN SUM(m) > 0
+        |    THEN CAST(SUM(m * cents) AS DOUBLE) / (CAST(SUM(m) AS DOUBLE) * 100)
+        |    END, 6) AS boot_mean
+        |FROM m GROUP BY b""".stripMargin,
+    // sign bits packed to two exact-in-double 32-bit words, Hamming =
+    // xor + popcount per word — codes, distances, ranks all bit-equal
+    "q_binary_knn" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding[1:32],
+        |      (x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 2.0 ** (i - 1) ELSE 0.0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(embedding[33:64],
+        |      (x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 2.0 ** (i - 1) ELSE 0.0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, p.vec_id,
+        |    CAST(bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS INT) AS hamming
+        |  FROM p CROSS JOIN q WHERE p.vec_id <> q.q_id)
+        |SELECT q_id, vec_id AS neighbor_id, rank, hamming FROM (
+        |  SELECT q_id, vec_id, hamming,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q_quant_error" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -1337,6 +1384,19 @@ object SparkEntry {
         |  bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
         |    AS postings_xor
         |FROM tf GROUP BY tok""".stripMargin,
+    // Flesch: integer sentence/word/syllable counts (regex runs), one
+    // double expression per row — no accumulation-order hazard
+    "q_readability" ->
+      s"""SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  ROUND(CASE WHEN n_words > 0 THEN
+         |    206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+         |            - 84.6 * CAST(n_syllables AS DOUBLE) / n_words END, 4) AS flesch
+         |FROM (
+         |  SELECT doc_id,
+         |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS INT), 1) AS n_sentences,
+         |    CAST(len($toksSql) AS INT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables
+         |  FROM documents)""".stripMargin,
     // Benford screen: first digit from INTEGER string length (a float
     // log10 can misclassify at exact powers of ten, engine-dependently)
     "q_benford" ->

@@ -110,6 +110,43 @@ object Quantization {
       .select(col("vec_id"), col("pos").as("j"), col("col").as("proj"))
   }
 
+  /** BINARY (sign-bit) quantization + Hamming kNN — the most aggressive
+    * point on the embedding-compression ladder (int8 → PQ → 1 bit/dim):
+    * each 64-dim float vector packs to TWO 32-bit words (sign bit per
+    * dimension), and similarity is Hamming distance — `bit_count(a ^
+    * b)` per word, integer XOR + popcount instead of 64 float
+    * multiplies, on 8 bytes instead of 256. Sign-cosine is a standard
+    * LSH bound (Charikar 2002 SimHash: P[bits agree] = 1 − θ/π), so
+    * Hamming rank approximates cosine rank at 1/32 the bytes — the
+    * first-pass filter of a two-stage retrieval at 100 TB scale.
+    *
+    * Packing runs in exact double arithmetic (each word ≤ 2^32 — every
+    * step exact in IEEE doubles on BOTH engines), so codes, distances,
+    * and ranks hash-match the DuckDB oracle bit-for-bit. 32-bit halves
+    * rather than one 64-bit word: a sign bit at position 63 would need
+    * the unrepresentable 2^63 step and ANSI-mode overflow semantics.
+    */
+  def binaryKnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    def pack(from: Int): Column =
+      aggregate(sequence(lit(from), lit(from + 31)), lit(0d),
+        (acc, i) => acc + when(element_at(col("embedding"), i + 1).cast("double") > 0d,
+          pow(lit(2d), (i - lit(from)).cast("double"))).otherwise(lit(0d)))
+        .cast("long")
+    val packed = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), pack(0).as("w0"), pack(32).as("w1"))
+    val queries = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = packed.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("int"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("hamming"))
+  }
+
   /** Quantization error profile — the acceptance gate a quantized layout
     * ships behind: per-vector worst absolute reconstruction error
     * (`max |x_i − q_i·scale/127|`, bounded by scale/254 + float ulps) and

@@ -583,4 +583,47 @@ object Stats {
         round(when(lit(1.0) - pe > 0, (po - pe) / (lit(1.0) - pe))
           .otherwise(0.0), 6).as("kappa"))
   }
+
+  /** POISSON BOOTSTRAP over `events.value` — the bootstrap that works
+    * on data too large to resample by index (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams"): instead of
+    * drawing n rows with replacement (which needs global coordination),
+    * each replica gives each row an INDEPENDENT Poisson(1) multiplicity —
+    * n resamples in ONE scan, map-side combined down to `b` aggregate
+    * rows. The output is the full bootstrap distribution of the mean
+    * (replica id, effective n, mean); CI = quantiles of these rows.
+    *
+    * Everything is integer-exact so the gate hash-matches: multiplicity
+    * comes from the house md5 contract (60-bit prefix of
+    * md5(event_id_replica) → u ∈ [0,1) → inverse Poisson CDF with
+    * literal e⁻¹ partial-sum thresholds), values become exact cents
+    * (BIGINT), and the only floating-point op is ONE final division per
+    * replica — no order-dependent double accumulation on either engine.
+    */
+  def bootstrapMeans(spark: SparkSession, dir: String, b: Int = 50): DataFrame = {
+    // P(Poisson(1) ≤ k) for k = 0..5; multiplicity capped at 6
+    // (P > 6 ≈ 8e-5 — the cap is part of the spelled-out contract)
+    val t = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val u = (conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("_"), col("b").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / pow(lit(2d), lit(60d)))
+    val m = t.zipWithIndex.foldRight(lit(6): Column) { case ((th, k), rest) =>
+      when(col("u") < th, k).otherwise(rest)
+    }.cast("long")
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        round(col("value") * 100d).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("m", m)
+      .groupBy(col("b"))
+      .agg(sum(col("m")).as("n_eff"), sum(col("m") * col("cents")).as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        // ANSI guard: an (astronomically unlikely) all-zero replica must
+        // yield NULL, not a division error
+        round(when(col("n_eff") > 0,
+          col("sum_cents").cast("double") / (col("n_eff").cast("double") * 100d)), 6)
+          .as("boot_mean"))
+  }
 }

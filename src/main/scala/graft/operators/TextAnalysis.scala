@@ -992,6 +992,29 @@ object TextAnalysis {
         expr("bit_xor(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint))")
           .as("postings_xor"))
 
+  /** FLESCH READING-EASE per document — the readability member of the
+    * quality-scoring family (length/punct/stopword ratios live in
+    * `qualityScore`; this adds the classic 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words) score used to band corpora by
+    * audience level). Sentences = terminal-punctuation runs, syllables =
+    * vowel runs — the standard cheap approximations, spelled with the
+    * same regex semantics on both engines so the gate hash-matches.
+    * Counting is integer-exact; the score is ONE double expression per
+    * row (no accumulation), rounded. One codegen'd scan, no shuffle.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("n_sentences"),
+        size(tokens(col("text"))).as("n_words"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        round(when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sentences").cast("double")
+            - lit(84.6) * col("n_syllables").cast("double") / col("n_words").cast("double")), 4)
+          .as("flesch"))
+
   /** Viterbi segmentation of one word under a unigram piece model —
     * max-log-prob split via the classic O(len × maxPieceLen) DP.
     * Deterministic tie-break: strict `>` keeps the FIRST (smallest

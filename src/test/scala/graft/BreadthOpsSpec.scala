@@ -354,4 +354,57 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(idx.map(_.getLong(2)).sum == totalToks,
       "sum of total_tf must equal the corpus token count")
   }
+
+  test("binary knn: hamming bounded by dim; self excluded; sign-LSH tracks cosine") {
+    val rows = graft.operators.Quantization.binaryKnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 64, "hamming in [0, 64]")
+      assert(r.getLong(0) != r.getLong(1), "a vector never neighbors itself")
+    }
+    // Charikar bound sanity: selected top-5 neighbors must sit well
+    // below the Hamming-32 expectation of a random 64-bit pair, and
+    // still intersect the exact cosine top-5 (these embeddings are
+    // synthetic near-uniform vectors — the hardest case for sign-LSH —
+    // so the pin is the direction of the signal, not a recall target)
+    val meanTop = rows.map(_.getInt(3)).sum.toDouble / rows.length
+    assert(meanTop < 29.0,
+      s"top-k Hamming must beat the random-pair expectation of 32, got $meanTop")
+    val exact = graft.operators.Similarity.knnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = rows.map(r => (r.getLong(0), r.getLong(1))).count(exact)
+    assert(overlap > 0,
+      s"sign-bit top-k should intersect cosine top-k (overlap $overlap/${rows.length})")
+  }
+
+  test("bootstrap: every replica resamples ~n rows and means cluster around the truth") {
+    val events = Tables(spark, dir, "events")
+    val n = events.count()
+    val mean = events.select(avg(col("value"))).collect().head.getDouble(0)
+    val rows = graft.operators.Stats.bootstrapMeans(spark, dir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      // Poisson(1) multiplicities: E[n_eff] = n, sd ≈ √n
+      assert(math.abs(r.getLong(1) - n) < 6 * math.sqrt(n.toDouble) + 6,
+        s"replica ${r.getInt(0)} resampled ${r.getLong(1)} of $n rows")
+    }
+    val boots = rows.map(_.getDouble(3))
+    assert(math.abs(boots.sum / boots.length - mean) < 0.2 * math.abs(mean) + 1.0,
+      "bootstrap means must center near the sample mean")
+    assert(boots.distinct.length > 1, "replicas must differ (independent resamples)")
+  }
+
+  test("readability: counts positive, flesch formula reproduced") {
+    val rows = graft.operators.TextAnalysis.readability(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, w, sy) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(s >= 1 && w >= 0 && sy >= 0)
+      if (w > 0) {
+        val want = 206.835 - 1.015 * w.toDouble / s - 84.6 * sy.toDouble / w
+        assert(math.abs(r.getDouble(4) - want) < 5e-5)
+        assert(sy >= w / 2, "vowel-run syllables: at least ~one per real word")
+      }
+    }
+  }
 }

@@ -32,6 +32,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_zorder", "q_bm25", "q_cooccurrence", "q_histogram", "q_assoc_rules",
     "q_ab_test", "q_quantile_grid",
     "q_quantized_knn", // same tiny-query-set × corpus shape as q_knn_brute, on int8 codes
+    "q_binary_knn", // same shape again, on two packed sign words per vector
+    "q_benford", // 1-row digit-count total against the 9-row digit relation
     "q_kmeans_assign", // 8 broadcast centroids × corpus — the knn_brute shape
     "q_semantic_decontam", // bounded broadcast eval set × corpus (decontaminate contract)
     "q_psi_drift", // 1-row broadcast time midpoint against the log
