@@ -281,6 +281,7 @@ object SparkEntry {
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
     "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
+    "q_rebucket" -> (SqlDml.sqlRebucket(_, _)),
     "q_agg_pushdown" -> (SqlDml.sqlAggPushdown(_, _)),
     "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
     "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
@@ -1949,6 +1950,16 @@ object SparkEntry {
       """SELECT source, CAST(doc_id % 5 AS INTEGER) AS grade, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // bucket-count evolution: content invariant under the 4→8 rewrite,
+    // the old snapshot still counts, and the version arithmetic pins
+    "q_rebucket" ->
+      """WITH c AS (SELECT COUNT(*) AS pre_rebucket_rows FROM documents)
+        |SELECT source, CAST(doc_id % 5 AS INTEGER) AS grade, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(4 AS INT) AS old_buckets, CAST(8 AS INT) AS new_buckets,
+        |  CAST(2 AS INT) AS new_version, pre_rebucket_rows
+        |FROM documents CROSS JOIN c
+        |GROUP BY source, CAST(doc_id % 5 AS INTEGER), pre_rebucket_rows""".stripMargin,
     // narrowed COW: only zone-intersecting files rewritten; boundary
     // rows on both edges of the updated range pin that retained files
     // read back byte-identical

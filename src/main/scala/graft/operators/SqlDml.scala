@@ -939,6 +939,52 @@ object SqlDml {
       .withColumn("main_rows_during_branch", lit(mainDuring.toLong))
   }
 
+  /** `CALL graft_vt.rebucket(tbl, n)` — bucket-count evolution: the
+    * corpus table starts bucketed 4, rewrites to 8, and then joins a
+    * natively-8-bucketed annotations table — the post-evolution SPJ
+    * (zero exchanges at the new count, pinned in RebucketSpec). The
+    * pre-rebucket snapshot stays readable (its row count rides the
+    * output as `pre_rebucket_rows` through the VERSION AS OF fallback
+    * scan, which must NOT claim the new partitioning). One-shot
+    * mutation, recorded CALL results replay across reps.
+    */
+  def sqlRebucket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VtBucket
+    val base = docsBase(spark, dir)
+    val ann = base.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (col("doc_id") % 5).cast("int").as("grade"))
+    def bucketedRoot(name: String, df: DataFrame, n: Int): String =
+      roots.getOrElseUpdate((dir, name), {
+        val r = VersionedTable.freshRoot(s"$dir#$name")
+        VtBucket.writeBucketed(df, "doc_id", n, s"$r/files/base_v1")
+        VersionedTable.writeManifest(r, 1, Seq("files/base_v1"))
+        r
+      })
+    val Array(oldN, newN, newV, preRows) =
+      callResults.getOrElseUpdate((dir, "vt_rebucket"), {
+        GraftVtCatalog.registerBucketed(spark, "vt_rebucket",
+          bucketedRoot("vt_rebucket", base, 4), base.schema, "doc_id", 4)
+        GraftVtCatalog.registerBucketed(spark, "vt_rb_ann",
+          bucketedRoot("vt_rb_ann", ann, 8), ann.schema, "doc_id", 8)
+        val r = spark.sql("CALL graft_vt.rebucket('vt_rebucket', 8)").collect().head
+        val pre = spark.sql(
+          "SELECT COUNT(*) FROM graft_vt.vt_rebucket VERSION AS OF 1")
+          .collect().head.getLong(0)
+        Array(r.getInt(0), r.getInt(1), r.getInt(2), pre.toInt)
+      })
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      """SELECT a.source, b.grade, COUNT(*) AS n,
+        |  CAST(SUM(b.n_chars) AS BIGINT) AS total_chars
+        |FROM graft_vt.vt_rebucket a JOIN graft_vt.vt_rb_ann b ON a.doc_id = b.doc_id
+        |GROUP BY a.source, b.grade""".stripMargin)
+      .withColumn("old_buckets", lit(oldN))
+      .withColumn("new_buckets", lit(newN))
+      .withColumn("new_version", lit(newV))
+      .withColumn("pre_rebucket_rows", lit(preRows.toLong))
+  }
+
   /** `CALL graft_vt.rollback(tbl, v)` — recover from a bad statement:
     * a DELETE (v2) is rolled back by committing a NEW head (v3) with
     * v1's exact file list (history preserved — the roll-forward flavor,

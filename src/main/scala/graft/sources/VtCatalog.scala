@@ -75,12 +75,13 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case "fast_forward" => GraftVtProcedures.fastForwardProc
       case "drop_branch" => GraftVtProcedures.dropBranchProc
       case "rollback" => GraftVtProcedures.rollbackProc
+      case "rebucket" => GraftVtProcedures.rebucketProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("vacuum", "optimize", "expire_versions",
-      "create_branch", "fast_forward", "drop_branch", "rollback")
+      "create_branch", "fast_forward", "drop_branch", "rollback", "rebucket")
       .map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
@@ -389,6 +390,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.colMaps.remove(name): Unit
     GraftVtCatalog.morKeys.remove(name): Unit
     GraftVtCatalog.bucketSpecs.remove(name): Unit
+    GraftVtCatalog.bucketSince.remove(name): Unit
     GraftVtCatalog.statsCols.remove(name): Unit
     GraftVtCatalog.checks.remove(name): Unit
     GraftVtCatalog.bloomCols.remove(name): Unit
@@ -427,6 +429,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.colMaps.remove(from).foreach(GraftVtCatalog.colMaps.put(to, _))
     GraftVtCatalog.morKeys.remove(from).foreach(GraftVtCatalog.morKeys.put(to, _))
     GraftVtCatalog.bucketSpecs.remove(from).foreach(GraftVtCatalog.bucketSpecs.put(to, _))
+    GraftVtCatalog.bucketSince.remove(from).foreach(GraftVtCatalog.bucketSince.put(to, _))
     GraftVtCatalog.statsCols.remove(from).foreach(GraftVtCatalog.statsCols.put(to, _))
     GraftVtCatalog.checks.remove(from).foreach(GraftVtCatalog.checks.put(to, _))
     GraftVtCatalog.bloomCols.remove(from).foreach(GraftVtCatalog.bloomCols.put(to, _))
@@ -707,6 +710,43 @@ object GraftVtProcedures {
         Array[Any](UTF8String.fromString(name), head))
     })
 
+  /** `CALL graft_vt.rebucket(tbl, num_buckets)` — BUCKET-COUNT
+    * EVOLUTION: rewrite the current snapshot into a `b=<i>` layout with
+    * a new modulus as a NEW version, then move the table's bucket spec
+    * and its validity boundary ([[GraftVtCatalog.bucketSince]]). One
+    * distributed read + one bucket-routed distributed write — the same
+    * cost class as OPTIMIZE — after which joins against `num_buckets`-
+    * bucketed (or ReducibleFunction-compatible) tables are shuffle-free
+    * again. Older snapshots stay readable as plain scans; they just
+    * stop claiming a partitioning their layout no longer matches.
+    */
+  val rebucketProc: procedures.UnboundProcedure = simpleProc(
+    "rebucket", "rewrite the bucketed layout under a new bucket count as a new version",
+    Array(param("tbl", StringType), param("num_buckets", IntegerType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val newN = input.getInt(1)
+      require(newN > 0, s"num_buckets must be positive, got $newN")
+      val root = rootOf(tbl)
+      val (key, oldN) = GraftVtCatalog.bucketSpecs.getOrElse(tbl,
+        throw new IllegalArgumentException(s"graft_vt.$tbl is not bucketed"))
+      val spark = SparkSession.active
+      val latest = GraftVtTable.latestVersion(root)
+      val files = VersionedTable.manifest(root, latest)
+        .flatMap(ZoneMap.leafFiles(root, _)).map(f => s"$root/$f")
+      val df = spark.read.parquet(files: _*)
+      val newV = latest + 1
+      val groupRel = s"files/rebucket_v$newV"
+      VtBucket.writeBucketed(df, key, newN, s"$root/$groupRel")
+      VersionedTable.commitManifest(root, newV, Seq(groupRel))
+      GraftVtCatalog.bucketSpecs.put(tbl, (key, newN)): Unit
+      GraftVtCatalog.bucketSince.put(tbl, newV): Unit
+      (StructType(Seq(StructField("old_buckets", IntegerType, nullable = false),
+        StructField("new_buckets", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false))),
+        Array[Any](oldN, newN, newV))
+    })
+
   /** `CALL graft_vt.rollback(tbl, to_version)` — commit a NEW head whose
     * file list is exactly version `to_version`'s (history preserved; the
     * roll-forward-copy flavor of rollback, since this format's head is
@@ -852,6 +892,15 @@ object GraftVtCatalog {
     */
   private[sources] val bucketSpecs = TrieMap.empty[String, (String, Int)]
 
+  /** table name -> first version the CURRENT bucket spec describes
+    * (default 1). `CALL graft_vt.rebucket` rewrites the layout as a new
+    * version and moves this boundary: a time-travel read BELOW it must
+    * not claim the new KeyGroupedPartitioning (its `b=<i>` dirs encode
+    * the OLD modulus — an aligned SPJ against them would join wrong
+    * rows), so pre-boundary snapshots read as plain file scans.
+    */
+  private[sources] val bucketSince = TrieMap.empty[String, Int]
+
   /** Register a bucketed table (every file group under the root must
     * use the `b=<i>` layout written by [[VtBucket.writeBucketed]]).
     */
@@ -890,6 +939,7 @@ object GraftVtCatalog {
     morKeys.remove(name): Unit
     colMaps.remove(name): Unit
     bucketSpecs.remove(name): Unit
+    bucketSince.remove(name): Unit
     statsCols.remove(name): Unit
     checks.remove(name): Unit
     bloomCols.remove(name): Unit
@@ -1003,10 +1053,19 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     morKey.foreach { k =>
       return new MorScanBuilder(root, tableSchema, k, readVersionN)
     }
-    // bucketed tables report KeyGroupedPartitioning for shuffle-free joins
+    // bucketed tables report KeyGroupedPartitioning for shuffle-free
+    // joins — but only for versions the CURRENT spec describes: a
+    // pre-rebucket snapshot's b=<i> dirs encode the old modulus, so
+    // claiming the new partitioning would align an SPJ on wrong keys.
+    // Those snapshots read as plain (leaf-file) parquet scans.
     bucketSpec.foreach { case (k, n) =>
-      return new BucketedScanBuilder(name(), root, physify(tableSchema),
-        readVersionN, k, n, options)
+      if (readVersionN >= GraftVtCatalog.bucketSince.getOrElse(tableName, 1))
+        return new BucketedScanBuilder(name(), root, physify(tableSchema),
+          readVersionN, k, n, options)
+      val files = VersionedTable.manifest(root, readVersionN)
+        .flatMap(ZoneMap.leafFiles(root, _)).sorted.map(f => s"$root/$f")
+      return ParquetTable(name(), spark, CaseInsensitiveStringMap.empty(), files,
+        Some(physify(tableSchema)), classOf[ParquetFileFormat]).newScanBuilder(options)
     }
     batchScanBuilder(readVersionN, options)
   }
