@@ -370,7 +370,21 @@ object ScaleBench {
     // probe binds O(keys) files at any corpus size (only the
     // first-touch table build and the per-file sidecar pass are
     // data-sized)
-    "q_bloom_skip" -> ((s, d) => graft.operators.SqlDml.sqlBloomSkip(s, d)))
+    "q_bloom_skip" -> ((s, d) => graft.operators.SqlDml.sqlBloomSkip(s, d)),
+    // round-10 final-session verbs: the inverted index is two map-side-
+    // combined aggregations whose shuffles are (token,doc)- then
+    // |vocab|-sized — replicas share a vocabulary, so expect sublinear;
+    // readability is a pure codegen'd scan (linear at worst); the
+    // Poisson bootstrap explodes ×50 replicas but combines map-side to
+    // 50 groups, so it should ride the scan term; unigram training
+    // collapses to (word,count) once and runs EM on the vocabulary —
+    // the factor should barely show; binary kNN is a broadcast
+    // 10-query × corpus scan over two packed words per row
+    "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "q_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapMeans(s, d)),
+    "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
+    "q_binary_knn" -> ((s, d) => graft.operators.Quantization.binaryKnn(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -273,6 +273,7 @@ object SparkEntry {
     "q_sql_time_travel_ts" -> (SqlDml.sqlTimeTravelTs(_, _)),
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
     "q_branch_merge" -> (SqlDml.sqlBranch(_, _)),
+    "q_branch_dml" -> (SqlDml.sqlBranchDml(_, _)),
     "q_rollback" -> (SqlDml.sqlRollback(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
@@ -1926,6 +1927,18 @@ object SparkEntry {
         |  CAST(2 AS INT) AS promoted_commits, main_rows_during_branch
         |FROM final CROSS JOIN c
         |GROUP BY source, main_rows_during_branch""".stripMargin,
+    // MERGE on a branch then fast-forward: the SAME final state as
+    // q_sql_merge — one oracle, two commit paths (main COW vs branch
+    // COW + promotion)
+    "q_branch_dml" ->
+      """WITH upd AS (SELECT doc_id, upper(text) || ' M' AS text, 'recrawl' AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |kept AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
     // rollback: head content = the pre-DELETE corpus, restored as v3
     "q_rollback" ->
       """SELECT source, COUNT(*) AS n,

@@ -939,6 +939,51 @@ object SqlDml {
       .withColumn("main_rows_during_branch", lit(mainDuring.toLong))
   }
 
+  /** MERGE INTO a BRANCH — the same three-arm re-crawl delta as
+    * [[sqlMerge]] (same oracle text: one final state, two commit
+    * paths), but the copy-on-write rewrite is PINNED to the branch:
+    * its scan binds the branch head's files, the replacement rows
+    * commit as branch head 1, and main provably still reads the
+    * untouched corpus until FAST-FORWARD promotes the edit. This is
+    * the audit-then-merge DML story: stage a risky table edit on a
+    * branch, inspect it by ref, publish by manifest copy.
+    */
+  def sqlBranchDml(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_brdml"
+    ensureDocsTable(spark, dir, name)
+    callResults.getOrElseUpdate((dir, name), {
+      val base = docsBase(spark, dir)
+      val corpusN = base.count()
+      spark.sql(s"CALL graft_vt.create_branch('$name', 'edit')")
+      base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
+          lit("recrawl").as("source"), lit("upsert").as("op"))
+        .unionByName(base.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"), col("source"), lit("delete").as("op")))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit("inserted").as("source"), lit("upsert").as("op")))
+        .createOrReplaceTempView("graft_branch_delta")
+      spark.sql(
+        s"""MERGE INTO graft_vt.$name.branch_edit t
+           |USING graft_branch_delta s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+           |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+           |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+      // isolation: the merged state lives ONLY on the branch until ff
+      val mainN = spark.table(s"graft_vt.$name").count()
+      require(mainN == corpusN,
+        s"main must still read the untouched corpus ($mainN vs $corpusN)")
+      spark.sql(s"CALL graft_vt.fast_forward('$name', 'edit')")
+      Array(1)
+    })
+    spark.sql(
+      s"""SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+         |FROM graft_vt.$name""".stripMargin)
+  }
+
   /** `CALL graft_vt.rebucket(tbl, n)` — bucket-count evolution: the
     * corpus table starts bucketed 4, rewrites to 8, and then joins a
     * natively-8-bucketed annotations table — the post-evolution SPJ

@@ -178,15 +178,17 @@ object VtBranch {
   * the table's CHECK constraint binds branch writers exactly like main
   * writers (a branch is staging, not a contract bypass).
   *
-  * Row-level DML (MERGE/UPDATE/DELETE) on a branch is refused loudly:
-  * Spark's rewrite rules resolve the row-level scan against the MAIN
-  * snapshot via [[GraftVtTable]], so supporting them needs a branch-
-  * pinned RowLevelOperation — append/overwrite + fast-forward is the
-  * supported staging surface.
+  * Row-level DML (MERGE/UPDATE/DELETE) runs through the same group-
+  * based copy-on-write rewrite as main, with the operation PINNED to
+  * the branch: the rewrite's scan binds the branch head's file list,
+  * and the replacement rows commit as the next branch head — main
+  * never sees intermediate states, and the whole edited lineage
+  * promotes atomically-per-version on fast-forward.
   */
 private[sources] class GraftVtBranchTable(baseName: String, root: String,
     tableSchema: StructType, branch: String, base: GraftVtTable)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
@@ -213,6 +215,11 @@ private[sources] class GraftVtBranchTable(baseName: String, root: String,
       .newScanBuilder(options)
     if (base.colMap.isEmpty) inner else new ColMapScanBuilder(inner, base.colMap)
   }
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftVtRowLevelOperation(base, info.command(), Some(branch))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

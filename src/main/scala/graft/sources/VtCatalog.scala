@@ -1655,7 +1655,8 @@ private[sources] class RelabeledScan(delegate: org.apache.spark.sql.connector.re
   * key-range UPDATE on a clustered 100 TB table rewrites O(matching
   * files), not the table.
   */
-class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command)
+class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command,
+    branch: Option[String] = None)
   extends RowLevelOperation {
 
   /** Files the rewrite's scan bound (root-relative); the commit
@@ -1664,28 +1665,54 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
     */
   @volatile private[sources] var boundFiles: Option[Seq[String]] = None
 
-  private[sources] def allLeafFiles: Seq[String] =
-    VersionedTable.manifest(table.root, table.currentVersion)
+  /** The snapshot this operation rewrites: the branch head's file list
+    * when branch-pinned, the main head's otherwise.
+    */
+  private[sources] def allLeafFiles: Seq[String] = branch match {
+    case Some(b) => VtBranch.entries(table.root, b)
       .flatMap(ZoneMap.leafFiles(table.root, _))
+    case None => VersionedTable.manifest(table.root, table.currentVersion)
+      .flatMap(ZoneMap.leafFiles(table.root, _))
+  }
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = new GraftVtRowLevelScanBuilder(this, table, table.currentVersion, options)
+    // branch snapshots carry no zone-map sidecar (sidecars are keyed by
+    // main versions), so the branch rewrite binds every branch file —
+    // conservative, never wrong; main rewrites keep file narrowing
+    val inner = new GraftVtRowLevelScanBuilder(this, table, table.currentVersion,
+      options, branchFiles = branch.map(b => () => allLeafFiles))
     if (table.colMap.isEmpty) inner else new ColMapScanBuilder(inner, table.colMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new GraftVtWrite(table.root,
-        table.currentVersion + 1, table.physify(info.schema()),
-        // evaluated at COMMIT time: retained files = snapshot − replaced
-        () => {
-          val replaced = boundFiles.getOrElse(allLeafFiles).toSet
-          allLeafFiles.filterNot(replaced)
-        },
-        table.clusterCol, s"graft_vt COW ${cmd.name()}", table.bucketSpec,
-        table.boundCheck)
+      override def build(): Write = branch match {
+        case Some(b) =>
+          new GraftVtWrite(table.root, VtBranch.ref(table.root, b).head + 1,
+            table.physify(info.schema()),
+            () => {
+              val replaced = boundFiles.getOrElse(allLeafFiles).toSet
+              allLeafFiles.filterNot(replaced)
+            },
+            // no cluster ordering on branch commits: sidecars are
+            // main-version-keyed (OPTIMIZE after fast-forward restores)
+            cluster = None, desc = s"graft_vt branch COW ${cmd.name()} ($b)",
+            bucketRoute = None, check = table.boundCheck,
+            branchCommit = Some((b,
+              entries => { VtBranch.commitEntries(table.root, b, entries): Unit })))
+        case None =>
+          new GraftVtWrite(table.root,
+            table.currentVersion + 1, table.physify(info.schema()),
+            // evaluated at COMMIT time: retained files = snapshot − replaced
+            () => {
+              val replaced = boundFiles.getOrElse(allLeafFiles).toSet
+              allLeafFiles.filterNot(replaced)
+            },
+            table.clusterCol, s"graft_vt COW ${cmd.name()}", table.bucketSpec,
+            table.boundCheck)
+      }
     }
 }
 
@@ -1703,7 +1730,8 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
   * wrong). Column pruning still reaches parquet.
   */
 class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTable,
-    version: Int, options: CaseInsensitiveStringMap)
+    version: Int, options: CaseInsensitiveStringMap,
+    branchFiles: Option[() => Seq[String]] = None)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -1723,9 +1751,12 @@ class GraftVtRowLevelScanBuilder(op: GraftVtRowLevelOperation, table: GraftVtTab
   override def pruneColumns(s: StructType): Unit = required = s
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val all = VersionedTable.manifest(table.root, version)
-      .flatMap(ZoneMap.leafFiles(table.root, _))
+    val all = branchFiles.map(_()).getOrElse(
+      VersionedTable.manifest(table.root, version)
+        .flatMap(ZoneMap.leafFiles(table.root, _)))
+    // a branch snapshot has no sidecar — bind everything (conservative)
     val bound = (for {
+      _ <- Option.when(branchFiles.isEmpty)(())
       zc <- table.clusterCol
       stats <- ZoneMap.read(table.root, version, zc)
     } yield ZoneMap.prune(stats, zc, pushed.flatMap(ZoneMap.toV1Filter), all))

@@ -156,6 +156,33 @@ class BranchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("UPDATE and DELETE on a branch: isolated from main, promoted by fast-forward") {
+    val name = "br_dml"
+    mkTable(name)
+    spark.sql(s"CALL graft_vt.create_branch('$name', 'edit')")
+    spark.sql(
+      s"""UPDATE graft_vt.$name.branch_edit
+         |SET source = 'edited' WHERE doc_id % 3 = 0""".stripMargin)
+    spark.sql(s"DELETE FROM graft_vt.$name.branch_edit WHERE doc_id % 4 = 1")
+    // two branch commits; main untouched
+    assert(spark.table(s"graft_vt.$name").filter(col("source") === "edited").count() == 0,
+      "main must not see the branch UPDATE")
+    assert(spark.table(s"graft_vt.$name").count() == 60,
+      "main must not see the branch DELETE")
+    val expected = (0L until 60L).filterNot(_ % 4 == 1)
+    val br = spark.table(s"graft_vt.$name.branch_edit")
+    assert(br.count() == expected.length)
+    assert(br.filter(col("source") === "edited").count() ==
+      expected.count(_ % 3 == 0))
+    val r = spark.sql(s"CALL graft_vt.fast_forward('$name', 'edit')").collect().head
+    assert(r.getInt(1) == 2, "UPDATE and DELETE = two promoted commits")
+    assert(spark.table(s"graft_vt.$name").count() == expected.length)
+    // the intermediate branch state (post-UPDATE, pre-DELETE) is now an
+    // ordinary main version
+    assert(spark.sql(s"SELECT * FROM graft_vt.$name VERSION AS OF ${r.getInt(0) - 1}")
+      .filter(col("source") === "edited").count() == 20)
+  }
+
   test("branch refs survive table RENAME (state lives in the root)") {
     val name = "br_ren"
     mkTable(name)
