@@ -278,6 +278,9 @@ object SparkEntry {
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_meta_tags" -> (SqlDml.sqlMetaTags(_, _)),
+    "q_meta_branches" -> (SqlDml.sqlMetaBranches(_, _)),
+    "q_profile_drift" -> ((s, d) => Quality.profileDrift(s, d)),
+    "q_target_encode" -> ((s, d) => Stats.targetEncode(s, d)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
@@ -1927,6 +1930,44 @@ object SparkEntry {
         |  CAST(2 AS INT) AS promoted_commits, main_rows_during_branch
         |FROM final CROSS JOIN c
         |GROUP BY source, main_rows_during_branch""".stripMargin,
+    // SHOW BRANCHES metadata table: the deterministic two-branch state
+    "q_meta_branches" ->
+      """SELECT 'audit' AS branch, CAST(1 AS INT) AS fork_version,
+        |  CAST(0 AS INT) AS head_commits
+        |UNION ALL
+        |SELECT 'wip', CAST(1 AS INT), CAST(1 AS INT)""".stripMargin,
+    // snapshot profile drift: both versions recomputed logically, the
+    // four integer metrics and their deltas
+    "q_profile_drift" ->
+      """WITH v1 AS (SELECT text, source FROM documents),
+        |v2 AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'recrawl' ELSE source END AS source
+        |       FROM documents),
+        |p1 AS (SELECT COUNT(*) AS c, CAST(SUM(LENGTH(text)) AS BIGINT) AS ch,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS ds,
+        |       CAST(SUM(CASE WHEN source = 'recrawl' THEN 1 ELSE 0 END) AS BIGINT) AS rc
+        |       FROM v1),
+        |p2 AS (SELECT COUNT(*) AS c, CAST(SUM(LENGTH(text)) AS BIGINT) AS ch,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS ds,
+        |       CAST(SUM(CASE WHEN source = 'recrawl' THEN 1 ELSE 0 END) AS BIGINT) AS rc
+        |       FROM v2)
+        |SELECT 'row_count' AS metric, p1.c AS v1, p2.c AS v2, p2.c - p1.c AS delta FROM p1, p2
+        |UNION ALL SELECT 'total_chars', p1.ch, p2.ch, p2.ch - p1.ch FROM p1, p2
+        |UNION ALL SELECT 'distinct_sources', p1.ds, p2.ds, p2.ds - p1.ds FROM p1, p2
+        |UNION ALL SELECT 'recrawl_rows', p1.rc, p2.rc, p2.rc - p1.rc FROM p1, p2""".stripMargin,
+    // leave-one-out target encoding: exact integer cents, one division
+    "q_target_encode" ->
+      """SELECT event_id, event_type,
+        |  ROUND(CASE WHEN cat_n > 1
+        |    THEN CAST(cat_sum - cents AS DOUBLE) / (CAST(cat_n - 1 AS DOUBLE) * 100)
+        |    END, 6) AS loo_mean
+        |FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    SUM(CAST(ROUND(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY event_type) AS cat_sum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cat_n
+        |  FROM events)""".stripMargin,
     // MERGE on a branch then fast-forward: the SAME final state as
     // q_sql_merge — one oracle, two commit paths (main COW vs branch
     // COW + promotion)

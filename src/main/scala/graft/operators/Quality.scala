@@ -147,6 +147,38 @@ object Quality {
         StructField("null_disc", LongType, nullable = false))))
   }
 
+  /** SNAPSHOT PROFILE DRIFT — the data-quality face of time travel:
+    * profile two versions of the corpus table THROUGH their manifests
+    * (one aggregate scan each) and report per-metric (v1, v2, delta)
+    * rows — the "what changed between the corpus I trained on and the
+    * corpus I'm about to train on" audit that runs before every
+    * re-train at scale. Complements `q_snapshot_diff` (row-level) and
+    * `q_cdc_feed` (change rows): this is the STATISTICAL summary whose
+    * cost is two scans and whose output is four numbers, readable at a
+    * glance on a 100 TB table where the row-level diff is itself big
+    * data. Metrics are integer-exact (counts and character sums).
+    */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.VersionedTable.buildChain(spark, dir)
+    def prof(v: Int): (Long, Long, Long, Long) = {
+      val r = graft.sources.VersionedTable.readVersion(spark, root, v)
+        .agg(count(lit(1)), sum(length(col("text"))).cast("long"),
+          countDistinct(col("source")),
+          sum(when(col("source") === "recrawl", 1L).otherwise(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (a, b) = (prof(1), prof(2))
+    import spark.implicits._
+    Seq(
+      ("row_count", a._1, b._1),
+      ("total_chars", a._2, b._2),
+      ("distinct_sources", a._3, b._3),
+      ("recrawl_rows", a._4, b._4))
+      .toDF("metric", "v1", "v2")
+      .withColumn("delta", col("v2") - col("v1"))
+  }
+
   /** BENFORD'S-LAW conformance over `orders.o_totalprice` — the
     * classic fabricated-data screen (Benford 1938; standard in fraud
     * audit): naturally-occurring multi-scale amounts put first digit d

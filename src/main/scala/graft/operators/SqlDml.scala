@@ -852,6 +852,30 @@ object SqlDml {
         |WHERE tag IN ('pretrain-v1', 'release')""".stripMargin)
   }
 
+  /** `graft_vt.t.branches` — the SHOW BRANCHES metadata table: one
+    * live branch with no commits (a fork marker) and one carrying a
+    * staged insert, listed with fork point and commit count. Driver
+    * metadata, zero jobs; branch state is one-shot like every branch
+    * fixture.
+    */
+  def sqlMetaBranches(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_metabr"
+    ensureDocsTable(spark, dir, name)
+    callResults.getOrElseUpdate((dir, name), {
+      docsBase(spark, dir).createOrReplaceTempView("graft_metabr_src")
+      spark.sql(s"CALL graft_vt.create_branch('$name', 'audit')")
+      spark.sql(s"CALL graft_vt.create_branch('$name', 'wip')")
+      spark.sql(
+        s"""INSERT INTO graft_vt.$name.branch_wip
+           |SELECT doc_id + 90000000, text, 'wip' AS source
+           |FROM graft_metabr_src WHERE doc_id % 50 = 0""".stripMargin)
+      Array(1)
+    })
+    spark.sql(
+      s"""SELECT branch, fork_version, head_commits
+         |FROM graft_vt.$name.branches""".stripMargin)
+  }
+
   /** `TIMESTAMP AS OF` through the parser — the wall-clock spelling of
     * time travel: each commit instant IS its manifest's mtime, and the
     * catalog binds the largest version committed at or before the

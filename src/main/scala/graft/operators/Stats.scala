@@ -584,6 +584,30 @@ object Stats {
           .otherwise(0.0), 6).as("kappa"))
   }
 
+  /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering staple
+    * for high-cardinality categoricals (Micci-Barreca 2001): each
+    * event's category is encoded as the mean target of OTHER rows in
+    * the same category, `(sum_cat − own) / (n_cat − 1)` — excluding the
+    * row itself is what prevents target leakage into training features.
+    * One window pass per category partition (sum + count, O(1) state);
+    * arithmetic is exact integer cents with ONE division per row, so
+    * the gate hash-matches. Singleton categories yield NULL (no other
+    * rows to borrow a mean from — imputation is a downstream policy).
+    */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100d).cast("long").as("cents"))
+      .withColumn("cat_sum", sum(col("cents")).over(w))
+      .withColumn("cat_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("event_type"),
+        round(when(col("cat_n") > 1,
+          (col("cat_sum") - col("cents")).cast("double")
+            / ((col("cat_n") - 1).cast("double") * 100d)), 6)
+          .as("loo_mean"))
+  }
+
   /** POISSON BOOTSTRAP over `events.value` — the bootstrap that works
     * on data too large to resample by index (Chamandy et al. 2012,
     * "Estimating Uncertainty for Massive Data Streams"): instead of

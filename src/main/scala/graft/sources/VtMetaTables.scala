@@ -52,7 +52,7 @@ class GraftVtMetaTable(baseName: String, root: String, kind: String,
 object GraftVtMetaTable {
 
   /** The metadata-table suffixes [[GraftVtCatalog]] resolves. */
-  val kinds: Set[String] = Set("history", "files", "tags")
+  val kinds: Set[String] = Set("history", "files", "tags", "branches")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -72,6 +72,11 @@ object GraftVtMetaTable {
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", IntegerType, nullable = false),
+      StructField("head_commits", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
     case other => throw new IllegalArgumentException(s"no such metadata table: $other")
   }
 
@@ -135,6 +140,17 @@ object GraftVtMetaTable {
             GraftVtTable.resolveTag(root,
               n.stripPrefix("_ref_").stripSuffix(".txt")))): InternalRow
         }.sortBy(_.getUTF8String(0).toString)
+
+    // live branches with their fork point, commit count, and head file
+    // count — the SHOW BRANCHES surface, same driver-metadata cost
+    // class as .tags (ref reads + one manifest listing per branch)
+    case "branches" =>
+      VtBranch.list(root).map { case (name, r) =>
+        val nFiles = VtBranch.entries(root, name)
+          .flatMap(ZoneMap.leafFiles(root, _)).size
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), r.fork, r.head, nFiles)): InternalRow
+      }.toArray
 
     case other => throw new IllegalArgumentException(s"no such metadata table: $other")
   }

@@ -394,6 +394,35 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(boots.distinct.length > 1, "replicas must differ (independent resamples)")
   }
 
+  test("target encoding: leave-one-out identity and no self-leakage") {
+    val rows = graft.operators.Stats.targetEncode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val byCat = events.values.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.map(_._2).sum, xs.size)
+    }
+    rows.foreach { r =>
+      val (cat, own) = events(r.getLong(0))
+      val (s, n) = byCat(cat)
+      if (n > 1) {
+        val want = (s - own).toDouble / ((n - 1).toDouble * 100)
+        assert(math.abs(r.getDouble(2) - want) < 5e-7,
+          s"LOO identity failed for event ${r.getLong(0)}")
+      } else assert(r.isNullAt(2), "singleton categories must encode NULL")
+    }
+  }
+
+  test("profile drift: re-crawl shows in chars and recrawl rows, not in row count") {
+    val m = graft.operators.Quality.profileDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("row_count")._3 == 0, "the re-crawl replaces rows, never adds")
+    assert(m("total_chars")._3 > 0, "' v2' suffixes add characters")
+    assert(m("recrawl_rows")._1 == 0 && m("recrawl_rows")._2 > 0)
+  }
+
   test("readability: counts positive, flesch formula reproduced") {
     val rows = graft.operators.TextAnalysis.readability(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -77,6 +77,26 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(tags.get("meta-spec-b").contains(2))
   }
 
+  test("branches table lists live refs as a LocalScan; fast-forward empties it") {
+    val root = register()
+    graft.sources.VtBranch.list(root).foreach { case (n, _) =>
+      graft.sources.VtBranch.drop(root, n)
+    }
+    spark.sql("CALL graft_vt.create_branch('vt_documents', 'meta-br')")
+    val df = spark.sql(
+      "SELECT branch, fork_version, head_commits, n_files FROM graft_vt.vt_documents.branches")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "metadata tables must plan as LocalTableScan (zero jobs)")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val expectFiles = VersionedTable.manifest(root, 2)
+      .flatMap(graft.sources.ZoneMap.leafFiles(root, _)).size
+    assert(rows.toSeq == Seq(("meta-br", 2, 0, expectFiles)),
+      s"one branch forked at head v2 with the head's file count; got ${rows.toSeq}")
+    spark.sql("CALL graft_vt.drop_branch('vt_documents', 'meta-br')")
+    assert(spark.sql("SELECT * FROM graft_vt.vt_documents.branches").count() == 0)
+  }
+
   test("clustered tables surface zone-map bounds in .files") {
     import graft.sources.ZoneMap
     val root = java.nio.file.Files.createTempDirectory("graft_meta_zoned").toString
