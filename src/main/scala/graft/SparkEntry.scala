@@ -249,6 +249,8 @@ object SparkEntry {
     "q_xml_roundtrip" -> (Roundtrip.xmlParts(_, _)),
     "q_csv_roundtrip" -> (Roundtrip.csvOrders(_, _)),
     "q_json_roundtrip" -> (Roundtrip.jsonEvents(_, _)),
+    "q_dynamic_overwrite" -> (Roundtrip.dynamicOverwrite(_, _)),
+    "q_dead_letter" -> (Roundtrip.deadLetter(_, _)),
     "q_binaryfile_source" -> ((s, d) => graft.sources.BinaryFiles.ingestDocs(s, d)),
     "q_compaction" -> (graft.sources.Compaction.compactedEvents(_, _)),
     "q_time_travel" -> (graft.sources.VersionedTable.timeTravelSummary(_, _)),
@@ -1270,11 +1272,27 @@ object SparkEntry {
         |  SELECT q_id, vec_id, qcos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
-    // Poisson bootstrap: md5-derived Poisson(1) multiplicities, exact
-    // cents, one final division per replica — no double accumulation
+    // Poisson bootstrap: md5-derived Poisson(1) multiplicities (one
+    // 128-bit hash feeds TWO replicas via disjoint 60-bit chunks),
+    // exact cents, one final division per replica — no double
+    // accumulation
     "q_bootstrap_ci" ->
-      """WITH m AS (
-        |  SELECT b, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      """WITH h AS (
+        |  SELECT CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+        |    CAST(r.range AS INT) AS j,
+        |    md5(CAST(e.event_id AS VARCHAR) || '_' ||
+        |      CAST(CAST(r.range AS INT) AS VARCHAR)) AS hex
+        |  FROM events e CROSS JOIN range(0, 25) r),
+        |uu AS (
+        |  SELECT cents, j * 2 AS b,
+        |    CAST(CAST(('0x' || substr(hex, 1, 15)) AS BIGINT) AS DOUBLE) / (2.0 ^ 60) AS u
+        |  FROM h
+        |  UNION ALL
+        |  SELECT cents, j * 2 + 1,
+        |    CAST(CAST(('0x' || substr(hex, 17, 15)) AS BIGINT) AS DOUBLE) / (2.0 ^ 60)
+        |  FROM h),
+        |m AS (
+        |  SELECT b, cents,
         |    CASE
         |      WHEN u < 0.36787944117144233 THEN 0
         |      WHEN u < 0.7357588823428847 THEN 1
@@ -1283,12 +1301,7 @@ object SparkEntry {
         |      WHEN u < 0.9963401531726563 THEN 4
         |      WHEN u < 0.9994058151824183 THEN 5
         |      ELSE 6 END AS m
-        |  FROM (
-        |    SELECT e.value, CAST(r.range AS INT) AS b,
-        |      CAST(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
-        |        CAST(CAST(r.range AS INT) AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
-        |        / (2.0 ^ 60) AS u
-        |    FROM events e CROSS JOIN range(0, 50) r))
+        |  FROM uu)
         |SELECT b, CAST(SUM(m) AS BIGINT) AS n_eff,
         |  CAST(SUM(m * cents) AS BIGINT) AS sum_cents,
         |  ROUND(CASE WHEN SUM(m) > 0
@@ -1721,6 +1734,21 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // dynamic partition overwrite: clicks rewritten, all else untouched
+    "q_dynamic_overwrite" ->
+      """SELECT event_type,
+        |  CASE WHEN event_type = 'click' THEN 'rewrite' ELSE 'orig' END AS gen,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // dead-letter routing: the % 97 slice is corrupted in-flight and
+    // must be counted, not dropped; good rows keep their k sum
+    "q_dead_letter" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN 'quarantined' ELSE 'parsed' END AS outcome,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 0
+        |    ELSE CAST(json_extract_string(props, '$.k') AS INT) END) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1""".stripMargin,
     // binaryFile ingestion: metadata length + content digest must match
     // the table-resident truth over the same slice.
     "q_binaryfile_source" ->

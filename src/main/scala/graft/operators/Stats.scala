@@ -618,19 +618,21 @@ object Stats {
     * (replica id, effective n, mean); CI = quantiles of these rows.
     *
     * Everything is integer-exact so the gate hash-matches: multiplicity
-    * comes from the house md5 contract (60-bit prefix of
-    * md5(event_id_replica) → u ∈ [0,1) → inverse Poisson CDF with
-    * literal e⁻¹ partial-sum thresholds), values become exact cents
-    * (BIGINT), and the only floating-point op is ONE final division per
-    * replica — no order-dependent double accumulation on either engine.
+    * comes from the house md5 contract — and since md5 yields 128 bits,
+    * ONE hash feeds TWO replicas (two disjoint 60-bit chunks → u ∈
+    * [0,1) each → inverse Poisson CDF with literal e⁻¹ partial-sum
+    * thresholds), halving the dominant per-row cost. Values become
+    * exact cents (BIGINT); the only floating-point op is ONE final
+    * division per replica — no order-dependent double accumulation on
+    * either engine.
     */
   def bootstrapMeans(spark: SparkSession, dir: String, b: Int = 50): DataFrame = {
+    require(b % 2 == 0, s"replica count must be even (2 per md5), got $b")
     // P(Poisson(1) ≤ k) for k = 0..5; multiplicity capped at 6
     // (P > 6 ≈ 8e-5 — the cap is part of the spelled-out contract)
     val t = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
       0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
-    val u = (conv(substring(md5(concat(col("event_id").cast("string"),
-        lit("_"), col("b").cast("string")).cast("binary")), 1, 15), 16, 10)
+    def u(lo: Int) = (conv(substring(col("hex"), lo, 15), 16, 10)
       .cast("long").cast("double") / pow(lit(2d), lit(60d)))
     val m = t.zipWithIndex.foldRight(lit(6): Column) { case ((th, k), rest) =>
       when(col("u") < th, k).otherwise(rest)
@@ -638,8 +640,13 @@ object Stats {
     Tables(spark, dir, "events")
       .select(col("event_id"),
         round(col("value") * 100d).cast("long").as("cents"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("u", u)
+        explode(sequence(lit(0), lit(b / 2 - 1))).as("j"))
+      .withColumn("hex", md5(concat(col("event_id").cast("string"),
+        lit("_"), col("j").cast("string")).cast("binary")))
+      .select(col("cents"), explode(array(
+        struct((col("j") * 2).as("b"), u(1).as("u")),
+        struct((col("j") * 2 + 1).as("b"), u(17).as("u")))).as("e"))
+      .select(col("cents"), col("e.b").as("b"), col("e.u").as("u"))
       .withColumn("m", m)
       .groupBy(col("b"))
       .agg(sum(col("m")).as("n_eff"), sum(col("m") * col("cents")).as("sum_cents"))

@@ -114,6 +114,58 @@ object Roundtrip {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the incremental-refresh write
+    * semantics a partitioned lake table needs: `partitionOverwriteMode
+    * = dynamic` replaces ONLY the partitions the incoming frame
+    * contains and leaves every other partition's files untouched
+    * (static mode would truncate the whole table first). The fixture
+    * writes all events partitioned by event_type tagged `gen = 'orig'`,
+    * then rewrites JUST the 'click' partition tagged `'rewrite'`; the
+    * read-back proves clicks were replaced and nothing else moved —
+    * the daily-partition backfill pattern at 100 TB, where rewriting
+    * the table for one day's refresh is the difference between a 0.3%
+    * write and a 100% write. Exact-cents sums keep the gate strict.
+    */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("dynover")
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100d).cast("long").as("cents"))
+    ev.withColumn("gen", lit("orig"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    ev.filter(col("event_type") === "click")
+      .withColumn("gen", lit("rewrite"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"), col("gen"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+  }
+
+  /** CORRUPT-RECORD QUARANTINE (the dead-letter route): a deterministic
+    * slice of the JSON props column is corrupted in-flight (a leading
+    * '{' on event_id % 97 = 0 — derived from the table, not
+    * synthesized; a TRAILING brace isn't enough, Jackson's lenient
+    * parser accepts a valid prefix), the parse classifies each row by
+    * whether extraction succeeded, and BOTH routes aggregate — the
+    * malformed-input contract a 100 TB ingest needs: bad records are
+    * counted and kept addressable, never silently dropped (the
+    * reference drops its bad lines; this is the grown-up version of
+    * `pipeline.py:136-144`).
+    */
+  def deadLetter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        when(col("event_id") % 97 === 0, concat(lit("{"), col("props")))
+          .otherwise(col("props")).as("props"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("outcome",
+        when(col("k").isNull, "quarantined").otherwise("parsed"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("k"), lit(0))).cast("long").as("k_sum"))
+
   /** events → JSON lines → aggregate per event_type. */
   def jsonEvents(spark: SparkSession, dir: String): DataFrame = {
     val out = tempDir("json")
