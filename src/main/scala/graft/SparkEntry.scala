@@ -283,6 +283,7 @@ object SparkEntry {
     "q_meta_branches" -> (SqlDml.sqlMetaBranches(_, _)),
     "q_profile_drift" -> ((s, d) => Quality.profileDrift(s, d)),
     "q_target_encode" -> ((s, d) => Stats.targetEncode(s, d)),
+    "q_cusum" -> ((s, d) => Stats.cusumShifts(s, d)),
     "q_sql_rename_drop" -> (SqlDml.sqlRenameDrop(_, _)),
     "q_sql_ctas" -> (SqlDml.sqlCtas(_, _)),
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
@@ -296,6 +297,7 @@ object SparkEntry {
     "q_bloom_skip" -> (SqlDml.sqlBloomSkip(_, _)),
     "q_retrieval_eval" -> (RetrievalEval.evalFixture(_, _)),
     "q_pr_curve" -> (RetrievalEval.prCurveFixture(_, _)),
+    "q_isotonic" -> ((s, d) => RetrievalEval.isotonicCalibration(s, d)),
     "q_byte_entropy" -> (TextAnalysis.byteEntropy(_, _)),
     // --- streaming -------------------------------------------------------
     "q_stream_tumbling" -> (Streaming.tumblingCounts(_, _)),
@@ -1983,6 +1985,28 @@ object SparkEntry {
         |UNION ALL SELECT 'total_chars', p1.ch, p2.ch, p2.ch - p1.ch FROM p1, p2
         |UNION ALL SELECT 'distinct_sources', p1.ds, p2.ds, p2.ds - p1.ds FROM p1, p2
         |UNION ALL SELECT 'recrawl_rows', p1.rc, p2.rc, p2.rc - p1.rc FROM p1, p2""".stripMargin,
+    // CUSUM: the integer-scaled fold replayed as a recursive CTE — the
+    // q_ewma bit-identical contract, on change-point monitoring
+    "q_cusum" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, hr, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS h
+        |  FROM base),
+        |r AS (
+        |  SELECT event_type, hr, n, rn, total, h,
+        |    GREATEST(0, n * h - total) AS cusum FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.hr, o.n, o.rn, o.total, o.h,
+        |    GREATEST(0, r.cusum + (o.n * o.h - o.total))
+        |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+        |SELECT event_type, hr, n, CAST(cusum AS BIGINT) AS cusum_scaled,
+        |  cusum > 2 * total AS alarm
+        |FROM r""".stripMargin,
     // leave-one-out target encoding: exact integer cents, one division
     "q_target_encode" ->
       """SELECT event_id, event_type,
@@ -2104,6 +2128,42 @@ object SparkEntry {
     // threshold sweep: same saturating length score, same md5 labels,
     // same guarded precision/recall/F1 arithmetic — f1 derives from the
     // ROUNDED prec/rec on both sides
+    // isotonic calibration: PAV pinned through its max-min
+    // characterization — calibrated_i = max over j<=i of (min over
+    // k>=i of the pooled rate of bins j..k); IEEE division is
+    // correctly rounded and rounding is monotone, so the nested
+    // min/max selects the identical block-rate double the PAV fold
+    // computes
+    "q_isotonic" ->
+      """WITH scored AS (SELECT
+        |    least(CAST(LENGTH(text) AS DOUBLE) / CAST(1000 AS DOUBLE),
+        |      CAST(1 AS DOUBLE)) AS score,
+        |    CASE WHEN CAST(('0x' || substr(md5('lbl_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(LEAST(FLOOR(score * 50), 49) AS INT) AS bin,
+        |    COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1),
+        |idx AS (
+        |  SELECT bin, n, pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |  FROM b),
+        |inner_min AS (
+        |  SELECT i.bin AS bin_i, j.bin AS bin_j,
+        |    MIN(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |        / (k.cn - (j.cn - j.n))) AS minr
+        |  FROM idx i
+        |  JOIN idx j ON j.bin <= i.bin
+        |  JOIN idx k ON k.bin >= i.bin
+        |  GROUP BY 1, 2),
+        |cal AS (SELECT bin_i AS bin, MAX(minr) AS calibrated
+        |  FROM inner_min GROUP BY 1)
+        |SELECT b.bin, b.n, b.pos,
+        |  ROUND(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+        |  ROUND(cal.calibrated, 6) AS calibrated
+        |FROM b JOIN cal USING (bin)""".stripMargin,
     "q_pr_curve" ->
       """WITH scored AS (SELECT
         |    least(CAST(LENGTH(text) AS DOUBLE) / CAST(1000 AS DOUBLE),

@@ -98,6 +98,63 @@ object RetrievalEval {
             (col("prec") + col("rec"))).otherwise(0.0), 6))
   }
 
+  /** ISOTONIC (PAV) CALIBRATION — turn a quality classifier's raw
+    * scores into honest probabilities (Zadrozny & Elkan 2002; the
+    * standard calibration next to Platt scaling): bin the scored corpus
+    * into fixed-width score bins (one distributed aggregation — the
+    * bounded-model contract: ≤ `bins` rows to the driver), then run
+    * pool-adjacent-violators over the bins so the calibrated positive
+    * rate is monotone in score. PAV's pooling comparisons run in EXACT
+    * integer cross-multiplication; each block's rate is ONE correctly-
+    * rounded division — and since IEEE division is correctly rounded
+    * and rounding is monotone, the DuckDB oracle can pin the SAME bits
+    * through the max-min characterization (calibrated_i = max_{j≤i}
+    * min_{k≥i} pooled-rate(j,k)) without replaying the sequential
+    * algorithm: both spellings select the identical block-rate double.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String, bins: Int = 50): DataFrame = {
+    val binned = Tables(spark, dir, "documents").select(
+        least(length(col("text")).cast("double") / lit(1000.0), lit(1.0)).as("score"),
+        when(graft.functions.GraftFunctions.md5Bucket(
+          concat(lit("lbl_"), col("doc_id").cast("string")), 3) === 0, 1L)
+          .otherwise(0L).as("label"))
+      .withColumn("bin", least(floor(col("score") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV: (firstIdx, n, pos) blocks; violation = prevRate > curRate,
+    // compared exactly as prevPos·curN > curPos·prevN
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    binned.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      blocks += ((i, n, pos))
+      while (blocks.length > 1 && {
+        val (_, n1, p1) = blocks(blocks.length - 2)
+        val (_, n2, p2) = blocks.last
+        p1 * n2 > p2 * n1
+      }) {
+        val (s1, n1, p1) = blocks.remove(blocks.length - 2)
+        val (_, n2, p2) = blocks.last
+        blocks(blocks.length - 1) = (s1, n1 + n2, p1 + p2)
+      }
+    }
+    val cal = new Array[Double](binned.length)
+    blocks.zipWithIndex.foreach { case ((start, n, pos), bi) =>
+      val end = if (bi + 1 < blocks.length) blocks(bi + 1)._1 else binned.length
+      val rate = pos.toDouble / n.toDouble
+      (start until end).foreach(cal(_) = rate)
+    }
+    import spark.implicits._
+    // HALF_UP, matching both engines' ROUND on positive values (rint's
+    // half-even would diverge exactly at a .5e-6 boundary)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    binned.zipWithIndex.map { case ((bin, n, pos), i) =>
+      (bin, n, pos, r6(pos.toDouble / n.toDouble), r6(cal(i)))
+    }.toSeq.toDF("bin", "n", "pos", "raw_rate", "calibrated")
+  }
+
   /** The prCurve fixture: a real quality signal (length-saturating
     * score — the shortest docs score lowest, the shape every
     * length-based quality filter has) against portable md5 labels, so

@@ -584,6 +584,41 @@ object Stats {
           .otherwise(0.0), 6).as("kappa"))
   }
 
+  /** CUSUM level-shift detection over per-type hourly event counts —
+    * the classic sequential change-point monitor (Page 1954): the
+    * one-sided cumulative sum S_t = max(0, S_{t−1} + (x_t − μ)) grows
+    * only while the series runs above its mean and resets on dips, so
+    * a sustained level shift crosses the alarm threshold while noise
+    * does not. All arithmetic is INTEGER-EXACT by scaling: with H
+    * observed hours and T total events per type, the step is
+    * x_t·H − T (≡ (x_t − μ)·H), so S never touches a float and the
+    * gate hash-matches DuckDB's recursive-CTE replay bit-for-bit (the
+    * q_ewma typed-fold-vs-recursive-CTE contract). The fold is per-type
+    * sequential by nature — the distributed shape is the hourly
+    * count aggregation; each type's 720-row series folds in one task.
+    * Alarm = scaled CUSUM above 2·T (two mean-hours of excess).
+    */
+  def cusumShifts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)]
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val sorted = it.toIndexedSeq.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val h = sorted.length.toLong
+      var s = 0L
+      sorted.iterator.map { case (_, hr, n) =>
+        s = math.max(0L, s + (n * h - total))
+        (t, hr, n, s, s > 2 * total)
+      }
+    }.toDF("event_type", "hr", "n", "cusum_scaled", "alarm")
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering staple
     * for high-cardinality categoricals (Micci-Barreca 2001): each
     * event's category is encoded as the mean target of OTHER rows in

@@ -423,6 +423,43 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(m("recrawl_rows")._1 == 0 && m("recrawl_rows")._2 > 0)
   }
 
+  test("cusum: nonnegative, resets on dips, equals the independent driver fold") {
+    val rows = graft.operators.Stats.cusumShifts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 >= 0), "one-sided CUSUM never goes negative")
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val sorted = series.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val h = sorted.length.toLong
+      var s = 0L
+      sorted.foreach { case (_, _, n, got, alarm) =>
+        s = math.max(0L, s + (n * h - total))
+        assert(got == s, s"fold diverged for $t")
+        assert(alarm == (s > 2 * total))
+      }
+      assert(sorted.exists(_._4 == 0), s"$t: a mean-reverting series must reset to 0 somewhere")
+    }
+  }
+
+  test("isotonic: calibrated rates are monotone and conserve positive mass") {
+    val rows = graft.operators.RetrievalEval.isotonicCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5 + 1e-9,
+        s"calibrated must be nondecreasing: bin ${a._1}=${a._5} > bin ${b._1}=${b._5}")
+      case _ => ()
+    }
+    val totalPos = rows.map(_._3).sum.toDouble
+    val calMass = rows.map(r => r._2 * r._5).sum
+    assert(math.abs(calMass - totalPos) < 0.01 * totalPos + 1.0,
+      s"PAV conserves positive mass within rounding ($calMass vs $totalPos)")
+    assert(rows.exists(r => math.abs(r._4 - r._5) > 1e-9),
+      "the fixture's rates are non-monotone somewhere, so PAV must pool something")
+  }
+
   test("readability: counts positive, flesch formula reproduced") {
     val rows = graft.operators.TextAnalysis.readability(spark, dir).collect()
     assert(rows.nonEmpty)
