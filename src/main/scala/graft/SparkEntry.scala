@@ -197,6 +197,11 @@ object SparkEntry {
     "q_pit_join" -> ((s, d) => Analytics.pitEnrichedPurchases(s, d)),
     "q_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "q_incremental_agg" -> ((s, d) => Relational.incrementalRevenueByNation(s, d)),
+    "q_delta_join_view" -> ((s, d) => Relational.deltaJoinView(s, d)),
+    "q_attribution_position" -> ((s, d) => Analytics.positionAttribution(s, d)),
+    "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),
+    "q_rfm" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "q_gini" -> ((s, d) => Stats.giniSpend(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -499,6 +504,111 @@ object SparkEntry {
     // the maintenance path must land on the FULL recompute exactly —
     // that equality is the whole point of the query
     "q_incremental_agg" -> revenueByNationSql,
+    // delta-join identity (A₀∪ΔA)⋈(B₀∪ΔB) = the four slice joins: the
+    // maintained view must equal the plain full join recompute
+    "q_delta_join_view" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // U-shaped multi-touch attribution in exact money arithmetic:
+    // integer floor shares, remainder cents to the first touch — every
+    // journey's credits sum to exactly its cents on both engines
+    "q_attribution_position" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, journey, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, journey, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, journey ORDER BY ts, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY user_id, journey) AS k
+        |  FROM e WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.cents, t.event_type, t.pos, t.k,
+        |    (p.cents * 2) // 5 AS f40, p.cents // 2 AS half
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.journey = t.journey)
+        |SELECT COALESCE(event_type, 'direct') AS channel,
+        |  CAST(SUM(CASE
+        |    WHEN k IS NULL OR k = 1 THEN cents
+        |    WHEN k = 2 AND pos = 1 THEN cents - half
+        |    WHEN k = 2 THEN half
+        |    WHEN pos = 1 THEN f40 + (cents - f40 * 2) % (k - 2)
+        |    WHEN pos = k THEN f40
+        |    ELSE (cents - f40 * 2) // (k - 2)
+        |  END) AS BIGINT) AS credit_cents,
+        |  COUNT(*) AS n_credits
+        |FROM j GROUP BY 1""".stripMargin,
+    // local clustering coefficient: the q_triangles graph (co-order
+    // pairs, support ≥ 2) + degrees; one double division of exact ints
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM li l1 JOIN li l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |  SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tcount AS (SELECT part, COUNT(*) AS n_triangles FROM (
+        |  SELECT x AS part FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY part)
+        |SELECT deg.v AS part, deg.d AS degree,
+        |  COALESCE(tcount.n_triangles, 0) AS n_triangles,
+        |  ROUND(2.0 * COALESCE(tcount.n_triangles, 0)
+        |    / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS clustering_coeff
+        |FROM deg LEFT JOIN tcount ON tcount.part = deg.v
+        |WHERE deg.d >= 2""".stripMargin,
+    // RFM quintile grid: explicit floor((rn−1)·5/n)+1 quintiles from a
+    // (metric, custkey)-ordered row number — integer arithmetic end to
+    // end, so ntile's front-loading never enters the contract
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS recency,
+        |    COUNT(*) AS frequency,
+        |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_cust FROM cust),
+        |r AS (
+        |  SELECT monetary,
+        |    ROW_NUMBER() OVER (ORDER BY recency, o_custkey) AS rn_r,
+        |    ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS rn_f,
+        |    ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) AS rn_m
+        |  FROM cust)
+        |SELECT CAST((rn_r - 1) * 5 // n_cust + 1 AS INT) AS r_q,
+        |  CAST((rn_f - 1) * 5 // n_cust + 1 AS INT) AS f_q,
+        |  CAST((rn_m - 1) * 5 // n_cust + 1 AS INT) AS m_q,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(monetary) AS BIGINT) AS total_monetary
+        |FROM r CROSS JOIN n
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Gini of per-customer whole-dollar spend by nation: ranks by
+    // (spend, custkey); Σ i·xᵢ is tie-block exact, one division, round 6
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT n_name, x,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, o_custkey) AS i
+        |  FROM spend JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(*) AS n_customers, CAST(SUM(x) AS BIGINT) AS total_dollars,
+        |  ROUND(CASE WHEN SUM(x) > 0 THEN
+        |    (2.0 * CAST(SUM(i * x) AS DOUBLE)
+        |      - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
+        |    / (COUNT(*) * CAST(SUM(x) AS DOUBLE)) END, 6) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
     "q_revenue_by_priority" ->
       s"""SELECT o_orderpriority, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -616,5 +616,182 @@ object Analytics {
       .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
       .agg(count(lit(1)).as("conversions"),
         round(sum(col("value")), 2).as("attributed_value"))
+  }
+
+  /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — the
+    * multi-touch sibling of [[lastTouchAttribution]]: each purchase's
+    * value splits across EVERY touch in its journey (the non-purchase
+    * events since the previous purchase), 40% to the first touch, 40%
+    * to the last, 20% shared equally by the middles.
+    *
+    * The split is EXACT MONEY ARITHMETIC, not percentages of a double:
+    * the purchase value becomes integer cents, each share is an integer
+    * floor-division, and the remainder cents go to the first touch — so
+    * every journey's credits sum to exactly its value and the
+    * channel-level totals are order-independent BIGINTs (the same
+    * largest-remainder allocation a billing system uses; a `0.2/k`
+    * double split would drift by summation order across engines and
+    * partitionings). k==1 → the only touch takes all; k==2 → an even
+    * c÷2 / c−c÷2 split; no touches → 'direct'.
+    *
+    * Scales as ONE user-keyed exchange: journey ids and positions are
+    * running windows over each user's sorted stream, the per-journey
+    * (k, cents) rollup is |purchases|-sized, and the join back to
+    * touches is on (user, journey) — never a self-join on the raw log.
+    */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // journey id = number of purchases strictly before this row: touches
+    // carry the id of the NEXT purchase; the purchase row itself keeps
+    // the id of the journey it closes
+    val jny = ev.withColumn("journey",
+      coalesce(sum(when(col("event_type") === "purchase", 1L)).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val purchases = jny.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"),
+        (round(col("value") * 100)).cast("long").as("cents"))
+    val touches = jny.filter(col("event_type") =!= "purchase")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("user_id"), col("journey")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("k", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("journey"))))
+      .select(col("user_id"), col("journey"), col("event_type"), col("pos"), col("k"))
+    val joined = purchases.join(touches, Seq("user_id", "journey"), "left")
+    val c = col("cents")
+    val f40 = ((c * 2 - pmod(c * 2, lit(5))) / 5).cast("long")
+    val half = ((c - pmod(c, lit(2))) / 2).cast("long")
+    val midEach = (((c - f40 * 2) - pmod(c - f40 * 2, col("k") - 2)) /
+      (col("k") - 2)).cast("long")
+    val credit = when(col("k").isNull, c) // no touches: all to 'direct'
+      .when(col("k") === 1, c)
+      .when(col("k") === 2 && col("pos") === 1, c - half)
+      .when(col("k") === 2, half)
+      .when(col("pos") === 1, f40 + (c - f40 * 2 - midEach * (col("k") - 2))) // + remainder
+      .when(col("pos") === col("k"), f40)
+      .otherwise(midEach)
+    joined
+      .groupBy(coalesce(col("event_type"), lit("direct")).as("channel"))
+      .agg(sum(credit).cast("long").as("credit_cents"),
+        count(lit(1)).as("n_credits"))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT over the co-order part graph — the
+    * per-node "how interconnected is my neighborhood" measure on top of
+    * [[triangleCounts]]'s degree-ordered triangle machinery:
+    * `coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`. Triangles enumerate
+    * once via low-(degree,id)-oriented wedges (fan-out O(m^1.5),
+    * hub-proof — a hub's edges all point into it), degrees are one
+    * aggregation over the edge list, and the coefficient is ONE double
+    * division of two exact integers, so the oracle matches bit-for-bit.
+    * Output: every node of degree ≥ 2, its degree, triangle count, and
+    * rounded coefficient.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("a"), col("b"))
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aFirst = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .withColumn("fwd", col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    val oriented = aFirst.select(
+      when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
+      when(col("fwd"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("fwd"), col("db")).otherwise(col("da")).as("ddst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("d") >= 2)
+      .join(tri, col("v") === col("part"), "left")
+      .select(col("v").as("part"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("d") * (col("d") - 1)).cast("double"), 6).as("clustering_coeff"))
+  }
+
+  /** RFM SEGMENTATION — the customer-base quintile grid every
+    * marketing warehouse maintains: per customer, Recency (days from
+    * last order to the corpus horizon), Frequency (order count) and
+    * Monetary (exact whole-dollar spend, floor of the decimal sum), each
+    * quintiled 1–5, then the (r,f,m) cells rolled up.
+    *
+    * Quintiles come from a DISTRIBUTED row number, not a global-sort
+    * window: per-metric value-range slices (bounds broadcast from a
+    * min/max aggregate) get their slice counts prefix-summed on the
+    * |slices|-row relation, and each row's number is its slice base plus
+    * a row_number within the slice — so no "partitionBy()" single-
+    * reducer window ever sees the |customers| relation, the same
+    * two-phase construction as the spearman rank histogram and the
+    * distributed exact percentile. The quintile is then the explicit
+    * `floor((rn−1)·5/n)+1` formula (NOT ntile — ntile front-loads the
+    * odd rows; the formula spreads them, and both engines compute it
+    * identically from the same integer rn). Ties break on c_custkey, so
+    * rn is total-ordered and cross-engine identical.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = to_date(lit("1998-12-31"))
+    val cust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(horizon, max(col("o_orderdate")).cast("date"))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        floor(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+          .cast("long").as("monetary"))
+    val n = cust.agg(count(lit(1)).as("n_cust"))
+
+    // distributed row number of (metric, custkey): slice bases + within-
+    // slice row_number; slices bounded by a broadcast min/max
+    def rn(metric: String): DataFrame = {
+      val slices = 32
+      val src = cust.select(col("o_custkey").as("ck"), col(metric).as("v"))
+      val bounds = src.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val withPid = src.crossJoin(broadcast(bounds))
+        .withColumn("pid",
+          when(col("vmax") === col("vmin"), lit(0)).otherwise(
+            least(floor((col("v") - col("vmin")).cast("double") * slices /
+              (col("vmax") - col("vmin")).cast("double")), lit(slices - 1))).cast("int"))
+      val bases = withPid.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .withColumn("base", coalesce(sum(col("c")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("base"))
+      withPid.join(broadcast(bases), Seq("pid"))
+        .withColumn("rn", col("base") + row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("v"), col("ck"))))
+        .select(col("ck").as("o_custkey"), col("rn").as(s"rn_$metric"))
+    }
+
+    val q = (rnCol: Column, nCol: Column) =>
+      (((rnCol - 1) * 5 - pmod((rnCol - 1) * 5, nCol)) / nCol + 1).cast("int")
+    cust
+      .join(rn("recency"), Seq("o_custkey"))
+      .join(rn("frequency"), Seq("o_custkey"))
+      .join(rn("monetary"), Seq("o_custkey"))
+      .crossJoin(broadcast(n))
+      .select(
+        q(col("rn_recency"), col("n_cust")).as("r_q"),
+        q(col("rn_frequency"), col("n_cust")).as("f_q"),
+        q(col("rn_monetary"), col("n_cust")).as("m_q"),
+        col("monetary"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("total_monetary"))
   }
 }

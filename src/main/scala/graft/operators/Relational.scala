@@ -106,6 +106,39 @@ object Relational {
         sum(col("n")).as("n_orders"))
   }
 
+  /** Incremental JOIN-view maintenance — the delta-join identity behind
+    * every materialized join view: with both relations split into a
+    * standing snapshot and a new-arrivals delta (A = A₀∪ΔA, B = B₀∪ΔB),
+    * the maintained view is
+    * `A₀⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈B₀ ∪ ΔA⋈ΔB` — only the three delta terms
+    * compute on refresh, and each joins a DELTA-sized side, so a nightly
+    * load touches |Δ|·|B| work instead of re-scanning 100 TB of history
+    * (and the delta sides broadcast when small). The identity requires
+    * the four slices to PARTITION the inputs — hash-disjoint splits
+    * here — and the final rollup merges the four partial aggregates the
+    * same way [[incrementalRevenueByNation]] merges its two (DECIMAL
+    * partials, so the merge is exactly the recompute). Oracle: the plain
+    * full join — any divergence between the maintained and recomputed
+    * plan is a hash mismatch.
+    */
+  def deltaJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val a0 = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+    val da = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+    val b0 = customer.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+    val db = customer.filter(pmod(col("c_custkey"), lit(7)) === 0)
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
+    term(a0, b0).unionByName(term(a0, db))
+      .unionByName(term(da, b0)).unionByName(term(da, db))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n")).as("n_orders"))
+  }
+
   /** Fact-to-fact join (lineitem ⋈ orders) — shuffle/sort-merge territory;
     * AQE picks the final shape at runtime. Revenue per order priority.
     */

@@ -692,4 +692,64 @@ object Stats {
           col("sum_cents").cast("double") / (col("n_eff").cast("double") * 100d)), 6)
           .as("boot_mean"))
   }
+
+  /** GINI COEFFICIENT of customer spend per nation — the inequality
+    * screen (revenue concentration, data-contributor skew, token-budget
+    * fairness all reduce to it). Formula on ranked values:
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` with ranks ordered by
+    * (spend, custkey).
+    *
+    * No global-sort rank window: ranks come from the per-(nation, spend)
+    * HISTOGRAM via the same two-phase sliced prefix sum as the spearman
+    * mid-ranks — a tied block of c customers at spend x with b customers
+    * below contributes `x·c·(2b+c+1)` to `2·Σ i·xᵢ` EXACTLY (the
+    * consecutive-integer sum), so the whole statistic is assembled from
+    * histogram-sized exchanges. Spend is exact whole dollars (floor of
+    * the DECIMAL sum); every sum is DECIMAL(38,0); one double division
+    * at the end, mirrored in the oracle.
+    */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(floor(sum(col("o_totalprice").cast(DecimalType(12, 2)))).cast("long").as("x"))
+      .join(broadcast(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("g"), col("x"))
+
+    // histogram + two-phase below-count (rank2 shape, see spearman)
+    val slices = 32
+    val hist = spend.groupBy(col("g"), col("x").as("v")).agg(count(lit(1)).as("c"))
+    val bounds = hist.groupBy(col("g"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val withPid = hist.join(broadcast(bounds), Seq("g"))
+      .withColumn("pid",
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(floor((col("v") - col("vmin")).cast("double") * slices /
+            (col("vmax") - col("vmin")).cast("double")), lit(slices - 1))).cast("int"))
+    val bases = withPid.groupBy(col("g"), col("pid")).agg(sum(col("c")).as("sc"))
+      .withColumn("base", coalesce(sum(col("sc")).over(
+        Window.partitionBy(col("g")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("g"), col("pid"), col("base"))
+    val blocks = withPid.join(broadcast(bases), Seq("g", "pid"))
+      .withColumn("below", col("base") + coalesce(sum(col("c")).over(
+        Window.partitionBy(col("g"), col("pid")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+    blocks.groupBy(col("g"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("v").cast(big) * col("c").cast(big)).as("sx"),
+        // Σ x·c·(2b+c+1) = 2·Σ i·xᵢ, exact over tied blocks
+        sum(col("v").cast(big) * col("c").cast(big) *
+          (lit(2L).cast(big) * col("below").cast(big) + col("c").cast(big) + 1)).as("t2"))
+      .select(col("g").as("n_name"), col("n").as("n_customers"),
+        col("sx").cast("long").as("total_dollars"),
+        round(when(col("sx") > 0,
+          (col("t2").cast("double") - (col("n") + 1).cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("sx").cast("double"))), 6).as("gini"))
+  }
 }

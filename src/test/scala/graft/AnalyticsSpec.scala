@@ -215,6 +215,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(leftover == 0, s"$leftover docs still contain PII after redaction")
   }
 
+  test("position attribution: channel credits sum to exactly the purchase cents") {
+    // the largest-remainder split must conserve money: total credited
+    // cents across channels == total purchase cents, to the cent
+    val spark = TestSpark.spark
+    val totalCents = graft.sources.Tables(spark, TestSpark.sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().head.getLong(0)
+    val credited = Analytics.positionAttribution(spark, TestSpark.sf0001)
+      .agg(sum(col("credit_cents"))).collect().head.getLong(0)
+    assert(credited == totalCents,
+      s"credits $credited != purchase cents $totalCents — allocation leaks money")
+  }
+
+  test("position attribution: purchase events never credit themselves") {
+    val channels = Analytics.positionAttribution(TestSpark.spark, TestSpark.sf0001)
+      .select(col("channel")).collect().map(_.getString(0)).toSet
+    assert(!channels.contains("purchase"), "a purchase credited itself as a touch")
+    assert(channels.contains("direct"), "journeys with no touches must land on 'direct'")
+  }
+
+  test("clustering coefficient: bounded in [0,1] and exact on a degree-2 triangle node") {
+    val rows = Analytics.clusteringCoefficient(TestSpark.spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, tri, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c >= 0.0 && c <= 1.0, s"coeff out of range: $r")
+      // tri(v) can never exceed the wedge count deg·(deg−1)/2
+      assert(2 * tri <= d * (d - 1), s"more triangles than wedges: $r")
+      // exactness of the single division on one reconstructible case
+      if (d == 2) assert(c == (if (tri == 1) 1.0 else 0.0), s"degree-2 coeff wrong: $r")
+    }
+  }
+
+  test("rfm: quintiles partition all customers into near-equal bands") {
+    val spark = TestSpark.spark
+    val df = Analytics.rfmSegments(spark, TestSpark.sf0001).collect()
+    val total = df.map(_.getLong(3)).sum
+    val nCust = graft.sources.Tables(spark, TestSpark.sf0001, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust, s"cells cover $total customers, expected $nCust")
+    // every quintile id in 1..5, and each metric's marginal is balanced
+    // to within 1 (the floor((rn-1)*5/n) formula spreads the remainder)
+    for (idx <- 0 to 2) {
+      val marginal = df.groupBy(_.getInt(idx)).map { case (q, cells) =>
+        q -> cells.map(_.getLong(3)).sum }
+      assert(marginal.keySet == Set(1, 2, 3, 4, 5), s"metric $idx quintiles: ${marginal.keySet}")
+      val sizes = marginal.values
+      assert(sizes.max - sizes.min <= 1, s"metric $idx unbalanced: $marginal")
+    }
+  }
+
   test("url parse: components round-trip the synthesized construction") {
     val rows = TextAnalysis.urlParse(TestSpark.spark, TestSpark.sf0001)
       .orderBy(col("doc_id")).limit(20).collect()

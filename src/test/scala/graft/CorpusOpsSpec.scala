@@ -389,6 +389,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0).count() > 0)
   }
 
+  test("delta join view: four-slice maintenance is EXACTLY the full join recompute") {
+    val orders = graft.sources.Tables(spark, sf, "orders")
+    val customer = graft.sources.Tables(spark, sf, "customer")
+    val full = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))).toMap
+    val maintained = graft.operators.Relational.deltaJoinView(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))).toMap
+    assert(maintained == full, "delta-join identity must be bit-equal to recompute")
+    // the split is genuine on BOTH relations (all four slice joins carry rows)
+    assert(orders.filter(pmod(col("o_orderkey"), lit(10)) === 0).count() > 0)
+    assert(customer.filter(pmod(col("c_custkey"), lit(7)) === 0).count() > 0)
+  }
+
   test("winsorize: clips to the exact per-class [p5, p95], touches nothing inside") {
     val rows = graft.operators.Relational.winsorizedEvents(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

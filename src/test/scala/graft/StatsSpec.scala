@@ -427,6 +427,36 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(cell.map(_._3).sum.toDouble / cell.length - mean0) < 1e-5)
   }
 
+  test("gini: histogram formulation == rank-window identity, bounded in [0,1)") {
+    // the two-phase histogram ranks must reproduce the direct
+    // row_number-window Gini exactly (Spark computes both)
+    val spend = graft.sources.Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(floor(sum(col("o_totalprice").cast("decimal(12,2)"))).cast("long").as("x"))
+      .join(graft.sources.Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"), col("o_custkey"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("x"), col("o_custkey"))
+    val direct = spend.withColumn("i", row_number().over(w))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n_name"),
+        round((lit(2d) * col("six") - (col("n") + 1).cast("double") * col("sx")) /
+          (col("n").cast("double") * col("sx")), 6).as("gini"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hist = Stats.giniSpend(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(hist.keySet == direct.keySet)
+    hist.foreach { case (nation, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$nation gini out of range: $g")
+      assert(math.abs(g - direct(nation)) < 1e-9,
+        s"$nation: histogram $g != window ${direct(nation)}")
+    }
+  }
+
   test("cohen kappa: engineered 3/4-copy annotators agree well above chance") {
     val r = graft.operators.Stats.cohenKappa(spark, sf).collect().head
     val (po, pe, k) = (r.getAs[Double]("p_observed"),
