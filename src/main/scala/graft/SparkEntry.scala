@@ -202,6 +202,9 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),
     "q_rfm" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "q_gini" -> ((s, d) => Stats.giniSpend(s, d)),
+    "q_kaplan_meier" -> ((s, d) => Stats.kaplanMeier(s, d)),
+    "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
+    "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -401,6 +404,30 @@ object SparkEntry {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
+  // the k-core oracle unrolls the SAME bounded peel the engine runs:
+  // each round re-derives degrees and keeps only nodes with deg >= k.
+  // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+  // round references the previous one three times — the unmaterialized
+  // unroll re-expands the base scan 3^rounds times (observed as an fd
+  // exhaustion on the parquet file before it was CPU-visible)
+  private def kcoreSql(k: Int = 3, rounds: Int = 6, minSupport: Int = 2): String = {
+    val base =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+         |  ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e${i - 1}
+         |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY v HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT v, COUNT(*) AS core_degree FROM (SELECT a AS v FROM e$rounds
+       |  UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
+  }
+
   // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
   // q_jaccard_prefix (AllPairs prefix filter) must return the same rows
   private val jaccardOracleSql =
@@ -591,6 +618,91 @@ object SparkEntry {
         |  CAST(SUM(monetary) AS BIGINT) AS total_monetary
         |FROM r CROSS JOIN n
         |GROUP BY 1, 2, 3""".stripMargin,
+    // Kaplan–Meier: the recursive CTE replays the ascending-time
+    // survival fold multiply-for-multiply — survival doubles must be
+    // BIT-identical (the q_ewma contract)
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+        |    MAX(epoch_us(ts)) AS tlast
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+        |              ELSE (tlast - t0) // 3600000000 END AS t,
+        |    (tp IS NOT NULL) AS ev
+        |  FROM per_user),
+        |bytime AS (
+        |  SELECT t, SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS d, COUNT(*) AS c
+        |  FROM dur GROUP BY t),
+        |o AS (
+        |  SELECT t, d, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+        |    SUM(c) OVER () - COALESCE(SUM(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bytime),
+        |r AS (
+        |  SELECT t, d, rn, n_risk,
+        |    CASE WHEN d > 0 THEN 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS surv
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.t, o.d, o.rn, o.n_risk,
+        |    r.surv * (CASE WHEN o.d > 0
+        |      THEN 1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE) ELSE 1.0 END)
+        |  FROM r JOIN o ON o.rn = r.rn + 1)
+        |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events, surv AS survival
+        |FROM r WHERE d > 0""".stripMargin,
+    // CUPED: every statistic from per-arm exact-cents sufficient sums;
+    // the double arithmetic mirrors the engine expression-for-expression
+    "q_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type <> 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |arm AS (
+        |  SELECT (user_id % 2 = 0) AS arm_a, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM pu GROUP BY 1),
+        |pool AS (
+        |  SELECT COUNT(*) AS pn, SUM(x) AS psx, SUM(y) AS psy,
+        |    SUM(x*y) AS psxy, SUM(x*x) AS psxx FROM pu),
+        |w AS (
+        |  SELECT arm_a, n,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |    (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+        |      - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+        |    / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+        |      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS xgap,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_y,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cov_xy,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_x,
+        |    (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+        |      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) > 0 AND n > 1 AS ok
+        |  FROM arm CROSS JOIN pool)
+        |SELECT arm_a, n,
+        |  ROUND(mean_y / 100, 6) AS mean_y,
+        |  ROUND(CASE WHEN ok THEN (mean_y - theta * xgap) / 100 END, 6) AS mean_y_cuped,
+        |  ROUND(CASE WHEN ok THEN var_y END, 6) AS var_y,
+        |  ROUND(CASE WHEN ok
+        |    THEN var_y - 2.0 * theta * cov_xy + theta * theta * var_x END, 6)
+        |    AS var_y_cuped,
+        |  ROUND(CASE WHEN ok AND var_y > 0 THEN 1.0
+        |    - (var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / var_y END, 6)
+        |    AS var_reduction
+        |FROM w""".stripMargin,
+    // k-core: the oracle unrolls the SAME bounded peel (KcoreRounds
+    // iterations); the spec pins fixpoint-inside-budget at test scale
+    "q_kcore" -> kcoreSql(),
     // Gini of per-customer whole-dollar spend by nation: ranks by
     // (spend, custkey); Σ i·xᵢ is tie-block exact, one division, round 6
     "q_gini" ->

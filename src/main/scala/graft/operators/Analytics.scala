@@ -726,6 +726,50 @@ object Analytics {
           (col("d") * (col("d") - 1)).cast("double"), 6).as("clustering_coeff"))
   }
 
+  /** K-CORE DECOMPOSITION (fixed k, bounded peel) — the graph-
+    * densification verb next to [[triangleCounts]] and [[khopDistances]]:
+    * repeatedly delete nodes of degree < k until the residual graph is
+    * stable; what survives is the k-core (unique regardless of peel
+    * order). The loop runs a FIXED `rounds` iterations — each round one
+    * degree aggregation + two semi-joins, all equi-joins on node ids —
+    * so the oracle is the SAME bounded unroll (deterministic), and the
+    * spec pins that the peel actually reached its fixpoint inside the
+    * budget at test scale (round r−1 == round r). At 100 TB each round
+    * is one shuffle over the shrinking edge list; the edge frame is
+    * `localCheckpoint`ed between rounds — without it the iterative
+    * lineage re-derives the base co-order join once PER DOWNSTREAM
+    * BRANCH per round (two joins each round → exponential recompute;
+    * measured: the unchecked loop never finishes at sf0.01, the
+    * checkpointed one is seconds).
+    *
+    * Output: the k-core members with their WITHIN-CORE degree.
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 6, minSupport: Int = 2): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    var edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+      edges = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** RFM SEGMENTATION — the customer-base quintile grid every
     * marketing warehouse maintains: per customer, Recency (days from
     * last order to the corpus horizon), Frequency (order count) and

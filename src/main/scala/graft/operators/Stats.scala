@@ -693,6 +693,123 @@ object Stats {
           .as("boot_mean"))
   }
 
+  /** KAPLAN–MEIER SURVIVAL over time-to-first-purchase — the survival-
+    * analysis staple (churn curves, time-to-conversion, content
+    * half-life): each user contributes one duration from their first
+    * event to their first purchase (event) or to their last observed
+    * event (right-censored), bucketed to whole hours of integer micros
+    * arithmetic. `S(t) = Π_{u≤t} (1 − d_u/n_u)` with the risk set
+    * `n_t` = everyone whose duration ≥ t (ties: events and censorings
+    * at t both count at risk — the standard convention).
+    *
+    * Scale shape: the event log collapses to ONE row per user
+    * (map-side-combined min/max aggregate), then to one row per
+    * distinct duration-hour — a CALENDAR-bounded axis, not a
+    * data-bounded one — and the cumulative product folds over that
+    * bounded relation in a single ordered pass (the q_ewma typed-fold
+    * pattern), multiplying in ascending-time order so the recursive-CTE
+    * oracle reproduces the survival doubles BIT-identically.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    val perUser = raw
+      .select(col("user_id"), col("event_type"), micros.as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"),
+        max(col("us")).as("tlast"))
+    // exact floor division (subtract the pmod remainder first, so the
+    // double quotient is an exact integer on both engines)
+    def hourOf(c: Column): Column =
+      ((c - pmod(c, lit(3600000000L))) / lit(3600000000L)).cast("long")
+    val byTime = perUser
+      .select(
+        when(col("tp").isNotNull, hourOf(col("tp") - col("t0")))
+          .otherwise(hourOf(col("tlast") - col("t0"))).as("t"),
+        col("tp").isNotNull.as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)]
+    // single ordered fold over the |distinct hours| relation: risk set
+    // decrements by everyone leaving at each time; survival multiplies
+    // only at event times (×1.0 elsewhere is an IEEE identity)
+    byTime.groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val times = it.toIndexedSeq.sortBy(_._1)
+        var nRisk = times.map(_._3).sum
+        var s = 1.0
+        times.iterator.flatMap { case (t, d, c) =>
+          val atRisk = nRisk
+          nRisk -= c
+          if (d > 0) {
+            s = s * (1.0 - d.toDouble / atRisk.toDouble)
+            Iterator.single((t, atRisk, d, s))
+          } else Iterator.empty
+        }
+      }
+      .toDF("t_hours", "n_risk", "d_events", "survival")
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    * the standard pre-experiment covariate adjustment: with x = each
+    * user's pre-exposure engagement cents (non-purchase events) and
+    * y = their outcome cents (purchases),
+    * `y_cuped = y − θ·(x − x̄)` with the POOLED `θ = Cov(x,y)/Var(x)`
+    * shrinks arm variance by the squared correlation without biasing
+    * the arm difference. Everything reduces to per-arm sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) over exact integer cents —
+    * one user-level aggregate then a 2-row arm aggregate — so the
+    * adjusted means and variances are mirrored double arithmetic on
+    * exact DECIMAL sums, and the oracle matches without ever
+    * materializing a per-user adjusted column.
+    */
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perUser = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") =!= "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .select((pmod(col("user_id"), lit(2)) === 0).as("arm_a"),
+        col("x").cast(big).as("x"), col("y").cast(big).as("y"))
+    val armAgg = perUser.groupBy(col("arm_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val pooled = perUser.agg(count(lit(1)).as("pn"),
+      sum(col("x")).as("psx"), sum(col("y")).as("psy"),
+      sum(col("x") * col("y")).as("psxy"),
+      sum(col("x") * col("x")).as("psxx"))
+    def d(c: Column) = c.cast("double")
+    val joined = armAgg.crossJoin(broadcast(pooled))
+    val theta = (d(col("pn")) * d(col("psxy")) - d(col("psx")) * d(col("psy"))) /
+      (d(col("pn")) * d(col("psxx")) - d(col("psx")) * d(col("psx")))
+    val meanY = d(col("sy")) / d(col("n"))
+    val meanCuped = meanY - theta * (d(col("sx")) / d(col("n")) - d(col("psx")) / d(col("pn")))
+    val varY = (d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))) / (d(col("n")) - 1)
+    val covXY = (d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) / (d(col("n")) - 1)
+    val varX = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) / (d(col("n")) - 1)
+    val varCuped = varY - lit(2.0) * theta * covXY + theta * theta * varX
+    // guards mirror the ANSI contract: a constant pooled covariate has
+    // no θ; a single-user arm has no variance
+    val ok = (d(col("pn")) * d(col("psxx")) - d(col("psx")) * d(col("psx"))) > 0 &&
+      col("n") > 1
+    joined.select(
+      col("arm_a"), col("n"),
+      round(meanY / 100, 6).as("mean_y"),
+      round(when(ok, meanCuped / 100), 6).as("mean_y_cuped"),
+      round(when(ok, varY), 6).as("var_y"),
+      round(when(ok, varCuped), 6).as("var_y_cuped"),
+      round(when(ok && varY > 0, lit(1.0) - varCuped / varY), 6).as("var_reduction"))
+  }
+
   /** GINI COEFFICIENT of customer spend per nation — the inequality
     * screen (revenue concentration, data-contributor skew, token-budget
     * fairness all reduce to it). Formula on ranked values:

@@ -249,6 +249,19 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: peel reaches its fixpoint inside the round budget; members have core degree >= k") {
+    val spark = TestSpark.spark
+    val at6 = Analytics.kcore(spark, TestSpark.sf0001, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at6.nonEmpty, "3-core empty at sf0.001 — fixture too sparse to pin anything")
+    // fixpoint: one fewer round must already give the same residual graph
+    val at5 = Analytics.kcore(spark, TestSpark.sf0001, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at5 == at6, "peel had not converged by round 5 — raise the round budget")
+    // k-core defining property: every member keeps >= k neighbors IN the core
+    assert(at6.values.forall(_ >= 3), s"member below k: ${at6.filter(_._2 < 3)}")
+  }
+
   test("rfm: quintiles partition all customers into near-equal bands") {
     val spark = TestSpark.spark
     val df = Analytics.rfmSegments(spark, TestSpark.sf0001).collect()

@@ -457,6 +457,63 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("kaplan-meier: survival monotone from 1-d1/N, risk set conserves subjects") {
+    val rows = Stats.kaplanMeier(spark, sf).orderBy(col("t_hours")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    // the first risk set is everyone minus those who left strictly earlier
+    assert(rows.head._2 <= nUsers && rows.head._2 > 0)
+    // survival strictly decreases at event times, stays in (0, 1]
+    rows.sliding(2).foreach {
+      case Array((_, n1, _, s1), (t2, n2, _, s2)) =>
+        assert(s2 < s1, s"survival must drop at event time $t2")
+        assert(n2 < n1, s"risk set must shrink by time $t2")
+      case _ =>
+    }
+    assert(rows.forall { case (_, n, d, s) => s >= 0 && s <= 1 && d <= n })
+    // independent fold: replay the product from the (t, n, d) table itself
+    var expected = 1.0
+    rows.foreach { case (_, n, d, s) =>
+      expected = expected * (1.0 - d.toDouble / n.toDouble)
+      assert(java.lang.Double.doubleToLongBits(expected) ==
+        java.lang.Double.doubleToLongBits(s), s"fold diverges at n=$n d=$d")
+    }
+  }
+
+  test("cuped: sufficient-statistics means equal a per-user adjusted recompute") {
+    val out = Stats.cupedAdjustment(spark, sf).collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(true, false))
+    // rebuild y_cuped per user the direct way and compare arm means
+    val pu = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = pu.length
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(e => e._2 * e._3).sum
+    val sxx = pu.map(e => e._2 * e._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    for (armA <- Seq(true, false)) {
+      val arm = pu.filter(e => (e._1 % 2 == 0) == armA)
+      val adj = arm.map(e => e._3 - theta * (e._2 - xbar))
+      val meanAdj = adj.sum / arm.length / 100
+      val (nOut, _, meanCuped, varY, varCuped) = out(armA)
+      assert(nOut == arm.length)
+      assert(math.abs(meanCuped - meanAdj) < 1e-4, s"arm $armA: $meanCuped vs $meanAdj")
+      // the point of CUPED: adjusted variance must not exceed raw variance
+      assert(varCuped <= varY, s"arm $armA: CUPED increased variance")
+    }
+  }
+
   test("cohen kappa: engineered 3/4-copy annotators agree well above chance") {
     val r = graft.operators.Stats.cohenKappa(spark, sf).collect().head
     val (po, pe, k) = (r.getAs[Double]("p_observed"),
