@@ -384,7 +384,23 @@ object ScaleBench {
     "q_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapMeans(s, d)),
     "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
-    "q_binary_knn" -> ((s, d) => graft.operators.Quantization.binaryKnn(s, d)))
+    "q_binary_knn" -> ((s, d) => graft.operators.Quantization.binaryKnn(s, d)),
+    // round-10 analytics verbs over the replicated tables (gini/rfm/
+    // delta_join_view read orders+customer, which the replica set does
+    // not carry — their shapes are the proven broadcast-join + two-phase
+    // rank cores): position attribution is two user-keyed window stacks
+    // + a (user, journey) join — replicas add users, so partitions
+    // multiply and per-user state stays bounded; Kaplan–Meier collapses
+    // the log to one row per user then a CALENDAR-bounded time axis, so
+    // only the first aggregate rides the factor; CUPED is two user-keyed
+    // aggregates into 2-row sufficient stats; the graph pair rides the
+    // densifying co-order front like q_triangles (factor× orders over
+    // the same part catalog), k-core with a per-round localCheckpoint
+    "q_attribution_position" -> ((s, d) => Analytics.positionAttribution(s, d)),
+    "q_kaplan_meier" -> ((s, d) => Stats.kaplanMeier(s, d)),
+    "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
+    "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),
+    "q_kcore" -> ((s, d) => Analytics.kcore(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -205,6 +205,7 @@ object SparkEntry {
     "q_kaplan_meier" -> ((s, d) => Stats.kaplanMeier(s, d)),
     "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
     "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
+    "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -426,6 +427,36 @@ object SparkEntry {
        |$iters
        |SELECT v, COUNT(*) AS core_degree FROM (SELECT a AS v FROM e$rounds
        |  UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
+  }
+
+  // Holt coefficients inlined as shortest-round-trip double literals:
+  // the engine computes (1 − β) in DOUBLES, and 1 − double(0.3) is not
+  // the same double as decimal-listeral 0.7 cast to double — printing
+  // the Scala doubles and letting DuckDB parse them back guarantees the
+  // identical coefficient bits on both engines
+  private def holtSql(alpha: Double = 0.5, beta: Double = 0.3): String = {
+    val (a, a1, b, b1) = (alpha, 1 - alpha, beta, 1 - beta)
+    s"""WITH RECURSIVE o AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type, hr, n,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+       |  FROM o),
+       |r AS (
+       |  SELECT event_type, hr, n, rn,
+       |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, hr, n, rn, lvl,
+       |    $b * (lvl - plevel) + $b1 * ptrend
+       |  FROM (
+       |    SELECT s.event_type, s.hr, s.n, s.rn,
+       |      $a * CAST(s.n AS DOUBLE) + $a1 * (r.level + r.trend) AS lvl,
+       |      r.level AS plevel, r.trend AS ptrend
+       |    FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1))
+       |SELECT event_type, hr, n, level, trend, level + trend AS forecast_next
+       |FROM r""".stripMargin
   }
 
   // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
@@ -703,6 +734,9 @@ object SparkEntry {
     // k-core: the oracle unrolls the SAME bounded peel (KcoreRounds
     // iterations); the spec pins fixpoint-inside-budget at test scale
     "q_kcore" -> kcoreSql(),
+    // Holt linear trend: recursive CTE replays the two-state fold with
+    // the engine's exact coefficient doubles (see holtSql)
+    "q_holt_linear" -> holtSql(),
     // Gini of per-customer whole-dollar spend by nation: ranks by
     // (spend, custkey); Σ i·xᵢ is tie-block exact, one division, round 6
     "q_gini" ->

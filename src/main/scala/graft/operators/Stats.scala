@@ -619,6 +619,46 @@ object Stats {
     }.toDF("event_type", "hr", "n", "cusum_scaled", "alarm")
   }
 
+  /** HOLT LINEAR-TREND SMOOTHING — the forecasting verb next to
+    * [[cusumShifts]]'s alarm and [[seasonalProfile]]'s decomposition:
+    * double-exponential smoothing over each type's hourly count series,
+    * `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, initialized l₁=y₁, b₁=0,
+    * emitting the one-step-ahead forecast `l_t + b_t` per point. The
+    * fold is per-type sequential by nature (exactly the EWMA/CUSUM
+    * shape): the distributed work is the hourly aggregation, each
+    * type's calendar-bounded series folds in one task, and every step
+    * is mirrored double arithmetic on exact integer counts so the
+    * recursive-CTE oracle reproduces level/trend BIT-identically.
+    */
+  def holtLinear(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)]
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val sorted = it.toIndexedSeq.sortBy(_._2)
+      var level = 0.0
+      var trend = 0.0
+      var first = true
+      sorted.iterator.map { case (_, hr, n) =>
+        val y = n.toDouble
+        if (first) { first = false; level = y; trend = 0.0 }
+        else {
+          val prev = level
+          level = alpha * y + (1 - alpha) * (level + trend)
+          trend = beta * (level - prev) + (1 - beta) * trend
+        }
+        (t, hr, n, level, trend, level + trend)
+      }
+    }.toDF("event_type", "hr", "n", "level", "trend", "forecast_next")
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering staple
     * for high-cardinality categoricals (Micci-Barreca 2001): each
     * event's category is encoded as the mean target of OTHER rows in

@@ -514,6 +514,36 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt linear: engine fold equals an independent driver replay bit-for-bit") {
+    val rows = Stats.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, l, t, f) =>
+      assert(java.lang.Double.doubleToLongBits(f) ==
+        java.lang.Double.doubleToLongBits(l + t), "forecast must be level + trend")
+    }
+    rows.groupBy(_._1).foreach { case (tp, series) =>
+      val sorted = series.sortBy(_._2)
+      // (1 − β) computed in DOUBLES, exactly as the engine does — the
+      // 0.7 literal is not necessarily the same double
+      val (alpha, beta) = (0.5, 0.3)
+      var level = 0.0; var trend = 0.0; var first = true
+      sorted.foreach { case (_, hr, n, le, te, _) =>
+        if (first) { first = false; level = n.toDouble; trend = 0.0 }
+        else {
+          val prev = level
+          level = alpha * n.toDouble + (1 - alpha) * (level + trend)
+          trend = beta * (level - prev) + (1 - beta) * trend
+        }
+        assert(java.lang.Double.doubleToLongBits(level) ==
+          java.lang.Double.doubleToLongBits(le), s"$tp level diverges at hr=$hr")
+        assert(java.lang.Double.doubleToLongBits(trend) ==
+          java.lang.Double.doubleToLongBits(te), s"$tp trend diverges at hr=$hr")
+      }
+    }
+  }
+
   test("cohen kappa: engineered 3/4-copy annotators agree well above chance") {
     val r = graft.operators.Stats.cohenKappa(spark, sf).collect().head
     val (po, pe, k) = (r.getAs[Double]("p_observed"),
