@@ -187,6 +187,7 @@ object SparkEntry {
     "q_dsir_resample" -> (TextAnalysis.dsirResample(_, _)),
     // --- product analytics ------------------------------------------------
     "q_funnel" -> (Analytics.funnelConversion(_, _)),
+    "q_funnel_window" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowCounts(s, d)),
@@ -2628,6 +2629,24 @@ object SparkEntry {
         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
         |      JOIN c ON e.user_id = c.user_id
         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    // the 24h-bounded funnel: same stage ladder, each stage constrained
+    // to the conversion window after the previous stage
+    "q_funnel_window" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY e.user_id)
         |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |       LEFT JOIN c ON u.user_id = c.user_id

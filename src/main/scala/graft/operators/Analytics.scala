@@ -47,6 +47,33 @@ object Analytics {
       .join(purchase, Seq("user_id"), "left")
   }
 
+  /** TIME-BOUNDED funnel — [[funnelConversion]] with a conversion
+    * window: each stage only counts within `windowHours` of the
+    * previous stage (the form real funnel reporting uses — "purchased
+    * within 24h of clicking", not "ever"). Same one-scan-per-stage /
+    * user-keyed-join physics; the window bound is one more pushable
+    * predicate on each stage join.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val bound = expr(s"INTERVAL $windowHours HOURS")
+    val users = events.select(col("user_id")).distinct()
+    val view = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val click = events.filter(col("event_type") === "click")
+      .join(view, Seq("user_id"))
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + bound)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .join(click, Seq("user_id"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + bound)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(view, Seq("user_id"), "left")
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+  }
+
   /** Batch sessionization (gaps-and-islands): consecutive events of a
     * user belong to one session until a silence of `gapMinutes` splits
     * them; each session row carries its span and event count. The batch

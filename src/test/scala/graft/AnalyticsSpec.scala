@@ -249,6 +249,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed funnel: each stage is either NULL or exactly the unbounded stage time") {
+    // the min click after t_view, if any click falls inside the window,
+    // IS the global min (else every candidate is outside and the stage
+    // nulls) — so windowed stages never invent new timestamps
+    def ldt(r: org.apache.spark.sql.Row, i: Int) =
+      Option(r.getAs[java.time.LocalDateTime](i))
+    val unbounded = Analytics.funnelConversion(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> ((ldt(r, 1), ldt(r, 2), ldt(r, 3)))).toMap
+    val windowed = Analytics.funnelWindowed(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> ((ldt(r, 1), ldt(r, 2), ldt(r, 3)))).toMap
+    assert(windowed.keySet == unbounded.keySet)
+    var dropped = 0
+    windowed.foreach { case (uid, (wv, wc, wp)) =>
+      val (uv, uc, up) = unbounded(uid)
+      assert(wv == uv, s"user $uid: stage 1 has no window, must match")
+      assert(wc.forall(t => uc.contains(t)), s"user $uid: windowed click invented a time")
+      assert(wp.forall(t => up.contains(t)), s"user $uid: windowed purchase invented a time")
+      if (wc != uc || wp != up) dropped += 1
+    }
+    assert(dropped > 0, "window never binds at sf0.001 — fixture can't distinguish the verbs")
+  }
+
   test("kcore: peel reaches its fixpoint inside the round budget; members have core degree >= k") {
     val spark = TestSpark.spark
     val at6 = Analytics.kcore(spark, TestSpark.sf0001, rounds = 6).collect()
