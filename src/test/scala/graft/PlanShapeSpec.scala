@@ -43,7 +43,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_rrf", // 1-row bm25 stats + 1-row query vector
     "q_lm_score", // 1-row vocabulary count into the smoothing denominator
     "q_dsir_resample", // 1-row (nt, nr) totals into the smoothed bucket ratios
-    "q_retrieval_eval") // bounded broadcast query set × candidate pool (eval contract)
+    "q_retrieval_eval", // bounded broadcast query set × candidate pool (eval contract)
+    "q_rfm", // 1-row broadcast |customers| count into the quintile formula
+    "q_cuped") // 1-row broadcast pooled sufficient stats against the 2-row arms
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
