@@ -207,6 +207,7 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
     "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
     "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
+    "q_auc" -> ((s, d) => Stats.aucValuePurchase(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -738,6 +739,24 @@ object SparkEntry {
     // Holt linear trend: recursive CTE replays the two-state fold with
     // the engine's exact coefficient doubles (see holtSql)
     "q_holt_linear" -> holtSql(),
+    // AUC by rank-sum: midrank block algebra p·(2b+c+1) = 2·ΣR₁, three
+    // exact integers into one mirrored division
+    "q_auc" ->
+      """WITH v AS (
+        |  SELECT value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT s, SUM(pos) AS p, COUNT(*) AS c FROM v GROUP BY s),
+        |w AS (SELECT p, c,
+        |  COALESCE(SUM(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM h),
+        |t AS (SELECT SUM(p * (2 * b + c + 1)) AS r2, SUM(p) AS n1, SUM(c) AS n FROM w)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n0,
+        |  ROUND(CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+        |    (CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) END, 6) AS auc
+        |FROM t""".stripMargin,
     // Gini of per-customer whole-dollar spend by nation: ranks by
     // (spend, custkey); Σ i·xᵢ is tie-block exact, one division, round 6
     "q_gini" ->

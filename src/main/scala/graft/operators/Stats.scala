@@ -850,6 +850,52 @@ object Stats {
       round(when(ok && varY > 0, lit(1.0) - varCuped / varY), 6).as("var_reduction"))
   }
 
+  /** ROC AUC by the rank-sum identity — the threshold-free classifier
+    * metric, computed WITHOUT sweeping thresholds or sorting pairs:
+    * `AUC = U/(n₁·n₀)` with `U = R₁ − n₁(n₁+1)/2` and R₁ the MIDRANK
+    * sum of the positives (Mann–Whitney duality; midranks make ties
+    * count exactly ½, the standard ROC tie treatment). Here: does the
+    * event value rank purchases above non-purchases.
+    *
+    * Ranks never touch a global window: per-score (pos, total) counts
+    * feed the same two-phase sliced prefix sum as the spearman/gini
+    * ranks, a tied block contributes `p·(2b+c+1) = 2·Σ midranks` to
+    * 2R₁ exactly, and the whole statistic is three integers and ONE
+    * mirrored double division.
+    */
+  def aucValuePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val v = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("value").as("s"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val slices = 32
+    val hist = v.groupBy(col("s")).agg(sum(col("pos")).as("p"), count(lit(1)).as("c"))
+    val bounds = hist.agg(min(col("s")).as("vmin"), max(col("s")).as("vmax"))
+    val withPid = hist.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(floor((col("s") - col("vmin")) * slices / (col("vmax") - col("vmin"))),
+            lit(slices - 1))).cast("int"))
+    val bases = withPid.groupBy(col("pid")).agg(sum(col("c")).as("sc"))
+      .withColumn("base", coalesce(sum(col("sc")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    val blocks = withPid.join(broadcast(bases), Seq("pid"))
+      .withColumn("below", col("base") + coalesce(sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    def d(c: Column) = c.cast("double")
+    blocks.agg(
+        sum(col("p").cast(big) *
+          (lit(2L).cast(big) * col("below").cast(big) + col("c").cast(big) + 1)).as("r2"),
+        sum(col("p")).as("n1"), sum(col("c")).as("n"))
+      .select(col("n1"), (col("n") - col("n1")).as("n0"),
+        round(when(col("n1") > 0 && col("n") - col("n1") > 0,
+          (d(col("r2")) - d(col("n1")) * (d(col("n1")) + 1)) /
+            (lit(2.0) * d(col("n1")) * d(col("n") - col("n1")))), 6).as("auc"))
+  }
+
   /** GINI COEFFICIENT of customer spend per nation — the inequality
     * screen (revenue concentration, data-contributor skew, token-budget
     * fairness all reduce to it). Formula on ranked values:

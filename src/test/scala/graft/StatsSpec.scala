@@ -514,6 +514,25 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("auc: rank-sum identity equals direct pair counting with half-credit ties") {
+    val r = Stats.aucValuePurchase(spark, sf).collect().head
+    val (n1, n0, auc) = (r.getLong(0), r.getLong(1), r.getAs[Double]("auc"))
+    val rows = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("value"), (col("event_type") === "purchase")).collect()
+      .map(x => (x.getDouble(0), x.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    assert(n1 == pos.length && n0 == neg.length)
+    // O(n1·n0) only at test scale — the definitional recompute
+    var num = 0.0
+    for (p <- pos; q <- neg)
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val direct = num / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - direct) < 1e-6, s"rank-sum $auc vs pairs $direct")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("holt linear: engine fold equals an independent driver replay bit-for-bit") {
     val rows = Stats.holtLinear(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
