@@ -45,7 +45,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dsir_resample", // 1-row (nt, nr) totals into the smoothed bucket ratios
     "q_retrieval_eval", // bounded broadcast query set × candidate pool (eval contract)
     "q_rfm", // 1-row broadcast |customers| count into the quintile formula
-    "q_cuped") // 1-row broadcast pooled sufficient stats against the 2-row arms
+    "q_cuped", // 1-row broadcast pooled sufficient stats against the 2-row arms
+    "q_auc") // 1-row broadcast score bounds into the rank histogram slicing
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
