@@ -236,6 +236,7 @@ object SparkEntry {
     "q_psi_drift" -> ((s, d) => Drift.psiDrift(s, d)),
     "q_js_divergence" -> (Drift.jsDivergence(_, _)),
     "q_chi2" -> (Drift.chi2Independence(_, _)),
+    "q_cramers_v" -> (Drift.cramersV(_, _)),
     // --- spatial ----------------------------------------------------------
     "q_geo_join" -> ((s, d) => Geo.customersNearSuppliers(s, d)),
     // --- multimodal ------------------------------------------------------
@@ -3192,6 +3193,25 @@ object SparkEntry {
         |  FROM e)
         |SELECT n, n_lang, n_source, (n_lang - 1) * (n_source - 1) AS df,
         |  round(chi2s, 6) AS chi2 FROM m""".stripMargin,
+    // Cramér's V: the chi2 query's exact-contract statistic normalized
+    // to effect size — sqrt is correctly-rounded IEEE on both engines
+    "q_cramers_v" ->
+      """WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, COUNT(*) AS rl FROM documents GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS cl FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM documents),
+        |g AS (SELECT r.lang, c.source, r.rl, c.cl, t.n, COALESCE(obs.o, 0) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN t
+        |  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+        |e AS (SELECT *, CAST(rl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE) AS e FROM g),
+        |m AS (SELECT MAX(n) AS n, COUNT(DISTINCT lang) AS n_lang, COUNT(DISTINCT source) AS n_source,
+        |    round(CAST(SUM(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2
+        |  FROM e)
+        |SELECT n, n_lang, n_source, chi2,
+        |  round(CASE WHEN LEAST(n_lang - 1, n_source - 1) > 0 THEN
+        |    SQRT(chi2 / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(n_lang - 1, n_source - 1) AS DOUBLE))) END, 6) AS cramers_v
+        |FROM m""".stripMargin,
     // oracle brute-forces the cross product (trivial at verify scale);
     // the engine's grid equi-join must reproduce it exactly — integer
     // coordinates from the shared md5 arithmetic, integer distances

@@ -151,4 +151,20 @@ object Drift {
     dims.select(col("n"), col("n_lang"), col("n_source"),
       ((col("n_lang") - 1) * (col("n_source") - 1)).as("df"), col("chi2"))
   }
+
+  /** CRAMER'S V — the chi-square statistic normalized to an
+    * effect-size in [0,1] (`V = sqrt(chi2 / (n * min(r-1, c-1)))`),
+    * the association strength a drift dashboard actually thresholds on
+    * (chi2 itself grows with n, V does not). Pure composition on
+    * [[chi2Independence]]'s exact-contract output: sqrt is correctly
+    * rounded IEEE on both engines, so one more mirrored expression
+    * keeps the hash-match.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val k = least(col("n_lang") - 1, col("n_source") - 1).cast("double")
+    chi2Independence(spark, dir)
+      .select(col("n"), col("n_lang"), col("n_source"), col("chi2"),
+        round(when(k > 0, sqrt(col("chi2") / (col("n").cast("double") * k))), 6)
+          .as("cramers_v"))
+  }
 }

@@ -76,6 +76,16 @@ class DriftSpec extends AnyFunSuite {
       s"chi2 ${r.getDouble(4)} != recompute $expect")
   }
 
+  test("cramers v: normalizes its own chi2 into [0,1] by the closed form") {
+    val chi = Drift.chi2Independence(spark, sf).collect().head
+    val v = Drift.cramersV(spark, sf).collect().head
+    assert(v.getDouble(3) == chi.getDouble(4), "V must carry the same chi2")
+    val k = math.min(chi.getLong(1) - 1, chi.getLong(2) - 1).toDouble
+    val expect = math.sqrt(chi.getDouble(4) / (chi.getLong(0) * k))
+    assert(math.abs(v.getAs[Double]("cramers_v") - expect) < 1e-6)
+    assert(v.getAs[Double]("cramers_v") >= 0 && v.getAs[Double]("cramers_v") <= 1)
+  }
+
   test("ols: agrees with Spark's own covar/var/corr closed forms") {
     val fits = Stats.olsRegression(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
