@@ -37,7 +37,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_kmeans_assign", // 8 broadcast centroids × corpus — the knn_brute shape
     "q_semantic_decontam", // bounded broadcast eval set × corpus (decontaminate contract)
     "q_psi_drift", // 1-row broadcast time midpoint against the log
-    "q_js_divergence", "q_chi2", // 1-row totals / tiny marginals grid
+    "q_js_divergence", "q_chi2", "q_cramers_v", // 1-row totals / tiny marginals grid
     "q_key_skew", // 1-row corpus total against the per-key counts
     "q_ks_test", "q_mwu", // 1-row min/max bounds + 1-row arm totals
     "q_rrf", // 1-row bm25 stats + 1-row query vector
