@@ -208,6 +208,7 @@ object SparkEntry {
     "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
     "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
     "q_auc" -> ((s, d) => Stats.aucValuePurchase(s, d)),
+    "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -437,7 +438,7 @@ object SparkEntry {
   // the same double as decimal-listeral 0.7 cast to double — printing
   // the Scala doubles and letting DuckDB parse them back guarantees the
   // identical coefficient bits on both engines
-  private def holtSql(alpha: Double = 0.5, beta: Double = 0.3): String = {
+  private def holtCoreSql(alpha: Double = 0.5, beta: Double = 0.3): String = {
     val (a, a1, b, b1) = (alpha, 1 - alpha, beta, 1 - beta)
     s"""WITH RECURSIVE o AS (
        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
@@ -457,10 +458,12 @@ object SparkEntry {
        |    SELECT s.event_type, s.hr, s.n, s.rn,
        |      $a * CAST(s.n AS DOUBLE) + $a1 * (r.level + r.trend) AS lvl,
        |      r.level AS plevel, r.trend AS ptrend
-       |    FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1))
-       |SELECT event_type, hr, n, level, trend, level + trend AS forecast_next
-       |FROM r""".stripMargin
+       |    FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1))""".stripMargin
   }
+
+  private def holtSql(alpha: Double = 0.5, beta: Double = 0.3): String =
+    holtCoreSql(alpha, beta) +
+      "\nSELECT event_type, hr, n, level, trend, level + trend AS forecast_next\nFROM r"
 
   // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
   // q_jaccard_prefix (AllPairs prefix filter) must return the same rows
@@ -740,6 +743,18 @@ object SparkEntry {
     // Holt linear trend: recursive CTE replays the two-state fold with
     // the engine's exact coefficient doubles (see holtSql)
     "q_holt_linear" -> holtSql(),
+    // Holt backtest: LAG of the bit-exact forecasts, per-point APE,
+    // round-9→decimal-sum→round-6 MAPE — fully mirrored
+    "q_holt_backtest" -> (holtCoreSql() +
+      """,
+        |b AS (
+        |  SELECT event_type, hr, n,
+        |    LAG(level + trend) OVER (PARTITION BY event_type ORDER BY hr) AS f_prev
+        |  FROM r)
+        |SELECT event_type, COUNT(*) AS n_points,
+        |  round(CAST(SUM(CAST(round(ABS(CAST(n AS DOUBLE) - f_prev)
+        |    / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS mape
+        |FROM b WHERE f_prev IS NOT NULL GROUP BY 1""".stripMargin),
     // AUC by rank-sum: midrank block algebra p·(2b+c+1) = 2·ΣR₁, three
     // exact integers into one mirrored division
     "q_auc" ->

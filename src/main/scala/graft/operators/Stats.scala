@@ -659,6 +659,29 @@ object Stats {
     }.toDF("event_type", "hr", "n", "level", "trend", "forecast_next")
   }
 
+  /** HOLT BACKTEST — the forecast-accuracy readout on [[holtLinear]]:
+    * each point's actual count scored against the PREVIOUS point's
+    * one-step-ahead forecast, rolled up to per-type MAPE. Because the
+    * Holt doubles are bit-exact on both engines, the per-point APEs
+    * are too; the MAPE total uses the house round-9 → DECIMAL-sum →
+    * round-6 contract so summation order cannot change the bits.
+    * Counts are ≥ 1 by construction, so the denominator needs no
+    * guard.
+    */
+  def holtBacktest(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    holtLinear(spark, dir, alpha, beta)
+      .withColumn("f_prev", lag(col("forecast_next"), 1).over(w))
+      .filter(col("f_prev").isNotNull)
+      .withColumn("ape",
+        abs(col("n").cast("double") - col("f_prev")) / col("n").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(round(col("ape"), 9).cast(DecimalType(38, 9))).cast("double") /
+          count(lit(1)), 6).as("mape"))
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering staple
     * for high-cardinality categoricals (Micci-Barreca 2001): each
     * event's category is encoded as the mean target of OTHER rows in

@@ -533,6 +533,26 @@ class StatsSpec extends AnyFunSuite {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("holt backtest: MAPE recomputes from the forecast table itself") {
+    val fc = Stats.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    val expect = fc.groupBy(_._1).map { case (tp, series) =>
+      val s = series.sortBy(_._2)
+      val apes = s.zip(s.tail).map { case ((_, _, _, f), (_, _, n2, _)) =>
+        BigDecimal(math.abs(n2.toDouble - f) / n2.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      tp -> ((apes.length.toLong, (apes.sum / apes.length).toDouble))
+    }
+    val out = Stats.holtBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getAs[Double]("mape")))).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (tp, (n, m)) =>
+      assert(out(tp)._1 == n, s"$tp point count")
+      assert(math.abs(out(tp)._2 - m) < 1e-6, s"$tp mape ${out(tp)._2} vs $m")
+      assert(out(tp)._2 >= 0, s"$tp negative mape")
+    }
+  }
+
   test("holt linear: engine fold equals an independent driver replay bit-for-bit") {
     val rows = Stats.holtLinear(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
