@@ -400,7 +400,17 @@ object ScaleBench {
     "q_kaplan_meier" -> ((s, d) => Stats.kaplanMeier(s, d)),
     "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
     "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),
-    "q_kcore" -> ((s, d) => Analytics.kcore(s, d)))
+    "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
+    // the closing session-4 verbs: Holt (and its backtest) fold over
+    // the CALENDAR-bounded per-type hourly axis — replicas add users,
+    // not hours, so only the first aggregate rides the factor; AUC is
+    // the |distinct scores| histogram through the sliced prefix sum;
+    // the windowed funnel is the q_funnel join ladder plus one pushed
+    // predicate per stage
+    "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
+    "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
+    "q_auc" -> ((s, d) => Stats.aucValuePurchase(s, d)),
+    "q_funnel_window" -> ((s, d) => Analytics.funnelWindowed(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
