@@ -385,9 +385,9 @@ object ScaleBench {
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapMeans(s, d)),
     "q_unigram_train" -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
     "q_binary_knn" -> ((s, d) => graft.operators.Quantization.binaryKnn(s, d)),
-    // round-10 analytics verbs over the replicated tables (gini/rfm/
-    // delta_join_view read orders+customer, which the replica set does
-    // not carry — their shapes are the proven broadcast-join + two-phase
+    // round-10 analytics verbs over the replicated tables (rfm reads
+    // orders only; gini/delta_join_view read orders+customer — none of
+    // which the replica set carries — their shapes are the proven broadcast-join + two-phase
     // rank cores): position attribution is two user-keyed window stacks
     // + a (user, journey) join — replicas add users, so partitions
     // multiply and per-user state stays bounded; Kaplan–Meier collapses
@@ -397,6 +397,10 @@ object ScaleBench {
     // densifying co-order front like q_triangles (factor× orders over
     // the same part catalog), k-core with a per-round localCheckpoint
     "q_attribution_position" -> ((s, d) => Analytics.positionAttribution(s, d)),
+    // LOO target encode after the r10-verdict fix: groupBy to a
+    // handful of category rows + broadcast join back — the scan term
+    // rides the factor, the join adds no shuffle of the log
+    "q_target_encode" -> ((s, d) => Stats.targetEncode(s, d)),
     "q_kaplan_meier" -> ((s, d) => Stats.kaplanMeier(s, d)),
     "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
     "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),

@@ -578,7 +578,12 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     // U-shaped multi-touch attribution in exact money arithmetic:
     // integer floor shares, remainder cents to the first touch — every
-    // journey's credits sum to exactly its cents on both engines
+    // journey's credits sum to exactly its cents on both engines.
+    // FLOOR semantics mirrored explicitly: the engine uses pmod-based
+    // floor division/remainder, and DuckDB's `//` and `%` TRUNCATE, so
+    // every division here subtracts a `((x % d) + d) % d` pmod first —
+    // the quotient operand becomes exactly divisible, where truncation
+    // and floor agree for either sign of cents (refund rows included)
     "q_attribution_position" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type, value,
@@ -596,16 +601,19 @@ object SparkEntry {
         |  FROM e WHERE event_type <> 'purchase'),
         |j AS (
         |  SELECT p.cents, t.event_type, t.pos, t.k,
-        |    (p.cents * 2) // 5 AS f40, p.cents // 2 AS half
+        |    (p.cents * 2 - ((p.cents * 2 % 5) + 5) % 5) // 5 AS f40,
+        |    (p.cents - ((p.cents % 2) + 2) % 2) // 2 AS half
         |  FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.journey = t.journey)
         |SELECT COALESCE(event_type, 'direct') AS channel,
         |  CAST(SUM(CASE
         |    WHEN k IS NULL OR k = 1 THEN cents
         |    WHEN k = 2 AND pos = 1 THEN cents - half
         |    WHEN k = 2 THEN half
-        |    WHEN pos = 1 THEN f40 + (cents - f40 * 2) % (k - 2)
+        |    WHEN pos = 1 THEN f40
+        |      + (((cents - f40 * 2) % (k - 2)) + (k - 2)) % (k - 2)
         |    WHEN pos = k THEN f40
-        |    ELSE (cents - f40 * 2) // (k - 2)
+        |    ELSE ((cents - f40 * 2)
+        |      - ((((cents - f40 * 2) % (k - 2)) + (k - 2)) % (k - 2))) // (k - 2)
         |  END) AS BIGINT) AS credit_cents,
         |  COUNT(*) AS n_credits
         |FROM j GROUP BY 1""".stripMargin,
@@ -691,7 +699,10 @@ object SparkEntry {
         |  CAST(d AS BIGINT) AS d_events, surv AS survival
         |FROM r WHERE d > 0""".stripMargin,
     // CUPED: every statistic from per-arm exact-cents sufficient sums;
-    // the double arithmetic mirrors the engine expression-for-expression
+    // the double arithmetic mirrors the engine expression-for-expression.
+    // Product sums widen to HUGEINT to mirror the engine's
+    // DECIMAL(38,0) widening — int64 per-user cents products would
+    // otherwise overflow the oracle while the engine succeeds
     "q_cuped" ->
       """WITH pu AS (
         |  SELECT user_id,
@@ -702,12 +713,15 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
         |arm AS (
         |  SELECT (user_id % 2 = 0) AS arm_a, COUNT(*) AS n,
-        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM pu GROUP BY 1),
         |pool AS (
         |  SELECT COUNT(*) AS pn, SUM(x) AS psx, SUM(y) AS psy,
-        |    SUM(x*y) AS psxy, SUM(x*x) AS psxx FROM pu),
+        |    SUM(CAST(x AS HUGEINT) * y) AS psxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS psxx FROM pu),
         |w AS (
         |  SELECT arm_a, n,
         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,

@@ -687,18 +687,21 @@ object Stats {
     * event's category is encoded as the mean target of OTHER rows in
     * the same category, `(sum_cat − own) / (n_cat − 1)` — excluding the
     * row itself is what prevents target leakage into training features.
-    * One window pass per category partition (sum + count, O(1) state);
-    * arithmetic is exact integer cents with ONE division per row, so
+    * Per-category sum/count come from a map-side-combined `groupBy`
+    * (a handful of rows) BROADCAST back onto the log — never a
+    * `Window.partitionBy(event_type)` over the full table, which at
+    * scale funnels each category's entire log through one task.
+    * Arithmetic is exact integer cents with ONE division per row, so
     * the gate hash-matches. Singleton categories yield NULL (no other
     * rows to borrow a mean from — imputation is a downstream policy).
     */
   def targetEncode(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-    Tables(spark, dir, "events")
+    val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100d).cast("long").as("cents"))
-      .withColumn("cat_sum", sum(col("cents")).over(w))
-      .withColumn("cat_n", count(lit(1)).over(w))
+    val catStats = ev.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("cat_sum"), count(lit(1)).as("cat_n"))
+    ev.join(broadcast(catStats), Seq("event_type"))
       .select(col("event_id"), col("event_type"),
         round(when(col("cat_n") > 1,
           (col("cat_sum") - col("cents")).cast("double")

@@ -57,4 +57,17 @@ class PlanShapeSpec extends AnyFunSuite {
           s"$name plans an unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  test("q_target_encode plans no Window over the events log") {
+    // per-category sum/count must come from groupBy + broadcast join
+    // back — a Window.partitionBy(event_type) over the full log funnels
+    // each category's entire partition through one task at scale
+    val qe = SparkEntry.queries("q_target_encode")(TestSpark.spark, TestSpark.sf0001)
+      .queryExecution
+    assert(!qe.sparkPlan.toString.contains("Window"),
+      "q_target_encode must not plan a Window over the events relation")
+    assert(qe.sparkPlan.toString.contains("BroadcastHashJoin") ||
+      qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "q_target_encode should broadcast the per-category stats back onto the log")
+  }
 }
