@@ -271,6 +271,8 @@ object SparkEntry {
     "q_vacuum" -> (graft.sources.VersionedTable.vacuumSummary(_, _)),
     "q_wap" -> (graft.sources.VersionedTable.wapSummary(_, _)),
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
+    "q_sql_cdc" -> (SqlDml.sqlCdc(_, _)),
+    "q_sql_cdc_mor" -> (SqlDml.sqlCdcMor(_, _)),
     "q_sql_merge_source" -> (SqlDml.sqlMergeSource(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
@@ -2105,6 +2107,30 @@ object SparkEntry {
         |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
         |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // SQL CDC, net-classified: the MERGE's exact row-level churn —
+    // updates carry both images' digests, unchanged rows the COW
+    // rewrite merely moved between files appear in NEITHER list
+    "q_sql_cdc" ->
+      """WITH upd AS (SELECT doc_id, 'update' AS op, md5(text) AS old_digest,
+        |    md5(upper(text) || ' M') AS new_digest
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |del AS (SELECT doc_id, 'delete' AS op, md5(text) AS old_digest,
+        |    CAST(NULL AS VARCHAR) AS new_digest
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, 'insert' AS op,
+        |    CAST(NULL AS VARCHAR) AS old_digest, md5(text) AS new_digest
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins""".stripMargin,
+    // MOR CDC: the tombstone mechanism yields exact delete/insert row
+    // pairs for every updated key — old image from the carried base
+    // file, new image from the delta file
+    "q_sql_cdc_mor" ->
+      """SELECT doc_id, 'delete' AS _change_type, source, md5(text) AS digest
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, 'insert' AS _change_type, 'updated' AS source,
+        |  md5(upper(text)) AS digest
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // full-sync MERGE: after the statement the table IS the source
     "q_sql_merge_source" ->
       """WITH src AS (

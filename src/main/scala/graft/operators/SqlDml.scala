@@ -250,6 +250,72 @@ object SqlDml {
         |FROM graft_vt.mor_merge""".stripMargin)
   }
 
+  /** ROW-LEVEL CDC THROUGH SQL — the incremental-consumer query every
+    * Delta/Iceberg user runs first: commit a MERGE (all three arms)
+    * as version 2, then read `graft_vt.t.changes VERSION AS OF 2`
+    * ([[graft.sources.GraftVtChangesTable]]) and NET-CLASSIFY the raw
+    * file-diff feed into insert / delete / update by joining the two
+    * sides on the table key and dropping unchanged pairs (the rows the
+    * copy-on-write rewrite merely moved between files). The raw feed's
+    * scan reads ONLY the commit's changed files; the classification
+    * join is over change rows, never table rows — at 100 TB the cost
+    * is the commit's churn, not the table.
+    */
+  def sqlCdc(spark: SparkSession, dir: String): DataFrame = {
+    ensureDocsTable(spark, dir, "dml_cdc")
+    val base = docsBase(spark, dir)
+    base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
+        lit("recrawl").as("source"), lit("upsert").as("op"))
+      .unionByName(base.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"), lit("delete").as("op")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit("inserted").as("source"), lit("upsert").as("op")))
+      .createOrReplaceTempView("graft_cdc_updates")
+    spark.sql(
+      """MERGE INTO graft_vt.dml_cdc t
+        |USING graft_cdc_updates s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+        |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+        |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+    spark.sql(
+      """WITH raw AS (
+        |  SELECT doc_id, md5(CAST(text AS BINARY)) AS digest, _change_type
+        |  FROM graft_vt.dml_cdc.changes VERSION AS OF 2),
+        |o AS (SELECT doc_id, digest FROM raw WHERE _change_type = 'delete'),
+        |n AS (SELECT doc_id, digest FROM raw WHERE _change_type = 'insert')
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |       WHEN n.doc_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  o.digest AS old_digest, n.digest AS new_digest
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.digest <> n.digest""".stripMargin)
+  }
+
+  /** CDC on a MERGE-ON-READ table: an `UPDATE` commits replacement
+    * rows plus key tombstones; `changes VERSION AS OF 2` surfaces the
+    * delete half by scanning the CARRIED files once, filtered to rows
+    * a newly-advanced tombstone suppresses (visible at v1, gone at v2)
+    * — the old images come from the untouched base files, the new
+    * images from the delta file. No classification join is needed here:
+    * the tombstone mechanism already yields exact row-level pairs.
+    */
+  def sqlCdcMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureMorTable(spark, dir, "mor_cdc")
+    spark.sql(
+      """UPDATE graft_vt.mor_cdc
+        |SET text = upper(text), source = 'updated'
+        |WHERE doc_id % 5 = 0""".stripMargin)
+    spark.sql(
+      """SELECT doc_id, _change_type, source,
+        |  md5(CAST(text AS BINARY)) AS digest
+        |FROM graft_vt.mor_cdc.changes VERSION AS OF 2""".stripMargin)
+  }
+
   /** METADATA-ONLY DELETE through the parser: the table is clustered
     * into two provably-disjoint key-range files, so
     * `DELETE WHERE doc_id >= 100` resolves entirely from zone maps —

@@ -145,7 +145,8 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     */
   private def rootFor(ident: Identifier): String = {
     val base = ident.namespace() match {
-      case Array(b) if GraftVtMetaTable.kinds(ident.name()) => b
+      case Array(b) if GraftVtMetaTable.kinds(ident.name()) ||
+        ident.name() == "changes" => b
       case _ => ident.name()
     }
     GraftVtCatalog.registry.get(base) match {
@@ -162,6 +163,13 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
           GraftVtCatalog.registry.contains(base) =>
         new GraftVtMetaTable(base, GraftVtCatalog.registry(base)._1,
           ident.name(), version)
+      // row-level CDC face: `graft_vt.<table>.changes [VERSION AS OF v]`
+      // — the changes committed BY version v (default: the latest), as
+      // insert/delete rows from the commit's file diff / new tombstones
+      case Array(base) if ident.name() == "changes" &&
+          GraftVtCatalog.registry.contains(base) =>
+        new GraftVtChangesTable(base, GraftVtCatalog.registry(base)._1,
+          GraftVtCatalog.registry(base)._2, version)
       // branch face: `graft_vt.<table>.branch_<name>` — reads the
       // branch head, INSERTs commit onto the branch line
       case Array(base) if ident.name().startsWith("branch_") &&
