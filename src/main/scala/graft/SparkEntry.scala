@@ -281,6 +281,7 @@ object SparkEntry {
     "q_sql_update_mor" -> (SqlDml.sqlUpdateMor(_, _)),
     "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
     "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
+    "q_sql_alter_widen" -> (SqlDml.sqlAlterWiden(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
     "q_sql_expire" -> (SqlDml.sqlExpire(_, _)),
@@ -2177,6 +2178,19 @@ object SparkEntry {
     "q_sql_alter_evolve" ->
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents""".stripMargin,
+    // widening ladder: gen-1 int32 files up-cast on read, gen-2 rows
+    // exceed int range — the aggregate spans both generations
+    "q_sql_alter_widen" ->
+      """WITH u AS (
+        |  SELECT source, LENGTH(text) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'wide' AS source, LENGTH(text) + 3000000000 AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM u GROUP BY source""".stripMargin,
     // merge-on-read twins of the COW verbs: identical statements and
     // logical results, delta+tombstone physical contract
     "q_sql_delete_mor" ->

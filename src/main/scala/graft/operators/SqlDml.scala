@@ -363,6 +363,37 @@ object SqlDml {
       "SELECT doc_id, source, n_chars FROM graft_vt.dml_evolve")
   }
 
+  /** `ALTER COLUMN … TYPE` WIDENING (VERDICT r10 #3) — the first
+    * evolution a growing fact table actually needs: the int column
+    * overflows, the fix must not rewrite 100 TB. The ladder: CTAS with
+    * an INT measure → widen to BIGINT (METADATA-ONLY — no file
+    * rewritten, pinned in SchemaEvolutionSpec) → insert rows whose
+    * values exceed int range (impossible before the widen under ANSI)
+    * → aggregate across BOTH generations, old int32 files up-cast on
+    * read by Spark's parquet type promotion. DROP+CREATE prefix makes
+    * the ladder idempotent across bench reps.
+    */
+  def sqlAlterWiden(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_widen_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.widen_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.widen_docs AS
+        |SELECT CAST(doc_id AS INT) AS doc_id,
+        |  CAST(length(text) AS INT) AS n_chars, source
+        |FROM graft_widen_src WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft_vt.widen_docs ALTER COLUMN n_chars TYPE BIGINT")
+    spark.sql(
+      """INSERT INTO graft_vt.widen_docs
+        |SELECT CAST(doc_id + 1000000 AS INT),
+        |  CAST(length(text) AS BIGINT) + 3000000000, 'wide'
+        |FROM graft_widen_src WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT source, COUNT(*) AS n,
+        |  SUM(n_chars) AS total_chars, MAX(n_chars) AS max_chars
+        |FROM graft_vt.widen_docs GROUP BY source""".stripMargin)
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

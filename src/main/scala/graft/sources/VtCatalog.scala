@@ -365,9 +365,55 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
         mapping = mapping.copy(l2p = mapping.l2p - from,
           retired = mapping.retired + phys)
         StructType(s.fields.filterNot(_.name == from))
+      // `ALTER COLUMN … TYPE` — WIDENING ONLY, metadata-only: the
+      // logical schema changes, no file is rewritten. Old files keep
+      // their narrow physical type and UP-CAST on read (Spark's parquet
+      // readers promote int32→int64, float→double, and decimal
+      // precision natively); new writes land wide. Narrowing or any
+      // lossy change is refused loudly — it would corrupt old rows.
+      case (s, ut: TableChange.UpdateColumnType) =>
+        require(ut.fieldNames().length == 1,
+          "nested column type changes not supported")
+        val colName = ut.fieldNames().head
+        require(s.fieldNames.contains(colName), s"no such column: $colName")
+        val oldT = s(colName).dataType
+        val newT = ut.newDataType()
+        def widens(a: org.apache.spark.sql.types.DataType,
+            b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+          case (x, y) if x == y => true // idempotent re-runs are no-ops
+          case (org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
+          case (d1: org.apache.spark.sql.types.DecimalType,
+            d2: org.apache.spark.sql.types.DecimalType) =>
+            d2.scale == d1.scale && d2.precision >= d1.precision
+          case _ => false
+        }
+        require(widens(oldT, newT),
+          s"ALTER COLUMN $colName TYPE ${newT.simpleString}: only lossless " +
+            s"WIDENING from ${oldT.simpleString} is supported (integral " +
+            "up-casts, float→double, decimal precision growth at equal " +
+            "scale) — anything else would corrupt rows in existing files")
+        // the bucket hash is type-sensitive: widening the bucket key
+        // would route identical keys to different buckets across
+        // generations, silently breaking the zero-exchange join layout
+        require(!GraftVtCatalog.bucketSpecs.get(name).exists(_._1 == colName),
+          s"widening the bucket key $colName would re-route rows across " +
+            "buckets; rebucket the table instead")
+        StructType(s.fields.map(f =>
+          if (f.name == colName) f.copy(dataType = newT) else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"unsupported table change: $other (ADD / RENAME / DROP COLUMN only)")
+          s"unsupported table change: $other (ADD / RENAME / DROP COLUMN " +
+            "/ ALTER COLUMN TYPE only)")
     }
     // a schema change must not orphan the CHECK constraint: a rename or
     // drop of a referenced column would make every later write fail at

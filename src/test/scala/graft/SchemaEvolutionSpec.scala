@@ -122,4 +122,58 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("ALTER COLUMN TYPE widening is metadata-only; old int32 files up-cast on read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_widen").toString
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("int").as("doc_id"),
+        org.apache.spark.sql.functions.length(col("text")).cast("int").as("n_chars"))
+    base.write.mode("overwrite").parquet(s"$root/files/base_v1")
+    VersionedTable.writeManifest(root, 1, Seq("files/base_v1"))
+    GraftVtCatalog.register(spark, "evo_widen", root, base.schema)
+    val before = fileState(root)
+    spark.sql("ALTER TABLE graft_vt.evo_widen ALTER COLUMN n_chars TYPE BIGINT")
+    assert(fileState(root) === before, "widening must rewrite no file")
+    val sch = spark.table("graft_vt.evo_widen").schema
+    assert(sch("n_chars").dataType === org.apache.spark.sql.types.LongType)
+    // the old int32 file reads through the widened schema: values intact
+    val expect = base.agg(org.apache.spark.sql.functions.sum(col("n_chars").cast("long")))
+      .collect().head.getLong(0)
+    val got = spark.sql("SELECT SUM(n_chars) FROM graft_vt.evo_widen")
+      .collect().head.getLong(0)
+    assert(got === expect)
+    // re-running the same widen is a no-op, not an error
+    spark.sql("ALTER TABLE graft_vt.evo_widen ALTER COLUMN n_chars TYPE BIGINT")
+  }
+
+  test("narrowing and lossy type changes are refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_narrow").toString
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.write.mode("overwrite").parquet(s"$root/files/base_v1")
+    VersionedTable.writeManifest(root, 1, Seq("files/base_v1"))
+    GraftVtCatalog.register(spark, "evo_narrow", root, base.schema)
+    // long→int and string→bigint both die at ANALYSIS (Spark's
+    // canUpCast gate) — the catalog guard behind it is defense-in-depth
+    // for up-castable-but-unsupported promotions (e.g. int→decimal)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_vt.evo_narrow ALTER COLUMN doc_id TYPE INT")
+    }: Unit
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_vt.evo_narrow ALTER COLUMN text TYPE BIGINT")
+    }: Unit
+    // int→decimal passes Spark's canUpCast but the parquet promotion
+    // contract here is integral/float/decimal-precision only — the
+    // catalog refuses it with the WIDENING message
+    val base2 = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("int").as("doc_id"), col("text"))
+    val root2 = java.nio.file.Files.createTempDirectory("graft_evo_narrow2").toString
+    base2.write.mode("overwrite").parquet(s"$root2/files/base_v1")
+    VersionedTable.writeManifest(root2, 1, Seq("files/base_v1"))
+    GraftVtCatalog.register(spark, "evo_narrow2", root2, base2.schema)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_vt.evo_narrow2 ALTER COLUMN doc_id TYPE DECIMAL(12,0)")
+    }
+    assert(e.getMessage.contains("WIDENING"))
+  }
 }
