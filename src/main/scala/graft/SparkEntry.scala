@@ -78,6 +78,7 @@ object SparkEntry {
     "q_sql_script" -> (Relational.sqlScripting(_, _)),
     "q_sql_exec_immediate" -> (Relational.sqlExecuteImmediate(_, _)),
     "q_cbo_multijoin" -> (Cbo.cboMarketShare(_, _)),
+    "q_cbo_native" -> (Cbo.cboNativeVt(_, _)),
     "q_sql_scalar" -> (Relational.sqlScalarAvgQuantity(_, _)),
     "q_sql_in" -> (Relational.sqlInLargeOrders(_, _)),
     "q_sql_window" -> (Relational.sqlWindowTopOrders(_, _)),
@@ -1083,6 +1084,15 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE p_type = 'STANDARD'
          |GROUP BY year(o_orderdate)""".stripMargin,
+    // catalog-native CBO: graft_vt sidecar stats drive the planner —
+    // the oracle is the same logical query over the raw tables
+    "q_cbo_native" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // Correlated EXISTS (TPC-H Q4 shape) — both engines decorrelate to a
     // semi join; the result is what the compare checks.
     "q_sql_exists" ->

@@ -1615,15 +1615,59 @@ class ZoneMapRuntimeScan(tableName: String, root: String, tableSchema: StructTyp
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String =
     s"GraftZoneMapScan(files=${currentFiles.size}) " + inner.description()
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+
+  /** NATIVE CBO STATISTICS (VERDICT r10 #4): row counts from parquet
+    * footers (memoized driver metadata — the same cost class as scan
+    * planning) and per-column min/max/NDV from the zone-map sidecars,
+    * surfaced through the DSv2 stats API so `DataSourceV2Relation
+    * .transformV2Stats` hands the optimizer real `rowCount` +
+    * `attributeStats` WITHOUT any external ANALYZE table: join reorder
+    * and build-side choice work on `graft_vt` tables natively. The NDV
+    * is the span estimate `min(rows, max−min+1)` — exact for the dense
+    * surrogate keys zone maps are built on, an upper bound otherwise
+    * (CBO treats NDV as an estimate by contract). Stats reflect the
+    * CURRENT (runtime-pruned) file list.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = currentFiles
+    val rows = files.map(f => GraftVtMetaTable.footerRows(s"$root/$f")).sum
+    val bytes = files.map(f => new java.io.File(s"$root/$f").length()).sum
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    statsByCol.foreach { case (c, perFile) =>
+      val present = files.flatMap(perFile.get).filter { case (lo, hi) => lo <= hi }
+      // min/max must be CATALYST-INTERNAL values of the column's own
+      // type (the sidecar stores widened longs)
+      val box: Option[Long => Object] = tableSchema.fields.find(_.name == c)
+        .map(_.dataType).collect {
+          case org.apache.spark.sql.types.LongType => (v: Long) => Long.box(v)
+          case org.apache.spark.sql.types.IntegerType => (v: Long) => Int.box(v.toInt)
+          case org.apache.spark.sql.types.ShortType => (v: Long) => Short.box(v.toShort)
+        }
+      if (present.nonEmpty && files.forall(perFile.contains) && box.isDefined) {
+        val lo = present.map(_._1).min
+        val hi = present.map(_._2).max
+        val ndv = math.min(rows, hi - lo + 1).max(0L)
+        colStats.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(box.get(lo))
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(box.get(hi))
+          })
       }
     }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+    }
+  }
 }
 
 object ZoneMapRuntimeScan {

@@ -88,7 +88,7 @@ object GraftVtMetaTable {
   private val footerCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
-  private def footerRows(absPath: String): Long = {
+  private[sources] def footerRows(absPath: String): Long = {
     val f = new java.io.File(absPath)
     footerCache.getOrElseUpdate((absPath, f.lastModified(), f.length()), {
       val conf = SparkSession.active.sessionState.newHadoopConf()

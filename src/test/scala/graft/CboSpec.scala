@@ -45,4 +45,46 @@ class CboSpec extends AnyFunSuite {
     val b = Cbo.heuristicMarketShare(spark, dir).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("graft_vt zoned scans report native rowCount + column stats, no ANALYZE") {
+    Cbo.ensureVtStats(spark, dir)
+    val df = spark.table("graft_vt.lineitem_vt")
+    val stats = df.queryExecution.optimizedPlan.stats
+    val expected = graft.sources.Tables(spark, dir, "lineitem").count()
+    assert(stats.rowCount.exists(_.toLong == expected),
+      s"native rowCount must equal the exact footer sum, got ${stats.rowCount}")
+    val keyStats = stats.attributeStats.find(_._1.name == "l_orderkey")
+      .map(_._2).getOrElse(fail("zone column must carry attribute stats"))
+    assert(keyStats.distinctCount.exists(_.toLong > 0))
+    assert(keyStats.min.isDefined && keyStats.max.isDefined,
+      "sidecar min/max must surface as catalyst column stats")
+  }
+
+  test("native stats drive the build-side choice: small vt dim broadcasts unhinted") {
+    Cbo.ensureVtStats(spark, dir)
+    val plan = graft.operators.Cbo.cboNativeVt(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the customer_vt side must broadcast from reported sizes; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("native-stats plan and raw-parquet plan agree on results") {
+    val a = graft.operators.Cbo.cboNativeVt(spark, dir)
+      .collect().map(_.toString).sorted
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+    val o = graft.sources.Tables(spark, dir, "orders")
+    val c = graft.sources.Tables(spark, dir, "customer")
+    li.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(c, org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .createOrReplaceTempView("cbo_native_check")
+    val b = spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM cbo_native_check GROUP BY c_mktsegment""".stripMargin)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
