@@ -283,6 +283,7 @@ object SparkEntry {
     "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
     "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
     "q_sql_alter_widen" -> (SqlDml.sqlAlterWiden(_, _)),
+    "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
     "q_sql_expire" -> (SqlDml.sqlExpire(_, _)),
@@ -2201,6 +2202,27 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM u GROUP BY source""".stripMargin,
+    // MERGE WITH SCHEMA EVOLUTION: the source's lang column grows the
+    // target schema; untouched old rows null-backfill it on read
+    "q_sql_merge_evolve" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'evolved' AS source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'en'
+        |         WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang,
+        |    md5(upper(text)) AS digest
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |kept AS (
+        |  SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,
+        |    md5(text) AS digest
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |ins AS (
+        |  SELECT doc_id + 50000000 AS doc_id, 'evolved_new' AS source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'en'
+        |         WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang,
+        |    md5(text) AS digest
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT * FROM upd UNION ALL SELECT * FROM kept
+        |UNION ALL SELECT * FROM ins""".stripMargin,
     // merge-on-read twins of the COW verbs: identical statements and
     // logical results, delta+tombstone physical contract
     "q_sql_delete_mor" ->

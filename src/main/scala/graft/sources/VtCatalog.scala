@@ -1021,8 +1021,14 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
   override def name(): String = s"graft_vt.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into `MERGE WITH SCHEMA
+    // EVOLUTION`: the analyzer computes the AddColumn deltas from the
+    // source schema and routes them through [[GraftVtCatalog.alterTable]]
+    // (metadata-only) before planning the merge — MOR targets hit that
+    // method's loud refusal at analysis, never a half-evolved write
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Layout and contract surfaced to `DESCRIBE TABLE EXTENDED` / `SHOW
     * TBLPROPERTIES`: what a user needs to know to predict this table's

@@ -221,4 +221,39 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft_vt.rn_b RENAME TO graft_vt.rn_victim"))
     assert(spark.sql("SELECT count(*) FROM graft_vt.rn_b").collect().head.getLong(0) > 0)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION grows the schema; without the clause a wider source fails") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_evo").toString
+    base.write.mode("overwrite").parquet(s"$root/files/base_v1")
+    graft.sources.VersionedTable.writeManifest(root, 1, Seq("files/base_v1"))
+    graft.sources.GraftVtCatalog.register(spark, "merge_evo_spec", root, base.schema)
+    base.filter(col("doc_id") % 10 === 0)
+      .withColumn("lang", lit("en"))
+      .createOrReplaceTempView("merge_evo_src")
+    // without the clause: the extra source column cannot bind
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql(
+        """MERGE INTO graft_vt.merge_evo_spec t USING merge_evo_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET lang = s.lang""".stripMargin))
+    assert(!spark.table("graft_vt.merge_evo_spec").schema.fieldNames.contains("lang"),
+      "the failed merge must not half-evolve the schema")
+    // with the clause: the AddColumn delta applies, old rows null-fill
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_vt.merge_evo_spec t
+        |USING merge_evo_src s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val tbl = spark.table("graft_vt.merge_evo_spec")
+    assert(tbl.schema.fieldNames.contains("lang"))
+    val n = tbl.count()
+    val nullLang = tbl.filter(col("lang").isNull).count()
+    val enLang = tbl.filter(col("lang") === "en").count()
+    assert(enLang === base.filter(col("doc_id") % 10 === 0).count())
+    assert(nullLang === n - enLang, "untouched rows must null-backfill the new column")
+  }
 }
