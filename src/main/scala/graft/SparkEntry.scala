@@ -294,6 +294,7 @@ object SparkEntry {
     "q_sql_tags" -> (SqlDml.sqlTags(_, _)),
     "q_branch_merge" -> (SqlDml.sqlBranch(_, _)),
     "q_branch_dml" -> (SqlDml.sqlBranchDml(_, _)),
+    "q_branch_mor" -> (SqlDml.sqlBranchMor(_, _)),
     "q_rollback" -> (SqlDml.sqlRollback(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
@@ -2402,6 +2403,18 @@ object SparkEntry {
     // q_sql_merge — one oracle, two commit paths (main COW vs branch
     // COW + promotion)
     "q_branch_dml" ->
+      """WITH upd AS (SELECT doc_id, upper(text) || ' M' AS text, 'recrawl' AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, 'inserted' AS source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |kept AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, source, md5(text) AS digest FROM fin""".stripMargin,
+    // MOR branch DML: same three-arm MERGE and final state as
+    // q_branch_dml, landed as a branch-local tombstone+delta line and
+    // fast-forwarded (meta files promote verbatim)
+    "q_branch_mor" ->
       """WITH upd AS (SELECT doc_id, upper(text) || ' M' AS text, 'recrawl' AS source
         |  FROM documents WHERE doc_id % 7 = 0),
         |ins AS (SELECT doc_id + 10000000 AS doc_id, text, 'inserted' AS source

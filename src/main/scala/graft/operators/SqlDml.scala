@@ -1137,6 +1137,53 @@ object SqlDml {
          |FROM graft_vt.$name""".stripMargin)
   }
 
+  /** BRANCH DML ON A MERGE-ON-READ TABLE (VERDICT r10 stretch — the
+    * last refused combination in the table-format matrix): the branch
+    * carries its own `_mor_b_` tombstone-sidecar line parallel to its
+    * manifests, branch commit `k` stamps sequence `fork + k`, so
+    * merge-on-read semantics are IDENTICAL on the branch and
+    * fast-forward promotes meta files verbatim (no renumbering). The
+    * same three-arm MERGE as [[sqlBranchDml]] — update arms become
+    * tombstone+replacement pairs, the delete arm pure tombstones —
+    * lands as a delta ∝ |touched rows| while main stays isolated until
+    * the fast-forward.
+    */
+  def sqlBranchMor(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_brmor"
+    ensureMorTable(spark, dir, name)
+    callResults.getOrElseUpdate((dir, name), {
+      val base = docsBase(spark, dir)
+      val corpusN = base.count()
+      spark.sql(s"CALL graft_vt.create_branch('$name', 'edit')")
+      base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
+          lit("recrawl").as("source"), lit("upsert").as("op"))
+        .unionByName(base.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"), col("source"), lit("delete").as("op")))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit("inserted").as("source"), lit("upsert").as("op")))
+        .createOrReplaceTempView("graft_brmor_delta")
+      spark.sql(
+        s"""MERGE INTO graft_vt.$name.branch_edit t
+           |USING graft_brmor_delta s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
+           |WHEN NOT MATCHED AND s.op <> 'delete' THEN
+           |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+      // isolation: branch tombstones must not leak into main's reads
+      val mainN = spark.table(s"graft_vt.$name").count()
+      require(mainN == corpusN,
+        s"main must still read the untouched corpus ($mainN vs $corpusN)")
+      spark.sql(s"CALL graft_vt.fast_forward('$name', 'edit')")
+      Array(1)
+    })
+    spark.sql(
+      s"""SELECT doc_id, source, md5(CAST(text AS BINARY)) AS digest
+         |FROM graft_vt.$name""".stripMargin)
+  }
+
   /** `CALL graft_vt.rebucket(tbl, n)` — bucket-count evolution: the
     * corpus table starts bucketed 4, rewrites to 8, and then joins a
     * natively-8-bucketed annotations table — the post-evolution SPJ

@@ -83,6 +83,10 @@ object VtBranch {
       java.nio.file.Paths.get(s"$root/${manifestFile(name, 0)}"),
       entries.mkString("\n"),
       java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    // MOR tables: snapshot the fork's file-sequence + tombstone state
+    // into branch meta v0, making the branch's merge-on-read reads
+    // self-contained exactly like its file list
+    VtMor.readMeta(root, fork).foreach(m => VtMor.writeBranchMeta(root, name, 0, m))
     val r = Ref(fork, 0)
     writeRef(root, name, r)
     r
@@ -140,6 +144,10 @@ object VtBranch {
         java.nio.file.Paths.get(s"$root/${manifestFile(name, k)}"))
         .split("\n").toSeq.filter(_.nonEmpty)
       VersionedTable.commitManifest(root, r.fork + k, e)
+      // MOR: branch commit k carries sequence fork+k by construction,
+      // so its meta promotes to main version fork+k as a pure copy
+      VtMor.readBranchMeta(root, name, k)
+        .foreach(m => VtMor.writeMeta(root, r.fork + k, m))
     }
     drop(root, name)
     (r.fork + r.head, r.head)
@@ -155,6 +163,8 @@ object VtBranch {
     (0 to r.head).foreach { k =>
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(s"$root/${manifestFile(name, k)}")): Unit
+      java.nio.file.Files.deleteIfExists(
+        VtMor.branchMetaPath(root, name, k)): Unit
     }
     java.nio.file.Files.delete(refPath(root, name))
   }
@@ -186,7 +196,8 @@ object VtBranch {
   * promotes atomically-per-version on fast-forward.
   */
 private[sources] class GraftVtBranchTable(baseName: String, root: String,
-    tableSchema: StructType, branch: String, base: GraftVtTable)
+    tableSchema: StructType, branch: String, base: GraftVtTable,
+    morKey: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
@@ -209,6 +220,12 @@ private[sources] class GraftVtBranchTable(baseName: String, root: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // MOR branches merge the branch meta's tombstones — a raw-file read
+    // would resurrect deleted rows
+    morKey.foreach { k =>
+      return new MorScanBuilder(root, tableSchema, k,
+        version = 0 /* unused: branch meta binds the state */, Some(branch))
+    }
     val paths = VtBranch.entries(root, branch).map(g => s"$root/$g")
     val inner = ParquetTable(name(), spark, CaseInsensitiveStringMap.empty(), paths,
       Some(base.physify(tableSchema)), classOf[ParquetFileFormat])
@@ -219,9 +236,15 @@ private[sources] class GraftVtBranchTable(baseName: String, root: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftVtRowLevelOperation(base, info.command(), Some(branch))
+    morKey match {
+      case Some(k) => () => new MorRowLevelOperation(base, info.command(), k, Some(branch))
+      case None => () => new GraftVtRowLevelOperation(base, info.command(), Some(branch))
+    }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // same refusal as main: a plain append can't stamp MOR sequences
+    require(morKey.isEmpty,
+      s"INSERT INTO merge-on-read branch $baseName@$branch is not supported; use MERGE")
     new WriteBuilder with SupportsTruncate {
       private var baseEntries: () => Seq[String] = () => VtBranch.entries(root, branch)
       override def truncate(): WriteBuilder = { baseEntries = () => Nil; this }
@@ -237,4 +260,5 @@ private[sources] class GraftVtBranchTable(baseName: String, root: String,
             entries => { VtBranch.commitEntries(root, branch, entries): Unit })))
       }
     }
+  }
 }

@@ -186,15 +186,14 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     val (root, schema) = GraftVtCatalog.registry(base)
     require(VtBranch.exists(root, branch),
       s"no such branch '$branch' on graft_vt.$base")
-    // a MOR branch read through raw files would resurrect tombstoned
-    // rows, and a bucket-routed branch write would break the layout
-    // invariant on fast-forward — both refused at the door
-    require(!GraftVtCatalog.morKeys.contains(base),
-      s"branches on merge-on-read table graft_vt.$base are not supported")
+    // a bucket-routed branch write would break the layout invariant on
+    // fast-forward — refused at the door. MOR branches are supported:
+    // reads/DML bind the branch's own manifest + tombstone sidecar line
     require(!GraftVtCatalog.bucketSpecs.contains(base),
       s"branches on bucketed table graft_vt.$base are not supported")
     new GraftVtBranchTable(base, root, schema, branch,
-      new GraftVtTable(base, root, schema, None))
+      new GraftVtTable(base, root, schema, None),
+      GraftVtCatalog.morKeys.get(base))
   }
 
   /** `CREATE TABLE graft_vt.t (…)` and CTAS (`CREATE TABLE … AS
@@ -721,8 +720,6 @@ object GraftVtProcedures {
     { input =>
       val tbl = input.getUTF8String(0).toString
       val name = input.getUTF8String(1).toString
-      require(!GraftVtCatalog.morKeys.contains(tbl),
-        s"branches on merge-on-read table graft_vt.$tbl are not supported")
       require(!GraftVtCatalog.bucketSpecs.contains(tbl),
         s"branches on bucketed table graft_vt.$tbl are not supported")
       val r = VtBranch.create(rootOf(tbl), name)

@@ -66,8 +66,10 @@ object VtMor {
       s"""{"files": $fs, "tombs": $ts}"""): Unit
   }
 
-  def readMeta(root: String, version: Int): Option[Meta] = {
-    val p = metaPath(root, version)
+  def readMeta(root: String, version: Int): Option[Meta] =
+    readMetaAt(metaPath(root, version))
+
+  private def readMetaAt(p: java.nio.file.Path): Option[Meta] = {
     if (!java.nio.file.Files.exists(p)) None
     else Some {
       val s = java.nio.file.Files.readString(p)
@@ -81,6 +83,29 @@ object VtMor {
       Meta(files, tombs)
     }
   }
+
+  /** BRANCH-LOCAL MOR sidecars (`_mor_b_<branch>_v<k>.json`, parallel
+    * to the `_manifest_b_` line): branch commit `k` carries commit
+    * SEQUENCE `fork + k`, so tombstone-vs-file sequence comparison —
+    * and therefore merge-on-read semantics — is IDENTICAL on a branch,
+    * and fast-forward promotion to main version `fork + k` is a pure
+    * file move with no renumbering. The `_mor_b_` prefix keeps these
+    * out of both the main `_mor_v` namespace and vacuum's
+    * version-keyed sidecar sweep.
+    */
+  private[sources] def branchMetaPath(root: String, branch: String, k: Int) =
+    java.nio.file.Paths.get(s"$root/_mor_b_${branch}_v$k.json")
+
+  def writeBranchMeta(root: String, branch: String, k: Int, meta: Meta): Unit = {
+    val fs = meta.files.toSeq.sorted.map { case (f, s) => s"${q(f)}: $s" }
+      .mkString("{", ",", "}")
+    val ts = meta.tombs.sorted.map { case (key, s) => s"[$key,$s]" }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(branchMetaPath(root, branch, k),
+      s"""{"files": $fs, "tombs": $ts}"""): Unit
+  }
+
+  def readBranchMeta(root: String, branch: String, k: Int): Option[Meta] =
+    readMetaAt(branchMetaPath(root, branch, k))
 
   /** Materialize `df` as MOR table version 1 under a fresh or given
     * root; the caller registers it with `morKey` in the catalog.
@@ -115,9 +140,13 @@ object VtMor {
   }
 }
 
-/** Delta (merge-on-read) row-level operation: row id = the table key. */
+/** Delta (merge-on-read) row-level operation: row id = the table key.
+  * With `branch` set, the scan binds the BRANCH head's files+tombstones
+  * and the commit lands on the branch line (sequence `fork + k`) — main
+  * readers never see it until fast-forward.
+  */
 class MorRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command,
-    keyCol: String)
+    keyCol: String, branch: Option[String] = None)
   extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -130,14 +159,21 @@ class MorRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command,
     * ordinary reads.
     */
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
-    new MorScanBuilder(table.root, table.schema(), keyCol, table.currentVersion)
+    new MorScanBuilder(table.root, table.schema(), keyCol, table.currentVersion, branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new MorDeltaBatchWrite(
-          table.root, table.currentVersion + 1, info.schema())
-        override def description(): String = s"graft_vt MOR ${cmd.name()}"
+        override def toBatch: DeltaBatchWrite = branch match {
+          case None => new MorDeltaBatchWrite(
+            table.root, table.currentVersion + 1, info.schema())
+          case Some(b) =>
+            val r = VtBranch.ref(table.root, b)
+            new MorDeltaBatchWrite(table.root, r.fork + r.head + 1, info.schema(),
+              Some((b, r.head + 1)))
+        }
+        override def description(): String =
+          s"graft_vt MOR ${cmd.name()}" + branch.fold("")(b => s" @$b")
       }
     }
 }
@@ -145,12 +181,18 @@ class MorRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Command,
 /** Commit = data file(s) of inserted/replacement rows (if any) + key
   * tombstones, both stamped with the new version as their sequence.
   * Same CREATE_NEW optimistic-concurrency manifest protocol as the COW
-  * writes.
+  * writes. With `branchCommit = Some((branch, k))`, `newVersion` is the
+  * branch commit's SEQUENCE (`fork + k`) and the commit lands on the
+  * branch's manifest+meta line instead of main's.
   */
-class MorDeltaBatchWrite(root: String, newVersion: Int, schema: StructType)
+class MorDeltaBatchWrite(root: String, newVersion: Int, schema: StructType,
+    branchCommit: Option[(String, Int)] = None)
   extends DeltaBatchWrite {
 
-  private val groupRel = s"files/delta_v$newVersion"
+  private val groupRel = branchCommit match {
+    case Some((b, k)) => s"files/delta_b_${b}_v$k"
+    case None => s"files/delta_v$newVersion"
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
@@ -169,25 +211,47 @@ class MorDeltaBatchWrite(root: String, newVersion: Int, schema: StructType)
     ms.collect { case m if m.rows == 0 && m.relPath.nonEmpty => m }
       .foreach(m => new java.io.File(s"$root/${m.relPath}").delete(): Unit)
     val newTombs = ms.flatMap(_.deletedKeys).map(_ -> newVersion)
-    val prev = VtMor.readMeta(root, newVersion - 1).getOrElse(VtMor.Meta(Map.empty, Nil))
-    val prevEntries = VersionedTable.manifest(root, newVersion - 1)
-    try
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
-        (prevEntries ++ newFiles).sorted.mkString("\n"),
-        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        abort(messages)
-        throw new java.util.ConcurrentModificationException(
-          s"commit conflict: version $newVersion of $root was committed " +
-            "by a concurrent writer; re-run the statement")
+    branchCommit match {
+      case Some((b, k)) =>
+        // one-winner on the branch line: the ref must still be at k-1
+        // (commitEntries' CREATE_NEW backs this up at the file level)
+        val r = VtBranch.ref(root, b)
+        if (r.head != k - 1) {
+          abort(messages)
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict: branch $b of $root moved to head ${r.head} " +
+              "during this write; re-run the statement")
+        }
+        val prev = VtMor.readBranchMeta(root, b, k - 1)
+          .getOrElse(VtMor.Meta(Map.empty, Nil))
+        val prevEntries = VtBranch.entries(root, b)
+        VtBranch.commitEntries(root, b, prevEntries ++ newFiles): Unit
+        VtMor.writeBranchMeta(root, b, k, VtMor.Meta(
+          prev.files ++ newFiles.map(_ -> newVersion),
+          prev.tombs ++ newTombs))
+        // no retention sweep on branch commits: the branch lifecycle
+        // (fast-forward or drop + the next vacuum) owns its garbage
+      case None =>
+        val prev = VtMor.readMeta(root, newVersion - 1).getOrElse(VtMor.Meta(Map.empty, Nil))
+        val prevEntries = VersionedTable.manifest(root, newVersion - 1)
+        try
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$root/_manifest_v$newVersion.txt"),
+            (prevEntries ++ newFiles).sorted.mkString("\n"),
+            java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            abort(messages)
+            throw new java.util.ConcurrentModificationException(
+              s"commit conflict: version $newVersion of $root was committed " +
+                "by a concurrent writer; re-run the statement")
+        }
+        VtMor.writeMeta(root, newVersion, VtMor.Meta(
+          prev.files ++ newFiles.map(_ -> newVersion),
+          prev.tombs ++ newTombs))
+        // retention: keep-last-2, same policy as the COW path
+        VersionedTable.vacuum(root, Seq(math.max(1, newVersion - 1), newVersion)): Unit
     }
-    VtMor.writeMeta(root, newVersion, VtMor.Meta(
-      prev.files ++ newFiles.map(_ -> newVersion),
-      prev.tombs ++ newTombs))
-    // retention: keep-last-2, same policy as the COW path
-    VersionedTable.vacuum(root, Seq(math.max(1, newVersion - 1), newVersion)): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -260,7 +324,7 @@ class MorDeltaWriterFactory(groupDir: String, groupRel: String, schema: StructTy
   * residual above — pruning and pushdown never change semantics.
   */
 class MorScanBuilder(root: String, tableSchema: StructType, keyCol: String,
-    version: Int)
+    version: Int, branch: Option[String] = None)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -278,8 +342,14 @@ class MorScanBuilder(root: String, tableSchema: StructType, keyCol: String,
   override def pruneColumns(s: StructType): Unit = required = s
 
   override def build(): Scan = {
-    val meta = VtMor.readMeta(root, version).getOrElse(
-      throw new IllegalStateException(s"no MOR meta for $root v$version"))
+    val meta = branch match {
+      case None => VtMor.readMeta(root, version).getOrElse(
+        throw new IllegalStateException(s"no MOR meta for $root v$version"))
+      case Some(b) =>
+        val r = VtBranch.ref(root, b)
+        VtMor.readBranchMeta(root, b, r.head).getOrElse(
+          throw new IllegalStateException(s"no MOR meta for $root branch $b"))
+    }
     val readSchema =
       if (required.fieldNames.contains(keyCol)) required
       else StructType(required.fields :+ tableSchema(keyCol))
@@ -288,7 +358,10 @@ class MorScanBuilder(root: String, tableSchema: StructType, keyCol: String,
     // when the query already selects the key)
     val outOrds = required.fieldNames.map(readSchema.fieldIndex)
     val v1 = pushed.flatMap(ZoneMap.toV1Filter)
-    val files = VersionedTable.manifest(root, version)
+    val files = branch match {
+      case None => VersionedTable.manifest(root, version)
+      case Some(b) => VtBranch.entries(root, b)
+    }
     val spark = SparkSession.active
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, tableSchema, new StructType(), readSchema, v1,

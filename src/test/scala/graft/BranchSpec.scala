@@ -123,17 +123,57 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"CALL graft_vt.drop_branch('$name', 'dev')")
   }
 
-  test("branches are refused on MOR and bucketed tables") {
+  test("branches are refused on bucketed tables; supported on MOR") {
     GraftVtCatalog.ensure(spark)
     val docs = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source")).filter(col("doc_id") < 20)
     val morRoot = VersionedTable.freshRoot(s"$dir#branchspec_mor")
     graft.sources.VtMor.createVersion1(spark, morRoot, docs)
     GraftVtCatalog.registerMor(spark, "br_mor", morRoot, docs.schema, "doc_id")
+    spark.sql("CALL graft_vt.create_branch('br_mor', 'dev')").collect()
+    assert(spark.table("graft_vt.br_mor.branch_dev").count() === docs.count())
+    // plain INSERT on a MOR branch keeps main's refusal (no sequences)
     val e = intercept[Exception] {
-      spark.sql("CALL graft_vt.create_branch('br_mor', 'dev')").collect()
+      spark.sql(
+        "INSERT INTO graft_vt.br_mor.branch_dev VALUES (999, 'x', 'y')").collect()
     }
-    assert(e.getMessage.contains("merge-on-read"))
+    assert(e.getMessage.contains("use MERGE"))
+    spark.sql("CALL graft_vt.drop_branch('br_mor', 'dev')").collect(): Unit
+  }
+
+  test("MOR branch: tombstones stay branch-local; fast-forward promotes them") {
+    GraftVtCatalog.ensure(spark)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).filter(col("doc_id") < 60)
+    val morRoot = VersionedTable.freshRoot(s"$dir#branchspec_morff")
+    graft.sources.VtMor.createVersion1(spark, morRoot, docs)
+    val keyedSchema = org.apache.spark.sql.types.StructType(docs.schema.fields.map(f =>
+      if (f.name == "doc_id") f.copy(nullable = false) else f))
+    GraftVtCatalog.registerMor(spark, "br_morff", morRoot, keyedSchema, "doc_id")
+    val n0 = docs.count()
+    spark.sql("CALL graft_vt.create_branch('br_morff', 'edit')").collect()
+    // DELETE on the branch: pure tombstones on the branch meta line
+    spark.sql("DELETE FROM graft_vt.br_morff.branch_edit WHERE doc_id % 4 = 2")
+    val deleted = docs.filter(col("doc_id") % 4 === 2).count()
+    assert(spark.table("graft_vt.br_morff.branch_edit").count() === n0 - deleted,
+      "the branch read must merge its own tombstones")
+    assert(spark.table("graft_vt.br_morff").count() === n0,
+      "branch tombstones must not leak into main reads")
+    // UPDATE on the branch: tombstone+replacement pairs, still isolated
+    spark.sql(
+      "UPDATE graft_vt.br_morff.branch_edit SET source = 'edited' WHERE doc_id % 4 = 1")
+    assert(spark.table("graft_vt.br_morff")
+      .filter(col("source") === "edited").count() === 0)
+    spark.sql("CALL graft_vt.fast_forward('br_morff', 'edit')").collect()
+    val main = spark.table("graft_vt.br_morff")
+    assert(main.count() === n0 - deleted,
+      "fast-forward must carry the branch's tombstones onto main")
+    assert(main.filter(col("source") === "edited").count() ===
+      docs.filter(col("doc_id") % 4 === 1).count())
+    // branch sidecar files are gone with the ref
+    val leftovers = Option(new java.io.File(morRoot).list()).get
+      .filter(n => n.startsWith("_mor_b_") || n.startsWith("_manifest_b_"))
+    assert(leftovers.isEmpty, s"drop must clean branch sidecars: ${leftovers.toSeq}")
   }
 
   test("rollback restores an older file list as a NEW head; history survives") {
