@@ -414,7 +414,22 @@ object ScaleBench {
     "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_auc" -> ((s, d) => Stats.aucValuePurchase(s, d)),
-    "q_funnel_window" -> ((s, d) => Analytics.funnelWindowed(s, d)))
+    "q_funnel_window" -> ((s, d) => Analytics.funnelWindowed(s, d)),
+    // round-11 verbs: log-rank/MK/Theil–Sen fold the log to per-user or
+    // per-(type,hour) rows first — the hour axis is calendar-bounded,
+    // so pair joins and suffix windows are FIXED-size at any factor and
+    // only the first aggregate rides the data; vocab coverage is
+    // explode → vocab-sized shuffle → broadcast join (one scan term);
+    // q_sql_cdc reads only the commit's churn (files diff), so the
+    // factor shows in the one-time fixture build + merge, not the feed
+    "q_logrank" -> ((s, d) => Stats.logRank(s, d)),
+    "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
+    "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
+    "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "q_sql_cdc" -> ((s, d) => graft.operators.SqlDml.sqlCdc(s, d)),
+    // native-stats CBO multijoin: one-time vt-table build per dir, then
+    // the join cost is the ordinary broadcast-join scan term
+    "q_cbo_native" -> ((s, d) => graft.operators.Cbo.cboNativeVt(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

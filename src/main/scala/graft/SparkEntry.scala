@@ -209,6 +209,10 @@ object SparkEntry {
     "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
     "q_holt_linear" -> ((s, d) => Stats.holtLinear(s, d)),
     "q_auc" -> ((s, d) => Stats.aucValuePurchase(s, d)),
+    "q_logrank" -> ((s, d) => Stats.logRank(s, d)),
+    "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
+    "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
+    "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
@@ -704,6 +708,119 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, surv AS survival
         |FROM r WHERE d > 0""".stripMargin,
+    // log-rank: suffix risk sets over the bounded hour axis; E/V terms
+    // summed under round-9 → DECIMAL → round-6; χ² one final expression
+    "q_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+        |    MAX(epoch_us(ts)) AS tlast
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+        |              ELSE (tlast - t0) // 3600000000 END AS t,
+        |    (tp IS NOT NULL) AS ev, (user_id % 2 = 0) AS arm_a
+        |  FROM pu),
+        |bytime AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN ev AND arm_a THEN 1 ELSE 0 END) AS da,
+        |    SUM(CASE WHEN ev AND NOT arm_a THEN 1 ELSE 0 END) AS db,
+        |    SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS cb
+        |  FROM dur GROUP BY t),
+        |risk AS (
+        |  SELECT t, da, db, ca, cb,
+        |    SUM(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS na,
+        |    SUM(cb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM bytime),
+        |terms AS (
+        |  SELECT da, db, na, nb, da + db AS d, na + nb AS n,
+        |    CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE) AS e_a,
+        |    CASE WHEN na + nb > 1 THEN
+        |      CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        * CAST(na + nb - da - db AS DOUBLE)
+        |        / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+        |           * CAST(na + nb - 1 AS DOUBLE))
+        |      ELSE 0.0 END AS v
+        |  FROM risk WHERE da + db > 0),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_times, CAST(SUM(da) AS BIGINT) AS observed_a,
+        |    ROUND(CAST(SUM(CAST(ROUND(e_a, 9) AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |      AS expected_a,
+        |    ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |      AS variance
+        |  FROM terms)
+        |SELECT n_times, observed_a, expected_a, variance,
+        |  ROUND(CASE WHEN variance > 0 THEN
+        |    (CAST(observed_a AS DOUBLE) - expected_a)
+        |      * (CAST(observed_a AS DOUBLE) - expected_a) / variance END, 6) AS chi2
+        |FROM agg""".stripMargin,
+    // Mann–Kendall: exact-integer S and tie-corrected variance over the
+    // calendar-bounded per-type hour axis; z one final expression
+    "q_mann_kendall" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END) AS s
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.hr < b.hr
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, SUM(tg * (tg - 1) * (2 * tg + 5)) AS tie_term,
+        |    SUM(tg) AS m
+        |  FROM (SELECT event_type, n, COUNT(*) AS tg FROM hourly GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.event_type, CAST(m AS BIGINT) AS n_points, CAST(s AS BIGINT) AS s,
+        |  ROUND(CAST(m * (m - 1) * (2 * m + 5) - tie_term AS DOUBLE) / 18, 6) AS var_s,
+        |  ROUND(CASE WHEN m * (m - 1) * (2 * m + 5) - tie_term > 0 THEN
+        |    (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+        |    / sqrt(CAST(m * (m - 1) * (2 * m + 5) - tie_term AS DOUBLE) / 18)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM s JOIN ties ON s.event_type = ties.event_type""".stripMargin,
+    // Theil–Sen: deterministic LOWER median of pairwise slopes, ties
+    // broken by the pair's hour coordinates — both engines pick the
+    // identical pair, one double division
+    "q_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.hr AS hi, b.hr AS hj,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.hr < b.hr),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope, hi, hj) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS k
+        |  FROM pairs)
+        |SELECT event_type, k AS n_pairs, ROUND(slope, 6) AS sen_slope
+        |FROM ranked WHERE rn = (k + 1) // 2""".stripMargin,
+    // vocabulary coverage: top-1000 corpus tokens (count desc, token
+    // asc), per-source OOV fraction
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 1000)),
+        |j AS (SELECT source, v.in_vocab FROM toks t
+        |  LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        |FROM j GROUP BY source""".stripMargin,
     // CUPED: every statistic from per-arm exact-cents sufficient sums;
     // the double arithmetic mirrors the engine expression-for-expression.
     // Product sums widen to HUGEINT to mirror the engine's

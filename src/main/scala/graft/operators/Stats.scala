@@ -981,4 +981,143 @@ object Stats {
           (col("t2").cast("double") - (col("n") + 1).cast("double") * col("sx").cast("double")) /
             (col("n").cast("double") * col("sx").cast("double"))), 6).as("gini"))
   }
+
+  /** LOG-RANK TEST (Mantel–Cox) — the hypothesis test on top of the
+    * [[kaplanMeier]] machinery: do the two experiment arms (user-id
+    * parity, the CUPED assignment) share a survival curve? Per user:
+    * time-to-first-purchase or censoring hour; per distinct hour: each
+    * arm's deaths and departures. Risk sets are SUFFIX sums over the
+    * CALENDAR-BOUNDED time axis (a window over |distinct hours| rows —
+    * replicas add users, not hours), so no recurrence is needed:
+    * `E_A(t) = d·n_A/n` and the hypergeometric variance are per-row
+    * expressions from exact integer counts, summed under the house
+    * round-9 → DECIMAL-sum → round-6 contract so order cannot change
+    * the bits, and the χ² statistic is one final double expression.
+    */
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    def hourOf(c: Column): Column =
+      ((c - pmod(c, lit(3600000000L))) / lit(3600000000L)).cast("long")
+    val perUser = raw
+      .select(col("user_id"), col("event_type"), micros.as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"),
+        max(col("us")).as("tlast"))
+      .select(
+        when(col("tp").isNotNull, hourOf(col("tp") - col("t0")))
+          .otherwise(hourOf(col("tlast") - col("t0"))).as("t"),
+        col("tp").isNotNull.as("ev"),
+        (pmod(col("user_id"), lit(2)) === 0).as("arm_a"))
+    val byTime = perUser.groupBy(col("t")).agg(
+      sum(when(col("ev") && col("arm_a"), 1L).otherwise(0L)).as("da"),
+      sum(when(col("ev") && !col("arm_a"), 1L).otherwise(0L)).as("db"),
+      sum(when(col("arm_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("arm_a"), 1L).otherwise(0L)).as("cb"))
+    // suffix risk sets over the bounded time axis (one ordered window
+    // over |distinct hours| rows — the q_kaplan_meier cost class)
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = byTime
+      .withColumn("na", sum(col("ca")).over(wSuffix))
+      .withColumn("nb", sum(col("cb")).over(wSuffix))
+      .withColumn("d", col("da") + col("db"))
+      .withColumn("n", col("na") + col("nb"))
+      .filter(col("d") > 0)
+      .withColumn("e_a",
+        col("d").cast("double") * col("na").cast("double") / col("n").cast("double"))
+      .withColumn("v", when(col("n") > 1,
+        col("d").cast("double") * col("na").cast("double") * col("nb").cast("double") *
+          (col("n") - col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double"))).otherwise(lit(0.0)))
+    terms.agg(
+      count(lit(1)).as("n_times"),
+      sum(col("da")).as("observed_a"),
+      round(sum(round(col("e_a"), 9).cast(DecimalType(38, 9))).cast("double"), 6)
+        .as("expected_a"),
+      round(sum(round(col("v"), 9).cast(DecimalType(38, 9))).cast("double"), 6)
+        .as("variance"))
+      .withColumn("chi2", round(
+        when(col("variance") > 0,
+          (col("observed_a").cast("double") - col("expected_a")) *
+            (col("observed_a").cast("double") - col("expected_a")) / col("variance")), 6))
+  }
+
+  /** MANN–KENDALL TREND TEST per event type over the hourly count
+    * series — the nonparametric "is this metric drifting" check:
+    * `S = Σ_{i<j} sign(n_j − n_i)`, tie-corrected variance
+    * `[m(m−1)(2m+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18`, normal
+    * approximation z with the ±1 continuity correction. The pair join
+    * is WITHIN an event type over the CALENDAR-BOUNDED hour axis
+    * (replicas add users, never hours — the [[holtLinear]] scale
+    * argument), so pair count is fixed at any corpus size. S, the
+    * variance numerator, and the tie table are exact integers; z is
+    * one final double expression.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val a = hourly.select(col("event_type"), col("hr").as("hi"), col("n").as("ni"))
+    val b = hourly.select(col("event_type"), col("hr").as("hj"), col("n").as("nj"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("hi") < col("hj"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("nj") - col("ni")).cast("long")).as("s"))
+    val ties = hourly.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)).as("tie_term"),
+        sum(col("tg")).as("m"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("m") * (col("m") - 1) * (lit(2) * col("m") + 5) - col("tie_term"))
+      .select(col("event_type"), col("m").as("n_points"), col("s"),
+        round(col("var18").cast("double") / 18d, 6).as("var_s"),
+        round(when(col("var18") > 0,
+          when(col("s") > 0, (col("s") - 1).cast("double"))
+            .when(col("s") < 0, (col("s") + 1).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var18").cast("double") / 18d)).otherwise(lit(0.0)), 6)
+          .as("z"))
+  }
+
+  /** THEIL–SEN ROBUST SLOPE per event type — the median of all
+    * pairwise slopes of the hourly count series (the outlier-immune
+    * alternative to the OLS trend the Holt verbs fit). Same
+    * calendar-bounded pair join as [[mannKendall]]; the median is the
+    * DETERMINISTIC LOWER median (element ⌈k/2⌉ of the slope list
+    * ordered by (slope, hi, hj) — ties broken by the pair's hour
+    * coordinates, so both engines pick the identical pair). Each slope
+    * is ONE double division of exact integers; no averaging of two
+    * middle elements, so no second rounding site.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val a = hourly.select(col("event_type"), col("hr").as("hi"), col("n").as("ni"))
+    val pairs = a.join(
+      hourly.select(col("event_type"), col("hr").as("hj"), col("n").as("nj")),
+      Seq("event_type"))
+      .filter(col("hi") < col("hj"))
+      .withColumn("slope",
+        (col("nj") - col("ni")).cast("double") / (col("hj") - col("hi")).cast("double"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("hi"), col("hj"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(k + 1) div 2"))
+      .select(col("event_type"), col("k").as("n_pairs"),
+        round(col("slope"), 6).as("sen_slope"))
+  }
 }

@@ -992,6 +992,32 @@ object TextAnalysis {
         expr("bit_xor(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint))")
           .as("postings_xor"))
 
+  /** TOKENIZER VOCABULARY COVERAGE / OOV RATE per source — the
+    * pre-training sanity readout: given a frequency-built vocabulary
+    * (top-`k` corpus tokens, deterministic count-desc/token-asc
+    * tie-break — the zeroth-order tokenizer every pipeline starts
+    * from), what fraction of each slice's tokens falls outside it?
+    * A source with a high OOV rate either needs the vocabulary grown
+    * or is the wrong distribution for it. Shapes: explode →
+    * map-side-combined count (|vocab|-sized shuffle) → top-k
+    * (TakeOrdered) → vocabulary BROADCAST back as a left join —
+    * corpus-sized work is one scan, never an all-pairs or a
+    * corpus-sized shuffle.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** FLESCH READING-EASE per document — the readability member of the
     * quality-scoring family (length/punct/stopword ratios live in
     * `qualityScore`; this adds the classic 206.835 − 1.015·(words/

@@ -473,4 +473,71 @@ class BreadthOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("log-rank: O-E sums are symmetric across arms and chi2 is well-formed") {
+    val r = graft.operators.Stats.logRank(spark, dir).collect().head
+    val (observedA, expectedA, variance) =
+      (r.getAs[Long]("observed_a"), r.getAs[Double]("expected_a"),
+        r.getAs[Double]("variance"))
+    assert(r.getAs[Long]("n_times") > 0)
+    assert(variance >= 0.0)
+    assert(expectedA >= 0.0)
+    // χ² reproduced from its own components
+    if (variance > 0) {
+      val want = (observedA.toDouble - expectedA) * (observedA.toDouble - expectedA) / variance
+      assert(math.abs(r.getAs[Double]("chi2") - want) < 5e-5)
+    }
+  }
+
+  test("mann-kendall: |S| bounded by pair count, z sign follows S") {
+    val rows = graft.operators.Stats.mannKendall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_points")
+      val s = r.getAs[Long]("s")
+      val z = r.getAs[Double]("z")
+      assert(math.abs(s) <= m * (m - 1) / 2, "S is a sum of ±1 over pairs")
+      assert(r.getAs[Double]("var_s") >= 0.0)
+      if (s > 1) assert(z > 0.0)
+      if (s < -1) assert(z < 0.0)
+    }
+  }
+
+  test("theil-sen: slope lies within the pairwise slope envelope") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Stats.theilSen(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute the per-type min/max pairwise slope envelope
+    val raw = graft.sources.Tables.raw(spark, dir, "events")
+    val hourly = raw.select(col("event_type"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val env = hourly.as("a").join(hourly.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.hr") < col("b.hr"))
+      .select(col("a.event_type").as("t"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          (col("b.hr") - col("a.hr")).cast("double")).as("sl"))
+      .groupBy("t").agg(min("sl").as("lo"), max("sl").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = env(r.getString(0))
+      val sen = r.getAs[Double]("sen_slope")
+      assert(sen >= lo - 1e-6 && sen <= hi + 1e-6)
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("vocab coverage: rates in [0,1]; a full-size vocabulary drives OOV to zero") {
+    val rows = graft.operators.TextAnalysis.vocabCoverage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    val full = graft.operators.TextAnalysis.vocabCoverage(spark, dir, k = 1000000)
+      .collect()
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L),
+      "a vocabulary holding every corpus token leaves nothing OOV")
+  }
 }
