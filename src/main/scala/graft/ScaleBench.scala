@@ -426,6 +426,14 @@ object ScaleBench {
     "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
     "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // Holt-Winters folds the same bounded axis as holt_linear; CCF/tau
+    // and the z-test collapse to bounded sufficient stats; lexical
+    // diversity is the vocab-bounded two-level aggregation
+    "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
+    "q_cross_correlation" -> ((s, d) => Stats.crossCorrelation(s, d)),
+    "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
+    "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
+    "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_sql_cdc" -> ((s, d) => graft.operators.SqlDml.sqlCdc(s, d)),
     // native-stats CBO multijoin: one-time vt-table build per dir, then
     // the join cost is the ordinary broadcast-join scan term

@@ -213,7 +213,12 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
     "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "q_cross_correlation" -> ((s, d) => Stats.crossCorrelation(s, d)),
+    "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
+    "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
+    "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
+    "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
@@ -474,6 +479,47 @@ object SparkEntry {
   private def holtSql(alpha: Double = 0.5, beta: Double = 0.3): String =
     holtCoreSql(alpha, beta) +
       "\nSELECT event_type, hr, n, level, trend, level + trend AS forecast_next\nFROM r"
+
+  /** Holt–Winters replay: the recursive CTE carries the 24-slot
+    * hour-of-day seasonal state as a DOUBLE list, updated with an
+    * indexed list_transform — every coefficient inlined as its
+    * shortest-round-trip literal, expressions mirrored
+    * operation-for-operation against [[graft.operators.Stats.holtWinters]].
+    */
+  private def holtWintersSql(alpha: Double = 0.5, beta: Double = 0.3,
+      gamma: Double = 0.2): String = {
+    val (a, a1, b, b1) = (alpha, 1 - alpha, beta, 1 - beta)
+    val (g, g1) = (gamma, 1 - gamma)
+    s"""WITH RECURSIVE o AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |sq AS (
+       |  SELECT event_type, hr, n,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+       |  FROM o),
+       |r AS (
+       |  SELECT event_type, hr, n, rn,
+       |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend,
+       |    CAST(0 AS DOUBLE) AS seasonal,
+       |    list_transform(range(24), x -> CAST(0 AS DOUBLE)) AS s
+       |  FROM sq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, hr, n, rn, lvl,
+       |    $b * (lvl - plevel) + $b1 * ptrend,
+       |    $g * (y - lvl) + $g1 * sprev,
+       |    list_transform(s, (x, i) -> CASE WHEN i = slot
+       |      THEN $g * (y - lvl) + $g1 * sprev ELSE x END)
+       |  FROM (
+       |    SELECT sq.event_type, sq.hr, sq.n, sq.rn,
+       |      CAST(sq.n AS DOUBLE) AS y,
+       |      CAST(sq.hr % 24 AS INTEGER) + 1 AS slot,
+       |      r.s[CAST(sq.hr % 24 AS INTEGER) + 1] AS sprev,
+       |      $a * (CAST(sq.n AS DOUBLE) - r.s[CAST(sq.hr % 24 AS INTEGER) + 1])
+       |        + $a1 * (r.level + r.trend) AS lvl,
+       |      r.level AS plevel, r.trend AS ptrend, r.s AS s
+       |    FROM r JOIN sq ON sq.event_type = r.event_type AND sq.rn = r.rn + 1))
+       |SELECT event_type, hr, n, level, trend, seasonal FROM r""".stripMargin
+  }
 
   // one oracle, two plans: q_ngram_jaccard (co-shingle join) and
   // q_jaccard_prefix (AllPairs prefix filter) must return the same rows
@@ -802,6 +848,98 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT event_type, k AS n_pairs, ROUND(slope, 6) AS sen_slope
         |FROM ranked WHERE rn = (k + 1) // 2""".stripMargin,
+    // lagged CCF view→purchase: per-lag exact sufficient sums over the
+    // inner-joined bounded hour axis, one guarded double expression
+    "q_cross_correlation" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT hr, n AS x FROM hourly WHERE event_type = 'view'),
+        |y AS (SELECT hr AS yhr, n AS y FROM hourly WHERE event_type = 'purchase'),
+        |lagged AS (
+        |  SELECT l.lag, x.x, y.y
+        |  FROM x CROSS JOIN (SELECT unnest(range(0, 13)) AS lag) l
+        |  JOIN y ON y.yhr = x.hr + l.lag),
+        |agg AS (
+        |  SELECT lag, COUNT(*) AS n_hours,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM lagged GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_hours,
+        |  ROUND(CASE WHEN n_hours * sxx - sx * sx > 0
+        |    AND n_hours * syy - sy * sy > 0 THEN
+        |    (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS ccf
+        |FROM agg""".stripMargin,
+    // Kendall tau-b on the hour-paired (view, purchase) counts: exact
+    // integer S and tie counts, one final double
+    "q_kendall_tau" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT x.hr, x.n AS x, y.n AS y
+        |  FROM (SELECT hr, n FROM hourly WHERE event_type = 'view') x
+        |  JOIN (SELECT hr, n FROM hourly WHERE event_type = 'purchase') y
+        |    USING (hr)),
+        |p AS (
+        |  SELECT COUNT(*) AS n0,
+        |    SUM(CASE WHEN (b.x > a.x AND b.y > a.y) OR (b.x < a.x AND b.y < a.y)
+        |          THEN 1
+        |        WHEN (b.x > a.x AND b.y < a.y) OR (b.x < a.x AND b.y > a.y)
+        |          THEN -1 ELSE 0 END) AS s,
+        |    SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2
+        |  FROM xy a JOIN xy b ON a.hr < b.hr)
+        |SELECT n0 AS n_pairs, CAST(s AS BIGINT) AS s,
+        |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+        |  ROUND(CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0 THEN
+        |    CAST(s AS DOUBLE) / (sqrt(CAST(n0 - n1 AS DOUBLE))
+        |      * sqrt(CAST(n0 - n2 AS DOUBLE))) END, 6) AS tau_b
+        |FROM p""".stripMargin,
+    // two-proportion z: four exact integers, one pooled expression
+    "q_two_proportion_z" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |arms AS (
+        |  SELECT (user_id % 2 = 0) AS arm_a, COUNT(*) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS k
+        |  FROM pu GROUP BY 1),
+        |j AS (
+        |  SELECT a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb,
+        |    CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+        |    CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb,
+        |    CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+        |  FROM (SELECT * FROM arms WHERE arm_a) a,
+        |       (SELECT * FROM arms WHERE NOT arm_a) b)
+        |SELECT na, ka, nb, kb,
+        |  ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+        |  ROUND(CASE WHEN pp > 0 AND pp < 1 THEN (pa - pb) /
+        |    sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END, 6)
+        |    AS z
+        |FROM j""".stripMargin,
+    // lexical diversity per source: (source, token) counts then rollup
+    "q_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+        |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac
+        |FROM tc GROUP BY source""".stripMargin,
     // vocabulary coverage: top-1000 corpus tokens (count desc, token
     // asc), per-source OOV fraction
     "q_vocab_coverage" ->
@@ -882,6 +1020,8 @@ object SparkEntry {
     "q_holt_linear" -> holtSql(),
     // Holt backtest: LAG of the bit-exact forecasts, per-point APE,
     // round-9→decimal-sum→round-6 MAPE — fully mirrored
+    // Holt-Winters: recursive CTE carrying the 24-slot seasonal list
+    "q_holt_winters" -> holtWintersSql(),
     "q_holt_backtest" -> (holtCoreSql() +
       """,
         |b AS (

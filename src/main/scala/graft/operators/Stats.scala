@@ -982,6 +982,52 @@ object Stats {
             (col("n").cast("double") * col("sx").cast("double"))), 6).as("gini"))
   }
 
+  /** HOLT–WINTERS additive seasonal smoothing per event type — the
+    * triple-exponential member of the forecasting family ([[holtLinear]]
+    * is the double): level + trend + a 24-slot HOUR-OF-DAY seasonal
+    * state, indexed by calendar slot (`hr % 24`) rather than position
+    * so the gapped hourly axis needs no imputation. The spelled-out
+    * contract (initial level = first point, trend 0, seasonal slots 0
+    * until first touched): per type, one ordered typed fold over the
+    * CALENDAR-BOUNDED axis carrying (level, trend, s[24]); the oracle
+    * replays it as a recursive CTE carrying a 24-element DOUBLE list —
+    * bit-identical because every coefficient (α, 1−α, …) is inlined as
+    * its shortest-round-trip literal and the update expressions are
+    * mirrored operation-for-operation.
+    */
+  def holtWinters(spark: SparkSession, dir: String, alpha: Double = 0.5,
+      beta: Double = 0.3, gamma: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)]
+    val (a1, b1, g1) = (1 - alpha, 1 - beta, 1 - gamma)
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val sorted = it.toIndexedSeq.sortBy(_._2)
+      val s = Array.fill(24)(0.0)
+      var level = 0.0
+      var trend = 0.0
+      var first = true
+      sorted.iterator.map { case (_, hr, n) =>
+        val y = n.toDouble
+        val slot = (hr % 24).toInt
+        if (first) { first = false; level = y; trend = 0.0; s(slot) = 0.0 }
+        else {
+          val sPrev = s(slot)
+          val prev = level
+          level = alpha * (y - sPrev) + a1 * (level + trend)
+          trend = beta * (level - prev) + b1 * trend
+          s(slot) = gamma * (y - level) + g1 * sPrev
+        }
+        (t, hr, n, level, trend, s(slot))
+      }
+    }.toDF("event_type", "hr", "n", "level", "trend", "seasonal")
+  }
+
   /** LOG-RANK TEST (Mantel–Cox) — the hypothesis test on top of the
     * [[kaplanMeier]] machinery: do the two experiment arms (user-id
     * parity, the CUPED assignment) share a survival curve? Per user:
@@ -1085,6 +1131,118 @@ object Stats {
             .otherwise(lit(0.0))
             / sqrt(col("var18").cast("double") / 18d)).otherwise(lit(0.0)), 6)
           .as("z"))
+  }
+
+  /** LAGGED CROSS-CORRELATION between the 'view' and 'purchase' hourly
+    * series — the lead/lag readout a funnel team reads before fitting
+    * anything: at lag L, the Pearson correlation of views at hour t
+    * with purchases at hour t+L, over the hours where BOTH exist
+    * (inner join; the gapped axis needs no imputation). Per lag,
+    * everything reduces to exact integer sufficient sums over the
+    * CALENDAR-BOUNDED axis (13 lags × |hours| joined rows — fixed at
+    * any corpus size); the correlation is one mirrored double
+    * expression with a zero-variance guard.
+    */
+  def crossCorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 12): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val x = hourly.filter(col("event_type") === "view")
+      .select(col("hr"), col("n").as("x"))
+    val y = hourly.filter(col("event_type") === "purchase")
+      .select(col("hr").as("yhr"), col("n").as("y"))
+    val lags = spark.range(0, maxLag + 1).select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("yhr") === col("hr") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_hours"),
+        round(when(
+          (col("n_hours") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n_hours") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n_hours").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n_hours").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n_hours").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")))), 6)
+          .as("ccf"))
+  }
+
+  /** KENDALL'S τ-b between the 'view' and 'purchase' hourly counts
+    * paired by hour — the rank-concordance companion to
+    * [[crossCorrelation]]'s Pearson: `S = Σ sign((xᵢ−xⱼ)(yᵢ−yⱼ))` over
+    * hour pairs, tie-corrected denominator
+    * `√((n₀−n₁)(n₀−n₂))` with n₁/n₂ the per-variable tie-pair counts.
+    * Pairs live on the CALENDAR-BOUNDED axis (fixed count at any
+    * corpus size); S and the tie table are exact integers, τ is one
+    * final double expression.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val xy = hourly.filter(col("event_type") === "view")
+      .select(col("hr"), col("n").as("x"))
+      .join(hourly.filter(col("event_type") === "purchase")
+        .select(col("hr"), col("n").as("y")), Seq("hr"))
+    val a = xy.select(col("hr").as("hi"), col("x").as("xi"), col("y").as("yi"))
+    val pairs = a.join(
+      xy.select(col("hr").as("hj"), col("x").as("xj"), col("y").as("yj")),
+      col("hi") < col("hj"))
+    val s = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum((signum(col("xj") - col("xi")) * signum(col("yj") - col("yi")))
+        .cast("long")).as("s"),
+      sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).as("n2"))
+    s.select(col("n0").as("n_pairs"), col("s"), col("n1").as("ties_x"),
+      col("n2").as("ties_y"),
+      round(when((col("n0") - col("n1")) > 0 && (col("n0") - col("n2")) > 0,
+        col("s").cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double")))), 6).as("tau_b"))
+  }
+
+  /** TWO-PROPORTION Z-TEST on conversion by experiment arm (user-id
+    * parity, the CUPED assignment): did arm A's purchase-conversion
+    * rate move? Pooled-variance z from four exact integers (per-arm
+    * users and converters) — one user-level aggregate, a 2-row arm
+    * aggregate, one final double expression with a degenerate-pool
+    * guard. The A/B readout every experiment dashboard leads with.
+    */
+  def twoProportionZ(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select((pmod(col("user_id"), lit(2)) === 0).as("arm_a"), col("conv"))
+    val arms = perUser.groupBy(col("arm_a"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val aRow = arms.filter(col("arm_a")).select(col("n").as("na"), col("k").as("ka"))
+    val bRow = arms.filter(!col("arm_a")).select(col("n").as("nb"), col("k").as("kb"))
+    aRow.crossJoin(bRow)
+      .withColumn("pa", col("ka").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("kb").cast("double") / col("nb").cast("double"))
+      .withColumn("pp",
+        (col("ka") + col("kb")).cast("double") / (col("na") + col("nb")).cast("double"))
+      .select(col("na"), col("ka"), col("nb"), col("kb"),
+        round(col("pa"), 6).as("rate_a"), round(col("pb"), 6).as("rate_b"),
+        round(when(col("pp") > 0 && col("pp") < 1,
+          (col("pa") - col("pb")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("na").cast("double") +
+                lit(1.0) / col("nb").cast("double")))), 6).as("z"))
   }
 
   /** THEIL–SEN ROBUST SLOPE per event type — the median of all

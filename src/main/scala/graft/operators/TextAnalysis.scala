@@ -1018,6 +1018,28 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /** LEXICAL DIVERSITY per source — type-token ratio and hapax
+    * fraction, the corpus-health stats a data curator reads next to
+    * OOV rate: a slice whose TTR collapses is template spam; one whose
+    * hapax fraction explodes is OCR noise. Two map-side-combined
+    * aggregations — (source, token) counts then per-source rollup —
+    * shuffles bounded by |vocabulary|, never corpus-sized.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_frac"))
+
   /** FLESCH READING-EASE per document — the readability member of the
     * quality-scoring family (length/punct/stopword ratios live in
     * `qualityScore`; this adds the classic 206.835 − 1.015·(words/

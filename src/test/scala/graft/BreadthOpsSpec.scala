@@ -540,4 +540,79 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(full.forall(_.getAs[Long]("n_oov") == 0L),
       "a vocabulary holding every corpus token leaves nothing OOV")
   }
+
+  test("holt-winters: distributed fold equals an independent driver replay") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Stats.holtWinters(spark, dir)
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val raw = graft.sources.Tables.raw(spark, dir, "events")
+    val hourly = raw.select(col("event_type"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (alpha, beta, gamma) = (0.5, 0.3, 0.2)
+    val (a1, b1, g1) = (1 - alpha, 1 - beta, 1 - gamma)
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val s = Array.fill(24)(0.0)
+      var level = 0.0; var trend = 0.0; var first = true
+      rows.sortBy(_._2).map { case (_, hr, n) =>
+        val y = n.toDouble
+        val slot = (hr % 24).toInt
+        if (first) { first = false; level = y; trend = 0.0; s(slot) = 0.0 }
+        else {
+          val sPrev = s(slot); val prev = level
+          level = alpha * (y - sPrev) + a1 * (level + trend)
+          trend = beta * (level - prev) + b1 * trend
+          s(slot) = gamma * (y - level) + g1 * sPrev
+        }
+        (t, hr, n, level, trend, s(slot))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want, "the typed fold must be BIT-identical to the replay")
+  }
+
+  test("cross-correlation and kendall tau: coefficients bounded, stats consistent") {
+    val ccf = graft.operators.Stats.crossCorrelation(spark, dir).collect()
+    assert(ccf.length == 13)
+    ccf.foreach { r =>
+      assert(r.getAs[Long]("n_hours") > 0)
+      if (!r.isNullAt(2)) {
+        val c = r.getAs[Double]("ccf")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+    val tau = graft.operators.Stats.kendallTau(spark, dir).collect().head
+    val n0 = tau.getAs[Long]("n_pairs")
+    assert(math.abs(tau.getAs[Long]("s")) <= n0)
+    if (!tau.isNullAt(4)) {
+      val t = tau.getAs[Double]("tau_b")
+      assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9)
+    }
+  }
+
+  test("two-proportion z: rates are the k/n ratios, arms partition the users") {
+    val r = graft.operators.Stats.twoProportionZ(spark, dir).collect().head
+    val (na, ka, nb, kb) = (r.getAs[Long]("na"), r.getAs[Long]("ka"),
+      r.getAs[Long]("nb"), r.getAs[Long]("kb"))
+    assert(ka <= na && kb <= nb)
+    val users = graft.sources.Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users, "the two arms must partition the user base")
+    assert(math.abs(r.getAs[Double]("rate_a") - ka.toDouble / na) < 1e-6)
+  }
+
+  test("lexical diversity: hapax <= types <= tokens, ratios in (0,1]") {
+    val rows = graft.operators.TextAnalysis.lexicalDiversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, ty, hx) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_hapax"))
+      assert(hx <= ty && ty <= nt)
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Double]("hapax_frac") >= 0.0 && r.getAs[Double]("hapax_frac") <= 1.0)
+    }
+  }
 }
