@@ -1221,6 +1221,40 @@ object Relational {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` through the parser — the
+    * exploratory-SQL shorthand (group on every non-aggregate select
+    * item, order on every output column) Spark 4 adopted from DuckDB;
+    * the resolved plan is the ordinary hash aggregate + sort, so the
+    * sugar costs nothing at scale.
+    */
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderpriority, year(o_orderdate) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM graft_orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** LATERAL COLUMN ALIAS through the parser (Spark 3.4+): a select
+    * item referencing an alias defined EARLIER in the same list — the
+    * derived-column chain every hand-written report builds; resolved
+    * by inlining, so the plan is one projection, not nested subqueries.
+    */
+  def sqlLateralAlias(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc_price,
+        |  CAST(disc_price * (1 + CAST(l_tax AS DECIMAL(12,2)))
+        |    AS DECIMAL(22,6)) AS charged,
+        |  CAST(charged AS DOUBLE) - CAST(disc_price AS DOUBLE) AS tax_amount
+        |FROM graft_lineitem
+        |WHERE l_orderkey < 1000""".stripMargin)
+  }
+
   /** SQL session VARIABLES (Spark 4 `DECLARE` / `SET VAR`): the
     * parameterization idiom for SQL-text pipelines — a threshold set
     * once, referenced by later statements, folded as a literal at plan

@@ -263,6 +263,12 @@ object SqlDml {
     */
   def sqlCdc(spark: SparkSession, dir: String): DataFrame = {
     ensureDocsTable(spark, dir, "dml_cdc")
+    // TAG the fixture's two snapshots on first touch: re-running the
+    // MERGE (bench reps) commits further versions and the keep-last-2
+    // retention would otherwise vacuum v1 — a CDC consumer pins the
+    // range it reads exactly like this (tags hold versions against
+    // retention), and the feed query below binds the tag, not "latest"
+    graft.sources.GraftVtTable.tag(roots((dir, "dml_cdc")), "cdc_base", 1)
     val base = docsBase(spark, dir)
     base.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), concat(upper(col("text")), lit(" M")).as("text"),
@@ -281,10 +287,11 @@ object SqlDml {
         |WHEN MATCHED THEN UPDATE SET text = s.text, source = s.source
         |WHEN NOT MATCHED AND s.op <> 'delete' THEN
         |  INSERT (doc_id, text, source) VALUES (s.doc_id, s.text, s.source)""".stripMargin)
+    graft.sources.GraftVtTable.tag(roots((dir, "dml_cdc")), "cdc_commit", 2)
     spark.sql(
       """WITH raw AS (
         |  SELECT doc_id, md5(CAST(text AS BINARY)) AS digest, _change_type
-        |  FROM graft_vt.dml_cdc.changes VERSION AS OF 2),
+        |  FROM graft_vt.dml_cdc.changes VERSION AS OF 'cdc_commit'),
         |o AS (SELECT doc_id, digest FROM raw WHERE _change_type = 'delete'),
         |n AS (SELECT doc_id, digest FROM raw WHERE _change_type = 'insert')
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -306,14 +313,19 @@ object SqlDml {
     */
   def sqlCdcMor(spark: SparkSession, dir: String): DataFrame = {
     ensureMorTable(spark, dir, "mor_cdc")
+    // same retention pin as sqlCdc: reps commit further versions and
+    // keep-last-2 would vacuum the fixture snapshots out from under
+    // the pinned feed read
+    graft.sources.GraftVtTable.tag(roots((dir, "mor_cdc")), "cdc_base", 1)
     spark.sql(
       """UPDATE graft_vt.mor_cdc
         |SET text = upper(text), source = 'updated'
         |WHERE doc_id % 5 = 0""".stripMargin)
+    graft.sources.GraftVtTable.tag(roots((dir, "mor_cdc")), "cdc_commit", 2)
     spark.sql(
       """SELECT doc_id, _change_type, source,
         |  md5(CAST(text AS BINARY)) AS digest
-        |FROM graft_vt.mor_cdc.changes VERSION AS OF 2""".stripMargin)
+        |FROM graft_vt.mor_cdc.changes VERSION AS OF 'cdc_commit'""".stripMargin)
   }
 
   /** METADATA-ONLY DELETE through the parser: the table is clustered
