@@ -73,6 +73,8 @@ object SparkEntry {
     "q_sql_exists" -> (Relational.sqlExistsLateOrders(_, _)),
     "q_sql_multijoin" -> (Relational.sqlMarketShare(_, _)),
     "q_sql_pipe" -> (Relational.sqlPipeSyntax(_, _)),
+    "q_sql_group_by_all" -> (Relational.sqlGroupByAll(_, _)),
+    "q_sql_lateral_alias" -> (Relational.sqlLateralAlias(_, _)),
     "q_sql_variables" -> (Relational.sqlVariables(_, _)),
     "q_sql_params" -> (Relational.sqlNamedParams(_, _)),
     "q_sql_script" -> (Relational.sqlScripting(_, _)),
@@ -1278,6 +1280,26 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // GROUP BY ALL / ORDER BY ALL sugar — same text works in DuckDB
+    // (which originated it); the compare sorts rows anyway
+    "q_sql_group_by_all" ->
+      """SELECT o_orderpriority, year(o_orderdate) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ALL""".stripMargin,
+    // lateral column aliases: dp/ch chains are exact decimal products
+    // (scale 4 then 6 — no rounding site), doubles only at the output
+    "q_sql_lateral_alias" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(dp AS DOUBLE) AS disc_price,
+        |  CAST(ch AS DOUBLE) AS charged,
+        |  CAST(ch AS DOUBLE) - CAST(dp AS DOUBLE) AS tax_amount
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS dp,
+        |    CAST(dp * (1 + CAST(l_tax AS DECIMAL(12,2)))
+        |      AS DECIMAL(22,6)) AS ch
+        |  FROM lineitem WHERE l_orderkey < 1000)""".stripMargin,
     // session variable graft_prio is SET to '2-HIGH' before the query
     "q_sql_variables" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

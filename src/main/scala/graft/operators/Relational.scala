@@ -1244,15 +1244,22 @@ object Relational {
     */
   def sqlLateralAlias(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    // the inner SELECT is the feature surface (each alias referenced by
+    // the next item); the outer projection normalizes decimals to
+    // DOUBLE for the dtype-sensitive gate compare
     spark.sql(
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(12,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc_price,
-        |  CAST(disc_price * (1 + CAST(l_tax AS DECIMAL(12,2)))
-        |    AS DECIMAL(22,6)) AS charged,
-        |  CAST(charged AS DOUBLE) - CAST(disc_price AS DOUBLE) AS tax_amount
-        |FROM graft_lineitem
-        |WHERE l_orderkey < 1000""".stripMargin)
+        |  CAST(dp AS DOUBLE) AS disc_price,
+        |  CAST(ch AS DOUBLE) AS charged,
+        |  CAST(ch AS DOUBLE) - CAST(dp AS DOUBLE) AS tax_amount
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS dp,
+        |    CAST(dp * (1 + CAST(l_tax AS DECIMAL(12,2)))
+        |      AS DECIMAL(22,6)) AS ch
+        |  FROM graft_lineitem
+        |  WHERE l_orderkey < 1000)""".stripMargin)
   }
 
   /** SQL session VARIABLES (Spark 4 `DECLARE` / `SET VAR`): the
