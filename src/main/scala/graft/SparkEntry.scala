@@ -257,6 +257,8 @@ object SparkEntry {
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
+    "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
+    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
     "q_image_resize" -> (Multimodal.imageResize(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     "q_video_frames" -> ((s, d) => Multimodal.videoFrames(s, d)),
@@ -2247,6 +2249,61 @@ object SparkEntry {
         |       sha256(d.text) AS pcm_sha256,
         |       CAST(s.amp_sum AS DOUBLE) / s.n AS amplitude_mean
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    // per-frame audio features: PCM == text bytes (lossless), so the
+    // frame folds replay on codepoints; sqrt is the only double
+    "q_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE strlen(text) >= 1),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(0, CAST(len AS BIGINT))) AS INTEGER) AS pos
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, pos // 256 AS frame_idx, pos % 256 AS fpos,
+        |    ascii(substr(text, pos + 1, 1)) - 128 AS dev
+        |  FROM e),
+        |x2 AS (
+        |  SELECT doc_id, frame_idx, dev,
+        |    LAG(dev) OVER (PARTITION BY doc_id, frame_idx ORDER BY fpos) AS pdev
+        |  FROM x),
+        |f AS (
+        |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |    CAST(COUNT(*) AS INTEGER) AS n,
+        |    CAST(SUM(CAST(dev AS BIGINT) * dev) AS BIGINT) AS energy,
+        |    CAST(SUM(CASE WHEN (pdev > 0 AND dev < 0)
+        |      OR (pdev < 0 AND dev > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_crossings
+        |  FROM x2 GROUP BY doc_id, frame_idx)
+        |SELECT doc_id, frame_idx, n, energy, zero_crossings,
+        |  ROUND(sqrt(CAST(energy AS DOUBLE) / n), 6) AS rms,
+        |  sqrt(CAST(energy AS DOUBLE) / n) < 10.0 AS is_silence
+        |FROM f""".stripMargin,
+    // exact time-to-convert order statistics from the bounded gap
+    // histogram: k = ceil(num*n/den) in pure integer arithmetic
+    "q_time_to_convert" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ts,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT (tp - ts) // 3600000000 AS gap
+        |  FROM pu WHERE ts IS NOT NULL AND tp IS NOT NULL AND tp >= ts),
+        |hist AS (SELECT gap, COUNT(*) AS c FROM g GROUP BY gap),
+        |cum AS (
+        |  SELECT gap, SUM(c) OVER (ORDER BY gap
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |tot AS (SELECT COUNT(*) AS n_users FROM g),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |  ('p99', 99, 100)) AS t(quantile, num, den))
+        |SELECT quantile, n_users,
+        |  CAST((num * n_users + den - 1) // den AS BIGINT) AS k,
+        |  MIN(gap) AS gap_hours
+        |FROM cum CROSS JOIN tot CROSS JOIN qs
+        |WHERE cum >= (num * n_users + den - 1) // den
+        |GROUP BY quantile, n_users, k""".stripMargin,
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text, CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames

@@ -865,4 +865,43 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary")).as("total_monetary"))
   }
+
+  /** TIME-TO-CONVERT QUANTILES — the funnel-latency readout next to
+    * [[funnelConversion]]'s rate: for users whose first purchase
+    * follows their first signup, EXACT p50/p90/p99 of the signup→
+    * purchase gap in hours. The gap axis is CALENDAR-BOUNDED (hours,
+    * not users), so the distribution collapses to a tiny
+    * (gap → count) histogram; order statistics are pure integer
+    * arithmetic — `k = ⌈num·n/den⌉` with the quantile as an exact
+    * rational, answered as the smallest gap whose cumulative count
+    * reaches k. No per-user sort ever happens: users aggregate once,
+    * everything after is histogram-sized.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    val perUser = raw
+      .select(col("user_id"), col("event_type"), micros.as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("ts"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+      .filter(col("ts").isNotNull && col("tp").isNotNull && col("tp") >= col("ts"))
+    val gaps = perUser.select(
+      ((col("tp") - col("ts") - pmod(col("tp") - col("ts"), lit(3600000000L)))
+        / lit(3600000000L)).cast("long").as("gap"))
+    val hist = gaps.groupBy(col("gap")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("gap"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = gaps.agg(count(lit(1)).as("n_users"))
+    val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      .toDF("quantile", "num", "den")
+    cum.crossJoin(broadcast(total))
+      .crossJoin(broadcast(qs))
+      .withColumn("k", expr("(num * n_users + den - 1) div den"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("quantile"), col("n_users"), col("k"))
+      .agg(min(col("gap")).as("gap_hours"))
+  }
 }

@@ -195,6 +195,61 @@ object Multimodal {
       "pcm_sha256", "amplitude_mean")
   }
 
+  /** PER-FRAME AUDIO FEATURES over the decoded PCM — the curation
+    * readout an audio-corpus pipeline runs after [[audioDecode]]: RMS
+    * energy, zero-crossing count, and a silence flag per fixed
+    * `frame`-sample window (the classic VAD front-end that drops dead
+    * air before transcription). Runs the SAME genuine RIFF encode →
+    * `AudioSystem` decode path, then integer frame folds: energy is
+    * the exact Σ(x−128)², crossings count strict sign flips of
+    * consecutive deviations — one sqrt per frame is the only double
+    * (rounded via the DataFrame `round`, not in the fold, so the gate
+    * contract owns the rounding site). Executor-local per-row work,
+    * output ∝ frames, no shuffle.
+    */
+  def audioFeatures(spark: SparkSession, dir: String, frame: Int = 256): DataFrame = {
+    import spark.implicits._
+    val SampleRate = 8000f
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      inMemoryCodecStreams()
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        SampleRate, 8, 1, 1, SampleRate, false)
+      batch.flatMap { case (docId, payload) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray)).readAllBytes()
+        pcm.grouped(frame).zipWithIndex.map { case (fr, idx) =>
+          var energy = 0L
+          var zc = 0L
+          var i = 0
+          while (i < fr.length) {
+            val d = (fr(i) & 0xFF) - 128
+            energy += d.toLong * d
+            if (i > 0) {
+              val p = (fr(i - 1) & 0xFF) - 128
+              if ((p > 0 && d < 0) || (p < 0 && d > 0)) zc += 1
+            }
+            i += 1
+          }
+          (docId, idx, fr.length, energy, zc,
+            math.sqrt(energy.toDouble / fr.length))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "n", "energy", "zero_crossings", "rms_raw")
+      .select(col("doc_id"), col("frame_idx"), col("n"), col("energy"),
+        col("zero_crossings"), round(col("rms_raw"), 6).as("rms"),
+        (col("rms_raw") < 10.0).as("is_silence"))
+  }
+
   /** Real image resize: decode-then-resample, built on the same genuine
     * PNG round-trip as [[imageDecode]].
     *

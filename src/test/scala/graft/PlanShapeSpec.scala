@@ -46,7 +46,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_retrieval_eval", // bounded broadcast query set × candidate pool (eval contract)
     "q_rfm", // 1-row broadcast |customers| count into the quintile formula
     "q_cuped", // 1-row broadcast pooled sufficient stats against the 2-row arms
-    "q_auc") // 1-row broadcast score bounds into the rank histogram slicing
+    "q_auc", // 1-row broadcast score bounds into the rank histogram slicing
+    "q_time_to_convert") // 1-row total + 3 quantile rows against the tiny gap histogram
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
