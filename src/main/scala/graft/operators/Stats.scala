@@ -1187,6 +1187,7 @@ object Stats {
     * final double expression.
     */
   def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val raw = Tables.raw(spark, dir, "events")
     val hourly = raw
       .select(col("event_type"),
@@ -1197,22 +1198,36 @@ object Stats {
       .select(col("hr"), col("n").as("x"))
       .join(hourly.filter(col("event_type") === "purchase")
         .select(col("hr"), col("n").as("y")), Seq("hr"))
-    val a = xy.select(col("hr").as("hi"), col("x").as("xi"), col("y").as("yi"))
-    val pairs = a.join(
-      xy.select(col("hr").as("hj"), col("x").as("xj"), col("y").as("yj")),
-      col("hi") < col("hj"))
-    val s = pairs.agg(
-      count(lit(1)).as("n0"),
-      sum((signum(col("xj") - col("xi")) * signum(col("yj") - col("yi")))
-        .cast("long")).as("s"),
-      sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).as("n2"))
-    s.select(col("n0").as("n_pairs"), col("s"), col("n1").as("ties_x"),
-      col("n2").as("ties_y"),
-      round(when((col("n0") - col("n1")) > 0 && (col("n0") - col("n2")) > 0,
-        col("s").cast("double") /
-          (sqrt((col("n0") - col("n1")).cast("double")) *
-            sqrt((col("n0") - col("n2")).cast("double")))), 6).as("tau_b"))
+      .as[(Long, Long, Long)]
+    // all-pairs over the paired series as ONE typed fold: the axis is
+    // CALENDAR-BOUNDED (hours, not users), so the O(|hours|²) integer
+    // loop is a fixed cost at any corpus size — the q_kaplan_meier
+    // single-task cost class, and an honest plan (no cartesian shape)
+    xy.groupByKey(_ => true).mapGroups { (_, it) =>
+      val rows = it.toIndexedSeq.sortBy(_._1)
+      var s = 0L; var n1 = 0L; var n2 = 0L
+      var i = 0
+      while (i < rows.length) {
+        var j = i + 1
+        while (j < rows.length) {
+          val dx = java.lang.Long.signum(rows(j)._2 - rows(i)._2)
+          val dy = java.lang.Long.signum(rows(j)._3 - rows(i)._3)
+          s += dx.toLong * dy
+          if (dx == 0) n1 += 1
+          if (dy == 0) n2 += 1
+          j += 1
+        }
+        i += 1
+      }
+      val n0 = rows.length.toLong * (rows.length - 1) / 2
+      val tau =
+        if (n0 - n1 > 0 && n0 - n2 > 0)
+          s.toDouble / (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+        else Double.NaN
+      (n0, s, n1, n2, tau)
+    }.toDF("n_pairs", "s", "ties_x", "ties_y", "tau_raw")
+      .select(col("n_pairs"), col("s"), col("ties_x"), col("ties_y"),
+        round(when(!isnan(col("tau_raw")), col("tau_raw")), 6).as("tau_b"))
   }
 
   /** TWO-PROPORTION Z-TEST on conversion by experiment arm (user-id

@@ -47,7 +47,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_rfm", // 1-row broadcast |customers| count into the quintile formula
     "q_cuped", // 1-row broadcast pooled sufficient stats against the 2-row arms
     "q_auc", // 1-row broadcast score bounds into the rank histogram slicing
-    "q_time_to_convert") // 1-row total + 3 quantile rows against the tiny gap histogram
+    "q_time_to_convert", // 1-row total + 3 quantile rows against the tiny gap histogram
+    "q_cross_correlation", // 13 broadcast lag rows against the bounded hourly axis
+    "q_two_proportion_z") // 1-row arm A summary × 1-row arm B summary
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
