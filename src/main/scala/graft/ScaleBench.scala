@@ -434,7 +434,16 @@ object ScaleBench {
     "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
     "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
-    "q_sql_cdc" -> ((s, d) => graft.operators.SqlDml.sqlCdc(s, d)))
+    "q_sql_cdc" -> ((s, d) => graft.operators.SqlDml.sqlCdc(s, d)),
+    // gopher rules are a pure codegen'd scan (linear at worst); the
+    // source-overlap pair join is bounded by the shared-shingle front
+    // (distinct (shingle, source) rows — replicas decorrelate shingles,
+    // so the front grows far slower than the corpus); audio features
+    // are executor-local per-row codec work
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "q_audio_features" -> ((s, d) => graft.operators.Multimodal.audioFeatures(s, d)),
+    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)))
     // (q_cbo_native reads orders+customer, which the replica set does
     // not carry — its shape is the ordinary broadcast-join scan term
     // over the one-time vt fixture, covered by the sf bench)

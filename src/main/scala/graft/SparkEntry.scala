@@ -219,6 +219,8 @@ object SparkEntry {
     "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
     "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
@@ -929,6 +931,55 @@ object SparkEntry {
         |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END, 6)
         |    AS z
         |FROM j""".stripMargin,
+    // Gopher rule outcomes: exact counting, one rounded ratio per rule
+    "q_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(strlen(text) - (len(toks) - 1) AS DOUBLE) / len(toks) END
+        |      AS mean_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |        AS DOUBLE) / len(toks) END AS alpha_frac,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END
+        |      AS dup_ratio
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  ROUND(mean_len, 6) AS mean_word_len,
+        |  ROUND(alpha_frac, 6) AS alpha_word_frac,
+        |  ROUND(dup_ratio, 6) AS dup_token_ratio,
+        |  (n_tokens >= 5 AND n_tokens <= 100000) AS word_count_ok,
+        |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_len_ok,
+        |  (alpha_frac >= 0.8) AS alpha_ok,
+        |  (dup_ratio < 0.5) AS dup_ok,
+        |  ((n_tokens >= 5 AND n_tokens <= 100000)
+        |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND (alpha_frac >= 0.8) AND (dup_ratio < 0.5)) AS passes
+        |FROM m""".stripMargin,
+    // source-pair shingle overlap: pairs explode within a shingle's
+    // source set only, never doc x doc
+    "q_source_overlap" ->
+      """WITH d AS (SELECT source, text FROM documents WHERE strlen(text) >= 15),
+        |sh AS (
+        |  SELECT DISTINCT source, substring(text, CAST(i AS INTEGER), 15) AS sh
+        |  FROM (SELECT source, text,
+        |    unnest(range(1, strlen(text) - 14 + 1)) AS i FROM d)),
+        |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_shingles
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_shingles, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  ROUND(CAST(shared_shingles AS DOUBLE)
+        |    / (sa.n_sh + sb.n_sh - shared_shingles), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b""".stripMargin,
     // lexical diversity per source: (source, token) counts then rollup
     "q_lexical_diversity" ->
       """WITH toks AS (

@@ -269,6 +269,81 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** GOPHER-STYLE RULE FILTER (Rae et al. 2021 §A1.1, the canonical
+    * pretraining quality gate every pipeline reimplements): per
+    * document, the named RULE OUTCOMES — word count in [5, 10⁵], mean
+    * word length in [3, 10], ≥80% of words containing an alphabetic
+    * character, duplicate-token ratio < 0.5 — plus the conjunction as
+    * `passes`. Where [[qualityScore]] SCORES, this verb FILTERS with
+    * the published thresholds (the word-count floor adapted from 50 to
+    * this corpus's short synthetic docs; the adaptation is the point —
+    * the thresholds are config, the rule shapes are the operator).
+    * Everything is exact integer counting and one rounded ratio per
+    * rule; one codegen'd scan, no shuffle.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val meanLen = when(nTok > 0,
+      (length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double"))
+    val nAlpha = size(filter(t, w => w.rlike("[A-Za-z]")))
+    val alphaFrac = when(nTok > 0, nAlpha.cast("double") / nTok.cast("double"))
+    val dupRatio = when(nTok > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") / nTok.cast("double"))
+    val wordCountOk = nTok >= 5 && nTok <= 100000
+    val meanLenOk = meanLen >= 3.0 && meanLen <= 10.0
+    val alphaOk = alphaFrac >= 0.8
+    val dupOk = dupRatio < 0.5
+    Tables(spark, dir, "documents").select(
+      col("doc_id"), nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      round(dupRatio, 6).as("dup_token_ratio"),
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      alphaOk.as("alpha_ok"), dupOk.as("dup_ok"),
+      (wordCountOk && meanLenOk && alphaOk && dupOk).as("passes"))
+  }
+
+  /** SOURCE×SOURCE CONTAMINATION MATRIX — cross-slice leakage: for
+    * every source pair, how many distinct 15-char shingles they share
+    * (and the Jaccard of their shingle sets). THE reading before
+    * splitting sources into train/eval: a pair with high overlap
+    * cannot sit on opposite sides of the split. Scale shape: shingles
+    * collapse to (shingle, source) DISTINCT rows, each shingle carries
+    * at most |sources| rows (bounded, ~20), pairs explode WITHIN a
+    * shingle's source set only — never doc×doc. Set sizes broadcast
+    * back for the Jaccard.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, w: Int = 15): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= w)
+    val sh = docs
+      .select(col("source"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (w - 1))).as("i"))
+      .select(col("source"), expr(s"substring(text, i, $w)").as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> transform(slice(srcs, i + 2, size(srcs)), b -> struct(least(a, b) as sa, greatest(a, b) as sb))))"))
+        .as("p"))
+      .select(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        round(col("shared_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_shingles")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Corpus-wide word trigram counts, top 15 (count desc, ngram asc).
     * Positions exploded with `sequence` + `element_at` — codegen'd, no
     * array-HOF fallback. Docs under 3 tokens contribute nothing.
