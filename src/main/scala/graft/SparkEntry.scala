@@ -221,6 +221,7 @@ object SparkEntry {
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
@@ -1900,6 +1901,40 @@ object SparkEntry {
         |  SELECT q_id, vec_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // matryoshka truncation eval: both rankings replayed with the
+    // q_knn_brute dot/tie conventions, overlap by set membership
+    "q_matryoshka_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, embedding[1:16] AS emb_t,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_t
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, emb_t AS q_emb_t,
+        |    norm AS q_norm, norm_t AS q_norm_t FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(e.embedding,
+        |      (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |      / (e.norm * q.q_norm) AS cos_full,
+        |    list_sum(list_transform(e.emb_t,
+        |      (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb_t[i] AS DOUBLE)))
+        |      / (e.norm_t * q.q_norm_t) AS cos_trunc
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |tf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos_full DESC, vec_id ASC) AS r FROM scored) WHERE r <= 10),
+        |tt AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos_trunc DESC, vec_id ASC) AS r FROM scored) WHERE r <= 10)
+        |SELECT tf.q_id, CAST(10 AS INTEGER) AS k,
+        |  CAST(SUM(CASE WHEN tt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(SUM(CASE WHEN tt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 10, 6) AS overlap_frac
+        |FROM tf LEFT JOIN tt ON tf.q_id = tt.q_id AND tf.vec_id = tt.vec_id
+        |GROUP BY tf.q_id""".stripMargin,
     // int8 codes rebuilt bit-identically: floor-based round-half-up on the
     // same IEEE double expression; integer dots are exact in doubles, so
     // qcos/qnorm agree to the last bit

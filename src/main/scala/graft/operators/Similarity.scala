@@ -45,6 +45,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022 / the MRL
+    * deployment question): if retrieval ran on only the FIRST `dims`
+    * dimensions — the memory/latency dial matryoshka-trained embedders
+    * expose — how much of the full-dimension top-k survives? Per query:
+    * exact top-k under full cosine, exact top-k under truncated-prefix
+    * cosine, and the overlap fraction. Both rankings are the
+    * [[knnBrute]] broadcast shape (bounded query set × corpus scan —
+    * never corpus×corpus), ties broken by (cosine desc, vec_id) so
+    * both engines pick identical sets.
+    */
+  def matryoshkaEval(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, dims: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, dims).as("emb_t"))
+      .select(col("vec_id"), col("embedding"), col("emb_t"),
+        sqrt(sqNorm(col("embedding"))).as("norm"),
+        sqrt(sqNorm(col("emb_t"))).as("norm_t"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("emb_t").as("q_emb_t"), col("norm").as("q_norm"),
+        col("norm_t").as("q_norm_t"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_full",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("cos_trunc",
+        dot(col("emb_t"), col("q_emb_t")) / (col("norm_t") * col("q_norm_t")))
+    def topk(score: String) = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(score).desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    // LEFT join so a zero-overlap query still reports its 0 (an inner
+    // join would silently drop it — the worst row is the readout)
+    topk("cos_full")
+      .join(topk("cos_trunc").withColumn("m", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("q_id"), lit(k).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
+  }
+
   /** Deterministic random hyperplanes (seeded): nBits × dim. */
   private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(1234)

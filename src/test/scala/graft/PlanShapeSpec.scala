@@ -49,7 +49,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_auc", // 1-row broadcast score bounds into the rank histogram slicing
     "q_time_to_convert", // 1-row total + 3 quantile rows against the tiny gap histogram
     "q_cross_correlation", // 13 broadcast lag rows against the bounded hourly axis
-    "q_two_proportion_z") // 1-row arm A summary × 1-row arm B summary
+    "q_two_proportion_z", // 1-row arm A summary × 1-row arm B summary
+    "q_matryoshka_eval") // the q_knn_brute broadcast query-set × corpus shape, twice-scored
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
