@@ -290,6 +290,7 @@ object SparkEntry {
     "q_sql_merge" -> (SqlDml.sqlMerge(_, _)),
     "q_sql_cdc" -> (SqlDml.sqlCdc(_, _)),
     "q_sql_cdc_mor" -> (SqlDml.sqlCdcMor(_, _)),
+    "q_cdc_net" -> (SqlDml.sqlCdcNet(_, _)),
     "q_sql_merge_source" -> (SqlDml.sqlMergeSource(_, _)),
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
@@ -357,6 +358,7 @@ object SparkEntry {
     "q_stream_upsert_sink" -> (Streaming.upsertSinkLatestEvents(_, _)),
     "q_stream_vt_sink" -> (Streaming.vtSinkLatestEvents(_, _)),
     "q_stream_vt_source" -> (Streaming.vtSourceStream(_, _)),
+    "q_stream_cdc" -> (Streaming.cdcSourceStream(_, _)),
     "q_stream_state_reader" -> (Streaming.stateStoreReader(_, _)),
     "q_word_ngrams" -> ((s, d) => TextAnalysis.wordNgrams(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -2556,6 +2558,33 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR) AS old_digest, md5(text) AS new_digest
         |  FROM documents WHERE doc_id % 13 = 0)
         |SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins""".stripMargin,
+    // Delta-CDF four-type contract from the same analytic churn: every
+    // updated key contributes an update_preimage row (old digest/source)
+    // AND an update_postimage row (new digest, source 'recrawl')
+    "q_cdc_net" ->
+      """WITH upd AS (SELECT doc_id, md5(text) AS od, source AS os,
+        |    md5(upper(text) || ' M') AS nd, 'recrawl' AS ns
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, 'update_preimage' AS op, od AS digest, os AS source FROM upd
+        |UNION ALL SELECT doc_id, 'update_postimage' AS op, nd, ns FROM upd
+        |UNION ALL SELECT doc_id, 'delete' AS op, md5(text), source
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0
+        |UNION ALL SELECT doc_id + 10000000 AS doc_id, 'insert' AS op,
+        |    md5(text), 'inserted'
+        |  FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    // streaming CDC rollup: batch 1 = all of v1 as inserts (original
+    // text), batch 2 = the %7 hot slice re-crawled — old images as
+    // deletes, new images (+" v2", 3 chars) as inserts
+    "q_stream_cdc" ->
+      """SELECT 1 AS _commit_version, 'insert' AS _change_type,
+        |  COUNT(*) AS n, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, 'delete', COUNT(*), CAST(SUM(LENGTH(text)) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 2, 'insert', COUNT(*), CAST(SUM(LENGTH(text) + 3) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     // MOR CDC: the tombstone mechanism yields exact delete/insert row
     // pairs for every updated key — old image from the carried base
     // file, new image from the delta file

@@ -39,10 +39,18 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    // bounded top-k aggregate, NOT a row_number window: the scored
+    // relation is corpus × nQueries with only nQueries distinct keys, so
+    // a window would funnel the ENTIRE corpus through nQueries sort
+    // tasks (the exact hazard TopKAggregator documents). The aggregator
+    // keeps O(k) state per query with map-side partials — every scan
+    // task contributes its local best-k and only nQueries × k rows
+    // shuffle. Comparator matches the old window order
+    // (cosine desc, vec_id asc; NaN-total order), so results and the
+    // DuckDB oracle are unchanged.
+    boundedTopK(scored.select(col("q_id").as("a_id"),
+        col("vec_id").as("b_id"), col("cosine")), k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
   }
 
   /** MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022 / the MRL
@@ -73,11 +81,14 @@ object Similarity {
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("cos_trunc",
         dot(col("emb_t"), col("q_emb_t")) / (col("norm_t") * col("q_norm_t")))
-    def topk(score: String) = scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col(score).desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"))
+    // same bounded-top-k-not-window reasoning as [[knnBrute]]: the
+    // scored relation has only nQueries keys, so per-query ranking must
+    // be an O(k)-state aggregate with map-side partials, never a
+    // full-partition sort
+    def topk(score: String) = boundedTopK(
+      scored.select(col("q_id").as("a_id"), col("vec_id").as("b_id"),
+        col(score).as("cosine")), k)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
     // LEFT join so a zero-overlap query still reports its 0 (an inner
     // join would silently drop it — the worst row is the readout)
     topk("cos_full")

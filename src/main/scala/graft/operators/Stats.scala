@@ -701,7 +701,11 @@ object Stats {
         round(col("value") * 100d).cast("long").as("cents"))
     val catStats = ev.groupBy(col("event_type"))
       .agg(sum(col("cents")).as("cat_sum"), count(lit(1)).as("cat_n"))
-    ev.join(broadcast(catStats), Seq("event_type"))
+    // null-SAFE key (<=>): groupBy keeps a NULL category group and so
+    // does the oracle's PARTITION BY — a plain equi-join would silently
+    // drop null-category rows (r11 advice); still a BroadcastHashJoin
+    ev.join(broadcast(catStats.withColumnRenamed("event_type", "cat_type")),
+        col("event_type") <=> col("cat_type"))
       .select(col("event_id"), col("event_type"),
         round(when(col("cat_n") > 1,
           (col("cat_sum") - col("cents")).cast("double")

@@ -225,7 +225,17 @@ class MorDeltaBatchWrite(root: String, newVersion: Int, schema: StructType,
         val prev = VtMor.readBranchMeta(root, b, k - 1)
           .getOrElse(VtMor.Meta(Map.empty, Nil))
         val prevEntries = VtBranch.entries(root, b)
-        VtBranch.commitEntries(root, b, prevEntries ++ newFiles): Unit
+        // the ref-head precheck above can still lose the CREATE_NEW
+        // race inside commitEntries — the loser must clean up its data
+        // files like the main-line path does, or they sit orphaned in a
+        // group dir the winner's manifest pins (vacuum-proof garbage)
+        try VtBranch.commitEntries(root, b, prevEntries ++ newFiles): Unit
+        catch {
+          case e @ (_: java.util.ConcurrentModificationException |
+              _: java.nio.file.FileAlreadyExistsException) =>
+            abort(messages)
+            throw e
+        }
         VtMor.writeBranchMeta(root, b, k, VtMor.Meta(
           prev.files ++ newFiles.map(_ -> newVersion),
           prev.tombs ++ newTombs))

@@ -176,6 +176,34 @@ class BranchSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"drop must clean branch sidecars: ${leftovers.toSeq}")
   }
 
+  test("MOR branch commit losing the CREATE_NEW race aborts its data files") {
+    GraftVtCatalog.ensure(spark)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).filter(col("doc_id") < 40)
+    val morRoot = VersionedTable.freshRoot(s"$dir#branchspec_morrace")
+    graft.sources.VtMor.createVersion1(spark, morRoot, docs)
+    val keyedSchema = org.apache.spark.sql.types.StructType(docs.schema.fields.map(f =>
+      if (f.name == "doc_id") f.copy(nullable = false) else f))
+    GraftVtCatalog.registerMor(spark, "br_morrace", morRoot, keyedSchema, "doc_id")
+    spark.sql("CALL graft_vt.create_branch('br_morrace', 'race')").collect()
+    // simulate the narrow race: a concurrent winner has claimed head-1's
+    // manifest but the ref hasn't advanced yet — the commit-time ref
+    // precheck passes, then commitEntries' CREATE_NEW loses
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$morRoot/_manifest_b_race_v1.txt"), "")
+    intercept[Exception] {
+      spark.sql(
+        "UPDATE graft_vt.br_morrace.branch_race SET source = 'x' WHERE doc_id % 3 = 0")
+    }
+    // the loser must clean up its replacement data files — otherwise
+    // they sit orphaned in a group dir no vacuum can ever collect
+    val groupDir = new java.io.File(s"$morRoot/files/delta_b_race_v1")
+    val leftovers = Option(groupDir.list())
+      .map(_.toSeq.filter(_.endsWith(".parquet"))).getOrElse(Nil)
+    assert(leftovers.isEmpty, s"race loser must abort its data files: $leftovers")
+    spark.sql("CALL graft_vt.drop_branch('br_morrace', 'race')").collect(): Unit
+  }
+
   test("rollback restores an older file list as a NEW head; history survives") {
     val name = "br_rb"
     val root = mkTable(name)

@@ -105,6 +105,52 @@ class CdcSpec extends AnyFunSuite {
     assert(v2.exceptAll(composed).count() === 0)
   }
 
+  test("MOR compaction: compose identity holds; pre-tombstoned rows emit NO spurious deletes") {
+    val root = VersionedTable.freshRoot(s"$dir#cdc_mor_compact_spec")
+    VtMor.createVersion1(spark, root, docsBase)
+    val schema = org.apache.spark.sql.types.StructType(docsBase.schema.fields.map(f =>
+      if (f.name == "doc_id") f.copy(nullable = false) else f))
+    GraftVtCatalog.registerMor(spark, "cdc_mor_compact", root, schema, keyCol = "doc_id")
+    spark.sql("DELETE FROM graft_vt.cdc_mor_compact WHERE doc_id % 9 = 4") // v2: tombstones
+    VtMor.compact(spark, "cdc_mor_compact") // v3: layout churn only
+    val feed = spark.sql("SELECT * FROM graft_vt.cdc_mor_compact.changes VERSION AS OF 3")
+    // rows tombstoned at v2 were NOT part of v2's logical content — the
+    // compaction's removed-file deletes must not resurrect them
+    assert(feed.filter(col("_change_type") === "delete")
+      .filter(col("doc_id") % 9 === 4).count() === 0)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(col("doc_id"), col("text"), col("source"))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"), col("source"))
+    val v2 = spark.sql("SELECT * FROM graft_vt.cdc_mor_compact VERSION AS OF 2")
+    val v3 = spark.sql("SELECT * FROM graft_vt.cdc_mor_compact VERSION AS OF 3")
+    val composed = v2.exceptAll(dels).unionByName(ins)
+    assert(composed.exceptAll(v3).count() === 0)
+    assert(v3.exceptAll(composed).count() === 0)
+    // pure layout churn: every logical row appears as an OFFSETTING
+    // delete+insert pair, so a net-change consumer sees zero churn
+    assert(dels.exceptAll(ins).count() === 0)
+    assert(ins.exceptAll(dels).count() === 0)
+  }
+
+  test("changes feed honors RENAME COLUMN: renamed column carries data, not nulls") {
+    val root = VersionedTable.buildChain(spark, dir)
+    GraftVtCatalog.register(spark, "cdc_renamed", root, docsBase.schema)
+    spark.sql("ALTER TABLE graft_vt.cdc_renamed RENAME COLUMN source TO origin")
+    val feed = spark.sql(
+      """SELECT doc_id, origin, _change_type
+        |FROM graft_vt.cdc_renamed.changes VERSION AS OF 2""".stripMargin)
+    assert(feed.count() > 0)
+    // pre-fix the parquet reader was asked for a column named 'origin'
+    // that no file stores — every value silently NULL
+    assert(feed.filter(col("origin").isNull).count() === 0)
+    // the chain's v2 re-crawl stamps source 'recrawl' on its inserts
+    val sources = docsBase.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet + "recrawl"
+    val got = feed.select(col("origin")).distinct().collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(sources))
+  }
+
   test("changes over an expired parent fails loudly, not silently-empty") {
     val root = VersionedTable.freshRoot(s"$dir#cdc_expired_spec")
     val base = docsBase

@@ -62,6 +62,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force top-k plans no Window over the scored corpus") {
+    // knnBrute / matryoshkaEval score corpus × nQueries rows with only
+    // nQueries distinct ranking keys — a row_number window there funnels
+    // the whole corpus through nQueries sort tasks (r11 verdict #1). The
+    // ranking must be the bounded TopKAggregator (ObjectHashAggregate
+    // with map-side partials), never a Window sort.
+    Seq("q_knn_brute", "q_matryoshka_eval").foreach { name =>
+      val plan = SparkEntry.queries(name)(TestSpark.spark, TestSpark.sf0001)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must rank via the bounded top-k aggregate, not a Window over the scored corpus")
+    }
+  }
+
   test("q_target_encode plans no Window over the events log") {
     // per-category sum/count must come from groupBy + broadcast join
     // back — a Window.partitionBy(event_type) over the full log funnels

@@ -66,7 +66,7 @@ class ScaleBenchSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${out.getAbsolutePath}/documents.parquet").count() == base * 3)
     val markers = Option(out.listFiles()).get
       .map(_.getName).filter(_.startsWith("_SCALE_READY")).toSeq
-    assert(markers == Seq("_SCALE_READY_v4_3"), s"markers: $markers")
+    assert(markers == Seq("_SCALE_READY_v5_3"), s"markers: $markers")
     // and the same factor is still idempotent: a third call with factor 3
     // must return via the marker (mtime of the parquet dir unchanged)
     val before = new java.io.File(out, "documents.parquet").lastModified()
