@@ -325,6 +325,7 @@ object SparkEntry {
     "q_cow_narrow" -> (SqlDml.sqlNarrowUpdate(_, _)),
     "q_spj_join" -> (SqlDml.sqlSpjJoin(_, _)),
     "q_rebucket" -> (SqlDml.sqlRebucket(_, _)),
+    "q_partition_evolve" -> (SqlDml.sqlPartitionEvolve(_, _)),
     "q_agg_pushdown" -> (SqlDml.sqlAggPushdown(_, _)),
     "q_runtime_prune" -> (SqlDml.sqlRuntimePrune(_, _)),
     "q_sql_rename_table" -> (SqlDml.sqlRenameTable(_, _)),
@@ -2908,6 +2909,22 @@ object SparkEntry {
         |  CAST(2 AS INT) AS new_version, pre_rebucket_rows
         |FROM documents CROSS JOIN c
         |GROUP BY source, CAST(doc_id % 5 AS INTEGER), pre_rebucket_rows""".stripMargin,
+    // partition-spec evolution: the boundary is the integer midpoint of
+    // the log's span; the readout spans 6 day-era + 2 hour-era hours,
+    // so both write-layout generations feed it. since_version = 3
+    // (empty v1, day-era INSERT v2, evolve boundary = v2+1)
+    "q_partition_evolve" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |b AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+        |  CAST(3 AS INT) AS since_version
+        |FROM ev CROSS JOIN b
+        |WHERE ts_us >= mid - 6 * 3600000000 AND ts_us < mid + 2 * 3600000000
+        |GROUP BY event_type""".stripMargin,
     // narrowed COW: only zone-intersecting files rewritten; boundary
     // rows on both edges of the updated range pin that retained files
     // read back byte-identical

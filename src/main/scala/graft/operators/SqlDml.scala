@@ -1304,6 +1304,68 @@ object SqlDml {
       .withColumn("pre_rebucket_rows", lit(preRows.toLong))
   }
 
+  /** PARTITION-SPEC EVOLUTION (VERDICT r11 #4) — the Iceberg headline
+    * feature for growing fact tables: the events log starts
+    * day-partitioned; as ingest grows, `CALL graft_vt.evolve_partition`
+    * moves the write unit to HOUR — METADATA-ONLY (no rewrite; the
+    * procedure appends one `_partspec.txt` line with its validity
+    * boundary, mirroring `rebucket`'s versioned-boundary design). The
+    * ladder: empty v1 → INSERT the older half (v2: one file per day,
+    * `u=<day>` routing) → evolve → INSERT the newer half (v3: one file
+    * per hour). The readout is a time-RANGE aggregate spanning the
+    * evolution boundary, so the scan must read BOTH generations — and
+    * prunes each at its own granularity through the uniform per-file
+    * zone maps (day-era files ≤ a day wide, hour-era files ≤ an hour
+    * wide; `PartitionEvolveSpec` pins the pruned file counts). At
+    * 100 TB: day→hour on a 100 TB table costs one sidecar line, and a
+    * 2-hour dashboard query stops scanning 24× too much of the new era
+    * the moment the spec moves.
+    */
+  def sqlPartitionEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_part_evolve"
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100d).cast("long").as("cents"), micros.as("ts_us"))
+    // deterministic evolution boundary: the integer midpoint of the
+    // log's time span (the oracle recomputes the same integers)
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect().head
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val sinceV = callResults.getOrElseUpdate((dir, name), {
+      val r = roots.getOrElseUpdate((dir, name), {
+        val fresh = VersionedTable.freshRoot(s"$dir#$name")
+        new java.io.File(fresh).mkdirs()
+        VersionedTable.writeManifest(fresh, 1, Seq.empty)
+        fresh
+      })
+      GraftVtCatalog.registerPartitioned(spark, name, r, ev.schema, "ts_us", DayUs)
+      ev.filter(col("ts_us") < mid).createOrReplaceTempView("graft_pe_old")
+      spark.sql(s"INSERT INTO graft_vt.$name SELECT * FROM graft_pe_old")
+      val res = spark.sql(
+        s"CALL graft_vt.evolve_partition('$name', ${HourUs}L)").collect().head
+      ev.filter(col("ts_us") >= mid).createOrReplaceTempView("graft_pe_new")
+      spark.sql(s"INSERT INTO graft_vt.$name SELECT * FROM graft_pe_new")
+      Array(res.getInt(2))
+    })(0)
+    // re-register on reps/new sessions: the persisted spec line wins,
+    // so the evolved unit survives re-registration
+    GraftVtCatalog.registerPartitioned(spark, name,
+      roots((dir, name)), ev.schema, "ts_us", DayUs)
+    // a range spanning the boundary: 6 day-era hours + 2 hour-era hours
+    val lo = mid - 6 * HourUs
+    val hi = mid + 2 * HourUs
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+         |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+         |FROM graft_vt.$name
+         |WHERE ts_us >= ${lo}L AND ts_us < ${hi}L
+         |GROUP BY event_type""".stripMargin)
+      .withColumn("since_version", lit(sinceV))
+  }
+
   /** `CALL graft_vt.rollback(tbl, v)` — recover from a bad statement:
     * a DELETE (v2) is rolled back by committing a NEW head (v3) with
     * v1's exact file list (history preserved — the roll-forward flavor,

@@ -76,12 +76,14 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case "drop_branch" => GraftVtProcedures.dropBranchProc
       case "rollback" => GraftVtProcedures.rollbackProc
       case "rebucket" => GraftVtProcedures.rebucketProc
+      case "evolve_partition" => GraftVtProcedures.evolvePartitionProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("vacuum", "optimize", "expire_versions",
-      "create_branch", "fast_forward", "drop_branch", "rollback", "rebucket")
+      "create_branch", "fast_forward", "drop_branch", "rollback", "rebucket",
+      "evolve_partition")
       .map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
@@ -805,6 +807,38 @@ object GraftVtProcedures {
     * copied with the manifest so pruning and merge-on-read semantics
     * survive the rollback. Driver metadata work only.
     */
+  /** `CALL graft_vt.evolve_partition(tbl, unit)` — PARTITION-SPEC
+    * EVOLUTION, metadata-only: move the table's write-layout unit
+    * (e.g. day → hour as a fact table's ingest rate grows) for FUTURE
+    * commits. No file is read or rewritten — the 100 TB point: Iceberg's
+    * headline evolution works because partitioning is per-file metadata,
+    * and here the per-file zone maps play that role, so a time-range
+    * scan prunes day-era files at day granularity and hour-era files at
+    * hour granularity through one uniform mechanism. The validity
+    * boundary (first version the new spec governs) is persisted in
+    * `_partspec.txt` history, mirroring `rebucket`'s versioned-boundary
+    * design.
+    */
+  val evolvePartitionProc: procedures.UnboundProcedure = simpleProc(
+    "evolve_partition", "change a unit-partitioned table's write unit for future commits (metadata-only)",
+    Array(param("tbl", StringType), param("unit", org.apache.spark.sql.types.LongType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val newUnit = input.getLong(1)
+      require(newUnit > 0, s"unit must be positive, got $newUnit")
+      val old = GraftVtCatalog.partSpecs.getOrElse(tbl,
+        throw new IllegalArgumentException(s"graft_vt.$tbl is not unit-partitioned"))
+      val root = rootOf(tbl)
+      val since = GraftVtTable.latestVersion(root) + 1
+      VtPartSpec.append(root, since, newUnit)
+      GraftVtCatalog.partSpecs.put(tbl, newUnit): Unit
+      (StructType(Seq(
+        StructField("old_unit", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("new_unit", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("since_version", IntegerType, nullable = false))),
+        Array[Any](old, newUnit, since))
+    })
+
   val rollbackProc: procedures.UnboundProcedure = simpleProc(
     "rollback", "commit a new head restoring an older version's file list",
     Array(param("tbl", StringType), param("to_version", IntegerType)),
@@ -943,6 +977,16 @@ object GraftVtCatalog {
     */
   private[sources] val bucketSpecs = TrieMap.empty[String, (String, Int)]
 
+  /** table name -> ACTIVE partition unit (in the cluster column's own
+    * scale, e.g. micros) for unit-partitioned layouts: INSERTs route one
+    * file per unit ([[UnitRoutingDataWriter]]). Spec history with
+    * validity boundaries persists in the root's `_partspec.txt`
+    * ([[VtPartSpec]]); `CALL graft_vt.evolve_partition` moves this for
+    * FUTURE writes only — existing files keep their old granularity and
+    * zone maps prune both generations uniformly.
+    */
+  private[sources] val partSpecs = TrieMap.empty[String, Long]
+
   /** table name -> first version the CURRENT bucket spec describes
     * (default 1). `CALL graft_vt.rebucket` rewrites the layout as a new
     * version and moves this boundary: a time-travel read BELOW it must
@@ -963,6 +1007,29 @@ object GraftVtCatalog {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     register(spark, name, root, schema)
     bucketSpecs.put(name, (keyCol, numBuckets)): Unit
+  }
+
+  /** Register a TIME-PARTITIONED table: INSERTs route one file per
+    * `unit` of the LONG `tsCol` (zone-mapped, so time-range scans prune
+    * to O(matching units) files). The active unit persists with its
+    * validity boundary in the root's `_partspec.txt`;
+    * `CALL graft_vt.evolve_partition` changes it for FUTURE writes only
+    * — Iceberg-style partition-spec evolution, metadata-only, mixed
+    * layouts prune uniformly through the per-file zone maps.
+    */
+  def registerPartitioned(spark: SparkSession, name: String, root: String,
+      schema: StructType, tsCol: String, unit: Long): Unit = {
+    require(schema.fieldNames.contains(tsCol), s"no such column: $tsCol")
+    require(schema(tsCol).dataType == org.apache.spark.sql.types.LongType,
+      s"partition column $tsCol must be BIGINT, got ${schema(tsCol).dataType}")
+    require(unit > 0, s"unit must be positive, got $unit")
+    register(spark, name, root, schema, clusterCol = Some(tsCol))
+    // re-registration must not reset an evolved table to its birth unit
+    // — the persisted spec line wins over the argument
+    val active = VtPartSpec.active(root).getOrElse {
+      VtPartSpec.append(root, 1, unit); unit
+    }
+    partSpecs.put(name, active): Unit
   }
 
   /** Register a merge-on-read table (root must hold a `_mor_v1.json`
@@ -991,6 +1058,7 @@ object GraftVtCatalog {
     colMaps.remove(name): Unit
     bucketSpecs.remove(name): Unit
     bucketSince.remove(name): Unit
+    partSpecs.remove(name): Unit
     statsCols.remove(name): Unit
     checks.remove(name): Unit
     bloomCols.remove(name): Unit
@@ -1181,7 +1249,7 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
       override def truncate(): WriteBuilder = { base = () => Nil; this }
       override def build(): Write = new GraftVtWrite(root, currentVersion + 1,
         physify(info.schema()), base, clusterCol, s"graft_vt INSERT", bucketSpec,
-        boundCheck)
+        boundCheck, partUnit = GraftVtCatalog.partSpecs.get(tableName))
     }
   }
 
@@ -1688,6 +1756,33 @@ object ZoneMapRuntimeScan {
   * Every filter is reported residual, so translation can never change
   * results; the delegate still gets the full pushdown for speed.
   */
+/** Partition-spec history for unit-partitioned tables: append-only
+  * `since_version unit` lines in the root's `_partspec.txt`; the ACTIVE
+  * spec is the last line. The `since` boundary records which commits
+  * each spec governs — the same versioned-validity design as
+  * `rebucket`'s [[GraftVtCatalog.bucketSince]], except no rewrite ever
+  * happens: old files keep their granularity and prune through the
+  * same zone maps as new ones.
+  */
+private[sources] object VtPartSpec {
+  private def path(root: String) = java.nio.file.Paths.get(s"$root/_partspec.txt")
+
+  /** (since_version, unit) lines, oldest first. */
+  def history(root: String): Seq[(Int, Long)] =
+    if (!java.nio.file.Files.exists(path(root))) Nil
+    else java.nio.file.Files.readString(path(root)).split("\n").toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(s, u) = l.split(" ", 2); (s.toInt, u.toLong)
+      }
+
+  def active(root: String): Option[Long] = history(root).lastOption.map(_._2)
+
+  def append(root: String, since: Int, unit: Long): Unit =
+    java.nio.file.Files.writeString(path(root), s"$since $unit\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+}
+
 private[sources] class ColMapScanBuilder(delegate: ScanBuilder, l2p: Map[String, String])
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1886,7 +1981,8 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[String], desc: String,
     bucketRoute: Option[(String, Int)] = None,
     check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None,
-    branchCommit: Option[(String, Seq[String] => Unit)] = None)
+    branchCommit: Option[(String, Seq[String] => Unit)] = None,
+    partUnit: Option[Long] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1918,7 +2014,9 @@ class GraftVtWrite(root: String, newVersion: Int, schema: StructType,
   override def toBatch: BatchWrite = new GraftVtBatchWrite(root, newVersion,
     schema, baseEntries, effective.map(c => (c, schema.fieldIndex(c))),
     effBucket.map { case (k, n) => (schema.fieldIndex(k), n) }, check,
-    branchCommit)
+    branchCommit,
+    // partition-unit routing needs the cluster ordinal (the time column)
+    partUnit.flatMap(u => effective.map(c => (schema.fieldIndex(c), u))))
   override def description(): String = desc
 }
 
@@ -1932,7 +2030,8 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     baseEntries: () => Seq[String], cluster: Option[(String, Int)] = None,
     bucketRoute: Option[(Int, Int)] = None,
     check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None,
-    branchCommit: Option[(String, Seq[String] => Unit)] = None)
+    branchCommit: Option[(String, Seq[String] => Unit)] = None,
+    partRoute: Option[(Int, Long)] = None)
   extends BatchWrite {
 
   // a BRANCH write lands its group under a branch-scoped, uniquified
@@ -1957,7 +2056,7 @@ class GraftVtBatchWrite(root: String, newVersion: Int, schema: StructType,
     val confEntries = job.getConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new GraftVtWriterFactory(s"$root/$groupRel", groupRel, schema, owf, confEntries,
-      cluster.map(_._2), bucketRoute, check)
+      cluster.map(_._2), bucketRoute, check, partRoute)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2132,6 +2231,83 @@ private[sources] class BucketRoutingDataWriter(groupDir: String, groupRel: Strin
   override def close(): Unit = ()
 }
 
+/** Task-side PARTITION-UNIT ROUTING — the write half of partition-spec
+  * evolution: one parquet writer per time unit (`floorDiv(key, unit)`)
+  * the task actually sees, opened lazily, files under the group's
+  * `u=<unit>` layer. Each file's rows all fall inside one unit, so the
+  * zone-map entry the writer reports is at most one unit wide — which
+  * is exactly what makes a time-range scan over a MIXED-granularity
+  * table (old day files + new hour files) prune each generation at its
+  * own granularity with the one uniform sidecar mechanism, no
+  * spec-aware reader required (Iceberg evolves specs the same way:
+  * per-file partition metadata, readers prune file-by-file). Under the
+  * ordered distribution a clustered table already requests, each task
+  * sees a contiguous time slice and touches few units; under any other
+  * distribution correctness is identical, only file counts grow.
+  */
+private[sources] class UnitRoutingDataWriter(groupDir: String, groupRel: String,
+    schema: StructType, owf: OutputWriterFactory,
+    ctx: org.apache.hadoop.mapreduce.TaskAttemptContext,
+    partitionId: Int, taskId: Long, keyIdx: Int, unit: Long,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+  extends DataWriter[InternalRow] {
+
+  private case class UnitOut(
+      w: org.apache.spark.sql.execution.datasources.OutputWriter,
+      rel: String, var rows: Long = 0L,
+      var zMin: Long = Long.MaxValue, var zMax: Long = Long.MinValue)
+  private val writers = scala.collection.mutable.Map.empty[Long, UnitOut]
+  private var offset = -1
+  private var shifted: OpShiftedRow = _
+  private lazy val checkPred = check.map { case (sql, e) =>
+    (sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (offset < 0) {
+      offset = record.numFields - schema.length
+      require(offset == 0 || offset == 1,
+        s"row arity ${record.numFields} does not match write schema " +
+          s"${schema.length} (+ optional __row_operation)")
+      if (offset == 1) shifted = new OpShiftedRow(1)
+    }
+    val aligned = if (offset == 0) record else shifted.set(record)
+    checkPred.foreach { case (sql, p) =>
+      if (!p.eval(aligned)) throw new IllegalArgumentException(
+        s"CHECK constraint violated by a written row: $sql")
+    }
+    require(!aligned.isNullAt(keyIdx),
+      s"null partition key (field $keyIdx) on a unit-partitioned table")
+    val v = aligned.getLong(keyIdx)
+    val u = Math.floorDiv(v, unit)
+    val out = writers.getOrElseUpdate(u, {
+      val fileName = f"part-$partitionId%05d-$taskId.parquet"
+      UnitOut(owf.newInstance(s"$groupDir/u=$u/$fileName", schema, ctx),
+        s"$groupRel/u=$u/$fileName")
+    })
+    out.w.write(aligned)
+    out.rows += 1
+    if (v < out.zMin) out.zMin = v
+    if (v > out.zMax) out.zMax = v
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.w.close())
+    GraftVtBucketedCommitMessage(writers.toSeq.sortBy(_._1).map { case (_, o) =>
+      GraftVtCommitMessage(o.rel, o.rows, o.zMin, o.zMax)
+    })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { o =>
+      o.w.close()
+      new java.io.File(s"$groupDir/${o.rel.stripPrefix(groupRel + "/")}").delete(): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
 /** View of an incoming row with its first `offset` fields hidden.
   *
   * Spark's group-based row-level rewrites (RewriteMergeIntoTable /
@@ -2187,7 +2363,8 @@ private[sources] final class OpShiftedRow(offset: Int) extends InternalRow {
 class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructType,
     owf: OutputWriterFactory, confEntries: Array[(String, String)],
     clusterIdx: Option[Int] = None, bucketRoute: Option[(Int, Int)] = None,
-    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None)
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = None,
+    partRoute: Option[(Int, Long)] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -2199,6 +2376,10 @@ class GraftVtWriterFactory(groupDir: String, groupRel: String, schema: StructTyp
     bucketRoute.foreach { case (keyIdx, n) =>
       return new BucketRoutingDataWriter(groupDir, groupRel, schema, owf, ctx,
         partitionId, taskId, keyIdx, n, check)
+    }
+    partRoute.foreach { case (keyIdx, unit) =>
+      return new UnitRoutingDataWriter(groupDir, groupRel, schema, owf, ctx,
+        partitionId, taskId, keyIdx, unit, check)
     }
     val fileName = f"part-$partitionId%05d-$taskId.parquet"
     val writer = owf.newInstance(s"$groupDir/$fileName", schema, ctx)
