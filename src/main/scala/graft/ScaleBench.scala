@@ -462,6 +462,13 @@ object ScaleBench {
     // files-diff / stats read) — swept to prove the flat ratio, not to
     // watch a data term
     "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
+    // r12 verbs: the spectral fold is executor-local per-row codec +
+    // O(bins·frame) integer work (same shape as audio_features); the
+    // kNN graph rides the self-join's occupancy model plus one |V|k
+    // equi-join for the mutual flag
+    "q_audio_spectrum" -> ((s, d) => graft.operators.Multimodal.audioSpectrum(s, d)),
+    "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d,
+      bitsPerTable = sys.env.get("SCALE_ANN_BITS").map(_.toInt).getOrElse(-1))),
     "q_sql_merge_evolve" -> ((s, d) => graft.operators.SqlDml.sqlMergeEvolve(s, d)),
     "q_branch_mor" -> ((s, d) => graft.operators.SqlDml.sqlBranchMor(s, d)),
     "q_cbo_native" -> ((s, d) => graft.operators.Cbo.cboNativeVt(s, d)),

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annCosine(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfCosine(s, d)),
     "q_ann_selfjoin" -> ((s, d) => Similarity.annSelfJoin(s, d)),
+    "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_ann_pq" -> ((s, d) => Similarity.pqCosine(s, d)),
     "q_quantized_knn" -> ((s, d) => Quantization.quantizedKnn(s, d)),
     "q_binary_knn" -> ((s, d) => Quantization.binaryKnn(s, d)),
@@ -261,6 +262,7 @@ object SparkEntry {
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
     "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
+    "q_audio_spectrum" -> (Multimodal.audioSpectrum(_, _)),
     "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
     "q_image_resize" -> (Multimodal.imageResize(_, _)),
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
@@ -2368,6 +2370,39 @@ object SparkEntry {
         |  ROUND(sqrt(CAST(energy AS DOUBLE) / n), 6) AS rms,
         |  sqrt(CAST(energy AS DOUBLE) / n) < 10.0 AS is_silence
         |FROM f""".stripMargin,
+    // per-frame 4-bin fixed-point DFT: the Q15 coefficient tables are
+    // the SAME driver-computed integers the Spark fold used (embedded
+    // as list literals), so re/im are exact BIGINT dot products on both
+    // engines and the normalized magnitude is the one double site
+    "q_audio_spectrum" -> {
+      val bands = graft.operators.Multimodal.SpectrumBins.map { b =>
+        val (c, s) = graft.operators.Multimodal.q15Tables(b, 256)
+        s"(${b}, ${c.mkString("[", ",", "]")}, ${s.mkString("[", ",", "]")})"
+      }.mkString(",\n        ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, strlen(text) AS len
+         |  FROM documents WHERE strlen(text) >= 1),
+         |e AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(0, CAST(len AS BIGINT))) AS INTEGER) AS pos
+         |  FROM d),
+         |x AS (
+         |  SELECT doc_id, pos // 256 AS frame_idx, pos % 256 AS fpos,
+         |    ascii(substr(text, pos + 1, 1)) - 128 AS dev
+         |  FROM e),
+         |b(bin, cosq, sinq) AS (VALUES
+         |        $bands),
+         |f AS (
+         |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, bin,
+         |    CAST(COUNT(*) AS INTEGER) AS n,
+         |    CAST(SUM(CAST(dev AS BIGINT) * cosq[fpos + 1]) AS BIGINT) AS re_q15,
+         |    CAST(SUM(CAST(dev AS BIGINT) * sinq[fpos + 1]) AS BIGINT) AS im_q15
+         |  FROM x CROSS JOIN b GROUP BY doc_id, frame_idx, bin)
+         |SELECT doc_id, frame_idx, bin, n, re_q15, im_q15,
+         |  ROUND(sqrt(CAST(re_q15 * re_q15 + im_q15 * im_q15 AS DOUBLE))
+         |    / (32768.0 * n), 6) AS magnitude
+         |FROM f""".stripMargin
+    },
     // exact time-to-convert order statistics from the bounded gap
     // histogram: k = ceil(num*n/den) in pure integer arithmetic
     "q_time_to_convert" ->

@@ -297,6 +297,82 @@ object Multimodal {
         (col("rms_raw") < 10.0).as("is_silence"))
   }
 
+  /** Q15 FIXED-POINT DFT coefficient tables for bin `k` over an
+    * `n`-sample frame: `round(cos(2πki/n)·2¹⁵)` (and sin) — the
+    * embedded-DSP formulation that keeps the whole spectral fold
+    * INTEGER-exact. A double Goertzel/DFT would hinge on cross-engine
+    * libm parity (Java `Math.cos` vs DuckDB's 1-ulp differences);
+    * quantized coefficients make re/im exact BIGINTs both engines
+    * reproduce bit-for-bit, and the magnitude is the single double
+    * site, computed through the house round contract. Built once on
+    * the driver; the oracle SQL embeds the SAME integers as literals,
+    * so each run is self-consistent by construction.
+    */
+  private[graft] def q15Tables(bin: Int, n: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(n)(i => math.round(math.cos(2.0 * math.Pi * bin * i / n) * 32768.0)),
+    Array.tabulate(n)(i => math.round(math.sin(2.0 * math.Pi * bin * i / n) * 32768.0)))
+
+  /** DFT bins featurized per frame: 1, 4, 16, 64 of a 256-sample frame
+    * at 8 kHz ≈ 31 Hz, 125 Hz, 500 Hz, 2 kHz — the low/speech/voicing/
+    * sibilance band spread an audio-corpus quality filter reads.
+    */
+  private[graft] val SpectrumBins = Seq(1, 4, 16, 64)
+
+  /** PER-FRAME SPECTRAL FEATURES (VERDICT r11 #5) on the real RIFF
+    * decode path: the same WAV mux/demux as [[audioFeatures]], then a
+    * 4-bin fixed-point DFT per 256-sample frame. Each bin's re/im are
+    * exact integer dot products of the PCM deviations with the Q15
+    * coefficient tables (max |re| = 256·128·2¹⁵ ≈ 1.1e9 — squares sum
+    * under 2.4e18, inside BIGINT), so the gate hash-matches; the
+    * normalized magnitude is the one double site. Executor-local
+    * per-row codec + O(bins·frame) integer arithmetic, repartitioned to
+    * cores like the RMS path (same provider-binding fix applies).
+    */
+  def audioSpectrum(spark: SparkSession, dir: String, frame: Int = 256): DataFrame = {
+    import spark.implicits._
+    val SampleRate = 8000f
+    val tables = SpectrumBins.map(b => (b, q15Tables(b, frame))).toArray
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      inMemoryCodecStreams()
+      val (wavWriter, wavReader) = wavCodecs()
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        SampleRate, 8, 1, 1, SampleRate, false)
+      batch.flatMap { case (docId, payload) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        wavWriter.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val pcm = wavReader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray)).readAllBytes()
+        pcm.grouped(frame).zipWithIndex.flatMap { case (fr, idx) =>
+          tables.iterator.map { case (bin, (cq, sq)) =>
+            var re = 0L
+            var im = 0L
+            var i = 0
+            while (i < fr.length) {
+              val d = ((fr(i) & 0xFF) - 128).toLong
+              re += d * cq(i)
+              im += d * sq(i)
+              i += 1
+            }
+            (docId, idx, bin, fr.length, re, im)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "bin", "n", "re_q15", "im_q15")
+      .select(col("doc_id"), col("frame_idx"), col("bin"), col("n"),
+        col("re_q15"), col("im_q15"),
+        round(sqrt((col("re_q15") * col("re_q15") + col("im_q15") * col("im_q15"))
+          .cast("double")) / (lit(32768.0) * col("n")), 6).as("magnitude"))
+  }
+
   /** Real image resize: decode-then-resample, built on the same genuine
     * PNG round-trip as [[imageDecode]].
     *

@@ -289,6 +289,37 @@ object Similarity {
     annScoredPairs(spark, dir, nTables, bitsPerTable, dim, maxBucket)
       .filter(col("cosine") >= threshold)
 
+  /** CORPUS-WIDE kNN-GRAPH CONSTRUCTION (VERDICT r11 #6) — the input
+    * graph-based clustering / SemDeDup variants consume: every vector's
+    * k best LSH-candidate neighbors ([[annSelfJoin]]'s bucket-join +
+    * bounded top-k shape — never corpus×corpus), annotated with the
+    * MUTUAL flag (`dst` also ranks `src` in its own top-k). Mutual-kNN
+    * filtering is the standard densification cleanup before community
+    * detection: hub vectors rank in many lists (high in-degree) without
+    * reciprocating, and dropping one-way edges removes exactly those
+    * hub artifacts.
+    *
+    * THE 100 TB SHAPE: edges are |V|·k rows; the mutuality check is one
+    * self equi-join of that relation on the reversed key pair —
+    * shuffle-partitioned by (src, dst), no scoring work repeated, no
+    * new candidate generation. Approximate by construction (hash-seeded
+    * LSH) → rows-only driver check; `SimilaritySpec` pins recall vs
+    * brute force and the mutual-symmetry property.
+    */
+  def knnGraph(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nTables: Int = 8, bitsPerTable: Int = -1,
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val edges = annSelfJoin(spark, dir, k, nTables, bitsPerTable, dim, maxBucket)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"),
+        col("rank"), col("cosine"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("m"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank"), col("cosine"),
+        col("m").isNotNull.as("mutual"))
+  }
+
   /** Bounded per-key top-k over (a_id, b_id, cosine) rows — the shared
     * `functions.TopKAggregator.topK` aggregator (O(k) state, NaN-aware
     * window-order-compatible comparator) applied to the ANN tail.

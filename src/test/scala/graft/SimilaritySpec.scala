@@ -59,6 +59,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("knn graph: edges match the self-join, mutual flag is exactly reciprocity") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val edges = rows.map(r => (r._1, r._2)).toSet
+    // edge set identical to the self-join's per-vector top-k (the graph
+    // verb adds annotation, never changes candidates or ranking)
+    val self = Similarity.annSelfJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == self)
+    // mutual(a→b) ⇔ (b→a) is also an edge — both directions flagged
+    rows.foreach { case (s, d, _, mutual) =>
+      assert(mutual === edges.contains((d, s)), s"mutual flag wrong on ($s,$d)")
+    }
+    // non-degenerate on the clustered fixture: some mutual, and mutual
+    // edges appear an even number of times in total (paired)
+    val nMutual = rows.count(_._4)
+    assert(nMutual > 0, "no mutual edges on clustered data")
+    assert(nMutual % 2 === 0, "mutual edges must pair up")
+    // recall vs brute on the checked slice — graph edges carry the
+    // self-join's recall
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = edges.filter(_._1 < 10)
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("ann self-join: per-bucket cap drops oversized buckets from candidates") {
     // cap=1: no bucket may pair anything → zero candidates, empty result
     assert(Similarity.annSelfJoin(spark, sf, maxBucket = 1).count() == 0)
