@@ -472,7 +472,10 @@ object ScaleBench {
     "q_sql_merge_evolve" -> ((s, d) => graft.operators.SqlDml.sqlMergeEvolve(s, d)),
     "q_branch_mor" -> ((s, d) => graft.operators.SqlDml.sqlBranchMor(s, d)),
     "q_cbo_native" -> ((s, d) => graft.operators.Cbo.cboNativeVt(s, d)),
-    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)))
+    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
+    // n-gram repetition shuffles distinct (doc, gram) rows — ≤ token
+    // count, corpus-linear with map-side combine
+    "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

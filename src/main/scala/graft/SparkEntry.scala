@@ -219,8 +219,10 @@ object SparkEntry {
     "q_cross_correlation" -> ((s, d) => Stats.crossCorrelation(s, d)),
     "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
     "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
+    "q_bh_fdr" -> ((s, d) => Stats.bhFdr(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)),
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
@@ -937,6 +939,82 @@ object SparkEntry {
         |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END, 6)
         |    AS z
         |FROM j""".stripMargin,
+    // BH-FDR: z is IEEE-exact on both engines (integer counts, exact
+    // divisions, correctly-rounded sqrt); the A&S 26.2.17 Horner tail
+    // is spelled identically; ranking orders by the bit-exact |z|, and
+    // the rejection compares the ROUNDED p to the exact threshold
+    "q_bh_fdr" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM u),
+        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pt AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS kb
+        |  FROM tu GROUP BY 1),
+        |s AS (SELECT event_type, ka, kb, na, nb,
+        |    CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+        |  FROM pt CROSS JOIN tot),
+        |z1 AS (SELECT *, CASE WHEN pp > 0 AND pp < 1 THEN (pa - pb) /
+        |    sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END AS z
+        |  FROM s),
+        |z2 AS (SELECT *, abs(z) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM z1),
+        |pv AS (SELECT *, CASE WHEN az IS NOT NULL THEN
+        |    2.0 * (exp(-(az * az) / 2.0) / 2.5066282746310002 *
+        |      (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        |        t * (-1.821255978 + t * 1.330274429)))))) END AS p
+        |  FROM z2),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY az DESC NULLS LAST, event_type ASC) AS i,
+        |    COUNT(z) OVER () AS m FROM pv),
+        |h AS (SELECT *, CASE WHEN p IS NOT NULL AND ROUND(p, 6) <=
+        |    CAST(0.1 AS DOUBLE) * CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+        |    THEN i END AS hi FROM r),
+        |f AS (SELECT *, MAX(hi) OVER () AS istar FROM h)
+        |SELECT event_type, ka, kb, ROUND(z, 6) AS z, ROUND(p, 6) AS p_value,
+        |  CAST(i AS INTEGER) AS p_rank,
+        |  i <= COALESCE(istar, 0) AS rejected
+        |FROM f""".stripMargin,
+    // word-n-gram repetition: exact gram counting, two rounded ratios,
+    // deterministic top-bigram tie-break (lexicographic min at max count)
+    "q_ngram_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |    t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, LEN(t))) AS i
+        |        FROM d WHERE LEN(t) >= 2)),
+        |bic AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bmx AS (SELECT doc_id, gram, c,
+        |    MAX(c) OVER (PARTITION BY doc_id) AS mxw FROM bic),
+        |bagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    MAX(c) AS mx, MIN(CASE WHEN c = mxw THEN gram END) AS top_bigram
+        |  FROM bmx GROUP BY 1),
+        |tri AS (SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' ||
+        |    t[CAST(i AS INTEGER) + 1] || ' ' || t[CAST(i AS INTEGER) + 2] AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, LEN(t) - 1)) AS i
+        |        FROM d WHERE LEN(t) >= 3)),
+        |tric AS (SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+        |tagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+        |  FROM tric GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams, top_bigram,
+        |  ROUND(CASE WHEN n_bigrams > 0
+        |    THEN CAST(mx AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END, 6)
+        |    AS top_bigram_frac,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  ROUND(CASE WHEN n_trigrams > 0
+        |    THEN CAST(dup_occ AS DOUBLE) / CAST(n_trigrams AS DOUBLE) END, 6)
+        |    AS dup_trigram_frac
+        |FROM d LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)""".stripMargin,
     // Gopher rule outcomes: exact counting, one rounded ratio per rule
     "q_gopher_rules" ->
       """WITH d AS (

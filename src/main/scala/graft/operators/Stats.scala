@@ -713,6 +713,75 @@ object Stats {
           .as("loo_mean"))
   }
 
+  /** BENJAMINI–HOCHBERG FDR CORRECTION (Benjamini & Hochberg 1995)
+    * across the per-event-type arm tests — the multiple-comparisons
+    * step every experimentation platform runs after fanning one
+    * experiment into m per-metric tests: rank the m p-values ascending,
+    * find the largest i with p_(i) ≤ α·i/m, reject hypotheses 1..i.
+    *
+    * One test per event type: did arm A (even user ids) engage with the
+    * type at a different rate than arm B — the [[twoProportionZ]]
+    * statistic per type. Every arithmetic step before the p-value is
+    * IEEE-exact on both engines (integer counts, divisions, one
+    * correctly-rounded sqrt), so z is bit-identical; the two-sided
+    * p-value uses the Abramowitz–Stegun 26.2.17 tail polynomial in
+    * HORNER form spelled identically in both engines (`exp` is the one
+    * transcendental — the same accepted cross-engine surface as the
+    * entropy/divergence verbs' `ln`). Ranking orders by the bit-exact
+    * |z| descending (≡ p ascending), never by the transcendental.
+    *
+    * THE 100 TB SHAPE: the log collapses to one (type, user) distinct
+    * pass then m ≈ |types| sufficient-stat rows; the BH step itself is
+    * a window over those m rows — driver-trivial at any corpus size.
+    */
+  def bhFdr(spark: SparkSession, dir: String, alpha: Double = 0.10): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+      .select(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L).as("a"))
+    val totals = users.agg(sum(col("a")).as("na"),
+      (count(lit(1)) - sum(col("a"))).as("nb"))
+    val perType = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("ka"),
+        sum(when(pmod(col("user_id"), lit(2)) =!= 0, 1L).otherwise(0L)).as("kb"))
+    val scored = perType.crossJoin(broadcast(totals))
+      .withColumn("pa", col("ka").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("kb").cast("double") / col("nb").cast("double"))
+      .withColumn("pp",
+        (col("ka") + col("kb")).cast("double") / (col("na") + col("nb")).cast("double"))
+      .withColumn("z", when(col("pp") > 0 && col("pp") < 1,
+        (col("pa") - col("pb")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")))))
+      .withColumn("az", abs(col("z")))
+      // A&S 26.2.17: Φ-tail(x) = φ(x)·t·(b1 + t(b2 + t(b3 + t(b4 + t·b5)))),
+      // t = 1/(1 + 0.2316419x); two-sided p = 2·tail(|z|)
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+      .withColumn("p", when(col("az").isNotNull,
+        lit(2.0) * (exp(-(col("az") * col("az")) / lit(2.0)) / lit(2.5066282746310002) *
+          (col("t") * (lit(0.319381530) + col("t") * (lit(-0.356563782) +
+            col("t") * (lit(1.781477937) + col("t") * (lit(-1.821255978) +
+              col("t") * lit(1.330274429)))))))))
+    // the m-row BH step: rank by the BIT-EXACT |z| (≡ p ascending),
+    // nulls (degenerate pooled rate) last and never rejected
+    val w = Window.orderBy(col("az").desc_nulls_last, col("event_type").asc)
+    val all = Window.partitionBy()
+    scored
+      .withColumn("i", row_number().over(w))
+      .withColumn("m", count(col("z")).over(all))
+      // compare the ROUNDED p (the published value) to the exact-IEEE
+      // threshold — a 1-ulp exp() divergence can then never flip a
+      // decision the two engines publish differently
+      .withColumn("hold",
+        col("p").isNotNull &&
+          round(col("p"), 6) <= lit(alpha) * col("i").cast("double") / col("m").cast("double"))
+      .withColumn("istar", max(when(col("hold"), col("i"))).over(all))
+      .select(col("event_type"), col("ka"), col("kb"),
+        round(col("z"), 6).as("z"), round(col("p"), 6).as("p_value"),
+        col("i").cast("int").as("p_rank"),
+        (col("i") <= coalesce(col("istar"), lit(0))).as("rejected"))
+  }
+
   /** POISSON BOOTSTRAP over `events.value` — the bootstrap that works
     * on data too large to resample by index (Chamandy et al. 2012,
     * "Estimating Uncertainty for Massive Data Streams"): instead of

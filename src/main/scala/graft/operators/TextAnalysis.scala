@@ -304,6 +304,60 @@ object TextAnalysis {
       (wordCountOk && meanLenOk && alphaOk && dupOk).as("passes"))
   }
 
+  /** WORD-N-GRAM REPETITION READOUT (the Gopher repetition family,
+    * Rae et al. 2021 §A1.1, occurrence-fraction variant): per document,
+    * the share of bigram occurrences claimed by the single most
+    * frequent bigram (`top_bigram_frac` — boilerplate/chorus detector)
+    * and the share of trigram occurrences whose gram appears more than
+    * once (`dup_trigram_frac` — degenerate-loop detector). Gopher
+    * gates at top-2-gram ≤ 0.20 and dup-3-gram ≤ 0.18 on character
+    * fractions; the occurrence-fraction thresholds here are the same
+    * dials. The top bigram itself rides along with a DETERMINISTIC
+    * tie-break (lexicographically smallest among the max-count grams),
+    * so both engines publish identical rows.
+    *
+    * Scale shape: explode → one map-side-combined (doc, gram) count →
+    * per-doc aggregate; the shuffle carries distinct (doc, gram) rows
+    * (≤ tokens), never positions. Docs under 3 tokens publish NULL
+    * fractions (no grams to rate — a policy row, not a crash).
+    */
+  def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    // guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so short
+    // docs must short-circuit to an empty gram list
+    def gramCounts(n: Int): DataFrame = docs
+      .select(col("doc_id"), explode(expr(
+        s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n))) " +
+          "else array() end")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    // per-doc window: partition = one document's distinct grams —
+    // bounded by doc length, never corpus-wide
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val bi = gramCounts(2)
+      .withColumn("mxw", max(col("c")).over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("mx"),
+        min(when(col("c") === col("mxw"), col("gram"))).as("top_bigram"))
+    val tri = gramCounts(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"))
+    docs.select(col("doc_id"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("top_bigram"),
+        round(when(col("n_bigrams") > 0,
+          col("mx").cast("double") / col("n_bigrams").cast("double")), 6)
+          .as("top_bigram_frac"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(when(col("n_trigrams") > 0,
+          col("dup_occ").cast("double") / col("n_trigrams").cast("double")), 6)
+          .as("dup_trigram_frac"))
+  }
+
   /** SOURCE×SOURCE CONTAMINATION MATRIX — cross-slice leakage: for
     * every source pair, how many distinct 15-char shingles they share
     * (and the Jaccard of their shingle sets). THE reading before

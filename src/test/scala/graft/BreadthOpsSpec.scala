@@ -615,4 +615,58 @@ class BreadthOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("hapax_frac") >= 0.0 && r.getAs[Double]("hapax_frac") <= 1.0)
     }
   }
+
+  test("BH-FDR: rejections are exactly the rank prefix, p ascending in rank") {
+    val rows = graft.operators.Stats.bhFdr(spark, dir).collect()
+      .sortBy(_.getAs[Int]("p_rank"))
+    assert(rows.nonEmpty)
+    // ranks are the permutation 1..m
+    assert(rows.map(_.getAs[Int]("p_rank")).toSeq == (1 to rows.length))
+    // p ascending in rank among non-null rows (|z| desc == p asc), p in [0,1]
+    val ps = rows.flatMap(r => Option(r.getAs[java.lang.Double]("p_value")))
+      .map(_.doubleValue)
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => a <= b + 1e-12 })
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    // the BH step-up contract: rejected == a prefix of the ranking, and
+    // the boundary rank istar satisfies p_(istar) <= alpha*istar/m
+    val rejected = rows.takeWhile(_.getAs[Boolean]("rejected"))
+    assert(rows.drop(rejected.length).forall(!_.getAs[Boolean]("rejected")),
+      "rejections must form a contiguous rank prefix")
+    if (rejected.nonEmpty) {
+      val istar = rejected.length
+      val pStar = rejected.last.getAs[Double]("p_value")
+      assert(pStar <= 0.10 * istar / rows.length + 1e-12)
+      // null-p rows (degenerate pooled rate) are never rejected
+      assert(rejected.forall(!_.isNullAt(rejected.head.fieldIndex("p_value"))))
+    }
+  }
+
+  test("n-gram repetition: gram counts match token counts, fractions in (0,1]") {
+    val rows = graft.operators.TextAnalysis.ngramRepetition(spark, dir).collect()
+    val nTok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(graft.operators.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == nTok.size, "one row per document")
+    rows.foreach { r =>
+      val t = nTok(r.getAs[Long]("doc_id"))
+      val (nb, ntr) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_trigrams"))
+      // occurrence totals are exactly tokens-(n-1), floored at 0
+      assert(nb == math.max(t - 1, 0), s"bigram occurrences for $t tokens")
+      assert(ntr == math.max(t - 2, 0), s"trigram occurrences for $t tokens")
+      if (nb > 0) {
+        val f = r.getAs[Double]("top_bigram_frac")
+        assert(f > 0.0 && f <= 1.0)
+        assert(r.getAs[String]("top_bigram") != null)
+        // the top gram's count is at least the mean occurrence share
+        // (published frac is rounded to 6 decimals — allow half-ulp slack)
+        assert(f >= 1.0 / nb - 5e-7)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+      }
+      if (ntr > 0) {
+        val d = r.getAs[Double]("dup_trigram_frac")
+        assert(d >= 0.0 && d <= 1.0)
+      } else assert(r.isNullAt(r.fieldIndex("dup_trigram_frac")))
+    }
+  }
 }
