@@ -475,7 +475,14 @@ object ScaleBench {
     "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
     // n-gram repetition shuffles distinct (doc, gram) rows — ≤ token
     // count, corpus-linear with map-side combine
-    "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)))
+    "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)),
+    // net-change classification and partition evolution are
+    // METADATA-bounded like q_sql_cdc (fixture build + changed-file
+    // diffs / pruned reads) — swept to prove the flat ratio
+    "q_cdc_net" -> ((s, d) => graft.operators.SqlDml.sqlCdcNet(s, d)),
+    "q_partition_evolve" -> ((s, d) => graft.operators.SqlDml.sqlPartitionEvolve(s, d)),
+    // PCA is one sufficient-stats scan + one broadcast projection pass
+    "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -220,11 +220,17 @@ object SparkEntry {
     "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
     "q_two_proportion_z" -> ((s, d) => Stats.twoProportionZ(s, d)),
     "q_bh_fdr" -> ((s, d) => Stats.bhFdr(s, d)),
+    "q_anova" -> ((s, d) => Stats.anovaF(s, d)),
+    "q_tukey_hsd" -> ((s, d) => Stats.tukeyHsd(s, d)),
+    "q_wilson_ci" -> ((s, d) => Stats.wilsonCi(s, d)),
+    "q_cochran_armitage" -> ((s, d) => Stats.cochranArmitage(s, d)),
+    "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)),
     "q_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
+    "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
@@ -317,6 +323,7 @@ object SparkEntry {
     "q_branch_dml" -> (SqlDml.sqlBranchDml(_, _)),
     "q_branch_mor" -> (SqlDml.sqlBranchMor(_, _)),
     "q_rollback" -> (SqlDml.sqlRollback(_, _)),
+    "q_cherrypick" -> (SqlDml.sqlCherrypick(_, _)),
     "q_meta_history" -> (SqlDml.sqlMetaHistory(_, _)),
     "q_meta_files" -> (SqlDml.sqlMetaFiles(_, _)),
     "q_meta_tags" -> (SqlDml.sqlMetaTags(_, _)),
@@ -981,6 +988,143 @@ object SparkEntry {
         |  CAST(i AS INTEGER) AS p_rank,
         |  i <= COALESCE(istar, 0) AS rejected
         |FROM f""".stripMargin,
+    // one-way ANOVA: exact decimal (n, Σv, Σv²) per group; k-row terms
+    // bridged through round-9 → DECIMAL(38,9) sums; F one mirrored expr
+    "q_anova" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+        |        AS DECIMAL(38,4))) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT n, s, ss,
+        |    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |      AS DECIMAL(38,9)) AS g2n,
+        |    CAST(ROUND(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS w
+        |  FROM g),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    SUM(s) AS s_all, SUM(g2n) AS sum_g2n, SUM(w) AS ssw9 FROM t),
+        |e AS (SELECT k, n_total,
+        |    CAST(sum_g2n AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE) AS ssb,
+        |    CAST(ssw9 AS DOUBLE) AS ssw
+        |  FROM a)
+        |SELECT CAST(k AS INTEGER) AS k_groups, n_total,
+        |  ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+        |  ROUND(CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+        |    (ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f_stat,
+        |  ROUND(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+        |FROM e""".stripMargin,
+    // Tukey HSD: same sufficient stats; the pair grid is k² rows
+    "q_tukey_hsd" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+        |        AS DECIMAL(38,4))) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (SELECT
+        |    CAST(SUM(CAST(ROUND(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS msw
+        |  FROM g)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS na, b.n AS nb,
+        |  ROUND(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS mean_diff,
+        |  ROUND(CASE WHEN msw > 0 THEN
+        |    ABS(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+        |    END, 6) AS q_stat
+        |FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN m""".stripMargin,
+    // Wilson interval: exact distinct-user integers; z inlined literal
+    "q_wilson_ci" ->
+      """WITH n AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+        |k AS (SELECT event_type, COUNT(*) AS k
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1),
+        |e AS (SELECT event_type, k.k, n.n,
+        |    CAST(k.k AS DOUBLE) / CAST(n.n AS DOUBLE) AS p,
+        |    1.0 + 1.959963984540054 * 1.959963984540054 / CAST(n.n AS DOUBLE) AS den
+        |  FROM k CROSS JOIN n),
+        |c AS (SELECT *,
+        |    (p + 1.959963984540054 * 1.959963984540054
+        |      / (2.0 * CAST(n AS DOUBLE))) / den AS ctr,
+        |    1.959963984540054 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |      + 1.959963984540054 * 1.959963984540054
+        |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / den AS half
+        |  FROM e)
+        |SELECT event_type, k AS k_users, n AS n_users,
+        |  ROUND(p, 6) AS rate,
+        |  ROUND(ctr - half, 6) AS wilson_lo,
+        |  ROUND(ctr + half, 6) AS wilson_hi
+        |FROM c""".stripMargin,
+    // Cochran–Armitage: integer thresholds for doses, three integer
+    // moments over ≤6 rows, one guarded double expression
+    "q_cochran_armitage" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS cnt,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT CASE WHEN cnt >= 32 THEN 5 WHEN cnt >= 16 THEN 4
+        |    WHEN cnt >= 8 THEN 3 WHEN cnt >= 4 THEN 2
+        |    WHEN cnt >= 2 THEN 1 ELSE 0 END AS dose, conv FROM pu),
+        |bd AS (SELECT dose, COUNT(*) AS n_i, SUM(conv) AS r_i FROM dd GROUP BY 1),
+        |m AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+        |    CAST(SUM(dose * r_i) AS BIGINT) AS a,
+        |    CAST(SUM(dose * n_i) AS BIGINT) AS b,
+        |    CAST(SUM(dose * dose * n_i) AS BIGINT) AS c FROM bd),
+        |e AS (SELECT *,
+        |    CAST(a AS DOUBLE) - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(b AS DOUBLE) AS num,
+        |    ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(c AS DOUBLE) - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS v
+        |  FROM m)
+        |SELECT n AS n_users, r AS n_converted, a, b, c,
+        |  ROUND(CASE WHEN v > 0 THEN num / sqrt(v) END, 6) AS z_trend
+        |FROM e""".stripMargin,
+    // Nelson–Aalen: the KM recursive-CTE fold carrying (H, varH) —
+    // cumulative sums add-for-add with the typed fold (+0.0 at censor
+    // rows is an IEEE identity), doubles BIT-identical
+    "q_nelson_aalen" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+        |    MAX(epoch_us(ts)) AS tlast
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+        |              ELSE (tlast - t0) // 3600000000 END AS t,
+        |    (tp IS NOT NULL) AS ev
+        |  FROM per_user),
+        |bytime AS (
+        |  SELECT t, SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS d, COUNT(*) AS c
+        |  FROM dur GROUP BY t),
+        |o AS (
+        |  SELECT t, d, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+        |    SUM(c) OVER () - COALESCE(SUM(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bytime),
+        |r AS (
+        |  SELECT t, d, rn, n_risk,
+        |    CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS h,
+        |    CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+        |         ELSE CAST(0.0 AS DOUBLE) END AS vh
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.t, o.d, o.rn, o.n_risk,
+        |    r.h + (CASE WHEN o.d > 0
+        |      THEN CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE) ELSE 0.0 END),
+        |    r.vh + (CASE WHEN o.d > 0
+        |      THEN CAST(o.d AS DOUBLE)
+        |        / (CAST(o.n_risk AS DOUBLE) * CAST(o.n_risk AS DOUBLE)) ELSE 0.0 END)
+        |  FROM r JOIN o ON o.rn = r.rn + 1)
+        |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
+        |FROM r WHERE d > 0""".stripMargin,
     // word-n-gram repetition: exact gram counting, two rounded ratios,
     // deterministic top-bigram tie-break (lexicographic min at max count)
     "q_ngram_repetition" ->
@@ -2994,6 +3138,18 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  CAST(1 AS INT) AS restored_from, CAST(3 AS INT) AS head_version
         |FROM documents GROUP BY source""".stripMargin,
+    // cherry-pick: final corpus = base ⊎ the stranded 'cherry' append,
+    // promoted back onto the rolled-back head by manifest writes alone
+    "q_cherrypick" ->
+      """WITH app AS (SELECT doc_id + 20000000 AS doc_id, upper(text) AS text,
+        |    'cherry' AS source FROM documents WHERE doc_id % 5 = 1),
+        |allr AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT * FROM app)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(2 AS INT) AS picked_from, CAST(1 AS INT) AS added_groups,
+        |  CAST(4 AS INT) AS head_version
+        |FROM allr GROUP BY source""".stripMargin,
     // wall-clock spelling: same two snapshots bound by commit instant
     "q_sql_time_travel_ts" ->
       """WITH v1 AS (SELECT doc_id, text, source, 1 AS version FROM documents),

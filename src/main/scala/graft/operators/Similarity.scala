@@ -626,4 +626,57 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"),
         (col("cosine") >= threshold).as("contaminated"))
   }
+
+  /** PCA PROJECTION of the embedding corpus onto its top principal
+    * components — the dimensionality probe every embedding pipeline
+    * runs (effective-rank readout, 2-D inspection coordinates,
+    * whitening prep). Distributed exactly like MLlib's PCA but in
+    * DataFrame idiom: ONE scan folds every vector into a
+    * [[graft.functions.GramAggregator]] sufficient-statistics buffer
+    * (n, Σx, upper-tri Σxxᵀ — 2,145 doubles at d = 64, map-side
+    * combined, |partitions| buffers to the driver at ANY corpus size);
+    * the d×d covariance eigensolves on the driver via deterministic
+    * cyclic Jacobi ([[graft.functions.JacobiEigen]]); the projection is
+    * a broadcast map-side pass with the component vectors inlined as
+    * codegen'd dot products. No shuffle touches corpus rows.
+    *
+    * Rows-only by design (double accumulation is deterministic only up
+    * to partition merge order — a SQL oracle cannot replay it);
+    * `SimilaritySpec` pins variance-capture identities instead.
+    */
+  def pcaProject(spark: SparkSession, dir: String, nComponents: Int = 2): DataFrame = {
+    val embRaw = Tables(spark, dir, "embeddings")
+    val d = embRaw.select(size(col("embedding"))).head().getInt(0)
+    val emb = embRaw.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val gram = udaf(new graft.functions.GramAggregator(d))
+    val buf = emb.agg(gram(col("v"))).head().getSeq[Double](0).toArray
+    val n = buf(0)
+    require(n > 1, "PCA needs at least two vectors")
+    val mean = Array.tabulate(d)(i => buf(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = (buf(t) - n * mean(i) * mean(j)) / (n - 1.0)
+      cov(i)(j) = c
+      cov(j)(i) = c
+      t += 1
+    }
+    val (vals, vecs) = graft.functions.JacobiEigen(cov)
+    val totalVar = vals.map(math.max(_, 0.0)).sum
+    val comps = vecs.take(nComponents)
+    val evr = vals.take(nComponents).map(v =>
+      if (totalVar > 0) math.max(v, 0.0) / totalVar else 0.0)
+    // project map-side: pc_k = x·v_k − μ·v_k (the centering term is a
+    // driver constant, so the pass is one codegen'd dot per component)
+    val projected = comps.zipWithIndex.foldLeft(emb) { case (df, (vk, i)) =>
+      val shift = vk.zip(mean).map { case (a, b) => a * b }.sum
+      df.withColumn(s"pc${i + 1}",
+        dot(col("v"), lit(vk).cast("array<double>")) - lit(shift))
+    }
+    val withEvr = evr.zipWithIndex.foldLeft(projected) { case (df, (e, i)) =>
+      df.withColumn(s"evr${i + 1}", lit(e))
+    }
+    withEvr.drop("v")
+  }
 }

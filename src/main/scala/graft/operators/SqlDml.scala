@@ -1387,4 +1387,36 @@ object SqlDml {
       .withColumn("restored_from", lit(restoredFrom))
       .withColumn("head_version", lit(newV))
   }
+
+  /** `CALL graft_vt.cherrypick(tbl, v)` — the orphaned-append recovery
+    * ladder (Iceberg's `cherrypick_snapshot` flow): v1 = corpus, v2 =
+    * INSERT appends a 'cherry' batch, v3 = rollback to v1 (stranding
+    * the append on an abandoned line), v4 = cherrypick(2) promotes the
+    * stranded batch's file groups onto the restored head — manifest
+    * reads/writes only, NO data file is read or rewritten at any table
+    * size. Output pins the final corpus (base ⊎ cherry batch, proving
+    * the pick restored exactly the orphaned rows) plus the procedure's
+    * version arithmetic.
+    */
+  def sqlCherrypick(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_cherry"
+    ensureDocsTable(spark, dir, name)
+    val Array(pickedFrom, added, newV) = callResults.getOrElseUpdate((dir, name), {
+      docsBase(spark, dir).createOrReplaceTempView("graft_cherry_src")
+      spark.sql(
+        s"""INSERT INTO graft_vt.$name
+           |SELECT doc_id + 20000000, upper(text), 'cherry'
+           |FROM graft_cherry_src WHERE doc_id % 5 = 1""".stripMargin)
+      spark.sql(s"CALL graft_vt.rollback('$name', 1)")
+      val r = spark.sql(s"CALL graft_vt.cherrypick('$name', 2)").collect().head
+      Array(r.getInt(0), r.getInt(1), r.getInt(2))
+    })
+    spark.sql(
+      s"""SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM graft_vt.$name GROUP BY source""".stripMargin)
+      .withColumn("picked_from", lit(pickedFrom))
+      .withColumn("added_groups", lit(added))
+      .withColumn("head_version", lit(newV))
+  }
 }

@@ -1366,4 +1366,198 @@ object Stats {
       .select(col("event_type"), col("k").as("n_pairs"),
         round(col("slope"), 6).as("sen_slope"))
   }
+
+  /** ONE-WAY ANOVA F across event types on `value` — "do the k
+    * categories differ in mean at all?", the screening question before
+    * any pairwise read. Everything reduces to per-group exact decimal
+    * sufficient statistics (n, Σv, Σv²) from ONE map-side-combined
+    * scan; SSB/SSW assemble from k per-group double terms bridged
+    * through the house order-independent channel (round-9 →
+    * DECIMAL(38,9) sum → final doubles), so the k-row reduction never
+    * depends on engine summation order. The 100 TB shape is the scan —
+    * the F arithmetic runs on k ≈ |event types| rows.
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val b9 = DecimalType(38, 9)
+    val g = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s"),
+        sum((dec(col("value")) * dec(col("value"))).cast(sq)).as("ss"))
+    def d(c: Column) = c.cast("double")
+    // per-group double terms, order-independent via the decimal bridge
+    val terms = g.select(
+      col("n"), col("s"), col("ss"),
+      round(d(col("s")) * d(col("s")) / d(col("n")), 9).cast(b9).as("g2n"),
+      round(d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")), 9).cast(b9).as("w"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+      sum(col("s")).as("s_all"), sum(col("g2n")).as("sum_g2n"),
+      sum(col("w")).as("ssw9"))
+    val ssb = d(col("sum_g2n")) - d(col("s_all")) * d(col("s_all")) / d(col("n_total"))
+    val ssw = d(col("ssw9"))
+    val f = (ssb / (d(col("k")) - 1.0)) / (ssw / (d(col("n_total")) - d(col("k"))))
+    agg.select(
+      col("k").cast("int").as("k_groups"), col("n_total"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round(when(col("k") > 1 && col("n_total") > col("k") && ssw > 0, f), 6)
+        .as("f_stat"),
+      round(when(ssb + ssw > 0, ssb / (ssb + ssw)), 6).as("eta_sq"))
+  }
+
+  /** TUKEY HSD pairwise readout — the post-hoc companion of [[anovaF]]:
+    * for every unordered pair of event types, the studentized-range
+    * statistic `q = |m_i − m_j| / sqrt(MSW/2 · (1/n_i + 1/n_j))` from
+    * the SAME per-group sufficient statistics (critical values are a
+    * table lookup the caller applies; the statistic is the operator).
+    * The pair relation is |types|² — a broadcast self-join over k rows;
+    * corpus cost is the one shared scan.
+    */
+  def tukeyHsd(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val b9 = DecimalType(38, 9)
+    def d(c: Column) = c.cast("double")
+    val g = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s"),
+        sum((dec(col("value")) * dec(col("value"))).cast(sq)).as("ss"))
+    val msw = g.select(
+      round(d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")), 9).cast(b9).as("w"),
+      col("n"))
+      .agg(sum(col("w")).as("ssw9"), sum(col("n")).as("n_total"),
+        count(lit(1)).as("k"))
+      .select((d(col("ssw9")) / (d(col("n_total")) - d(col("k")))).as("msw"),
+        col("n_total"), col("k"))
+    val a = g.select(col("event_type").as("type_a"), col("n").as("na"), col("s").as("sa"))
+    val b = g.select(col("event_type").as("type_b"), col("n").as("nb"), col("s").as("sb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round(d(col("sa")) / d(col("na")) - d(col("sb")) / d(col("nb")), 6)
+          .as("mean_diff"),
+        round(when(col("msw") > 0,
+          abs(d(col("sa")) / d(col("na")) - d(col("sb")) / d(col("nb"))) /
+            sqrt(col("msw") / lit(2.0) *
+              (lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb"))))), 6)
+          .as("q_stat"))
+  }
+
+  /** WILSON SCORE INTERVAL per event type — the binomial CI that stays
+    * inside [0,1] and behaves at small n / extreme rates (the interval
+    * every reporting layer should use instead of the Wald ±z√(pq/n)):
+    * with p̂ = k/n users reached,
+    * `(p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`.
+    * Two distinct-user passes produce the exact integers; the interval
+    * is pure mirrored double arithmetic (z = Φ⁻¹(0.975) inlined as the
+    * shortest-round-trip literal — no transcendental at query time).
+    */
+  def wilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959963984540054) // qnorm(0.975), inlined constant
+    val ev = Tables(spark, dir, "events")
+    val n = ev.agg(countDistinct(col("user_id")).as("n"))
+    val k = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("k"))
+    def d(c: Column) = c.cast("double")
+    k.crossJoin(broadcast(n))
+      .withColumn("p", d(col("k")) / d(col("n")))
+      .withColumn("den", lit(1.0) + z * z / d(col("n")))
+      .withColumn("ctr", (col("p") + z * z / (lit(2.0) * d(col("n")))) / col("den"))
+      .withColumn("half",
+        z * sqrt(col("p") * (lit(1.0) - col("p")) / d(col("n")) +
+          z * z / (lit(4.0) * d(col("n")) * d(col("n")))) / col("den"))
+      .select(col("event_type"), col("k").as("k_users"), col("n").as("n_users"),
+        round(col("p"), 6).as("rate"),
+        round(col("ctr") - col("half"), 6).as("wilson_lo"),
+        round(col("ctr") + col("half"), 6).as("wilson_hi"))
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST — "does conversion rate rise with
+    * exposure?": users bucket into ordered activity doses by integer
+    * THRESHOLDS on their event count (1, 2–3, 4–7, 8–15, 16–31, 32+ —
+    * pure integer comparisons, no transcendental bucketing), the
+    * response is has-any-purchase, and the trend statistic is
+    * `z = (A − (R/N)·B) / sqrt((R/N)(1−R/N)(C − B²/N))` with the three
+    * integer moments A=Σsᵢrᵢ, B=Σsᵢnᵢ, C=Σsᵢ²nᵢ over ≤6 dose rows.
+    * One user-level aggregate → 6-row table → exact integers → one
+    * guarded double expression. The scan is the cost at any scale.
+    */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("dose",
+        when(col("cnt") >= 32, 5L).when(col("cnt") >= 16, 4L)
+          .when(col("cnt") >= 8, 3L).when(col("cnt") >= 4, 2L)
+          .when(col("cnt") >= 2, 1L).otherwise(0L))
+    val byDose = perUser.groupBy(col("dose"))
+      .agg(count(lit(1)).as("n_i"), sum(col("conv")).as("r_i"))
+    val m = byDose.agg(
+      sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(col("dose") * col("r_i")).as("a"),
+      sum(col("dose") * col("n_i")).as("b"),
+      sum(col("dose") * col("dose") * col("n_i")).as("c"))
+    def d(c: Column) = c.cast("double")
+    val p = d(col("r")) / d(col("n"))
+    val num = d(col("a")) - p * d(col("b"))
+    val v = p * (lit(1.0) - p) * (d(col("c")) - d(col("b")) * d(col("b")) / d(col("n")))
+    m.select(col("n").as("n_users"), col("r").as("n_converted"),
+      col("a"), col("b"), col("c"),
+      round(when(v > 0, num / sqrt(v)), 6).as("z_trend"))
+  }
+
+  /** NELSON–AALEN CUMULATIVE HAZARD — the estimator-of-record for the
+    * hazard integral (and the robust-at-small-risk-set companion of
+    * [[kaplanMeier]], whose fixture semantics it shares verbatim:
+    * time-to-first-purchase in whole hours, right-censored at last
+    * activity): `H(t) = Σ_{u≤t} d_u/n_u`, with Aalen's variance
+    * `Σ d_u/n_u²`. Same scale shape as KM — the log collapses to one
+    * row per user, then to the CALENDAR-bounded duration axis, and the
+    * cumulative sums fold over that bounded relation in one ordered
+    * typed pass, add-for-add replayable by a recursive-CTE oracle
+    * (BIT-identical doubles, the q_ewma contract).
+    */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    val perUser = raw
+      .select(col("user_id"), col("event_type"), micros.as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"),
+        max(col("us")).as("tlast"))
+    def hourOf(c: Column): Column =
+      ((c - pmod(c, lit(3600000000L))) / lit(3600000000L)).cast("long")
+    val byTime = perUser
+      .select(
+        when(col("tp").isNotNull, hourOf(col("tp") - col("t0")))
+          .otherwise(hourOf(col("tlast") - col("t0"))).as("t"),
+        col("tp").isNotNull.as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)]
+    byTime.groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val times = it.toIndexedSeq.sortBy(_._1)
+        var nRisk = times.map(_._3).sum
+        var h = 0.0
+        var vh = 0.0
+        times.iterator.flatMap { case (t, d, c) =>
+          val atRisk = nRisk
+          nRisk -= c
+          if (d > 0) {
+            val ar = atRisk.toDouble
+            h = h + d.toDouble / ar
+            vh = vh + d.toDouble / (ar * ar)
+            Iterator.single((t, atRisk, d, h, vh))
+          } else Iterator.empty
+        }
+      }
+      .toDF("t_hours", "n_risk", "d_events", "cum_hazard", "var_hazard")
+  }
 }

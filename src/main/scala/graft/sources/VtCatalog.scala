@@ -77,13 +77,14 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
       case "rollback" => GraftVtProcedures.rollbackProc
       case "rebucket" => GraftVtProcedures.rebucketProc
       case "evolve_partition" => GraftVtProcedures.evolvePartitionProc
+      case "cherrypick" => GraftVtProcedures.cherrypickProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("vacuum", "optimize", "expire_versions",
       "create_branch", "fast_forward", "drop_branch", "rollback", "rebucket",
-      "evolve_partition")
+      "evolve_partition", "cherrypick")
       .map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
@@ -869,6 +870,49 @@ object GraftVtProcedures {
       (StructType(Seq(StructField("restored_from", IntegerType, nullable = false),
         StructField("new_version", IntegerType, nullable = false))),
         Array[Any](target, newV))
+    })
+
+  /** `CALL graft_vt.cherrypick(tbl, version)` — apply one APPEND-ONLY
+    * commit's added file groups onto the current head as a new version
+    * (Iceberg's `cherrypick_snapshot`, cf. iceberg docs
+    * spark-procedures §cherrypick_snapshot): the picked commit must not
+    * have removed files (a REPLACE/DELETE commit cannot be
+    * cherry-picked — fail loudly, exactly as Iceberg does), its added
+    * groups must not already sit in the head (double-apply guard), and
+    * the new head is head ⊎ added, manifest write only. THE use case:
+    * promote an orphaned append — staged via WAP, stranded by a
+    * rollback, or landed on an abandoned line — without replaying data.
+    * Cost is two manifest reads + one manifest write at any table size.
+    */
+  val cherrypickProc: procedures.UnboundProcedure = simpleProc(
+    "cherrypick", "apply an append-only commit's added files onto the head as a new version",
+    Array(param("tbl", StringType), param("version", IntegerType)),
+    { input =>
+      val tbl = input.getUTF8String(0).toString
+      val v = input.getInt(1)
+      val root = rootOf(tbl)
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_manifest_v$v.txt")),
+        s"version $v of graft_vt.$tbl is not retained (vacuumed or never existed)")
+      val picked = VersionedTable.manifest(root, v)
+      val parent = if (v <= 1) Seq.empty
+        else VersionedTable.manifest(root, v - 1)
+      require(parent.forall(picked.contains),
+        s"version $v of graft_vt.$tbl removed files — " +
+          "only append-only commits can be cherry-picked")
+      val added = picked.filterNot(parent.toSet)
+      require(added.nonEmpty, s"version $v of graft_vt.$tbl added no files")
+      val head = GraftVtTable.latestVersion(root)
+      val headEntries = VersionedTable.manifest(root, head)
+      require(!added.exists(headEntries.contains),
+        s"version $v's files are already present at head v$head — " +
+          "cherry-pick would double-apply the commit")
+      val newV = head + 1
+      VersionedTable.commitManifest(root, newV, headEntries ++ added)
+      (StructType(Seq(StructField("picked_from", IntegerType, nullable = false),
+        StructField("added_groups", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false))),
+        Array[Any](v, added.size, newV))
     })
 }
 

@@ -50,7 +50,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_time_to_convert", // 1-row total + 3 quantile rows against the tiny gap histogram
     "q_cross_correlation", // 13 broadcast lag rows against the bounded hourly axis
     "q_two_proportion_z", // 1-row arm A summary × 1-row arm B summary
-    "q_matryoshka_eval") // the q_knn_brute broadcast query-set × corpus shape, twice-scored
+    "q_matryoshka_eval", // the q_knn_brute broadcast query-set × corpus shape, twice-scored
+    "q_tukey_hsd", // |types|² pair grid: k-row self-join under an inequality key
+    "q_bh_fdr", // 1-row arm totals against the per-type sufficient stats
+    "q_wilson_ci") // 1-row distinct-user total against the per-type counts
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

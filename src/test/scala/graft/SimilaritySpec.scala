@@ -199,4 +199,39 @@ class SimilaritySpec extends AnyFunSuite {
       assert(score > 1.0 / (rl + 60) - 1e-9 && score > 1.0 / (rs + 60) - 1e-9)
     }
   }
+
+  test("pca: centered, decorrelated, variance capture matches the declared EVR") {
+    val rows = Similarity.pcaProject(spark, sf).collect()
+    val nCorpus = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(rows.length == nCorpus, "one projected row per vector")
+    val pc1 = rows.map(_.getAs[Double]("pc1"))
+    val pc2 = rows.map(_.getAs[Double]("pc2"))
+    val n = rows.length.toDouble
+    def mean(a: Array[Double]) = a.sum / a.length
+    def variance(a: Array[Double]) = {
+      val m = mean(a); a.map(x => (x - m) * (x - m)).sum / (a.length - 1)
+    }
+    val (v1, v2) = (variance(pc1), variance(pc2))
+    // projections are centered (the μ·v shift) and variance-ordered
+    assert(math.abs(mean(pc1)) < 1e-6 && math.abs(mean(pc2)) < 1e-6)
+    assert(v1 >= v2 - 1e-9, "component variances must come out ordered")
+    // decorrelated: principal axes are orthogonal in the data metric
+    val (m1, m2) = (mean(pc1), mean(pc2))
+    val cov12 = pc1.zip(pc2).map { case (a, b) => (a - m1) * (b - m2) }.sum / (n - 1)
+    assert(math.abs(cov12) / math.sqrt(v1 * v2) < 1e-4,
+      s"pc1/pc2 correlation ${cov12 / math.sqrt(v1 * v2)} must vanish")
+    // the declared explained-variance ratios are the projection
+    // variances over the total per-dimension variance of the corpus
+    val embs = graft.sources.Tables(spark, sf, "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val d = embs.head.length
+    val totalVar = (0 until d).map { j =>
+      variance(embs.map(_(j)))
+    }.sum
+    val (evr1, evr2) = (rows.head.getAs[Double]("evr1"), rows.head.getAs[Double]("evr2"))
+    assert(math.abs(evr1 - v1 / totalVar) < 1e-4,
+      s"evr1=$evr1 vs measured ${v1 / totalVar}")
+    assert(math.abs(evr2 - v2 / totalVar) < 1e-4)
+    assert(evr1 >= evr2 && evr1 + evr2 <= 1.0 + 1e-9)
+  }
 }

@@ -256,4 +256,25 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(enLang === base.filter(col("doc_id") % 10 === 0).count())
     assert(nullLang === n - enLang, "untouched rows must null-backfill the new column")
   }
+
+  test("cherrypick: restores exactly the orphaned append; refuses non-append and double-apply") {
+    import org.apache.spark.sql.functions.col
+    // run the ladder (v1 base → v2 append → v3 rollback → v4 cherrypick)
+    graft.operators.SqlDml.sqlCherrypick(spark, dir).collect()
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val nBase = docs.count()
+    val nCherry = docs.filter(col("doc_id") % 5 === 1).count()
+    val tbl = spark.table("graft_vt.vt_cherry")
+    assert(tbl.count() == nBase + nCherry,
+      "head must hold base ⊎ the cherry-picked append, nothing else")
+    assert(tbl.filter(col("source") === "cherry").count() == nCherry)
+    // double-apply: v2's group already sits at head v4
+    val dup = intercept[Exception](
+      spark.sql("CALL graft_vt.cherrypick('vt_cherry', 2)").collect())
+    assert(dup.getMessage.contains("double-apply"), dup.getMessage)
+    // v3 (the rollback commit) REMOVED v2's files — not append-only
+    val rb = intercept[Exception](
+      spark.sql("CALL graft_vt.cherrypick('vt_cherry', 3)").collect())
+    assert(rb.getMessage.contains("removed files"), rb.getMessage)
+  }
 }

@@ -592,4 +592,95 @@ class StatsSpec extends AnyFunSuite {
     // identity check on the rounded outputs
     assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4)
   }
+
+  test("anova: SSB + SSW equals the directly-computed total sum of squares") {
+    val r = Stats.anovaF(spark, sf).collect().head
+    val (k, n, ssb, ssw) = (r.getAs[Int]("k_groups"), r.getAs[Long]("n_total"),
+      r.getAs[Double]("ss_between"), r.getAs[Double]("ss_within"))
+    assert(k > 1 && n > k)
+    assert(ssb >= 0 && ssw >= 0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0 && eta <= 1)
+    // variance decomposition: per-row total SS computed the direct way
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("value").cast("decimal(12,2)").cast("double")).collect()
+      .map(_.getDouble(0))
+    val mean = vals.sum / vals.length
+    val sst = vals.map(v => (v - mean) * (v - mean)).sum
+    assert(math.abs((ssb + ssw) - sst) / sst < 1e-6,
+      s"SSB+SSW=${ssb + ssw} must reproduce SST=$sst")
+  }
+
+  test("tukey hsd: full pair grid, q recomputes from group means and MSW") {
+    val anova = Stats.anovaF(spark, sf).collect().head
+    val k = anova.getAs[Int]("k_groups")
+    val rows = Stats.tukeyHsd(spark, sf).collect()
+    assert(rows.length == k * (k - 1) / 2, "one row per unordered type pair")
+    val msw = anova.getAs[Double]("ss_within") /
+      (anova.getAs[Long]("n_total") - k)
+    val means = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value").cast("decimal(12,2)")).as("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[java.math.BigDecimal](2).doubleValue))).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are emitted once, in lexicographic order")
+      val ((na, ma), (nb, mb)) = (means(a), means(b))
+      assert(math.abs(r.getAs[Double]("mean_diff") - (ma - mb)) < 1e-4)
+      val q = math.abs(ma - mb) / math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-3,
+        s"$a vs $b: q=${r.getAs[Double]("q_stat")} recompute=$q")
+    }
+  }
+
+  test("wilson ci: interval brackets the rate, stays in [0,1], narrows the Wald edge") {
+    val rows = Stats.wilsonCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("rate"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson never escapes [0,1]")
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, "interval must bracket the MLE")
+      assert(r.getAs[Long]("k_users") <= r.getAs[Long]("n_users"))
+    }
+  }
+
+  test("cochran-armitage: z recomputes from the dose table, sign follows the trend") {
+    val r = Stats.cochranArmitage(spark, sf).collect().head
+    val (n, rr, a, b, c) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_converted"),
+      r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(rr <= n && a <= b && b <= 5 * n && c <= 5 * b)
+    if (!r.isNullAt(r.fieldIndex("z_trend"))) {
+      val p = rr.toDouble / n
+      val z = (a - p * b) / math.sqrt(p * (1 - p) * (c - b.toDouble * b / n))
+      assert(math.abs(r.getAs[Double]("z_trend") - z) < 1e-4)
+    }
+  }
+
+  test("nelson-aalen: hazard fold replays bit-for-bit, bounded by -ln(KM)") {
+    val na = Stats.nelsonAalen(spark, sf).orderBy(col("t_hours")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(na.nonEmpty)
+    // independent fold replay — the q_ewma bit-identity contract
+    var h = 0.0; var vh = 0.0
+    na.foreach { case (_, n, d, hGot, vhGot) =>
+      h = h + d.toDouble / n
+      vh = vh + d.toDouble / (n.toDouble * n.toDouble)
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(hGot), s"H diverges at n=$n")
+      assert(java.lang.Double.doubleToLongBits(vh) ==
+        java.lang.Double.doubleToLongBits(vhGot), s"varH diverges at n=$n")
+    }
+    // H is nondecreasing and dominated by -ln(S_KM) (since x <= -ln(1-x));
+    // same fixture semantics, so the time axes coincide row-for-row
+    val km = Stats.kaplanMeier(spark, sf).orderBy(col("t_hours")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(na.map(_._1).toSeq == km.map(_._1).toSeq, "KM twin shares the axis")
+    na.zip(km).foreach { case ((t, _, _, hz, _), (_, s)) =>
+      assert(hz <= -math.log(s) + 1e-12, s"H(t) must not exceed -ln(KM) at t=$t")
+    }
+  }
 }
