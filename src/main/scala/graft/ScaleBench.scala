@@ -482,7 +482,12 @@ object ScaleBench {
     "q_cdc_net" -> ((s, d) => graft.operators.SqlDml.sqlCdcNet(s, d)),
     "q_partition_evolve" -> ((s, d) => graft.operators.SqlDml.sqlPartitionEvolve(s, d)),
     // PCA is one sufficient-stats scan + one broadcast projection pass
-    "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)))
+    "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
+    // MAD rides two histogram passes; paths one user-keyed shuffle;
+    // deflate is executor-local CPU-bound per-row codec work
+    "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
+    "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

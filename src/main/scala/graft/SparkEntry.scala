@@ -225,6 +225,9 @@ object SparkEntry {
     "q_wilson_ci" -> ((s, d) => Stats.wilsonCi(s, d)),
     "q_cochran_armitage" -> ((s, d) => Stats.cochranArmitage(s, d)),
     "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
+    "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
+    "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_ngram_repetition" -> ((s, d) => TextAnalysis.ngramRepetition(s, d)),
@@ -1125,6 +1128,53 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // median/MAD per-type SUMMARY (the rollup complement of
+    // q_mad_outliers' per-event robust-z flags): both medians exact
+    // integer order statistics from histograms; the flag compares an
+    // integer to ONE mirrored double product
+    "q_mad_summary" ->
+      """WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        |h1 AS (SELECT event_type, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, cents,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h1),
+        |med AS (SELECT c1.event_type, n, MIN(cents) AS med_cents
+        |  FROM c1 JOIN tot USING (event_type)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1, 2),
+        |dv AS (SELECT ev.event_type, ABS(cents - med_cents) AS dev
+        |  FROM ev JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, dev, COUNT(*) AS c FROM dv GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, dev,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h2),
+        |mad AS (SELECT c2.event_type, MIN(dev) AS mad_cents
+        |  FROM c2 JOIN med USING (event_type)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |f AS (SELECT ev.event_type, n, med_cents, mad_cents,
+        |    CAST(SUM(CASE WHEN CAST(ABS(cents - med_cents) AS DOUBLE) >
+        |      3.0 * 1.4826 * CAST(mad_cents AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_outliers
+        |  FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n, med_cents, mad_cents, n_outliers,
+        |  ROUND(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6) AS outlier_rate
+        |FROM f""".stripMargin,
+    // top onboarding paths: (ts, event_id) is a total order so the
+    // path strings are deterministic; ranking (count desc, path asc)
+    "q_user_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |pc AS (SELECT path, COUNT(*) AS n_users FROM f GROUP BY 1),
+        |t AS (SELECT path, n_users,
+        |    ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC) AS rnk FROM pc)
+        |SELECT CAST(rnk AS INTEGER) AS rank, path, n_users
+        |FROM t WHERE rnk <= 10""".stripMargin,
     // word-n-gram repetition: exact gram counting, two rounded ratios,
     // deterministic top-bigram tie-break (lexicographic min at max count)
     "q_ngram_repetition" ->

@@ -904,4 +904,35 @@ object Analytics {
       .groupBy(col("quantile"), col("n_users"), col("k"))
       .agg(min(col("gap")).as("gap_hours"))
   }
+
+  /** TOP ONBOARDING PATHS — the first-k-events path table every
+    * product-analytics tool leads with ("what do users actually do
+    * first?"), and the full-prefix complement of [[markovTransitions]]'
+    * bigram view: each user's first `k` events (by (ts, event_id) — a
+    * total order, so ties cannot flip paths between engines) join into
+    * one `a > b > c` path string; the top `topN` paths rank by
+    * (count desc, path asc).
+    *
+    * Scale shape: the per-user window is bounded by a user's own
+    * events; the path relation collapses to ≤ |event types|^k distinct
+    * DOMAIN-bounded rows before the top-N window touches it. One scan,
+    * one user-keyed shuffle, one tiny ranking.
+    */
+  def userPaths(spark: SparkSession, dir: String, k: Int = 3, topN: Int = 10): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val micros = expr(Tables.tsMicrosSql(raw.schema))
+    val ev = raw.select(col("user_id"), col("event_type"),
+      micros.as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val first = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val paths = first.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    val rankW = Window.orderBy(col("n_users").desc, col("path").asc)
+    paths.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topN)
+      .select(col("rank").cast("int").as("rank"), col("path"), col("n_users"))
+  }
 }

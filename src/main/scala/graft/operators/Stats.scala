@@ -1510,6 +1510,55 @@ object Stats {
       round(when(v > 0, num / sqrt(v)), 6).as("z_trend"))
   }
 
+  /** MEDIAN/MAD ROBUST OUTLIER SCREEN per event type — the
+    * outlier detector that survives its own outliers (a z-score's mean
+    * and σ are dragged by the very points it should flag; the median
+    * and the Median Absolute Deviation have 50% breakdown): flag
+    * `|v − med| > 3 · 1.4826 · MAD` (1.4826 = 1/Φ⁻¹(0.75), the
+    * consistency constant making MAD estimate σ under normality —
+    * Hampel 1974). BOTH medians are EXACT integer-cents order
+    * statistics selected from per-(type, value) histograms — the
+    * spearman/time_to_convert pattern: the cumulative window runs over
+    * the DOMAIN-bounded histogram relation (distinct cents per type),
+    * never over rows, and the lower-median rule `k = (n+1) div 2`
+    * needs no averaging site. The flag comparison is integer-vs-one-
+    * mirrored-double — no rounding ambiguity at the boundary.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    // lower median of `valueCol` per type via histogram + cumulative
+    // count: the first domain value whose running count reaches k
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot), Seq("event_type"))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(col(valueCol)).as(out))
+    }
+    val med = lowerMedian(ev, "cents", "med_cents")
+    val dev = ev
+      .join(broadcast(med.select(col("event_type"), col("med_cents"))), Seq("event_type"))
+      .select(col("event_type"), abs(col("cents") - col("med_cents")).as("dev"))
+    val mad = lowerMedian(dev, "dev", "mad_cents").drop("n")
+    val stats = med.join(mad, Seq("event_type"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_out",
+        abs(col("cents") - col("med_cents")).cast("double") >
+          lit(3.0) * lit(1.4826) * col("mad_cents").cast("double"))
+      .groupBy(col("event_type"), col("n"), col("med_cents"), col("mad_cents"))
+      .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_cents"), col("mad_cents"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          .as("outlier_rate"))
+  }
+
   /** NELSON–AALEN CUMULATIVE HAZARD — the estimator-of-record for the
     * hazard integral (and the robust-at-small-risk-set companion of
     * [[kaplanMeier]], whose fixture semantics it shares verbatim:

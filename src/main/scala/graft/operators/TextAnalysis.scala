@@ -358,6 +358,50 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** COMPRESSION-RATIO QUALITY PROXY (the third Gopher-family
+    * repetition dial after rules and n-gram shares): DEFLATE each
+    * document at a FIXED level and publish compressed/raw — machine-
+    * generated boilerplate and degenerate loops compress far below
+    * natural prose, so corpus teams gate on this exactly like the
+    * n-gram fractions (cf. Rae et al. 2021 §A1.1's repetition family;
+    * CCNet/RedPajama ship the same dial as a fastText/zlib hybrid).
+    *
+    * Executor-local per-row codec work — the audio-codec class: one
+    * Deflater per row (stateless, no JVM-global provider lookup —
+    * verified unlike `AudioSystem`), payloads repartitioned to core
+    * count because the cost is CPU-bound bytes, not splits. Rows-only
+    * by design (the DEFLATE bitstream is a zlib implementation detail
+    * no SQL engine replays); the spec pins determinism, the
+    * worst-case expansion bound, and the more-repetition-compresses-
+    * better direction.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .repartition(cores)
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(raw)
+        d.finish()
+        // zlib worst case ≈ raw + 5 bytes per 16 KiB block + header
+        val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+        var off = 0
+        while (!d.finished() && off < buf.length)
+          off += d.deflate(buf, off, buf.length - off)
+        d.end()
+        (id, raw.length.toLong, off.toLong)
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes").cast("double")), 6)
+          .as("deflate_ratio"))
+  }
+
   /** SOURCE×SOURCE CONTAMINATION MATRIX — cross-slice leakage: for
     * every source pair, how many distinct 15-char shingles they share
     * (and the Jaccard of their shingle sets). THE reading before

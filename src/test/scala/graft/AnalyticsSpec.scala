@@ -315,4 +315,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getString(6) == "frag", s"fragment mismatch: $r")
     }
   }
+
+  test("user paths: ranks contiguous, counts ordered, top path recomputes directly") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf0001
+    val rows = Analytics.userPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ranked = rows.sortBy(_.getInt(0))
+    assert(ranked.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val counts = ranked.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b },
+      "counts must be non-increasing down the ranking")
+    // every user contributes exactly one path: counts over ALL paths
+    // partition the user base (recompute the unranked relation)
+    val nUsers = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(counts.sum <= nUsers)
+    // direct recompute of the top path from the raw log
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val micros = expr(graft.sources.Tables.tsMicrosSql(raw.schema))
+    val top = raw.select(col("user_id"), col("event_type"),
+        micros.as("us"), col("event_id")).collect()
+      .groupBy(_.getLong(0)).values
+      .map { evs =>
+        evs.sortBy(r => (r.getLong(2), r.getLong(3))).take(3)
+          .map(_.getString(1)).mkString(" > ")
+      }
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (p, n) => (-n, p) }.head
+    assert(ranked.head.getString(1) == top._1, "top path mismatch")
+    assert(ranked.head.getAs[Long]("n_users") == top._2)
+  }
 }

@@ -616,6 +616,40 @@ class BreadthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compression ratio: exact per-doc recompute, bounded, repetition compresses better") {
+    def deflate(raw: Array[Byte]): Long = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+      var off = 0
+      while (!d.finished() && off < buf.length)
+        off += d.deflate(buf, off, buf.length - off)
+      d.end()
+      off.toLong
+    }
+    val rows = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, nd) =>
+      assert(nd <= nb + nb / 1000 + 64, "zlib worst-case expansion bound")
+    }
+    // byte-exact recompute for the first 20 docs — the fixed-level
+    // Deflater contract the operator publishes
+    val texts = Tables(spark, dir, "documents").orderBy("doc_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    rows.filter(r => texts.contains(r._1)).foreach { case (id, nb, nd) =>
+      val raw = texts(id).getBytes("UTF-8")
+      assert(nb == raw.length && nd == deflate(raw), s"doc $id deflate mismatch")
+    }
+    // the direction the dial exists for: repeated content compresses
+    // to a smaller fraction than the content itself
+    val sample = texts(texts.keys.min)
+    val r1 = deflate(sample.getBytes("UTF-8")).toDouble / sample.getBytes("UTF-8").length
+    val bytes8 = (sample * 8).getBytes("UTF-8")
+    val r8 = deflate(bytes8).toDouble / bytes8.length
+    assert(r8 < r1, s"8x repetition ratio $r8 must beat $r1")
+  }
+
   test("BH-FDR: rejections are exactly the rank prefix, p ascending in rank") {
     val rows = graft.operators.Stats.bhFdr(spark, dir).collect()
       .sortBy(_.getAs[Int]("p_rank"))

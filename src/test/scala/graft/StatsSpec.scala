@@ -660,6 +660,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("mad summary: exact lower medians match a direct sort, flags recompute") {
+    val rows = Stats.madOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vals = byType(t)
+      val n = vals.length
+      assert(r.getAs[Long]("n") == n)
+      val med = vals((n + 1) / 2 - 1) // lower median, 1-indexed k=(n+1)/2
+      assert(r.getAs[Long]("med_cents") == med, s"$t median")
+      val devs = vals.map(v => math.abs(v - med)).sorted
+      val mad = devs((n + 1) / 2 - 1)
+      assert(r.getAs[Long]("mad_cents") == mad, s"$t MAD")
+      val nOut = vals.count(v => math.abs(v - med).toDouble > 3.0 * 1.4826 * mad)
+      assert(r.getAs[Long]("n_outliers") == nOut, s"$t outlier count")
+    }
+  }
+
   test("nelson-aalen: hazard fold replays bit-for-bit, bounded by -ln(KM)") {
     val na = Stats.nelsonAalen(spark, sf).orderBy(col("t_hours")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
