@@ -487,7 +487,12 @@ object ScaleBench {
     // deflate is executor-local CPU-bound per-row codec work
     "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
-    "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)))
+    "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
+    // wilcoxon folds to a per-user groupBy + |d|-histogram window;
+    // zipf/nb are token-explode corpus verbs with vocab-bounded shuffles
+    "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
+    "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "q_nb_confusion" -> ((s, d) => TextAnalysis.nbLangClassify(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

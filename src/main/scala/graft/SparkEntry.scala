@@ -226,6 +226,11 @@ object SparkEntry {
     "q_cochran_armitage" -> ((s, d) => Stats.cochranArmitage(s, d)),
     "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
     "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
+    "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
+    "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
+    "q_brown_forsythe" -> ((s, d) => Stats.brownForsythe(s, d)),
+    "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "q_nb_confusion" -> ((s, d) => TextAnalysis.nbLangClassify(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
     "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
     "q_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
@@ -1128,6 +1133,179 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // Wilcoxon signed-rank: midranks in exact 2x-rank integer units
+    // over the |d| histogram; z/p arithmetic mirrored op-for-op
+    "q_wilcoxon_sr" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS t_mid FROM ev),
+        |d AS (SELECT user_id,
+        |    SUM(CASE WHEN us > t_mid THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN us <= t_mid THEN 1 ELSE 0 END) AS d
+        |  FROM ev, mid GROUP BY 1),
+        |dn AS (SELECT d FROM d WHERE d <> 0),
+        |h AS (SELECT ABS(d) AS ad, COUNT(*) AS c,
+        |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos FROM dn GROUP BY 1),
+        |r AS (SELECT ad, c, cpos,
+        |    2 * COALESCE(SUM(c) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM h),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(cpos * r2) AS BIGINT) AS wp2,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties3 FROM r),
+        |s AS (SELECT n, wp2, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ties3 AS DOUBLE) / 48.0 AS v FROM a),
+        |z AS (SELECT n, wp2,
+        |    CASE WHEN n > 0 AND v > 0 THEN
+        |      (CAST(wp2 AS DOUBLE) / 2.0 - nd * (nd + 1.0) / 4.0) / sqrt(v) END AS z0
+        |  FROM s),
+        |p AS (SELECT n, wp2, z0, ABS(z0) AS az,
+        |    1.0 / (1.0 + 0.2316419 * ABS(z0)) AS t FROM z)
+        |SELECT n AS n_pairs, CAST(wp2 AS DOUBLE) / 2.0 AS w_plus,
+        |  ROUND(z0, 6) AS z,
+        |  ROUND(CASE WHEN az IS NOT NULL THEN
+        |    2.0 * (exp(-(az * az) / 2.0) / 2.5066282746310002 *
+        |      (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |        + t * (-1.821255978 + t * 1.330274429)))))) END, 6) AS p_value
+        |FROM p""".stripMargin,
+    // McNemar: integer day index from the day-aligned global min,
+    // continuity-corrected chi2, 1-df survival via the normal tail
+    "q_mcnemar" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |d0 AS (SELECT MIN(us) - MIN(us) % 86400000000 AS t0 FROM ev),
+        |f AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      AND (us - t0) // 86400000000 < 7 THEN 1 ELSE 0 END) AS early,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      AND (us - t0) // 86400000000 >= 23 THEN 1 ELSE 0 END) AS late
+        |  FROM ev, d0 GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN early = 0 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+        |    CAST(SUM(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+        |    CAST(SUM(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+        |  FROM f),
+        |x AS (SELECT *, CASE WHEN b_disc + c_disc > 0 THEN
+        |    (CAST(ABS(b_disc - c_disc) AS DOUBLE) - 1.0)
+        |      * (CAST(ABS(b_disc - c_disc) AS DOUBLE) - 1.0)
+        |      / CAST(b_disc + c_disc AS DOUBLE) END AS chi2 FROM c),
+        |p AS (SELECT *, sqrt(chi2) AS az,
+        |    1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t FROM x)
+        |SELECT n_users, n_both, n_neither, b_disc, c_disc,
+        |  ROUND(chi2, 6) AS mcnemar_chi2,
+        |  ROUND(CASE WHEN az IS NOT NULL THEN
+        |    2.0 * (exp(-(az * az) / 2.0) / 2.5066282746310002 *
+        |      (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |        + t * (-1.821255978 + t * 1.330274429)))))) END, 6) AS p_value
+        |FROM p""".stripMargin,
+    // Brown-Forsythe: exact integer-cents lower medians (the
+    // q_mad_summary selection), integer |dev| sufficient stats, the
+    // q_anova decimal-bridged F assembly on the deviations
+    "q_brown_forsythe" ->
+      """WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        |h1 AS (SELECT event_type, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, cents,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h1),
+        |med AS (SELECT c1.event_type, MIN(cents) AS med_cents
+        |  FROM c1 JOIN tot USING (event_type)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |g AS (SELECT ev.event_type, COUNT(*) AS n,
+        |    SUM(ABS(cents - med_cents)) AS s,
+        |    SUM(ABS(cents - med_cents) * ABS(cents - med_cents)) AS ss
+        |  FROM ev JOIN med USING (event_type) GROUP BY 1),
+        |t AS (SELECT n, s,
+        |    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |      AS DECIMAL(38,9)) AS g2n,
+        |    CAST(ROUND(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS w
+        |  FROM g),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    SUM(s) AS s_all, SUM(g2n) AS sum_g2n, SUM(w) AS ssw9 FROM t),
+        |e AS (SELECT k, n_total,
+        |    CAST(sum_g2n AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE) AS ssb,
+        |    CAST(ssw9 AS DOUBLE) AS ssw
+        |  FROM a)
+        |SELECT CAST(k AS INTEGER) AS k_groups, n_total,
+        |  ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+        |  ROUND(CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+        |    (ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS bf_stat
+        |FROM e""".stripMargin,
+    // Zipf fit: deterministic (count desc, token asc) ranks; ln
+    // regressors rounded to 9 decimals BEFORE any product; all five
+    // OLS sums through the DECIMAL(38,9) order-independent channel
+    "q_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> t <> '')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+        |r AS (SELECT token, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM c),
+        |pts AS (SELECT ROUND(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    ROUND(ln(CAST(n AS DOUBLE)), 9) AS y
+        |  FROM r WHERE rank <= 500),
+        |s AS (SELECT COUNT(*) AS m,
+        |    SUM(CAST(x AS DECIMAL(38,9))) AS sx, SUM(CAST(y AS DECIMAL(38,9))) AS sy,
+        |    SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9))) AS sxy,
+        |    SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS sxx,
+        |    SUM(CAST(ROUND(y * y, 9) AS DECIMAL(38,9))) AS syy FROM pts),
+        |e AS (SELECT CAST(m AS BIGINT) AS m, CAST(m AS DOUBLE) AS md,
+        |    CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT m AS n_ranks,
+        |  ROUND(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS zipf_slope,
+        |  ROUND(CASE WHEN vx > 0 THEN (syd - (cxy / vx) * sxd) / md END, 6) AS intercept,
+        |  ROUND(CASE WHEN vx > 0 AND vy > 0 THEN (cxy * cxy) / (vx * vy) END, 6)
+        |    AS r_squared
+        |FROM e""".stripMargin,
+    // NB lang confusion: identical capped vocab, Laplace log-probs
+    // quantized to INTEGER nanolog units (round(ln*1e9) -> BIGINT) at
+    // model build, pure-BIGINT doc scores, argmax (score desc, lang asc)
+    "q_nb_confusion" ->
+      """WITH dt AS (SELECT doc_id, lang, token, COUNT(*) AS n_dt
+        |  FROM (SELECT doc_id, lang,
+        |      unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> t <> '')) AS token
+        |    FROM documents) GROUP BY 1, 2, 3),
+        |voc AS (SELECT token FROM (SELECT token, SUM(n_dt) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY SUM(n_dt) DESC, token ASC) AS rank
+        |  FROM dt GROUP BY token) WHERE rank <= 2000),
+        |iv AS (SELECT dt.* FROM dt JOIN voc USING (token)),
+        |lg AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_all FROM documents),
+        |clt AS (SELECT lang, token, SUM(n_dt) AS c FROM iv GROUP BY 1, 2),
+        |tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM clt GROUP BY 1),
+        |grid AS (SELECT l.lang, v.token, COALESCE(c.c, 0) AS c, tl.t_l
+        |  FROM voc v CROSS JOIN (SELECT lang FROM lg) l
+        |  LEFT JOIN clt c ON c.lang = l.lang AND c.token = v.token
+        |  JOIN tl ON tl.lang = l.lang),
+        |model AS (SELECT lang, token,
+        |    CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(t_l + 2000 AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS lp9 FROM grid),
+        |prior AS (SELECT lang,
+        |    CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS prior9 FROM lg, nd),
+        |sc AS (SELECT iv.doc_id, iv.lang AS lang_true, m.lang,
+        |    CAST(SUM(iv.n_dt * m.lp9) AS BIGINT) AS ll9
+        |  FROM iv JOIN model m USING (token) GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.lang_true, sc.lang,
+        |    sc.ll9 + p.prior9 AS score
+        |  FROM sc JOIN prior p ON p.lang = sc.lang),
+        |best AS (SELECT doc_id, lang_true, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang ASC) AS rn FROM fin)
+        |SELECT lang_true, lang AS lang_pred, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     // median/MAD per-type SUMMARY (the rollup complement of
     // q_mad_outliers' per-event robust-z flags): both medians exact
     // integer order statistics from histograms; the flag compares an

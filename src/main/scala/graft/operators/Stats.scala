@@ -1609,4 +1609,157 @@ object Stats {
       }
       .toDF("t_hours", "n_risk", "d_events", "cum_hazard", "var_hazard")
   }
+
+  /** WILCOXON SIGNED-RANK TEST (Wilcoxon 1945) — the paired
+    * nonparametric: did per-user activity SHIFT between the first and
+    * second half of the observation window? Each user contributes one
+    * INTEGER difference d = n₂ − n₁ (event counts after/before the
+    * midpoint timestamp); zeros drop (the standard Wilcoxon zero
+    * procedure), |d| ranks with midrank ties, W⁺ = Σ ranks of positive
+    * d, and z = (W⁺ − μ)/σ with the tie-corrected variance
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 (no continuity correction —
+    * documented, mirrored). Two-sided p via the house A&S 26.2.17 tail.
+    *
+    * EXACTNESS: ranks never touch doubles — the midrank lives in
+    * 2×-rank units (2·cum_prev + c + 1, an integer), so W⁺×2 is an
+    * exact BIGINT and every statistic assembles from integers with
+    * the double arithmetic mirrored operation-for-operation.
+    *
+    * THE 100 TB SHAPE: one scan → per-user (n₁, n₂) groupBy → the
+    * rank window runs over the |distinct |d|| histogram relation
+    * (domain-bounded: ≤ max per-user activity), never over users.
+    */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val us = expr(Tables.tsMicrosSql(raw.schema))
+    val ev = raw.select(col("user_id"), us.as("us"))
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L)).cast("long").as("t_mid"))
+    val d = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("us") > col("t_mid"), 1L).otherwise(0L)) -
+        sum(when(col("us") <= col("t_mid"), 1L).otherwise(0L))).as("d"))
+      .filter(col("d") =!= 0)
+    // |d| histogram: c rows at this |d|, cpos of them positive
+    val hist = d.groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("c"), sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dd(c: Column) = c.cast("double")
+    val agg = hist
+      .withColumn("r2", lit(2L) * coalesce(sum(col("c")).over(w), lit(0L)) + col("c") + 1L)
+      .agg(sum(col("c")).as("n"),
+        sum(col("cpos") * col("r2")).as("wp2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties3"))
+    val n = dd(col("n"))
+    val mu = n * (n + lit(1.0)) / lit(4.0)
+    val v = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+      dd(col("ties3")) / lit(48.0)
+    val z = (dd(col("wp2")) / lit(2.0) - mu) / sqrt(v)
+    agg
+      .withColumn("z0", when(col("n") > 0 && v > 0, z))
+      .withColumn("az", abs(col("z0")))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+      .select(col("n").as("n_pairs"),
+        (dd(col("wp2")) / lit(2.0)).as("w_plus"),
+        round(col("z0"), 6).as("z"),
+        round(when(col("az").isNotNull,
+          lit(2.0) * (exp(-(col("az") * col("az")) / lit(2.0)) / lit(2.5066282746310002) *
+            (col("t") * (lit(0.319381530) + col("t") * (lit(-0.356563782) +
+              col("t") * (lit(1.781477937) + col("t") * (lit(-1.821255978) +
+                col("t") * lit(1.330274429)))))))), 6).as("p_value"))
+  }
+
+  /** MCNEMAR'S TEST (McNemar 1947, continuity-corrected) — the paired
+    * BINARY companion of [[wilcoxonSignedRank]]: did users who
+    * purchased in the FIRST week keep purchasing in the LAST week?
+    * Per user two booleans (any `purchase` in days [0,7) / days
+    * [23,∞) of the window, day = µs DIV 86400000000 from the global
+    * min — pure integer calendar); only the discordant cells carry
+    * signal: χ² = (|b−c|−1)²/(b+c), p = 2·Φtail(√χ²) (the 1-df χ²
+    * survival in terms of the house normal tail).
+    *
+    * THE 100 TB SHAPE: one scan → per-user two MAX flags → four
+    * integer cells; everything after runs on one row.
+    */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val us = expr(Tables.tsMicrosSql(raw.schema))
+    val day = lit(86400000000L)
+    val ev = raw.select(col("user_id"), col("event_type"), us.as("us"))
+    val d0 = ev.agg((min(col("us")) - pmod(min(col("us")), day)).as("t0"))
+    val flags = ev.crossJoin(broadcast(d0))
+      .withColumn("di", expr("(us - t0) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("di") < 7, 1L)
+          .otherwise(0L)).as("early"),
+        max(when(col("event_type") === "purchase" && col("di") >= 23, 1L)
+          .otherwise(0L)).as("late"))
+    def dd(c: Column) = c.cast("double")
+    val cells = flags.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("early") === 1 && col("late") === 1, 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("early") === 0 && col("late") === 0, 1L).otherwise(0L)).as("n_neither"),
+      sum(when(col("early") === 1 && col("late") === 0, 1L).otherwise(0L)).as("b_disc"),
+      sum(when(col("early") === 0 && col("late") === 1, 1L).otherwise(0L)).as("c_disc"))
+    val bc = col("b_disc") + col("c_disc")
+    val num = abs(col("b_disc") - col("c_disc")).cast("double") - lit(1.0)
+    val chi = (num * num) / dd(bc)
+    cells
+      .withColumn("chi2", when(bc > 0, chi))
+      .withColumn("az", sqrt(col("chi2")))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+      .select(col("n_users"), col("n_both"), col("n_neither"),
+        col("b_disc"), col("c_disc"),
+        round(col("chi2"), 6).as("mcnemar_chi2"),
+        round(when(col("az").isNotNull,
+          lit(2.0) * (exp(-(col("az") * col("az")) / lit(2.0)) / lit(2.5066282746310002) *
+            (col("t") * (lit(0.319381530) + col("t") * (lit(-0.356563782) +
+              col("t") * (lit(1.781477937) + col("t") * (lit(-1.821255978) +
+                col("t") * lit(1.330274429)))))))), 6).as("p_value"))
+  }
+
+  /** BROWN–FORSYTHE TEST (Brown & Forsythe 1974) — variance
+    * homogeneity across event types, the assumption check behind
+    * [[anovaF]]/[[tukeyHsd]] that stays robust under non-normality
+    * because it centers on the MEDIAN: z_ij = |x_ij − med_j| with
+    * med_j the exact per-type lower median in integer cents (the
+    * [[madOutliers]] histogram selection verbatim), then the one-way
+    * F statistic ON the z values. Since med_j and every z are
+    * integers, the sufficient statistics (n, Σz, Σz²) are exact
+    * BIGINTs and the F assembly reuses [[anovaF]]'s decimal-bridged
+    * per-group terms — order-independent on both engines.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val hist = ev.groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+    val wm = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val med = hist.withColumn("cum", sum(col("c")).over(wm))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("med_cents"))
+    def dd(c: Column) = c.cast("double")
+    val g = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("cents") - col("med_cents")).as("z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("s"),
+        sum(col("z") * col("z")).as("ss"))
+    val terms = g.select(col("n"), col("s"),
+      round(dd(col("s")) * dd(col("s")) / dd(col("n")), 9).cast(b9).as("g2n"),
+      round(dd(col("ss")) - dd(col("s")) * dd(col("s")) / dd(col("n")), 9).cast(b9).as("w"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+      sum(col("s")).as("s_all"), sum(col("g2n")).as("sum_g2n"),
+      sum(col("w")).as("ssw9"))
+    val ssb = dd(col("sum_g2n")) - dd(col("s_all")) * dd(col("s_all")) / dd(col("n_total"))
+    val ssw = dd(col("ssw9"))
+    val f = (ssb / (dd(col("k")) - 1.0)) / (ssw / (dd(col("n_total")) - dd(col("k"))))
+    agg.select(col("k").cast("int").as("k_groups"), col("n_total"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round(when(col("k") > 1 && col("n_total") > col("k") && ssw > 0, f), 6)
+        .as("bf_stat"))
+  }
 }

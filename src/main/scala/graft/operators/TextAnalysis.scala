@@ -1413,4 +1413,119 @@ object TextAnalysis {
         round(col("n_pieces").cast("double") / greatest(col("n_words"), lit(1)), 4)
           .as("pieces_per_word"))
   }
+
+  /** ZIPF RANK–FREQUENCY FIT — does the corpus obey Zipf's law
+    * (freq ∝ rank^−s, s ≈ 1 for natural language)? A slope far from
+    * −1 or a poor r² is the classic machine-generated/boilerplate
+    * corpus tell, read alongside [[gopherRules]] and the compression
+    * dial. OLS of ln(freq) on ln(rank) over the top `r` tokens
+    * (count desc, token asc — deterministic ranks).
+    *
+    * EXACTNESS: `ln` is the accepted cross-engine transcendental
+    * (entropy/divergence family); both regressors round to 9 decimals
+    * BEFORE any product and all five OLS sums ride the house
+    * DECIMAL(38,9) order-independent channel, so the final slope /
+    * intercept / r² doubles assemble from identical exact sums.
+    *
+    * THE 100 TB SHAPE: one explode → map-side-combined token counts
+    * (|vocab|-bounded shuffle); the rank window and regression run
+    * over r = 500 rows.
+    */
+  def zipfFit(spark: SparkSession, dir: String, r: Int = 500): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rank") <= r)
+    def dd(c: Column) = c.cast("double")
+    val pts = top.select(
+      round(log(dd(col("rank"))), 9).as("x"),
+      round(log(dd(col("n"))), 9).as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("m"),
+      sum(col("x").cast(b9)).as("sx"), sum(col("y").cast(b9)).as("sy"),
+      sum(round(col("x") * col("y"), 9).cast(b9)).as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast(b9)).as("sxx"),
+      sum(round(col("y") * col("y"), 9).cast(b9)).as("syy"))
+    val m = dd(col("m"))
+    val vx = m * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vy = m * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    val cxy = m * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    s.select(col("m").as("n_ranks"),
+      round(when(vx > 0, cxy / vx), 6).as("zipf_slope"),
+      round(when(vx > 0, (dd(col("sy")) - (cxy / vx) * dd(col("sx"))) / m), 6)
+        .as("intercept"),
+      round(when(vx > 0 && vy > 0, (cxy * cxy) / (vx * vy)), 6).as("r_squared"))
+  }
+
+  /** MULTINOMIAL NAIVE BAYES LANGUAGE CLASSIFIER — train on the
+    * corpus's own `lang` labels over a capped vocabulary, re-classify
+    * every document, publish the lang×lang confusion matrix: the
+    * label-quality audit a corpus team runs on third-party language
+    * tags (a clean corpus re-classifies onto the diagonal; off-
+    * diagonal mass localizes mislabeled slices). Laplace-smoothed
+    * `P(tok|lang) = (c+1)/(T+V)` over the top `v` global tokens, doc
+    * prior from label counts, OOV tokens skipped (standard capped-
+    * vocab NB). On a corpus whose langs share one token distribution
+    * (the synthetic fixture does), NB correctly collapses to the
+    * prior — an all-one-column confusion matrix is itself the
+    * readout that the labels carry no lexical signal; the spec pins
+    * diagonal classification on a vocabulary-separable fixture.
+    *
+    * EXACTNESS: every log-prob quantizes to INTEGER NANOLOG units
+    * (round(ln·10⁹) → BIGINT) at model-build time; a document's score
+    * is Σ n_dt · lp9 — pure BIGINT arithmetic, order-independent and
+    * overflow-safe (|lp9| ≤ 2·10¹⁰, doc token counts bounded), so the
+    * argmax (score desc, lang asc) compares exact integers and can
+    * never flip on summation order.
+    *
+    * THE 100 TB SHAPE: the model is |vocab|×|langs| rows built from
+    * one token-count pass and BROADCAST; scoring is explode → model
+    * hash-join → (doc, lang) map-side-combined sum; the confusion
+    * matrix is |langs|² rows.
+    */
+  def nbLangClassify(spark: SparkSession, dir: String, v: Int = 2000): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val docTok = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_dt"))
+    val vocab = docTok.groupBy(col("token")).agg(sum(col("n_dt")).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rank") <= v)
+      .select(col("token"))
+    val inVocab = docTok.join(broadcast(vocab), Seq("token"))
+    // class token counts over the vocab grid (missing pairs = 0)
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.count()
+    val cLT = inVocab.groupBy(col("lang"), col("token")).agg(sum(col("n_dt")).as("c"))
+    val tL = cLT.groupBy(col("lang")).agg(sum(col("c")).as("t_l"))
+    val grid = vocab.crossJoin(broadcast(langs.select(col("lang"))))
+      .join(cLT, Seq("lang", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(tL), Seq("lang"))
+    val model = grid.select(col("lang"), col("token"),
+      round(log((col("c") + lit(1L)).cast("double") /
+        (col("t_l") + lit(v.toLong)).cast("double")) * lit(1e9)).cast("long").as("lp9"))
+    val prior = langs.select(col("lang"),
+      round(log(dd(col("n_docs")) / lit(nDocs.toDouble)) * lit(1e9)).cast("long")
+        .as("prior9"))
+    val scored = inVocab.select(col("doc_id"), col("lang").as("lang_true"),
+        col("token"), col("n_dt"))
+      .join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang"))
+      .agg(sum(col("n_dt") * col("lp9")).as("ll9"))
+      .join(broadcast(prior), Seq("lang"))
+      .withColumn("score", col("ll9") + col("prior9"))
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang_true"), col("lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -650,6 +650,55 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(r8 < r1, s"8x repetition ratio $r8 must beat $r1")
   }
 
+  test("zipf fit: slope/r2 match a direct OLS on ln(rank), ln(freq)") {
+    val r = TextAnalysis.zipfFit(spark, dir).collect().head
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(500)
+    assert(r.getAs[Long]("n_ranks") == counts.length)
+    val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble))
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val syy = pts.map(p => p._2 * p._2).sum
+    val vx = m * sxx - sx * sx; val vy = m * syy - sy * sy
+    val cxy = m * sxy - sx * sy
+    assert(math.abs(r.getAs[Double]("zipf_slope") - cxy / vx) < 1e-5, "slope mismatch")
+    val r2 = r.getAs[Double]("r_squared")
+    assert(math.abs(r2 - cxy * cxy / (vx * vy)) < 1e-5 && r2 >= 0 && r2 <= 1)
+  }
+
+  test("nb classifier: rows partition the corpus; separable fixture goes diagonal") {
+    val rows = TextAnalysis.nbLangClassify(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every doc with an in-vocab token classifies exactly once")
+    // vocabulary-separable fixture: langs with disjoint token sets must
+    // re-classify onto the diagonal even against an adverse prior
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nbfix").toString
+    Seq(
+      (1L, "aa bb aa bb aa", "xx", "s", 10L),
+      (2L, "bb aa bb aa", "xx", "s", 10L),
+      (3L, "aa aa bb", "xx", "s", 10L),
+      (4L, "cc dd cc dd cc", "yy", "s", 10L),
+      (5L, "dd cc dd", "yy", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val conf = TextAnalysis.nbLangClassify(spark, tmp).collect()
+    assert(conf.nonEmpty)
+    conf.foreach { c =>
+      assert(c.getAs[String]("lang_true") == c.getAs[String]("lang_pred"),
+        s"separable fixture must classify diagonally: $c")
+    }
+    assert(conf.map(_.getAs[Long]("n_docs")).sum == 5)
+  }
+
   test("BH-FDR: rejections are exactly the rank prefix, p ascending in rank") {
     val rows = graft.operators.Stats.bhFdr(spark, dir).collect()
       .sortBy(_.getAs[Int]("p_rank"))

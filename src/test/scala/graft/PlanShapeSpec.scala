@@ -53,7 +53,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_matryoshka_eval", // the q_knn_brute broadcast query-set × corpus shape, twice-scored
     "q_tukey_hsd", // |types|² pair grid: k-row self-join under an inequality key
     "q_bh_fdr", // 1-row arm totals against the per-type sufficient stats
-    "q_wilson_ci") // 1-row distinct-user total against the per-type counts
+    "q_wilson_ci", // 1-row distinct-user total against the per-type counts
+    "q_wilcoxon_sr", // 1-row broadcast window midpoint against the per-user counts
+    "q_mcnemar", // 1-row broadcast day-zero against the log
+    "q_nb_confusion") // |vocab| × |langs| broadcast model grid
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

@@ -683,6 +683,60 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("wilcoxon signed-rank: W+ matches a direct midrank recompute") {
+    val r = Stats.wilcoxonSignedRank(spark, sf).collect().head
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val us = expr(graft.sources.Tables.tsMicrosSql(raw.schema))
+    val rows = raw.select(col("user_id"), us.as("us")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val tMid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val ds = rows.groupBy(_._1).values.map { es =>
+      es.count(_._2 > tMid).toLong - es.count(_._2 <= tMid).toLong
+    }.filter(_ != 0).toSeq
+    assert(r.getAs[Long]("n_pairs") == ds.length)
+    val ranked = ds.map(math.abs).sorted.zipWithIndex.map { case (v, i) => (v, i + 1) }
+    val rankOf = ranked.groupBy(_._1).view
+      .mapValues(g => g.map(_._2.toDouble).sum / g.size).toMap
+    val wPlus = ds.filter(_ > 0).map(d => rankOf(math.abs(d))).sum
+    assert(math.abs(r.getAs[Double]("w_plus") - wPlus) < 1e-9, "W+ mismatch")
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("mcnemar: four cells partition the users, chi2 recomputes") {
+    val r = Stats.mcnemar(spark, sf).collect().head
+    val n = r.getAs[Long]("n_users")
+    val b = r.getAs[Long]("b_disc"); val c = r.getAs[Long]("c_disc")
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_neither") + b + c == n,
+      "cells must partition the user base")
+    if (b + c > 0) {
+      val num = math.abs(b - c).toDouble - 1.0
+      val chi = num * num / (b + c).toDouble
+      assert(math.abs(r.getAs[Double]("mcnemar_chi2") - chi) < 1e-6, "chi2 mismatch")
+    }
+  }
+
+  test("brown-forsythe: F recomputes from per-type median absolute deviations") {
+    val r = Stats.brownForsythe(spark, sf).collect().head
+    val byType = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val zs = byType.toSeq.map { case (_, vals) =>
+      val med = vals((vals.length + 1) / 2 - 1)
+      vals.map(v => math.abs(v - med).toDouble)
+    }
+    val k = zs.length
+    val nTot = zs.map(_.length).sum
+    assert(r.getAs[Int]("k_groups") == k && r.getAs[Long]("n_total") == nTot)
+    val grand = zs.flatten.sum / nTot
+    val ssb = zs.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = zs.map(g => { val m = g.sum / g.length; g.map(z => (z - m) * (z - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (nTot - k))
+    assert(math.abs(r.getAs[Double]("bf_stat") - f) / f < 1e-6, s"F mismatch: $r vs $f")
+  }
+
   test("nelson-aalen: hazard fold replays bit-for-bit, bounded by -ln(KM)") {
     val na = Stats.nelsonAalen(spark, sf).orderBy(col("t_hours")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
