@@ -492,7 +492,12 @@ object ScaleBench {
     // zipf/nb are token-explode corpus verbs with vocab-bounded shuffles
     "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
-    "q_nb_confusion" -> ((s, d) => TextAnalysis.nbLangClassify(s, d)))
+    "q_nb_confusion" -> ((s, d) => TextAnalysis.nbLangClassify(s, d)),
+    // changepoint is one scan + bounded-axis windows; the validity
+    // indices are corpus × |labels| broadcast-centroid scans
+    "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
+    "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
+    "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -227,6 +227,9 @@ object SparkEntry {
     "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
     "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
     "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
+    "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
+    "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
+    "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)),
     "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
     "q_brown_forsythe" -> ((s, d) => Stats.brownForsythe(s, d)),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
@@ -1133,6 +1136,107 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // changepoint: integer hourly prefix sums, one mirrored double
+    // gain expression per boundary, argmax tie-broken earliest
+    "q_changepoint" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM h),
+        |p AS (SELECT hr,
+        |    CAST(SUM(n) OVER (ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+        |    CAST(SUM(s) OVER (ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+        |  FROM h),
+        |g AS (SELECT hr, n1, s1, nt, st,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+        |        / CAST(nt - n1 AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS gain
+        |  FROM p, t WHERE n1 < nt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, hr ASC) AS rn FROM g)
+        |SELECT hr AS split_hr, n1 AS n_before, nt - n1 AS n_after,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_before_cents,
+        |  ROUND(CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE), 6) AS mean_after_cents,
+        |  ROUND(gain, 6) AS ss_gain
+        |FROM r WHERE rn = 1""".stripMargin,
+    // simplified silhouette: round-9 DECIMAL centroids, expansion-form
+    // distances clamped at 0, per-label mean through the DECIMAL channel
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sqx
+        |  FROM embeddings),
+        |d AS (SELECT label, unnest(range(0, len(embedding))) AS pos,
+        |    unnest(embedding) AS x FROM embeddings),
+        |cs AS (SELECT label, pos,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(38,9))) AS sx
+        |  FROM d GROUP BY 1, 2),
+        |nl AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        |ca AS (SELECT cs.label AS c_label,
+        |    list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c_emb
+        |  FROM cs JOIN nl ON nl.label = cs.label GROUP BY 1),
+        |cb AS (SELECT c_label, c_emb,
+        |    list_sum(list_transform(c_emb, v -> v * v)) AS sqc FROM ca),
+        |pair AS (SELECT e.vec_id, e.label, cb.c_label,
+        |    sqrt(GREATEST(e.sqx + cb.sqc - 2.0 * list_sum(list_transform(e.embedding,
+        |      (v, i) -> CAST(v AS DOUBLE) * cb.c_emb[i])), 0.0)) AS dist
+        |  FROM e CROSS JOIN cb),
+        |ab AS (SELECT vec_id, label,
+        |    MAX(CASE WHEN c_label = label THEN dist END) AS a,
+        |    MIN(CASE WHEN c_label <> label THEN dist END) AS b
+        |  FROM pair GROUP BY 1, 2),
+        |sv AS (SELECT label, CASE WHEN GREATEST(a, b) > 0
+        |    THEN (b - a) / GREATEST(a, b) ELSE 0.0 END AS s FROM ab)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+        |FROM sv GROUP BY 1""".stripMargin,
+    // Calinski-Harabasz: same centroids; global centroid DEFINED from
+    // corpus-wide per-dimension DECIMAL sums; B folds k label rows,
+    // W one scan, both through the round-9 DECIMAL bridge
+    "q_calinski" ->
+      """WITH e AS (SELECT label, embedding,
+        |    list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sqx
+        |  FROM embeddings),
+        |d AS (SELECT label, unnest(range(0, len(embedding))) AS pos,
+        |    unnest(embedding) AS x FROM embeddings),
+        |cs AS (SELECT label, pos,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(38,9))) AS sx
+        |  FROM d GROUP BY 1, 2),
+        |nl AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        |ca AS (SELECT cs.label, MAX(n) AS n,
+        |    list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c_emb
+        |  FROM cs JOIN nl ON nl.label = cs.label GROUP BY 1),
+        |gs AS (SELECT pos,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(38,9))) AS gx
+        |  FROM d GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_total FROM embeddings),
+        |g AS (SELECT list(CAST(gx AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      ORDER BY pos) AS g_emb, MAX(n_total) AS n_total
+        |  FROM gs, nt),
+        |bb AS (SELECT COUNT(*) AS k, MAX(g.n_total) AS n_total,
+        |    SUM(CAST(ROUND(CAST(ca.n AS DOUBLE) * GREATEST(
+        |      list_sum(list_transform(c_emb, v -> v * v))
+        |      + list_sum(list_transform(g_emb, v -> v * v))
+        |      - 2.0 * list_sum(list_transform(c_emb, (v, i) -> v * g_emb[i])),
+        |      0.0), 9) AS DECIMAL(38,9))) AS b9
+        |  FROM ca, g),
+        |ww AS (SELECT SUM(CAST(ROUND(GREATEST(e.sqx
+        |      + list_sum(list_transform(ca.c_emb, v -> v * v))
+        |      - 2.0 * list_sum(list_transform(e.embedding,
+        |        (v, i) -> CAST(v AS DOUBLE) * ca.c_emb[i])), 0.0), 9)
+        |      AS DECIMAL(38,9))) AS w9
+        |  FROM e JOIN ca ON ca.label = e.label)
+        |SELECT CAST(k AS INTEGER) AS k_labels, CAST(n_total AS BIGINT) AS n_total,
+        |  ROUND(CAST(b9 AS DOUBLE), 6) AS b_ss, ROUND(CAST(w9 AS DOUBLE), 6) AS w_ss,
+        |  ROUND(CASE WHEN k > 1 AND n_total > k AND CAST(w9 AS DOUBLE) > 0 THEN
+        |    (CAST(b9 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |      / (CAST(w9 AS DOUBLE) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    END, 6) AS ch_index
+        |FROM bb, ww""".stripMargin,
     // Wilcoxon signed-rank: midranks in exact 2x-rank integer units
     // over the |d| histogram; z/p arithmetic mirrored op-for-op
     "q_wilcoxon_sr" ->

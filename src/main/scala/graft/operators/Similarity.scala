@@ -679,4 +679,116 @@ object Similarity {
     }
     withEvr.drop("v")
   }
+
+  /** Per-label centroids as ordered double arrays, plus label sizes.
+    *
+    * EXACTNESS: each coordinate rounds to 9 decimals BEFORE the
+    * cross-row sum (the house order-independent DECIMAL(38,9)
+    * channel), so the centroid is deterministic under any row order;
+    * the per-dimension division is the one double op. Shape: one
+    * posexplode → (label, pos) map-side-combined sum (|labels|·dims
+    * rows), centroids broadcast from there.
+    */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val emb = Tables(spark, dir, "embeddings")
+    val dims = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x").cast("double"), 9).cast(b9)).as("sx"))
+    val nl = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx").cast("double")).as("sx_arr"))
+      .join(broadcast(nl), Seq("label"))
+      .select(col("label"), col("n"),
+        transform(col("sx_arr"), v => v / col("n").cast("double")).as("c_emb"))
+  }
+
+  /** SIMPLIFIED SILHOUETTE by label (Hruschka et al. 2004 — the
+    * centroid-based silhouette that replaces the O(n²) pairwise
+    * original with O(n·k) centroid distances, the only formulation
+    * that survives 100 TB): per vector a = distance to OWN label
+    * centroid, b = min distance to any OTHER, s = (b−a)/max(a,b);
+    * published as the per-label mean — the cluster-quality audit of
+    * the `label` column every embedding pipeline runs after
+    * clustering or labeling.
+    *
+    * Distances use the expansion ‖x‖² + ‖c‖² − 2·x·c (one fused
+    * codegen'd loop per term via [[graft.functions.VectorFunctions]]),
+    * clamped at 0 against cancellation, mirrored verbatim in the
+    * oracle; the per-label mean rides the round-9 DECIMAL channel.
+    */
+  def silhouetteByLabel(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqNorm(col("embedding")).as("sqx"))
+    val cents = labelCentroids(spark, dir)
+      .select(col("label").as("c_label"), col("c_emb"), sqNorm(col("c_emb")).as("sqc"))
+    val pair = emb.crossJoin(broadcast(cents))
+      .withColumn("d", sqrt(greatest(
+        col("sqx") + col("sqc") - lit(2.0) * dot(col("embedding"), col("c_emb")),
+        lit(0.0))))
+    pair.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("c_label"), col("d"))).as("a"),
+        min(when(col("label") =!= col("c_label"), col("d"))).as("b"))
+      .withColumn("s", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("s"), 9).cast(b9)).as("s9"))
+      .select(col("label"), col("n_vecs"),
+        round(col("s9").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_silhouette"))
+  }
+
+  /** CALINSKI–HARABASZ INDEX (1974) — the variance-ratio criterion
+    * over the label partition: CH = (B/(k−1)) / (W/(N−k)) with B the
+    * between-centroid and W the within-cluster squared-distance mass.
+    * The single-number companion of [[silhouetteByLabel]] (higher =
+    * tighter, better-separated clusters), and the index that needs
+    * ONLY sufficient statistics — both terms assemble from the same
+    * broadcast centroids; W is one corpus scan with the round-9
+    * DECIMAL bridge, B folds over k label rows.
+    */
+  def calinskiHarabasz(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val cents = labelCentroids(spark, dir)
+    // global centroid DEFINED from the corpus-wide per-dimension
+    // round-9 DECIMAL sums (order-independent and exact — never a
+    // double fold over the label centroids)
+    val embForG = Tables(spark, dir, "embeddings")
+    val gsum = embForG.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x").cast("double"), 9).cast(b9)).as("gx"))
+    val nTot = embForG.agg(count(lit(1)).as("n_total"))
+    val tot = gsum
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("gx")))),
+        s => s.getField("gx").cast("double")).as("gx_arr"))
+      .crossJoin(nTot)
+      .select(col("n_total"),
+        transform(col("gx_arr"), v => v / col("n_total").cast("double")).as("g_emb"))
+    val withG = cents.crossJoin(broadcast(tot))
+      .withColumn("d2g", greatest(
+        sqNorm(col("c_emb")) + sqNorm(col("g_emb"))
+          - lit(2.0) * dot(col("c_emb"), col("g_emb")), lit(0.0)))
+    val b = withG.agg(count(lit(1)).as("k"), max(col("n_total")).as("n_total"),
+      sum(round(dd(col("n")) * col("d2g"), 9).cast(b9)).as("b9"))
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding"), sqNorm(col("embedding")).as("sqx"))
+    val w = emb.join(broadcast(cents.select(col("label"), col("c_emb"),
+        sqNorm(col("c_emb")).as("sqc"))), Seq("label"))
+      .select(greatest(col("sqx") + col("sqc")
+        - lit(2.0) * dot(col("embedding"), col("c_emb")), lit(0.0)).as("d2"))
+      .agg(sum(round(col("d2"), 9).cast(b9)).as("w9"))
+    val joined = b.crossJoin(w)
+    val bss = dd(col("b9"))
+    val wss = dd(col("w9"))
+    val ch = (bss / (dd(col("k")) - 1.0)) / (wss / (dd(col("n_total")) - dd(col("k"))))
+    joined.select(col("k").cast("int").as("k_labels"), col("n_total"),
+      round(bss, 6).as("b_ss"), round(wss, 6).as("w_ss"),
+      round(when(col("k") > 1 && col("n_total") > col("k") && wss > 0, ch), 6)
+        .as("ch_index"))
+  }
 }

@@ -1718,6 +1718,54 @@ object Stats {
                 col("t") * lit(1.330274429)))))))), 6).as("p_value"))
   }
 
+  /** BINARY-SEGMENTATION CHANGEPOINT (the first split of binary
+    * segmentation, Scott & Knott 1974 lineage): WHERE did the hourly
+    * mean value shift most? For every prefix boundary t on the hourly
+    * axis, the between-segment sum-of-squares gain
+    * `s₁²/n₁ + s₂²/n₂ − S²/N` (the variance-reduction objective CUSUM
+    * only thresholds); the argmax hour is the changepoint estimate,
+    * tie-broken earliest. The companion readout to [[cusumShifts]]:
+    * that one says WHETHER the level drifted, this one says WHEN.
+    *
+    * EXACTNESS: hourly (n, Σcents) are integers; prefix sums ride an
+    * integer window; the gain assembles from integers with one
+    * mirrored double expression per boundary row.
+    *
+    * THE 100 TB SHAPE: one scan → CALENDAR-BOUNDED hourly rows; the
+    * prefix window and argmax run over that bounded axis, never rows.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw.filter(col("value").isNotNull)
+      .select(expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val tot = hourly.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+    val w = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dd(c: Column) = c.cast("double")
+    val gains = hourly
+      .withColumn("n1", sum(col("n")).over(w))
+      .withColumn("s1", sum(col("s")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") < col("nt"))
+      .withColumn("gain",
+        dd(col("s1")) * dd(col("s1")) / dd(col("n1")) +
+          dd(col("st") - col("s1")) * dd(col("st") - col("s1")) / dd(col("nt") - col("n1")) -
+          dd(col("st")) * dd(col("st")) / dd(col("nt")))
+    gains
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gain").desc, col("hr").asc)))
+      .filter(col("rn") === 1)
+      .select(col("hr").as("split_hr"),
+        col("n1").as("n_before"), (col("nt") - col("n1")).as("n_after"),
+        round(dd(col("s1")) / dd(col("n1")), 6).as("mean_before_cents"),
+        round(dd(col("st") - col("s1")) / dd(col("nt") - col("n1")), 6)
+          .as("mean_after_cents"),
+        round(col("gain"), 6).as("ss_gain"))
+  }
+
   /** BROWN–FORSYTHE TEST (Brown & Forsythe 1974) — variance
     * homogeneity across event types, the assumption check behind
     * [[anovaF]]/[[tukeyHsd]] that stays robust under non-normality

@@ -56,7 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_wilson_ci", // 1-row distinct-user total against the per-type counts
     "q_wilcoxon_sr", // 1-row broadcast window midpoint against the per-user counts
     "q_mcnemar", // 1-row broadcast day-zero against the log
-    "q_nb_confusion") // |vocab| × |langs| broadcast model grid
+    "q_nb_confusion", // |vocab| × |langs| broadcast model grid
+    "q_changepoint", // 1-row broadcast totals against the bounded hourly axis
+    "q_silhouette", // |labels| broadcast centroids × corpus — the kmeans_assign shape
+    "q_calinski") // |labels| centroid rows × 1-row global centroid / totals
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

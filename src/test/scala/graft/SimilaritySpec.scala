@@ -234,4 +234,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(evr2 - v2 / totalVar) < 1e-4)
     assert(evr1 >= evr2 && evr1 + evr2 <= 1.0 + 1e-9)
   }
+
+  test("silhouette: bounded in [-1,1], matches a direct centroid recompute") {
+    val rows = Similarity.silhouetteByLabel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, s) => assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9) }
+    val vecs = graft.sources.Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vecs.groupBy(_._1).view.mapValues { g =>
+      val n = g.length
+      g.map(_._2).transpose.map(_.sum / n).toArray
+    }.toMap
+    def dist(x: Array[Double], c: Array[Double]) =
+      math.sqrt(math.max(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, 0.0))
+    rows.foreach { case (lbl, n, meanS) =>
+      val mine = vecs.filter(_._1 == lbl)
+      assert(mine.length == n)
+      val direct = mine.map { case (_, x) =>
+        val a = dist(x, cents(lbl))
+        val b = cents.collect { case (l, c) if l != lbl => dist(x, c) }.min
+        if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+      }.sum / n
+      assert(math.abs(meanS - direct) < 1e-4, s"label $lbl: $meanS vs $direct")
+    }
+  }
+
+  test("calinski-harabasz: B + W equals the total squared deviation to the grand mean") {
+    val r = Similarity.calinskiHarabasz(spark, sf).collect().head
+    val vecs = graft.sources.Tables(spark, sf, "embeddings").collect()
+      .map(x => (x.getInt(2), x.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = vecs.length
+    assert(r.getAs[Long]("n_total") == n)
+    assert(r.getAs[Int]("k_labels") == vecs.map(_._1).distinct.length)
+    val g = vecs.map(_._2).transpose.map(_.sum / n).toArray
+    val tss = vecs.map { case (_, x) =>
+      x.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum }.sum
+    val b = r.getAs[Double]("b_ss"); val w = r.getAs[Double]("w_ss")
+    assert(math.abs(b + w - tss) / tss < 1e-4, s"B+W=${b + w} vs TSS=$tss")
+    val k = r.getAs[Int]("k_labels")
+    val ch = (b / (k - 1)) / (w / (n - k))
+    assert(math.abs(r.getAs[Double]("ch_index") - ch) < 1e-4)
+  }
 }

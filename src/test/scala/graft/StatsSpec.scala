@@ -716,6 +716,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint: argmax split matches a direct scan over all boundaries") {
+    val r = Stats.changepoint(spark, sf).collect().head
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val us = expr(graft.sources.Tables.tsMicrosSql(raw.schema))
+    val hourly = raw.filter(col("value").isNotNull)
+      .select(expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("hr").agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    val nt = hourly.map(_._2).sum; val st = hourly.map(_._3).sum
+    var n1 = 0L; var s1 = 0L
+    val gains = hourly.dropRight(1).map { case (hr, n, s) =>
+      n1 += n; s1 += s
+      val g = s1.toDouble * s1 / n1 + (st - s1).toDouble * (st - s1) / (nt - n1) -
+        st.toDouble * st / nt
+      (hr, n1, g)
+    }
+    val best = gains.maxBy { case (hr, _, g) => (g, -hr) }
+    assert(r.getAs[Long]("split_hr") == best._1, "split hour mismatch")
+    assert(r.getAs[Long]("n_before") == best._2)
+    assert(math.abs(r.getAs[Double]("ss_gain") - best._3) < 1e-4)
+    assert(r.getAs[Long]("n_before") + r.getAs[Long]("n_after") == nt)
+  }
+
   test("brown-forsythe: F recomputes from per-type median absolute deviations") {
     val r = Stats.brownForsythe(spark, sf).collect().head
     val byType = graft.sources.Tables(spark, sf, "events")
