@@ -321,6 +321,7 @@ object SparkEntry {
     "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
     "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
     "q_sql_alter_widen" -> (SqlDml.sqlAlterWiden(_, _)),
+    "q_sql_add_default" -> (SqlDml.sqlAddDefault(_, _)),
     "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
@@ -3244,6 +3245,24 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM u GROUP BY source""".stripMargin,
+    // ADD COLUMN ... DEFAULT: pre-ADD rows surface the EXISTENCE
+    // default, omitted-column INSERTs the WRITE default, explicit
+    // NULLs stay NULL
+    "q_sql_add_default" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'orig' AS band, 'standard' AS tier
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'late-omit', 'standard'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'late-explicit',
+        |    CASE WHEN doc_id % 8 = 3 THEN NULL ELSE 'premium' END
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT band, tier, COUNT(*) AS n,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM u GROUP BY band, tier""".stripMargin,
     // MERGE WITH SCHEMA EVOLUTION: the source's lang column grows the
     // target schema; untouched old rows null-backfill it on read
     "q_sql_merge_evolve" ->

@@ -500,6 +500,44 @@ object SqlDml {
         |FROM graft_vt.widen_docs GROUP BY source""".stripMargin)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN ... DEFAULT` ladder — the Iceberg-v3
+    * default-value contract, METADATA-ONLY end to end (no file is ever
+    * rewritten):
+    *
+    *   1. CREATE + load (v1) — files physically lack `tier`
+    *   2. ADD COLUMN tier STRING DEFAULT 'standard'
+    *   3. INSERT omitting the column → the WRITE default fills it
+    *   4. INSERT with explicit values incl. explicit NULL → kept as-is
+    *   5. one read across both file generations: pre-ADD rows surface
+    *      the EXISTENCE default (reader-side substitution for columns
+    *      absent in the file), post-ADD rows their written values —
+    *      explicit NULLs stay NULL, proving the absent-vs-null split.
+    */
+  def sqlAddDefault(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_default_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.default_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.default_docs AS
+        |SELECT doc_id, 'orig' AS band FROM graft_default_src
+        |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft_vt.default_docs ADD COLUMN tier STRING DEFAULT 'standard'")
+    spark.sql(
+      """INSERT INTO graft_vt.default_docs (doc_id, band)
+        |SELECT doc_id, 'late-omit' FROM graft_default_src
+        |WHERE doc_id % 4 = 1""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_vt.default_docs
+        |SELECT doc_id, 'late-explicit',
+        |  CASE WHEN doc_id % 8 = 3 THEN NULL ELSE 'premium' END
+        |FROM graft_default_src WHERE doc_id % 4 = 3""".stripMargin)
+    spark.sql(
+      """SELECT band, tier, COUNT(*) AS n,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM graft_vt.default_docs GROUP BY band, tier""".stripMargin)
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

@@ -61,6 +61,15 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
 
   override def name(): String = catalogName
 
+  /** Opt into `ADD COLUMN ... DEFAULT` (SPARK-38334 v2 surface): the
+    * analyzer then routes literal defaults to [[alterTable]] inside the
+    * AddColumn change instead of rejecting the statement.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Table maintenance through SQL text (`CALL graft_vt.vacuum(...)` /
     * `CALL graft_vt.optimize(...)`) — Spark 4's ProcedureCatalog binds
     * the CALL statement to these; the verbs themselves are the existing
@@ -335,8 +344,33 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
             .find(c => !mapping.retired.contains(c) && !physInUse(s, c)).get
           mapping = mapping.copy(l2p = mapping.l2p + (logical -> fresh))
         }
+        // `ADD COLUMN ... DEFAULT <expr>` — metadata-only on BOTH
+        // sides of time, exactly Iceberg v3's initial/write default
+        // split: CURRENT_DEFAULT keeps the ORIGINAL SQL and fills the
+        // column on INSERTs that omit it (re-analyzed per statement,
+        // standard SQL default semantics); EXISTS_DEFAULT is the value
+        // FROZEN at ADD time as a literal — Spark's parquet readers
+        // substitute it for physically-absent-in-file columns, so rows
+        // written before the column existed read one stable value
+        // forever, even for a time-varying default expression.
+        // Explicit NULLs written after the ADD stay NULL (the column
+        // is physically present in those files). No file is rewritten.
+        val meta = Option(add.defaultValue()) match {
+          case None => org.apache.spark.sql.types.Metadata.empty
+          case Some(dv) =>
+            require(dv.getValue != null,
+              s"ADD COLUMN $logical DEFAULT ${dv.getSql}: the default " +
+                "must fold to a constant at ALTER time — rows written " +
+                "before the column existed need one stable backfill value")
+            val frozen = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value, dv.getValue.dataType).sql
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", dv.getSql)
+              .putString("EXISTS_DEFAULT", frozen)
+              .build()
+        }
         StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-          logical, add.dataType(), add.isNullable))
+          logical, add.dataType(), add.isNullable, meta))
       case (s, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1, "nested column renames not supported")
         val from = rn.fieldNames().head

@@ -277,4 +277,45 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql("CALL graft_vt.cherrypick('vt_cherry', 3)").collect())
     assert(rb.getMessage.contains("removed files"), rb.getMessage)
   }
+
+  test("ADD COLUMN DEFAULT: existence default on pre-ADD files, write default on omission, explicit NULL kept") {
+    graft.operators.SqlDml.sqlAddDefault(spark, dir).collect()
+    val rows = spark.sql(
+      "SELECT doc_id, band, tier FROM graft_vt.default_docs").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("<null>")))
+    assert(rows.nonEmpty)
+    rows.foreach {
+      // v1 files physically lack `tier` — the reader substitutes the
+      // existence default, never null
+      case (id, "orig", t) =>
+        assert(id % 2 == 0 && t == "standard", s"pre-ADD row ($id) got tier $t")
+      // omitted-column INSERT — the analyzer fills the write default
+      case (id, "late-omit", t) =>
+        assert(id % 4 == 1 && t == "standard", s"omitted-column row ($id) got $t")
+      // explicit values survive; the explicit NULL is NOT backfilled
+      // (files written after the ADD carry the column physically)
+      case (id, "late-explicit", t) =>
+        assert(id % 4 == 3, s"unexpected id $id")
+        if (id % 8 == 3) assert(t == "<null>", s"explicit NULL resurrected on $id: $t")
+        else assert(t == "premium", s"explicit value lost on $id: $t")
+      case other => fail(s"unexpected band: $other")
+    }
+    // a time-varying default is FROZEN at ADD time for old rows: the
+    // EXISTS_DEFAULT metadata must hold a literal, never the original
+    // function call (which would re-evaluate per scan)
+    spark.sql("ALTER TABLE graft_vt.default_docs " +
+      "ADD COLUMN seen TIMESTAMP DEFAULT current_timestamp()")
+    val f = spark.table("graft_vt.default_docs").schema("seen")
+    val frozen = f.metadata.getString("EXISTS_DEFAULT")
+    assert(frozen.toUpperCase.startsWith("TIMESTAMP"), frozen)
+    assert(!frozen.toLowerCase.contains("current_timestamp"), frozen)
+    assert(f.metadata.getString("CURRENT_DEFAULT")
+      .toLowerCase.contains("current_timestamp"))
+    // and the frozen value actually surfaces on pre-ADD rows, stably
+    val seen = spark.sql(
+      "SELECT COUNT(DISTINCT seen) FROM graft_vt.default_docs WHERE band = 'orig'")
+      .collect().head.getLong(0)
+    assert(seen == 1L, s"pre-ADD rows must share ONE frozen timestamp, got $seen")
+  }
 }
