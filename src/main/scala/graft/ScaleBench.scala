@@ -497,7 +497,11 @@ object ScaleBench {
     // indices are corpus × |labels| broadcast-centroid scans
     "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
-    "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)))
+    "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)),
+    // burstiness lags within (user,type) partitions; entropy rate is
+    // the same transition stream folded to a |types|² term grid
+    "q_burstiness" -> ((s, d) => Stats.burstiness(s, d)),
+    "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

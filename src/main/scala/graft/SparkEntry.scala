@@ -227,6 +227,8 @@ object SparkEntry {
     "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
     "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
     "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
+    "q_burstiness" -> ((s, d) => Stats.burstiness(s, d)),
+    "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)),
     "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
     "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)),
@@ -1137,6 +1139,57 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // burstiness: per-(user,type) integer-second gaps from the µs
+    // total order; three exact sufficient stats per type
+    "q_burstiness" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    (us - LAG(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id)) // 1000000 AS g
+        |  FROM ev),
+        |gg AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+        |s AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS s,
+        |    SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))) AS ss
+        |  FROM gg GROUP BY 1),
+        |e AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM s WHERE n > 1),
+        |f AS (SELECT event_type, n, mean, sqrt(GREATEST(v, 0.0)) AS sd FROM e)
+        |SELECT event_type, n AS n_gaps, ROUND(mean, 6) AS mean_gap_s,
+        |  ROUND(CASE WHEN mean > 0 THEN sd / mean END, 6) AS cv,
+        |  ROUND(CASE WHEN sd + mean > 0 THEN (sd - mean) / (sd + mean) END, 6)
+        |    AS burstiness
+        |FROM f""".stripMargin,
+    // entropy rate: exact transition counts; each -p ln p term
+    // round-9 through the DECIMAL channel
+    "q_entropy_rate" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS cur_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type
+        |  FROM ev),
+        |c AS (SELECT prev_type, cur_type, COUNT(*) AS c FROM p
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM c),
+        |cp AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS cp FROM c GROUP BY 1),
+        |cn AS (SELECT cur_type, CAST(SUM(c) AS BIGINT) AS cn FROM c GROUP BY 1),
+        |hc AS (SELECT SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS h_cond9, COUNT(*) AS n_pairs
+        |  FROM c JOIN cp USING (prev_type), nt),
+        |hn AS (SELECT MAX(nt) AS nt,
+        |    SUM(CAST(ROUND(-(CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * ln(CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS h_next9
+        |  FROM cn, nt)
+        |SELECT nt AS n_transitions, CAST(n_pairs AS INTEGER) AS n_pairs,
+        |  ROUND(CAST(h_cond9 AS DOUBLE), 6) AS h_cond,
+        |  ROUND(CAST(h_next9 AS DOUBLE), 6) AS h_next,
+        |  ROUND(CAST(h_next9 AS DOUBLE) - CAST(h_cond9 AS DOUBLE), 6) AS mutual_info
+        |FROM hc, hn""".stripMargin,
     // changepoint: integer hourly prefix sums, one mirrored double
     // gain expression per boundary, argmax tie-broken earliest
     "q_changepoint" ->

@@ -324,6 +324,49 @@ object Analytics {
       .select(col("prev_type"), col("cur_type"), col("n"), col("p"))
   }
 
+  /** MARKOV ENTROPY RATE — the information-theoretic summary of
+    * [[markovTransitions]]: conditional entropy H(next|prev) =
+    * Σ_p π(p) · H(next|prev=p) over the same per-user transition
+    * stream, next to the marginal H(next); the gap between them is the
+    * mutual information the previous event carries — "how predictable
+    * is the next action" in one number (Shannon 1951's predictability
+    * framing). All distributions come from exact integer transition
+    * counts; each −p·ln(p) term rounds to 9 decimals and sums through
+    * the DECIMAL(38,9) channel (ln is the accepted cross-engine
+    * transcendental). The term relation is ≤ |types|² rows.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("nt"))
+    val prevTot = counts.groupBy(col("prev_type")).agg(sum(col("c")).as("cp"))
+    val curTot = counts.groupBy(col("cur_type")).agg(sum(col("c")).as("cn"))
+    // H(next|prev) = Σ_pairs −(c/N)·ln(c/cp)
+    val hCond = counts.join(broadcast(prevTot), Seq("prev_type"))
+      .crossJoin(broadcast(tot))
+      .select(round(-(dd(col("c")) / dd(col("nt"))) *
+        log(dd(col("c")) / dd(col("cp"))), 9).cast(b9).as("t"))
+      .agg(sum(col("t")).as("h_cond9"), count(lit(1)).as("n_pairs"))
+    // H(next) = Σ_states −(cn/N)·ln(cn/N)
+    val hNext = curTot.crossJoin(broadcast(tot))
+      .select(round(-(dd(col("cn")) / dd(col("nt"))) *
+        log(dd(col("cn")) / dd(col("nt"))), 9).cast(b9).as("t"),
+        col("nt"))
+      .groupBy(col("nt")).agg(sum(col("t")).as("h_next9"))
+    hCond.crossJoin(hNext)
+      .select(col("nt").as("n_transitions"), col("n_pairs").cast("int").as("n_pairs"),
+        round(dd(col("h_cond9")), 6).as("h_cond"),
+        round(dd(col("h_next9")), 6).as("h_next"),
+        round(dd(col("h_next9")) - dd(col("h_cond9")), 6).as("mutual_info"))
+  }
+
   /** Per-node triangle counts over the co-order part graph — the graph
     * clustering-coefficient verb (community density, recommendation
     * neighborhoods) on the market-basket graph lineitem induces: an edge

@@ -1766,6 +1766,47 @@ object Stats {
         round(col("gain"), 6).as("ss_gain"))
   }
 
+  /** BURSTINESS INDEX per event type (Goh & Barabási 2008,
+    * "Burstiness and memory in complex systems"): B = (σ−μ)/(σ+μ)
+    * over the inter-event gaps — B→−1 periodic, 0 Poisson, →1 bursty.
+    * THE arrival-process readout behind rate limiting, anomaly
+    * baselines, and session design; gaps are PER USER within a type
+    * (a global gap stream would measure user interleaving, not
+    * behavior), in integer seconds from the µs total order.
+    *
+    * EXACTNESS: gaps are integers; Σg rides a BIGINT, Σg² a
+    * DECIMAL(19,0)² product sum; μ/σ/CV/B assemble from the three
+    * exact stats with the double expression mirrored op-for-op.
+    *
+    * THE 100 TB SHAPE: the lag window partitions by (user, type) —
+    * millions of small partitions, never a per-type funnel; the
+    * statistics are a map-side-combined groupBy.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val raw = Tables.raw(spark, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_type"),
+      expr(Tables.tsMicrosSql(raw.schema)).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev.withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), expr("(us - prev) div 1000000").as("g"))
+    def dd(c: Column) = c.cast("double")
+    val stats = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("s"),
+        sum(col("g").cast(d19) * col("g").cast(d19)).as("ss"))
+    val mean = dd(col("s")) / dd(col("n"))
+    val v = (dd(col("ss")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+      (dd(col("n")) - 1.0)
+    val sd = sqrt(greatest(v, lit(0.0)))
+    stats.filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(mean, 6).as("mean_gap_s"),
+        round(when(mean > 0, sd / mean), 6).as("cv"),
+        round(when(sd + mean > 0, (sd - mean) / (sd + mean)), 6).as("burstiness"))
+  }
+
   /** BROWN–FORSYTHE TEST (Brown & Forsythe 1974) — variance
     * homogeneity across event types, the assumption check behind
     * [[anovaF]]/[[tukeyHsd]] that stays robust under non-normality

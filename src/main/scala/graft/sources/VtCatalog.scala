@@ -446,10 +446,35 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
             "buckets; rebucket the table instead")
         StructType(s.fields.map(f =>
           if (f.name == colName) f.copy(dataType = newT) else f))
+      // `ALTER COLUMN ... SET DEFAULT <expr>` / `DROP DEFAULT` — changes
+      // ONLY the write-side default for future INSERTs that omit the
+      // column. The EXISTENCE default (what pre-ADD files read) stays
+      // frozen forever: it describes data already written, and moving
+      // it would silently rewrite history on the next scan.
+      case (s, ud: TableChange.UpdateColumnDefaultValue) =>
+        require(ud.fieldNames().length == 1,
+          "nested column default changes not supported")
+        val colName = ud.fieldNames().head
+        require(s.fieldNames.contains(colName), s"no such column: $colName")
+        StructType(s.fields.map { f =>
+          if (f.name != colName) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+              .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+            newSql match {
+              case Some(sql) => f.copy(metadata =
+                mb.putString("CURRENT_DEFAULT", sql).build())
+              case None => f.copy(metadata = // DROP DEFAULT
+                mb.remove("CURRENT_DEFAULT").build())
+            }
+          }
+        })
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"unsupported table change: $other (ADD / RENAME / DROP COLUMN " +
-            "/ ALTER COLUMN TYPE only)")
+            "/ ALTER COLUMN TYPE / SET|DROP DEFAULT only)")
     }
     // a schema change must not orphan the CHECK constraint: a rename or
     // drop of a referenced column would make every later write fail at

@@ -316,6 +316,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("entropy rate: information inequalities hold, h_cond recomputes from transitions") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.entropyRate(TestSpark.spark, TestSpark.sf0001).collect().head
+    val hCond = r.getAs[Double]("h_cond"); val hNext = r.getAs[Double]("h_next")
+    val mi = r.getAs[Double]("mutual_info")
+    // conditioning never increases entropy; MI is their gap
+    assert(hCond >= 0 && hCond <= hNext + 1e-9, s"h_cond $hCond vs h_next $hNext")
+    assert(math.abs(mi - (hNext - hCond)) < 2e-6)
+    // direct recompute from the markov transition counts
+    val trans = Analytics.markovTransitions(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getAs[Long]("n"))).toMap
+    val nT = trans.values.sum.toDouble
+    assert(r.getAs[Long]("n_transitions") == nT.toLong)
+    val byPrev = trans.groupBy(_._1._1).view.mapValues(_.values.sum.toDouble)
+    val direct = trans.map { case ((p, _), c) =>
+      -(c / nT) * math.log(c / byPrev(p))
+    }.sum
+    assert(math.abs(hCond - direct) < 1e-5, s"h_cond $hCond vs direct $direct")
+    // h_next bounded by ln(#states)
+    val k = trans.keys.map(_._2).toSet.size
+    assert(hNext <= math.log(k.toDouble) + 1e-9)
+  }
+
   test("user paths: ranks contiguous, counts ordered, top path recomputes directly") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark

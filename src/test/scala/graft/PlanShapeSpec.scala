@@ -59,7 +59,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_nb_confusion", // |vocab| × |langs| broadcast model grid
     "q_changepoint", // 1-row broadcast totals against the bounded hourly axis
     "q_silhouette", // |labels| broadcast centroids × corpus — the kmeans_assign shape
-    "q_calinski") // |labels| centroid rows × 1-row global centroid / totals
+    "q_calinski", // |labels| centroid rows × 1-row global centroid / totals
+    "q_entropy_rate") // 1-row transition total against the |types|² term grid
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

@@ -317,5 +317,22 @@ class SqlDmlSpec extends AnyFunSuite {
       "SELECT COUNT(DISTINCT seen) FROM graft_vt.default_docs WHERE band = 'orig'")
       .collect().head.getLong(0)
     assert(seen == 1L, s"pre-ADD rows must share ONE frozen timestamp, got $seen")
+    // SET DEFAULT rebinds only the WRITE default; the existence default
+    // (what pre-ADD files read) must stay frozen at 'standard'
+    spark.sql("ALTER TABLE graft_vt.default_docs ALTER COLUMN tier SET DEFAULT 'gold'")
+    spark.sql("INSERT INTO graft_vt.default_docs (doc_id, band) " +
+      "VALUES (9000001, 'late-gold')")
+    assert(spark.sql("SELECT tier FROM graft_vt.default_docs " +
+      "WHERE band = 'late-gold'").collect().head.getString(0) == "gold")
+    assert(spark.sql("SELECT DISTINCT tier FROM graft_vt.default_docs " +
+      "WHERE band = 'orig'").collect().map(_.getString(0)).toSeq == Seq("standard"),
+      "SET DEFAULT must not move the frozen existence default")
+    // DROP DEFAULT: omission now yields NULL, history still intact
+    spark.sql("ALTER TABLE graft_vt.default_docs ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO graft_vt.default_docs (doc_id, band) " +
+      "VALUES (9000002, 'late-none')")
+    assert(spark.sql("SELECT tier FROM graft_vt.default_docs " +
+      "WHERE band = 'late-none'").collect().head.isNullAt(0),
+      "after DROP DEFAULT an omitted column must be NULL")
   }
 }

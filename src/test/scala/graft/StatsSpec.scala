@@ -716,6 +716,31 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("burstiness: B in [-1,1), recomputes from collected per-user gaps") {
+    val rows = Stats.burstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val us = expr(graft.sources.Tables.tsMicrosSql(raw.schema))
+    val evs = raw.select(col("user_id"), col("event_type"), us.as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gapsByType = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, t), es) =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._3)
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (t, (b - a) / 1000000L) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val g = gapsByType(t)
+      assert(r.getAs[Long]("n_gaps") == g.length)
+      val mean = g.sum / g.length
+      val sd = math.sqrt(math.max(
+        (g.map(x => x * x).sum - g.sum * g.sum / g.length) / (g.length - 1), 0.0))
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b < 1.0, s"$t burstiness out of range: $b")
+      assert(math.abs(b - (sd - mean) / (sd + mean)) < 1e-5, s"$t B mismatch")
+      assert(math.abs(r.getAs[Double]("cv") - sd / mean) < 1e-5, s"$t CV mismatch")
+    }
+  }
+
   test("changepoint: argmax split matches a direct scan over all boundaries") {
     val r = Stats.changepoint(spark, sf).collect().head
     val raw = graft.sources.Tables.raw(spark, sf, "events")
