@@ -501,7 +501,11 @@ object ScaleBench {
     // burstiness lags within (user,type) partitions; entropy rate is
     // the same transition stream folded to a |types|² term grid
     "q_burstiness" -> ((s, d) => Stats.burstiness(s, d)),
-    "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)))
+    "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)),
+    // effect size is one arm-split scan; stream_cusum replays the
+    // corpus through bounded per-type hourly state
+    "q_effect_size" -> ((s, d) => Stats.effectSize(s, d)),
+    "q_stream_cusum" -> ((s, d) => graft.streaming.Streaming.streamCusum(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

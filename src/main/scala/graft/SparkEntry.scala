@@ -228,6 +228,7 @@ object SparkEntry {
     "q_mad_summary" -> ((s, d) => Stats.madOutliers(s, d)),
     "q_wilcoxon_sr" -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
     "q_burstiness" -> ((s, d) => Stats.burstiness(s, d)),
+    "q_effect_size" -> ((s, d) => Stats.effectSize(s, d)),
     "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)),
     "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_stream_chained" -> (Streaming.chainedWindowCounts(_, _)),
     "q_stream_timers" -> ((s, d) => Streaming.timerSessionCounts(s, d)),
     "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
+    "q_stream_cusum" -> (Streaming.streamCusum(_, _)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
     "q_stream_join_semi" -> (Streaming.purchasesWithSignupSemi(_, _)),
@@ -1139,6 +1141,65 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // streaming CUSUM: the final streamed state folds IDENTICALLY to
+    // this batch recursive CTE — pure integer arithmetic end to end
+    "q_stream_cusum" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn FROM h),
+        |cal AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS base_n,
+        |    CAST(COUNT(*) AS BIGINT) AS base_h
+        |  FROM o WHERE rn <= 72 GROUP BY 1),
+        |r AS (
+        |  SELECT o.event_type, o.hr, o.n, o.rn,
+        |    GREATEST(0, o.n * c.base_h - c.base_n) AS s
+        |  FROM o JOIN cal c USING (event_type) WHERE o.rn = 73
+        |  UNION ALL
+        |  SELECT o.event_type, o.hr, o.n, o.rn,
+        |    GREATEST(0, r.s + (o.n * c.base_h - c.base_n))
+        |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        |  JOIN cal c ON c.event_type = o.event_type)
+        |SELECT r.event_type, r.hr, r.n, CAST(r.s AS BIGINT) AS s_plus,
+        |  r.s > 4 * c.base_n AS alarm
+        |FROM r JOIN cal c ON c.event_type = r.event_type""".stripMargin,
+    // effect size / MDE: exact per-arm integer sufficient stats,
+    // z constants inlined, every double mirrored
+    "q_effect_size" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    user_id % 2 = 0 AS arm_a
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN arm_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN NOT arm_a THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        |    SUM(CASE WHEN arm_a THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssa,
+        |    SUM(CASE WHEN NOT arm_a THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssb
+        |  FROM ev GROUP BY 1),
+        |e AS (SELECT event_type, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    sqrt(GREATEST(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |        / CAST(na AS DOUBLE))
+        |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |        / CAST(nb AS DOUBLE)))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0), 0.0)) AS sp,
+        |    (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pm
+        |  FROM g WHERE na > 1 AND nb > 1)
+        |SELECT event_type, na, nb,
+        |  ROUND(ma, 6) AS mean_a_cents, ROUND(mb, 6) AS mean_b_cents,
+        |  ROUND(sp, 6) AS pooled_sd,
+        |  ROUND(CASE WHEN sp > 0 THEN (ma - mb) / sp END, 6) AS cohens_d,
+        |  ROUND(CASE WHEN sp > 0 AND pm > 0 THEN
+        |    2.8015852181 * sp * sqrt(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+        |      / pm END, 6) AS mde_rel
+        |FROM e""".stripMargin,
     // burstiness: per-(user,type) integer-second gaps from the µs
     // total order; three exact sufficient stats per type
     "q_burstiness" ->

@@ -1766,6 +1766,56 @@ object Stats {
         round(col("gain"), 6).as("ss_gain"))
   }
 
+  /** EFFECT SIZE + MDE per event type — the experiment-design readout
+    * every A/B platform pairs with its p-values: Cohen's d between the
+    * even/odd-user arms (the [[bhFdr]] arm convention) with pooled SD,
+    * plus the relative Minimum Detectable Effect the CURRENT sample
+    * supports at α=0.05 two-sided / 80% power:
+    * `MDE = (z_{α/2}+z_β)·σ_pooled·√(1/n_a+1/n_b) / mean` — Φ⁻¹
+    * constants inlined as shortest-round-trip literals (1.9599639845,
+    * 0.8416212336). "This metric can detect a 3% move; the 0.4% delta
+    * you're staring at is noise" — the sample-size sanity check.
+    *
+    * EXACTNESS: per-arm (n, Σ, Σ²) in exact integer cents / DECIMAL;
+    * every derived double mirrored op-for-op.
+    */
+  def effectSize(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 0)
+    def dd(c: Column) = c.cast("double")
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (pmod(col("user_id"), lit(2)) === 0).as("arm_a"))
+    val g = ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(col("arm_a"), col("cents").cast(sq) * col("cents").cast(sq))
+          .otherwise(lit(0).cast(sq))).as("ssa"),
+        sum(when(!col("arm_a"), col("cents").cast(sq) * col("cents").cast(sq))
+          .otherwise(lit(0).cast(sq))).as("ssb"))
+    val ma = dd(col("sa")) / dd(col("na"))
+    val mb = dd(col("sb")) / dd(col("nb"))
+    val va = dd(col("ssa")) - dd(col("sa")) * dd(col("sa")) / dd(col("na"))
+    val vb = dd(col("ssb")) - dd(col("sb")) * dd(col("sb")) / dd(col("nb"))
+    val sp = sqrt(greatest((va + vb) / (dd(col("na")) + dd(col("nb")) - 2.0), lit(0.0)))
+    val d = (ma - mb) / sp
+    // 1.9599639845 + 0.8416212336, pre-summed as ONE literal so both
+    // engines parse the identical double (a runtime sum could differ
+    // in the last ulp from the decimal-string parse)
+    val mde = lit(2.8015852181) * sp *
+      sqrt(lit(1.0) / dd(col("na")) + lit(1.0) / dd(col("nb")))
+    val pooledMean = (dd(col("sa")) + dd(col("sb"))) / (dd(col("na")) + dd(col("nb")))
+    g.filter(col("na") > 1 && col("nb") > 1)
+      .select(col("event_type"), col("na"), col("nb"),
+        round(ma, 6).as("mean_a_cents"), round(mb, 6).as("mean_b_cents"),
+        round(sp, 6).as("pooled_sd"),
+        round(when(sp > 0, d), 6).as("cohens_d"),
+        round(when(sp > 0 && pooledMean > 0, mde / pooledMean), 6).as("mde_rel"))
+  }
+
   /** BURSTINESS INDEX per event type (Goh & Barabási 2008,
     * "Burstiness and memory in complex systems"): B = (σ−μ)/(σ+μ)
     * over the inter-event gaps — B→−1 periodic, 0 Poisson, →1 bursty.

@@ -499,6 +499,66 @@ object Streaming {
       .drop("total_cents")
   }
 
+  /** STREAMING CUSUM DRIFT MONITOR — the always-on twin of the batch
+    * changepoint/CUSUM verbs: per event type, the state is the hourly
+    * count map (CALENDAR-BOUNDED, so state never grows with events,
+    * only with wall-clock hours); each micro-batch merges its rows and
+    * re-emits the refreshed post-calibration CUSUM series
+    * `s⁺ = max(0, s⁺ + (n·H − N))` against the baseline frozen from
+    * the first `calHours` OBSERVED hours (N events over H hours —
+    * the scaled-integer deviation form of [[graft.operators.Stats
+    * .cusumShifts]], alarm at s⁺ > 4N). PURE INTEGER arithmetic and a
+    * state-derived fold, so the final emission per (type, hour) is
+    * IDENTICAL regardless of micro-batch boundaries — and equals the
+    * batch fold, which is exactly what the recursive-CTE oracle
+    * replays. Rows inside a batch need no ordering: the map absorbs
+    * them commutatively; only the fold over the SORTED hour axis is
+    * sequential, and it runs on bounded state.
+    */
+  def streamCusum(spark: SparkSession, dir: String, calHours: Int = 72,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val replay = replaySession(spark)
+    val schema = rawSchema(spark, dir)
+    val reader = replay.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n): Unit)
+    val src = reader
+      .parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(schema)}) div 3600000000").as("hr"))
+      .as[(String, Long)]
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (t: String, rows: Iterator[(String, Long)], state: GroupState[Map[Long, Long]]) => {
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, hr) => m = m.updated(hr, m.getOrElse(hr, 0L) + 1L) }
+          state.update(m)
+          val sorted = m.toIndexedSeq.sortBy(_._1)
+          val nTot = sorted.map(_._2).sum
+          val cal = sorted.take(calHours)
+          val baseN = cal.map(_._2).sum
+          val baseH = cal.length.toLong
+          var s = 0L
+          sorted.drop(calHours).iterator.map { case (hr, n) =>
+            s = math.max(0L, s + (n * baseH - baseN))
+            (t, hr, n, s, s > 4L * baseN, nTot)
+          }
+        })
+    // Update-mode sink holds one emission per (type, hr, micro-batch);
+    // the final refresh is the one computed from the fullest state —
+    // pick it by the monotonic per-type event total (the
+    // statefulUserTotals max_by pattern)
+    runToTable(out.toDF("event_type", "hr", "n", "s_plus", "alarm", "n_tot"),
+        OutputMode.Update())
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max_by(col("n"), col("n_tot")).as("n"),
+        max_by(col("s_plus"), col("n_tot")).as("s_plus"),
+        max_by(col("alarm"), col("n_tot")).as("alarm"))
+  }
+
   /** Per-user totals processor for [[twsUserTotals]]: explicit
     * `ValueState` via the Spark 4 `transformWithState` arbitrary-state
     * API (the successor to mapGroupsWithState: composable typed state

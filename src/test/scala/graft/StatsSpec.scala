@@ -716,6 +716,26 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("effect size: d recomputes from arm stats, MDE scales as 1/sqrt(n)") {
+    val rows = Stats.effectSize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+      val ma = r.getAs[Double]("mean_a_cents"); val mb = r.getAs[Double]("mean_b_cents")
+      val sp = r.getAs[Double]("pooled_sd")
+      assert(sp > 0)
+      assert(math.abs(r.getAs[Double]("cohens_d") - (ma - mb) / sp) < 1e-5)
+      // MDE identity: (z_a/2 + z_b) * sp * sqrt(1/na + 1/nb) / pooled mean
+      val pm = (ma * na + mb * nb) / (na + nb)
+      val mde = 2.8015852181 * sp * math.sqrt(1.0 / na + 1.0 / nb) / pm
+      assert(math.abs(r.getAs[Double]("mde_rel") - mde) < 1e-5,
+        s"${r.getString(0)} MDE mismatch")
+      // sanity: the 2-sigma rule of thumb — detectable effect shrinks
+      // with sample size and is positive
+      assert(mde > 0)
+    }
+  }
+
   test("burstiness: B in [-1,1), recomputes from collected per-user gaps") {
     val rows = Stats.burstiness(spark, sf).collect()
     assert(rows.nonEmpty)

