@@ -325,6 +325,7 @@ object SparkEntry {
     "q_sql_alter_evolve" -> (SqlDml.sqlAlterEvolve(_, _)),
     "q_sql_alter_widen" -> (SqlDml.sqlAlterWiden(_, _)),
     "q_sql_add_default" -> (SqlDml.sqlAddDefault(_, _)),
+    "q_sql_constraint_ddl" -> (SqlDml.sqlConstraintDdl(_, _)),
     "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
@@ -3377,6 +3378,20 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM u GROUP BY band, tier""".stripMargin,
+    // constraint DDL ladder: one rejected write (n_rejected=1), the
+    // rest of the rows reconstruct from documents + the post-drop row
+    "q_sql_constraint_ddl" ->
+      """WITH u AS (
+        |  SELECT doc_id, LENGTH(text) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, LENGTH(text)
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT 9000002, 0)
+        |SELECT CAST(1 AS BIGINT) AS n_rejected, COUNT(*) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM u""".stripMargin,
     // MERGE WITH SCHEMA EVOLUTION: the source's lang column grows the
     // target schema; untouched old rows null-backfill it on read
     "q_sql_merge_evolve" ->

@@ -538,6 +538,43 @@ object SqlDml {
         |FROM graft_vt.default_docs GROUP BY band, tier""".stripMargin)
   }
 
+  /** Constraint DDL ladder — the SQL face of the write-boundary CHECK
+    * contract (`q_check_constraint` registers via TBLPROPERTIES; this
+    * one via `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
+    *
+    *   1. CREATE + load — all rows satisfy the future contract
+    *   2. ADD CONSTRAINT (ENFORCED): binds, VALIDATES the existing
+    *      snapshot, registers
+    *   3. a violating INSERT fails at the write boundary and commits
+    *      NOTHING (the abort path — no partial manifest)
+    *   4. a valid INSERT passes
+    *   5. DROP CONSTRAINT by name → the previously-violating row loads
+    */
+  def sqlConstraintDdl(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_ck_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.ck_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.ck_docs AS
+        |SELECT doc_id, length(text) AS n_chars FROM graft_ck_src
+        |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft_vt.ck_docs ADD CONSTRAINT chars_pos CHECK (n_chars > 0)")
+    val rejected =
+      try { spark.sql("INSERT INTO graft_vt.ck_docs VALUES (9000001, 0)"); 0L }
+      catch { case _: Exception => 1L }
+    spark.sql(
+      """INSERT INTO graft_vt.ck_docs
+        |SELECT doc_id + 1000000, length(text) FROM graft_ck_src
+        |WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql("ALTER TABLE graft_vt.ck_docs DROP CONSTRAINT chars_pos")
+    spark.sql("INSERT INTO graft_vt.ck_docs VALUES (9000002, 0)")
+    spark.sql(
+      s"""SELECT CAST($rejected AS BIGINT) AS n_rejected, COUNT(*) AS n_rows,
+         |  SUM(n_chars) AS total_chars, CAST(MIN(n_chars) AS BIGINT) AS min_chars
+         |FROM graft_vt.ck_docs""".stripMargin)
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

@@ -61,14 +61,18 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
 
   override def name(): String = catalogName
 
-  /** Opt into `ADD COLUMN ... DEFAULT` (SPARK-38334 v2 surface): the
-    * analyzer then routes literal defaults to [[alterTable]] inside the
-    * AddColumn change instead of rejecting the statement.
+  /** Opt into `ADD COLUMN ... DEFAULT` (SPARK-38334 v2 surface) and
+    * constraint DDL (`ALTER TABLE ... ADD CONSTRAINT ... CHECK`): the
+    * analyzer then routes literal defaults and constraint changes to
+    * [[alterTable]] instead of rejecting the statements.
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** Table maintenance through SQL text (`CALL graft_vt.vacuum(...)` /
     * `CALL graft_vt.optimize(...)`) — Spark 4's ProcedureCatalog binds
@@ -471,10 +475,46 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
             }
           }
         })
+      // `ALTER TABLE ... ADD CONSTRAINT <n> CHECK (<pred>)` — the SQL
+      // face of the write-boundary contract ([[GraftVtCatalog.checks]]):
+      // bind the predicate against the current schema (loud failure),
+      // VALIDATE the existing snapshot when the constraint is ENFORCED
+      // (an engine must not admit a contract the table already
+      // violates), then register — every later writer task enforces it.
+      case (s, ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(!GraftVtCatalog.checks.contains(name),
+              s"table $name already has CHECK constraint " +
+                s"'${GraftVtCatalog.checkNames.getOrElse(name, "check")}' — drop it first")
+            val sql = ck.predicateSql()
+            GraftVtTable.bindCheck(SparkSession.active, s, sql): Unit
+            if (ck.enforced()) {
+              val violations = SparkSession.active.table(s"$catalogName.$name")
+                .filter(s"NOT ($sql) OR ($sql) IS NULL").count()
+              require(violations == 0,
+                s"cannot ADD CHECK ($sql): $violations existing rows violate it")
+            }
+            GraftVtCatalog.registerCheck(name, sql)
+            GraftVtCatalog.checkNames.put(name, ck.name()): Unit
+            s
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got: ${other.toDDL}")
+        }
+      case (s, dc: TableChange.DropConstraint) =>
+        val known = GraftVtCatalog.checkNames.get(name)
+        if (known.contains(dc.name())) {
+          GraftVtCatalog.checks.remove(name): Unit
+          GraftVtCatalog.checkNames.remove(name): Unit
+        } else if (!dc.ifExists()) {
+          throw new IllegalArgumentException(
+            s"no such constraint on $name: ${dc.name()}")
+        }
+        s
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"unsupported table change: $other (ADD / RENAME / DROP COLUMN " +
-            "/ ALTER COLUMN TYPE / SET|DROP DEFAULT only)")
+            "/ ALTER COLUMN TYPE / SET|DROP DEFAULT / ADD|DROP CONSTRAINT only)")
     }
     // a schema change must not orphan the CHECK constraint: a rename or
     // drop of a referenced column would make every later write fail at
@@ -508,6 +548,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     GraftVtCatalog.bucketSince.remove(name): Unit
     GraftVtCatalog.statsCols.remove(name): Unit
     GraftVtCatalog.checks.remove(name): Unit
+    GraftVtCatalog.checkNames.remove(name): Unit
     GraftVtCatalog.bloomCols.remove(name): Unit
     existed
   }
@@ -1017,6 +1058,12 @@ object GraftVtCatalog {
     * table is contract-clean by construction, not by audit.
     */
   private[sources] val checks = TrieMap.empty[String, String]
+
+  /** table name -> the SQL constraint NAME of its CHECK (when it was
+    * added via `ALTER TABLE ... ADD CONSTRAINT`; property-registered
+    * checks have no name) — `DROP CONSTRAINT` resolves against this.
+    */
+  private[sources] val checkNames = TrieMap.empty[String, String]
 
   /** Attach a CHECK constraint to a registered table (`TBLPROPERTIES
     * ('check' = '<expr>')` is the DDL face). Takes effect on the next

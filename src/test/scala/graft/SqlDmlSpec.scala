@@ -278,6 +278,26 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rb.getMessage.contains("removed files"), rb.getMessage)
   }
 
+  test("constraint DDL: rejected write commits nothing, enforced re-ADD validates data") {
+    graft.operators.SqlDml.sqlConstraintDdl(spark, dir).collect()
+    // the rejected insert (doc_id 9000001) must have committed NOTHING —
+    // the abort path never writes a manifest
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_vt.ck_docs WHERE doc_id = 9000001")
+      .collect().head.getLong(0) == 0, "aborted write leaked rows")
+    // the table now holds the post-drop violating row (9000002): an
+    // ENFORCED re-ADD must fail its validation scan, not register
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_vt.ck_docs ADD CONSTRAINT chars_pos CHECK (n_chars > 0)"))
+    assert(err.getMessage.toLowerCase.contains("violat"), err.getMessage)
+    // and the failed ADD left no half-registered contract: a violating
+    // insert still loads
+    spark.sql("INSERT INTO graft_vt.ck_docs VALUES (9000003, 0)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_vt.ck_docs WHERE doc_id = 9000003")
+      .collect().head.getLong(0) == 1)
+  }
+
   test("ADD COLUMN DEFAULT: existence default on pre-ADD files, write default on omission, explicit NULL kept") {
     graft.operators.SqlDml.sqlAddDefault(spark, dir).collect()
     val rows = spark.sql(
