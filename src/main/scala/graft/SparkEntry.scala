@@ -230,6 +230,7 @@ object SparkEntry {
     "q_burstiness" -> ((s, d) => Stats.burstiness(s, d)),
     "q_effect_size" -> ((s, d) => Stats.effectSize(s, d)),
     "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)),
+    "q_stickiness" -> ((s, d) => Analytics.stickiness(s, d)),
     "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
     "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)),
@@ -1142,6 +1143,18 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // stickiness: trailing-window distinct via bounded x30 projection
+    // of the DISTINCT (user, day) relation
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |pres AS (SELECT DISTINCT user_id, unnest(range(day, day + 30)) AS t_day
+        |  FROM ud),
+        |mau AS (SELECT t_day, COUNT(*) AS mau FROM pres GROUP BY 1)
+        |SELECT day, dau, mau,
+        |  ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN mau ON mau.t_day = dau.day""".stripMargin,
     // streaming CUSUM: the final streamed state folds IDENTICALLY to
     // this batch recursive CTE — pure integer arithmetic end to end
     "q_stream_cusum" ->

@@ -324,6 +324,33 @@ object Analytics {
       .select(col("prev_type"), col("cur_type"), col("n"), col("p"))
   }
 
+  /** DAU/MAU STICKINESS — the engagement ratio product teams track
+    * daily ("what fraction of the monthly audience shows up today"):
+    * per absolute day d, DAU = distinct users active on d, MAU =
+    * distinct users active in the trailing 30-day window [d−29, d],
+    * stickiness = DAU/MAU. The trailing-window distinct is computed
+    * WITHOUT a sliding re-scan: each distinct (user, day) activity
+    * fact projects presence onto the 30 target days it covers
+    * (bounded ×30 explode on the DISTINCT relation, not the log) and
+    * the window count is one groupBy — the standard bitmap-free exact
+    * formulation that scales linearly in |user-days|.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val ud = raw.select(col("user_id"),
+      expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 29)).as("t_day"))
+      .distinct()
+      .groupBy(col("t_day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, dau("day") === mau("t_day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** MARKOV ENTROPY RATE — the information-theoretic summary of
     * [[markovTransitions]]: conditional entropy H(next|prev) =
     * Σ_p π(p) · H(next|prev=p) over the same per-user transition

@@ -316,6 +316,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness: DAU<=MAU, trailing window recomputes directly") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val rows = Analytics.stickiness(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dau, mau, s) =>
+      assert(dau <= mau && s > 0 && s <= 1.0)
+      val _ = s
+    }
+    val raw = graft.sources.Tables.raw(spark, TestSpark.sf0001, "events")
+    val facts = raw.select(col("user_id"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // direct recompute for the LAST day (fullest window)
+    val (day, dau, mau, _) = rows.last
+    assert(facts.filter(_._2 == day).map(_._1).distinct.length == dau)
+    assert(facts.filter(f => f._2 >= day - 29 && f._2 <= day)
+      .map(_._1).distinct.length == mau)
+  }
+
   test("entropy rate: information inequalities hold, h_cond recomputes from transitions") {
     import org.apache.spark.sql.functions._
     val r = Analytics.entropyRate(TestSpark.spark, TestSpark.sf0001).collect().head
