@@ -327,6 +327,7 @@ object SparkEntry {
     "q_sql_alter_widen" -> (SqlDml.sqlAlterWiden(_, _)),
     "q_sql_add_default" -> (SqlDml.sqlAddDefault(_, _)),
     "q_sql_constraint_ddl" -> (SqlDml.sqlConstraintDdl(_, _)),
+    "q_sql_orphans" -> (SqlDml.sqlOrphanAudit(_, _)),
     "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
@@ -3391,6 +3392,13 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM u GROUP BY band, tier""".stripMargin,
+    // orphan audit: fixture plants exactly one uncommitted group whose
+    // row count reconstructs from documents
+    "q_sql_orphans" ->
+      """SELECT CAST(1 AS INTEGER) AS orphan_groups,
+        |  CAST(1 AS INTEGER) AS live_groups,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0) AS orphan_rows
+        |""".stripMargin,
     // constraint DDL ladder: one rejected write (n_rejected=1), the
     // rest of the rows reconstruct from documents + the post-drop row
     "q_sql_constraint_ddl" ->

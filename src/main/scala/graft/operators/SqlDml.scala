@@ -575,6 +575,30 @@ object SqlDml {
          |FROM graft_vt.ck_docs""".stripMargin)
   }
 
+  /** `CALL graft_vt.orphan_files(tbl)` — the GC audit over a fixture
+    * with one committed group and one crashed-writer group (written
+    * under `files/` but never committed to any manifest — exactly the
+    * debris a failed task leaves). The audit must count it WITHOUT
+    * deleting it, and must NOT count the live group.
+    */
+  def sqlOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    val name = "vt_orphan"
+    val base = docsBase(spark, dir)
+    val root = roots.getOrElseUpdate((dir, name), {
+      val r = VersionedTable.freshRoot(s"$dir#$name")
+      base.filter(col("doc_id") % 13 =!= 0)
+        .write.mode("overwrite").parquet(s"$r/files/live_v1")
+      VersionedTable.writeManifest(r, 1, Seq("files/live_v1"))
+      // a crashed writer's debris: data on disk, no manifest ever
+      // referenced it
+      base.filter(col("doc_id") % 13 === 0)
+        .write.mode("overwrite").parquet(s"$r/files/aborted_tmp")
+      r
+    })
+    GraftVtCatalog.register(spark, name, root, base.schema)
+    spark.sql(s"CALL graft_vt.orphan_files('$name')")
+  }
+
   /** First-call CALL results per (dir, table): maintenance verbs are
     * destructive one-shots (a second vacuum finds nothing to delete), so
     * reps replay the FIRST call's numbers — keeps bench reps and any

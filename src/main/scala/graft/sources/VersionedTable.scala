@@ -146,6 +146,32 @@ object VersionedTable {
     * metadata work: cost scales with the number of groups, never rows.
     * Returns the deleted group paths (relative).
     */
+  /** AUDIT-ONLY twin of [[vacuum]]: the group dirs under `files/` that
+    * NO manifest version, tag, branch, or staged write references —
+    * the debris failed or abandoned writers leave behind (a crashed
+    * task wrote its group, the commit never happened, vacuum keyed on
+    * retained versions never sees it because no manifest ever did).
+    * Lists, NEVER deletes — the operator reads the audit, then decides.
+    */
+  def orphans(root: String): Seq[String] = {
+    def groupOf(entry: String): String = entry.split("/").take(2).mkString("/")
+    val rootFiles = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+    val versions = rootFiles
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toInt)
+    val extraEntries = rootFiles
+      .collect { case n if (n.startsWith("_staged_v") || n.startsWith("_manifest_b_"))
+          && n.endsWith(".txt") =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/$n"))
+          .split("\n").toSeq.filter(_.nonEmpty) }
+      .flatten
+    val referenced = (versions.toSeq.flatMap(v => manifest(root, v)) ++ extraEntries)
+      .map(groupOf).toSet
+    Option(new java.io.File(s"$root/files").list()).getOrElse(Array.empty[String])
+      .map(n => s"files/$n").toSeq.sorted
+      .filterNot(referenced)
+  }
+
   def vacuum(root: String, keepVersions: Seq[Int]): Seq[String] = {
     def groupOf(entry: String): String = entry.split("/").take(2).mkString("/")
     val rootFiles = Option(new java.io.File(root).list()).getOrElse(Array.empty[String])

@@ -82,6 +82,7 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name() match {
       case "vacuum"   => GraftVtProcedures.vacuumProc
+      case "orphan_files" => GraftVtProcedures.orphanProc
       case "optimize" => GraftVtProcedures.optimizeProc
       case "expire_versions" => GraftVtProcedures.expireProc
       case "create_branch" => GraftVtProcedures.createBranchProc
@@ -646,6 +647,44 @@ object GraftVtProcedures {
               StructField("retained_from", IntegerType, nullable = false),
               StructField("retained_to", IntegerType, nullable = false))),
             Array[Any](deleted.size, keep.min, keep.max))
+        }
+      }
+  }
+
+  /** `CALL graft_vt.orphan_files(tbl)` — the GC AUDIT (vacuum's
+    * dry-run complement, Iceberg's remove_orphan_files minus the
+    * delete): group dirs under `files/` no manifest / tag / branch /
+    * staged write references — crashed-writer debris invisible to
+    * version-keyed vacuum. Reports group and row counts; deletes
+    * NOTHING (the audit-then-decide contract).
+    */
+  val orphanProc: procedures.UnboundProcedure = new procedures.UnboundProcedure {
+    override def name(): String = "orphan_files"
+    override def description(): String =
+      "list file groups referenced by no manifest, tag, branch, or staged write (audit only)"
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      new procedures.BoundProcedure {
+        override def name(): String = "orphan_files"
+        override def description(): String = orphanProc.description()
+        override def parameters(): Array[procedures.ProcedureParameter] =
+          Array(param("tbl", StringType))
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(input.getUTF8String(0).toString)
+          val orphanGroups = VersionedTable.orphans(root)
+          val live = Option(new java.io.File(s"$root/files").list())
+            .getOrElse(Array.empty[String]).length - orphanGroups.size
+          val orphanRows =
+            if (orphanGroups.isEmpty) 0L
+            else SparkSession.active.read
+              .parquet(orphanGroups.map(g => s"$root/$g"): _*).count()
+          resultScan(
+            StructType(Seq(
+              StructField("orphan_groups", IntegerType, nullable = false),
+              StructField("live_groups", IntegerType, nullable = false),
+              StructField("orphan_rows",
+                org.apache.spark.sql.types.LongType, nullable = false))),
+            Array[Any](orphanGroups.size, live, orphanRows))
         }
       }
   }

@@ -278,6 +278,22 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rb.getMessage.contains("removed files"), rb.getMessage)
   }
 
+  test("orphan audit: non-destructive, idempotent, and vacuum then collects the debris") {
+    val first = graft.operators.SqlDml.sqlOrphanAudit(spark, dir).collect().head
+    assert(first.getInt(0) == 1 && first.getInt(1) == 1 && first.getLong(2) > 0)
+    // audit deleted nothing: the debris is still on disk and a second
+    // audit reports the identical counts
+    val again = spark.sql("CALL graft_vt.orphan_files('vt_orphan')").collect().head
+    assert(again == first, "audit must be idempotent and non-destructive")
+    // vacuum's unreferenced-group collection DOES take the debris
+    spark.sql("CALL graft_vt.vacuum('vt_orphan', 1)").collect()
+    val after = spark.sql("CALL graft_vt.orphan_files('vt_orphan')").collect().head
+    assert(after.getInt(0) == 0 && after.getInt(1) == 1,
+      s"vacuum should collect the orphan group: $after")
+    // the live table is untouched throughout
+    assert(spark.table("graft_vt.vt_orphan").count() > 0)
+  }
+
   test("constraint DDL: rejected write commits nothing, enforced re-ADD validates data") {
     graft.operators.SqlDml.sqlConstraintDdl(spark, dir).collect()
     // the rejected insert (doc_id 9000001) must have committed NOTHING —
