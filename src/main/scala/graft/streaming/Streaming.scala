@@ -667,6 +667,63 @@ object Streaming {
         max_by(col("p99"), col("n")).as("p99"))
   }
 
+  /** Streaming distinct-user monitor state for [[streamHllDistinct]]:
+    * the HLL sketch's own serialized bytes per event type — the
+    * mergeable-summaries pattern of [[KllProcessor]] applied to
+    * COUNT DISTINCT (the dashboard query exact streaming state can't
+    * afford: an exact distinct set grows with the id universe; the
+    * sketch stays ~2 KiB per key forever). Same library and lgK as
+    * Spark's batch `hll_sketch_agg(12)`, so the streamed estimate is
+    * BIT-IDENTICAL to the batch sketch of the same rows — pinned in
+    * `StreamingSpec`.
+    */
+  private class HllProcessor
+    extends StatefulProcessor[String, (String, Long), (String, Long, Double)] {
+    @transient private var sk: ValueState[Array[Byte]] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sk = getHandle.getValueState[Array[Byte]]("hll",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        eventType: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Double)] = {
+      import org.apache.datasketches.hll.HllSketch
+      val s = if (sk.exists()) HllSketch.heapify(sk.get()) else new HllSketch(12)
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      rows.foreach { r => s.update(r._2); n += 1 }
+      sk.update(s.toCompactByteArray)
+      nSeen.update(n)
+      Iterator.single((eventType, n, s.getEstimate))
+    }
+  }
+
+  /** Always-on distinct-user dashboard per event type — HLL sketch
+    * state through `transformWithState`, estimate refreshed every
+    * micro-batch. Rows-only tier (sketch estimates are deterministic
+    * per engine but not SQL-replayable); StreamingSpec pins the exact
+    * event count and BIT-equality with the batch `hll_sketch_agg`.
+    */
+  def streamHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val replay = replaySession(spark)
+    replay.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = eventsStream(replay, dir)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+    val updated = src
+      .groupByKey(_._1)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
+    runToTable(updated.toDF("event_type", "n", "est"), OutputMode.Update())
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max_by(col("est"), col("n")).as("est_users"))
+  }
+
   /** Inactivity-timeout session processor for [[timerSessionCounts]] —
     * the EVENT-TIME TIMER side of `transformWithState` (the one
     * arbitrary-state feature the totals/KLL processors don't touch):

@@ -239,6 +239,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect, "chained append output must equal the batch 15-min counts")
   }
 
+  test("streaming hll: exact event counts, estimate bit-equal to batch hll_sketch_agg") {
+    val got = Streaming.streamHllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    val batch = graft.sources.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (t, (n, est)) =>
+      val (bn, best, exact) = batch(t)
+      assert(n == bn, s"$t: event count $n != $bn")
+      // same library, same lgK, same update values -> same sketch
+      // (Spark's hll_sketch_estimate publishes Math.round of it)
+      assert(math.round(est) == best, s"$t: streamed estimate $est != batch sketch $best")
+      assert(math.abs(est - exact) / exact < 0.02, s"$t: estimate off >2%: $est vs $exact")
+    }
+  }
+
   test("streaming cusum: final series is micro-batch-boundary invariant") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))
