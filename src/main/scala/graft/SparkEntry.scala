@@ -231,6 +231,7 @@ object SparkEntry {
     "q_effect_size" -> ((s, d) => Stats.effectSize(s, d)),
     "q_entropy_rate" -> ((s, d) => Analytics.entropyRate(s, d)),
     "q_stickiness" -> ((s, d) => Analytics.stickiness(s, d)),
+    "q_process_edges" -> ((s, d) => Analytics.processEdges(s, d)),
     "q_changepoint" -> ((s, d) => Stats.changepoint(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouetteByLabel(s, d)),
     "q_calinski" -> ((s, d) => Similarity.calinskiHarabasz(s, d)),
@@ -1145,6 +1146,31 @@ object SparkEntry {
         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS d_events, h AS cum_hazard, vh AS var_hazard
         |FROM r WHERE d > 0""".stripMargin,
+    // process graph: consecutive-pair edges with exact lower-median
+    // latency from the per-edge gap histogram
+    "q_process_edges" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |e AS (SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS dst,
+        |    (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+        |      // 1000000 AS gap_s
+        |  FROM ev),
+        |ed AS (SELECT src, dst, gap_s FROM e WHERE dst IS NOT NULL),
+        |tot AS (SELECT src, dst, COUNT(*) AS n FROM ed GROUP BY 1, 2),
+        |grand AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM tot),
+        |h AS (SELECT src, dst, gap_s, COUNT(*) AS c FROM ed GROUP BY 1, 2, 3),
+        |cm AS (SELECT src, dst, gap_s,
+        |    SUM(c) OVER (PARTITION BY src, dst ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |med AS (SELECT cm.src, cm.dst, n, MIN(gap_s) AS median_gap_s
+        |  FROM cm JOIN tot ON tot.src = cm.src AND tot.dst = cm.dst
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1, 2, 3)
+        |SELECT src, dst, n AS n_transitions, median_gap_s,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS share
+        |FROM med, grand""".stripMargin,
     // stickiness: trailing-window distinct via bounded x30 projection
     // of the DISTINCT (user, day) relation
     "q_stickiness" ->

@@ -324,6 +324,47 @@ object Analytics {
       .select(col("prev_type"), col("cur_type"), col("n"), col("p"))
   }
 
+  /** DIRECTLY-FOLLOWS PROCESS GRAPH — process mining's core artifact
+    * (the α-algorithm's input): for every (src → dst) consecutive
+    * event-type pair within a user's timeline, the transition count,
+    * its share of all transitions, and the EXACT lower-median
+    * transition latency in integer seconds — the bottleneck readout
+    * ("purchase → error takes 40 minutes at the median") that turns
+    * [[markovTransitions]]' probabilities into a performance map.
+    *
+    * The median rides the [[graft.operators.Stats.madOutliers]]
+    * histogram selection: the cumulative window runs per edge over the
+    * DISTINCT gap values (calendar-bounded — gaps are integer seconds
+    * within the retention window), never over transition rows.
+    */
+  def processEdges(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.raw(spark, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_type"),
+      expr(Tables.tsMicrosSql(raw.schema)).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val edges = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("src"), col("next_type").as("dst"),
+        expr("(next_us - us) div 1000000").as("gap_s"))
+    val tot = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val grand = tot.agg(sum(col("n")).as("nt"))
+    val hist = edges.groupBy(col("src"), col("dst"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("src"), col("dst")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(tot), Seq("src", "dst"))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("src"), col("dst"), col("n"))
+      .agg(min(col("gap_s")).as("median_gap_s"))
+      .crossJoin(broadcast(grand))
+      .select(col("src"), col("dst"), col("n").as("n_transitions"),
+        col("median_gap_s"),
+        round(col("n").cast("double") / col("nt").cast("double"), 6).as("share"))
+  }
+
   /** DAU/MAU STICKINESS — the engagement ratio product teams track
     * daily ("what fraction of the monthly audience shows up today"):
     * per absolute day d, DAU = distinct users active on d, MAU =

@@ -316,6 +316,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("process edges: shares sum to 1, counts match markov, medians recompute") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val rows = Analytics.processEdges(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("median_gap_s"),
+          r.getAs[Double]("share")))).toMap
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-3, "shares must sum to ~1")
+    // counts agree with the markov transition relation
+    val markov = Analytics.markovTransitions(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap
+    assert(rows.keySet == markov.keySet)
+    rows.foreach { case (k, (n, _, _)) => assert(markov(k) == n, s"$k count") }
+    // median recompute for the heaviest edge
+    val raw = graft.sources.Tables.raw(spark, TestSpark.sf0001, "events")
+    val evs = raw.select(col("user_id"), col("event_type"),
+        expr(graft.sources.Tables.tsMicrosSql(raw.schema)).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = evs.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4))
+      s.zip(s.drop(1)).map { case (a, b) => ((a._2, b._2), (b._3 - a._3) / 1000000L) }
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val heavy = rows.maxBy(_._2._1)._1
+    val g = gaps(heavy)
+    assert(rows(heavy)._2 == g((g.length + 1) / 2 - 1), s"median mismatch on $heavy")
+  }
+
   test("stickiness: DAU<=MAU, trailing window recomputes directly") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
