@@ -329,6 +329,7 @@ object SparkEntry {
     "q_sql_add_default" -> (SqlDml.sqlAddDefault(_, _)),
     "q_sql_constraint_ddl" -> (SqlDml.sqlConstraintDdl(_, _)),
     "q_sql_orphans" -> (SqlDml.sqlOrphanAudit(_, _)),
+    "q_sql_replace_table" -> (SqlDml.sqlReplaceTable(_, _)),
     "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
@@ -3419,6 +3420,13 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM u GROUP BY band, tier""".stripMargin,
+    // atomic replace: both generations reconstruct from documents
+    "q_sql_replace_table" ->
+      """SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0) AS n_before,
+        |  COUNT(*) AS n_after,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT UPPER(source)) AS BIGINT) AS n_src
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     // orphan audit: fixture plants exactly one uncommitted group whose
     // row count reconstructs from documents
     "q_sql_orphans" ->

@@ -575,6 +575,32 @@ object SqlDml {
          |FROM graft_vt.ck_docs""".stripMargin)
   }
 
+  /** ATOMIC `CREATE OR REPLACE TABLE ... AS` ladder — the staged-root
+    * swap ([[graft.sources.GraftVtCatalog.stageCreateOrReplace]]):
+    * the replacement CTAS builds in a private root and the binding
+    * swaps only on commit, so the old table serves reads until the
+    * new one is COMPLETE — and a failed replacement leaves it intact
+    * (pinned in `SqlDmlSpec`). The ladder also swaps the SCHEMA
+    * wholesale (REPLACE is a new table, not an ALTER).
+    */
+  def sqlReplaceTable(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_rt_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.rt_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.rt_docs AS
+        |SELECT doc_id, source FROM graft_rt_src WHERE doc_id % 3 = 0""".stripMargin)
+    val before = spark.table("graft_vt.rt_docs").count()
+    spark.sql(
+      """CREATE OR REPLACE TABLE graft_vt.rt_docs AS
+        |SELECT doc_id, length(text) AS n_chars, upper(source) AS src
+        |FROM graft_rt_src WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""SELECT CAST($before AS BIGINT) AS n_before, COUNT(*) AS n_after,
+         |  SUM(n_chars) AS total_chars, COUNT(DISTINCT src) AS n_src
+         |FROM graft_vt.rt_docs""".stripMargin)
+  }
+
   /** `CALL graft_vt.orphan_files(tbl)` — the GC audit over a fixture
     * with one committed group and one crashed-writer group (written
     * under `files/` but never committed to any manifest — exactly the

@@ -53,7 +53,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan + one write, and time-travel reads price identically to ordinary
   * reads of the pinned file list.
   */
-class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
+class GraftVtCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = "graft_vt"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -306,6 +308,87 @@ class GraftVtCatalog extends TableCatalog with ProcedureCatalog with FunctionCat
     checkSql.foreach(GraftVtCatalog.registerCheck(name, _))
     new GraftVtTable(name, root, schema, None)
   }
+
+  /** ATOMIC `CREATE OR REPLACE TABLE ... AS` — the staged-root swap:
+    * the CTAS write lands in a PRIVATE fresh root under a name no
+    * registry keys (so no old mode — MOR key, cluster column, bucket
+    * spec, CHECK — can leak onto the new data); readers of the old
+    * binding keep working until [[StagedTable.commitStagedChanges]]
+    * swaps it in one registry put. A failed or aborted write deletes
+    * the staged root and the old table is untouched — the atomicity a
+    * bare drop+create REPLACE cannot give (a crash between drop and
+    * create loses the table).
+    */
+  private def stageSwap(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String],
+      requireExists: Boolean, requireAbsent: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val logicalName = ident.name()
+    require(partitions.isEmpty,
+      "staged CREATE OR REPLACE supports unpartitioned tables only; " +
+        "create bucketed layouts with plain CREATE TABLE")
+    require(properties.get("zorder") == null,
+      "staged CREATE OR REPLACE does not take TBLPROPERTIES ('zorder')")
+    if (requireAbsent) require(!GraftVtCatalog.registry.contains(logicalName),
+      s"table graft_vt.$logicalName already exists")
+    if (requireExists) require(GraftVtCatalog.registry.contains(logicalName),
+      s"no such table to replace: graft_vt.$logicalName")
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val stagedCluster = Option(properties.get("cluster"))
+    stagedCluster.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c is not in the table schema"))
+    val checkSql = Option(properties.get("check"))
+    checkSql.foreach(GraftVtTable.bindCheck(SparkSession.active, schema, _): Unit)
+    val stagedRoot = VersionedTable.freshRoot(
+      s"staged#$logicalName#${java.util.UUID.randomUUID().toString.take(8)}")
+    new java.io.File(stagedRoot).mkdirs()
+    VersionedTable.writeManifest(stagedRoot, 1, Nil)
+    // the staged instance carries an UNREGISTERED name: every
+    // per-table mode lookup (MOR key, cluster, bucket, check, part
+    // spec) misses, which is exactly a fresh table's write semantics —
+    // except the declared cluster layout, threaded in explicitly
+    new GraftVtTable(s"${logicalName}__staged", stagedRoot, schema, None)
+      with org.apache.spark.sql.connector.catalog.StagedTable {
+      override private[sources] def clusterCol: Option[String] = stagedCluster
+      override def commitStagedChanges(): Unit = {
+        Seq(GraftVtCatalog.clusterCols, GraftVtCatalog.morKeys,
+          GraftVtCatalog.statsCols, GraftVtCatalog.checks,
+          GraftVtCatalog.checkNames).foreach(_.remove(logicalName): Unit)
+        GraftVtCatalog.bucketSpecs.remove(logicalName): Unit
+        GraftVtCatalog.bucketSince.remove(logicalName): Unit
+        GraftVtCatalog.bloomCols.remove(logicalName): Unit
+        GraftVtCatalog.colMaps.remove(logicalName): Unit
+        GraftVtCatalog.register(SparkSession.active, logicalName, stagedRoot,
+          schema, stagedCluster)
+        checkSql.foreach(GraftVtCatalog.registerCheck(logicalName, _))
+      }
+      override def abortStagedChanges(): Unit = {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(new java.io.File(stagedRoot))
+      }
+    }
+  }
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageSwap(ident, columns, partitions, properties,
+      requireExists = false, requireAbsent = true)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageSwap(ident, columns, partitions, properties,
+      requireExists = true, requireAbsent = false)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageSwap(ident, columns, partitions, properties,
+      requireExists = false, requireAbsent = false)
 
   /** Schema evolution — ALL metadata-only, no file is ever rewritten:
     *

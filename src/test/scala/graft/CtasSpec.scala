@@ -95,6 +95,16 @@ class CtasSpec extends AnyFunSuite {
       "CREATE OR REPLACE TABLE graft_vt.ctas_replace AS SELECT * FROM ctas_spec_src WHERE doc_id < 20")
     assert(spark.table("graft_vt.ctas_replace").count() == 20,
       "REPLACE must swap to the new definition's content")
+    // ATOMICITY: a replacement whose write FAILS mid-flight must leave
+    // the old binding fully intact (staged-root swap, never
+    // drop-then-create) — ANSI division by zero kills the write
+    intercept[Exception](spark.sql(
+      """CREATE OR REPLACE TABLE graft_vt.ctas_replace AS
+        |SELECT doc_id, 1 / (doc_id - doc_id) AS boom FROM ctas_spec_src""".stripMargin))
+    assert(spark.table("graft_vt.ctas_replace").count() == 20,
+      "failed REPLACE must leave the previous table untouched")
+    assert(spark.table("graft_vt.ctas_replace").columns.toSeq ==
+      Seq("doc_id", "text", "source"), "failed REPLACE must keep the old schema")
   }
 
   test("PARTITIONED BY and duplicate CREATE fail loudly") {
