@@ -505,7 +505,11 @@ object ScaleBench {
     // effect size is one arm-split scan; stream_cusum replays the
     // corpus through bounded per-type hourly state
     "q_effect_size" -> ((s, d) => Stats.effectSize(s, d)),
-    "q_stream_cusum" -> ((s, d) => graft.streaming.Streaming.streamCusum(s, d)))
+    "q_stream_cusum" -> ((s, d) => graft.streaming.Streaming.streamCusum(s, d)),
+    // stickiness's ×30 presence projection and the process graph's
+    // per-edge gap histograms are the event-scan class
+    "q_stickiness" -> ((s, d) => Analytics.stickiness(s, d)),
+    "q_process_edges" -> ((s, d) => Analytics.processEdges(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -256,8 +256,7 @@ class GraftVtCatalog extends TableCatalog
     val name = ident.name()
     require(!GraftVtCatalog.registry.contains(name),
       s"table graft_vt.$name already exists")
-    val schema = StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val schema = GraftVtCatalog.v2ToStructType(columns)
     bucketSpec.foreach { case (k, _) =>
       require(schema.fieldNames.contains(k), s"bucket column $k is not in the table schema")
     }
@@ -333,8 +332,7 @@ class GraftVtCatalog extends TableCatalog
       s"table graft_vt.$logicalName already exists")
     if (requireExists) require(GraftVtCatalog.registry.contains(logicalName),
       s"no such table to replace: graft_vt.$logicalName")
-    val schema = StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val schema = GraftVtCatalog.v2ToStructType(columns)
     val stagedCluster = Option(properties.get("cluster"))
     stagedCluster.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c is not in the table schema"))
@@ -1338,6 +1336,32 @@ object GraftVtCatalog {
 
   /** The registered root for a table, if any (test/inspection hook). */
   def rootOf(name: String): Option[String] = registry.get(name).map(_._1)
+
+  /** v2 Column[] → StructType KEEPING column defaults (a hand-rolled
+    * StructField drops them): `CURRENT_DEFAULT` carries the original
+    * SQL for INSERT omission; `EXISTS_DEFAULT` freezes the CREATE-time
+    * literal — same contract as the ALTER ADD COLUMN path. (Spark's
+    * own CatalogV2Util.v2ColumnsToStructType is private[sql].)
+    */
+  private[sources] def v2ToStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.map { c =>
+      val base = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+      Option(c.defaultValue()) match {
+        case None => base
+        case Some(dv) =>
+          require(dv.getValue != null,
+            s"column ${c.name()} DEFAULT ${dv.getSql}: the default must " +
+              "fold to a constant at CREATE time")
+          val frozen = org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value, dv.getValue.dataType).sql
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", frozen)
+            .build())
+      }
+    })
 }
 
 /** One versioned table, optionally pinned to a manifest version (time

@@ -278,6 +278,17 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rb.getMessage.contains("removed files"), rb.getMessage)
   }
 
+  test("CREATE TABLE keeps column DEFAULTs: omission, explicit, and DEFAULT keyword") {
+    spark.sql("DROP TABLE IF EXISTS graft_vt.cd_docs")
+    spark.sql(
+      "CREATE TABLE graft_vt.cd_docs (doc_id BIGINT, tier STRING DEFAULT 'basic')")
+    spark.sql("INSERT INTO graft_vt.cd_docs (doc_id) VALUES (1)")
+    spark.sql("INSERT INTO graft_vt.cd_docs VALUES (2, 'pro'), (3, DEFAULT)")
+    val rows = spark.table("graft_vt.cd_docs").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "basic", 2L -> "pro", 3L -> "basic"), rows.toString)
+  }
+
   test("orphan audit: non-destructive, idempotent, and vacuum then collects the debris") {
     val first = graft.operators.SqlDml.sqlOrphanAudit(spark, dir).collect().head
     assert(first.getInt(0) == 1 && first.getInt(1) == 1 && first.getLong(2) > 0)
