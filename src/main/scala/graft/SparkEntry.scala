@@ -238,6 +238,7 @@ object SparkEntry {
     "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
     "q_brown_forsythe" -> ((s, d) => Stats.brownForsythe(s, d)),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "q_quantile_norm" -> ((s, d) => TextAnalysis.quantileNorm(s, d)),
     "q_nb_confusion" -> ((s, d) => TextAnalysis.nbLangClassify(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
     "q_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -1498,6 +1499,28 @@ object SparkEntry {
         |    (ssb / (CAST(k AS DOUBLE) - 1.0))
         |      / (ssw / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS bf_stat
         |FROM e""".stripMargin,
+    // quantile normalization: pure integer rank -> pooled-index -> value
+    // selection; no interpolation site anywhere
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r FROM d),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_total FROM d),
+        |h AS (SELECT n_chars AS v, COUNT(*) AS c FROM d GROUP BY 1),
+        |ch AS (SELECT v,
+        |    SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_prev
+        |  FROM h),
+        |k AS (SELECT r.doc_id, r.source, r.n_chars,
+        |    CASE WHEN n_s > 1 THEN (r - 1) * (n_total - 1) // (n_s - 1)
+        |      ELSE (n_total - 1) // 2 END AS k
+        |  FROM r JOIN ns USING (source), nt)
+        |SELECT doc_id, source, n_chars, v AS norm_chars
+        |FROM k JOIN ch ON k + 1 > cum_prev AND k + 1 <= cum""".stripMargin,
     // Zipf fit: deterministic (count desc, token asc) ranks; ln
     // regressors rounded to 9 decimals BEFORE any product; all five
     // OLS sums through the DECIMAL(38,9) order-independent channel

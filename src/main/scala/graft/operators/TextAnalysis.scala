@@ -1414,6 +1414,47 @@ object TextAnalysis {
           .as("pieces_per_word"))
   }
 
+  /** QUANTILE NORMALIZATION across sources (Bolstad et al. 2003 — the
+    * microarray classic, reborn as cross-slice score calibration): map
+    * each source's `n_chars` distribution onto the POOLED distribution
+    * so a "length 300" means the same percentile everywhere — the
+    * preprocessing step before any cross-source threshold is
+    * comparable. PURE INTEGER end to end: within-source rank r over
+    * the (value, doc_id) total order, pooled 0-based index
+    * k = ((r−1)(N−1)) div (n_s−1) by integer division, and the pooled
+    * order statistic selected from the value histogram's cumulative
+    * counts — no interpolation site, so both engines pick the
+    * identical value.
+    *
+    * THE 100 TB SHAPE: the rank window partitions by source; the
+    * pooled lookup joins each doc's k into the VALUE-DOMAIN-bounded
+    * histogram (distinct lengths, not rows) on a cum-count interval —
+    * broadcast, since a value histogram is small at any corpus size.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.withColumn("r", row_number().over(wr))
+    val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nTot = docs.agg(count(lit(1)).as("n_total"))
+    val hist = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumHist = hist.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("cum_prev", col("cum") - col("c"))
+    val keyed = ranked
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("k", when(col("n_s") > 1,
+        expr("(r - 1) * (n_total - 1) div (n_s - 1)"))
+        .otherwise(expr("(n_total - 1) div 2")))
+    keyed.join(broadcast(cumHist),
+        col("k") + 1 > col("cum_prev") && col("k") + 1 <= col("cum"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("v").as("norm_chars"))
+  }
+
   /** ZIPF RANK–FREQUENCY FIT — does the corpus obey Zipf's law
     * (freq ∝ rank^−s, s ≈ 1 for natural language)? A slope far from
     * −1 or a poor r² is the classic machine-generated/boilerplate

@@ -650,6 +650,25 @@ class BreadthOpsSpec extends AnyFunSuite {
     assert(r8 < r1, s"8x repetition ratio $r8 must beat $r1")
   }
 
+  test("quantile norm: equal-size sources map onto one identical pooled grid") {
+    val rows = TextAnalysis.quantileNorm(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_._1)
+    // defining property: every source of the same size lands on the
+    // SAME sorted vector of normalized values (the pooled grid)
+    val grids = bySrc.values.map(_.map(_._4).sorted.toSeq).toSeq.distinct
+    assert(grids.size == 1, s"expected one pooled grid, got ${grids.size}")
+    // and the map is monotone: higher raw value never gets a lower
+    // normalized value within a source
+    bySrc.values.foreach { g =>
+      val ordered = g.sortBy(x => (x._3, x._2)).map(_._4)
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a <= b, "normalization must be monotone")
+      }
+    }
+  }
+
   test("zipf fit: slope/r2 match a direct OLS on ln(rank), ln(freq)") {
     val r = TextAnalysis.zipfFit(spark, dir).collect().head
     val counts = Tables(spark, dir, "documents")

@@ -61,7 +61,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_silhouette", // |labels| broadcast centroids × corpus — the kmeans_assign shape
     "q_calinski", // |labels| centroid rows × 1-row global centroid / totals
     "q_entropy_rate", // 1-row transition total against the |types|² term grid
-    "q_process_edges") // 1-row grand total against the |types|² edge medians
+    "q_process_edges", // 1-row grand total against the |types|² edge medians
+    "q_quantile_norm") // value-domain-bounded pooled histogram interval lookup
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
