@@ -249,6 +249,7 @@ object SparkEntry {
     "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
+    "q_conformal" -> ((s, d) => Stats.conformalCoverage(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
@@ -1818,6 +1819,35 @@ object SparkEntry {
     // round-9→decimal-sum→round-6 MAPE — fully mirrored
     // Holt-Winters: recursive CTE carrying the 24-slot seasonal list
     "q_holt_winters" -> holtWintersSql(),
+    // split conformal: bit-exact Holt residuals, integer-arithmetic
+    // conformal rank, coverage on the held-out half
+    "q_conformal" -> (holtCoreSql() +
+      """,
+        |b AS (SELECT event_type, hr, n,
+        |    LAG(level + trend) OVER (PARTITION BY event_type ORDER BY hr) AS f
+        |  FROM r),
+        |res AS (SELECT event_type, hr, ABS(CAST(n AS DOUBLE) - f) AS e,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rr
+        |  FROM b WHERE f IS NOT NULL),
+        |mm AS (SELECT event_type, COUNT(*) AS m FROM res GROUP BY 1),
+        |sp AS (SELECT res.*, rr <= m // 2 AS is_cal
+        |  FROM res JOIN mm USING (event_type)),
+        |cal AS (SELECT event_type, hr, e,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY e, hr) AS q_rank
+        |  FROM sp WHERE is_cal),
+        |nc AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY 1),
+        |qh AS (SELECT cal.event_type, n_cal, e AS q_hat
+        |  FROM cal JOIN nc USING (event_type)
+        |  WHERE q_rank = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)),
+        |t AS (SELECT sp.event_type, n_cal, q_hat, COUNT(*) AS n_test,
+        |    SUM(CASE WHEN e <= q_hat THEN 1 ELSE 0 END) AS n_covered
+        |  FROM sp JOIN qh ON qh.event_type = sp.event_type
+        |  WHERE NOT is_cal GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  ROUND(q_hat, 6) AS q_hat,
+        |  ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+        |FROM t""".stripMargin),
     "q_holt_backtest" -> (holtCoreSql() +
       """,
         |b AS (

@@ -682,6 +682,50 @@ object Stats {
           count(lit(1)), 6).as("mape"))
   }
 
+  /** SPLIT-CONFORMAL FORECAST CALIBRATION (Vovk et al.; Lei et al.
+    * 2018) — the distribution-free coverage check every forecast
+    * consumer should run: split each type's bit-exact Holt one-step
+    * residual series in half chronologically, take the conformal
+    * quantile q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+    * |residual| (the rank computed by PURE INTEGER arithmetic
+    * k = (9(n_cal+1)+9) div 10 — no fp ceil site), and report what
+    * fraction of the HELD-OUT half lands within q̂ — ≈90% iff the
+    * residuals are exchangeable; a drop is drift the MAPE can't see.
+    * Residuals are the bit-identical [[holtLinear]] doubles on both
+    * engines, so ordering, selection, and coverage all mirror exactly.
+    */
+  def conformalCoverage(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val res = holtLinear(spark, dir, alpha, beta)
+      .withColumn("f_prev", lag(col("forecast_next"), 1).over(w))
+      .filter(col("f_prev").isNotNull)
+      .select(col("event_type"), col("hr"),
+        abs(dd(col("n")) - col("f_prev")).as("e"))
+      .withColumn("rr", row_number().over(w))
+    val m = res.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+    val split = res.join(broadcast(m), Seq("event_type"))
+      .withColumn("is_cal", col("rr") <= expr("m div 2"))
+    val cal = split.filter(col("is_cal"))
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("e"), col("hr"))))
+    val nCal = cal.groupBy(col("event_type")).agg(count(lit(1)).as("n_cal"))
+    val qhat = cal.join(broadcast(nCal), Seq("event_type"))
+      .filter(col("q_rank") ===
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("e").as("q_hat"))
+    split.filter(!col("is_cal"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_cal"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("e") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        round(col("q_hat"), 6).as("q_hat"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering staple
     * for high-cardinality categoricals (Micci-Barreca 2001): each
     * event's category is encoded as the mean target of OTHER rows in

@@ -716,6 +716,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("conformal coverage: q_hat is the exact conformal rank, coverage near nominal") {
+    val rows = Stats.conformalCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the residual series directly from the bit-exact holt fold
+    val fc = Stats.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = fc(t).sortBy(_._2)
+      val resid = series.zip(series.drop(1)).map { case (prev, cur) =>
+        (cur._2, math.abs(cur._3.toDouble - prev._4))
+      }
+      val nCal = r.getAs[Long]("n_cal").toInt
+      val nTest = r.getAs[Long]("n_test").toInt
+      assert(nCal + nTest == resid.length, s"$t split sizes")
+      assert(nCal == resid.length / 2)
+      val calSorted = resid.take(nCal).sortBy(x => (x._2, x._1)).map(_._2)
+      val k = math.min((9 * (nCal + 1) + 9) / 10, nCal)
+      assert(math.abs(r.getAs[Double]("q_hat") - calSorted(k - 1)) < 1e-5, s"$t q_hat")
+      val qExact = calSorted(k - 1)
+      val cov = resid.drop(nCal).count(_._2 <= qExact).toDouble / nTest
+      assert(math.abs(r.getAs[Double]("coverage") - cov) < 1e-5, s"$t coverage")
+      // the marginal guarantee, with finite-sample slack
+      assert(cov > 0.75 && cov <= 1.0, s"$t coverage $cov far from nominal 0.9")
+    }
+  }
+
   test("effect size: d recomputes from arm stats, MDE scales as 1/sqrt(n)") {
     val rows = Stats.effectSize(spark, sf).collect()
     assert(rows.nonEmpty)
