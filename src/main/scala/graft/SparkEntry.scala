@@ -250,6 +250,7 @@ object SparkEntry {
     "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_conformal" -> ((s, d) => Stats.conformalCoverage(s, d)),
+    "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
@@ -1819,6 +1820,33 @@ object SparkEntry {
     // round-9→decimal-sum→round-6 MAPE — fully mirrored
     // Holt-Winters: recursive CTE carrying the 24-slot seasonal list
     "q_holt_winters" -> holtWintersSql(),
+    // seasonal strength: hour-of-day ANOVA on the integer hourly axis
+    "q_seasonal_strength" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |sl AS (SELECT event_type, hr % 24 AS slot, COUNT(*) AS c,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+        |  FROM h GROUP BY 1, 2),
+        |pk AS (SELECT event_type, CAST(slot AS INTEGER) AS peak_slot,
+        |    ROUND(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 6) AS peak_mean
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(s AS DOUBLE) / CAST(c AS DOUBLE) DESC, slot ASC) AS rk
+        |    FROM sl) WHERE rk = 1),
+        |a AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS h,
+        |    CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(ss) AS BIGINT) AS sst,
+        |    SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(c AS DOUBLE), 9) AS DECIMAL(38,9))) AS g2n
+        |  FROM sl GROUP BY 1),
+        |e AS (SELECT event_type, h,
+        |    CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(h AS DOUBLE) AS sst_c,
+        |    CAST(sst AS DOUBLE) - CAST(g2n AS DOUBLE) AS ssw
+        |  FROM a)
+        |SELECT e.event_type, h AS n_hours,
+        |  ROUND(CASE WHEN sst_c > 0
+        |    THEN GREATEST(1.0 - ssw / sst_c, 0.0) END, 6) AS seasonal_strength,
+        |  peak_slot, peak_mean
+        |FROM e JOIN pk ON pk.event_type = e.event_type""".stripMargin,
     // split conformal: bit-exact Holt residuals, integer-arithmetic
     // conformal rank, coverage on the held-out half
     "q_conformal" -> (holtCoreSql() +

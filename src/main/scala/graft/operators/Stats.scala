@@ -682,6 +682,47 @@ object Stats {
           count(lit(1)), 6).as("mape"))
   }
 
+  /** SEASONAL STRENGTH per event type (Hyndman's tsfeatures
+    * `seasonal_strength`, in its hour-of-day ANOVA form): over the
+    * hourly activity series, 1 − SS_within-slot / SS_total for the 24
+    * hour-of-day slots — 0 means the hour of day explains nothing,
+    * →1 means the daily cycle IS the series. Published with the peak
+    * slot (argmax slot mean, tie-broken earliest) — the two numbers a
+    * capacity planner reads first. All sums are integers over the
+    * CALENDAR-BOUNDED hourly axis; the strength assembles from exact
+    * sufficient statistics with mirrored double expressions.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("slot", pmod(col("hr"), lit(24L)))
+    val slots = hourly.groupBy(col("event_type"), col("slot"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy((dd(col("s")) / dd(col("c"))).desc, col("slot").asc)
+    val peak = slots.withColumn("rk", row_number().over(wPeak))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("slot").cast("int").as("peak_slot"),
+        round(dd(col("s")) / dd(col("c")), 6).as("peak_mean"))
+    val b9 = DecimalType(38, 9)
+    val agg = slots.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("h"), sum(col("s")).as("st"), sum(col("ss")).as("sst"),
+        sum(round(dd(col("s")) * dd(col("s")) / dd(col("c")), 9).cast(b9)).as("g2n"))
+    val sst = dd(col("sst")) - dd(col("st")) * dd(col("st")) / dd(col("h"))
+    val ssw = dd(col("sst")) - dd(col("g2n"))
+    agg.join(broadcast(peak), Seq("event_type"))
+      .select(col("event_type"), col("h").as("n_hours"),
+        round(when(sst > 0, greatest(lit(1.0) - ssw / sst, lit(0.0))), 6)
+          .as("seasonal_strength"),
+        col("peak_slot"), col("peak_mean"))
+  }
+
   /** SPLIT-CONFORMAL FORECAST CALIBRATION (Vovk et al.; Lei et al.
     * 2018) — the distribution-free coverage check every forecast
     * consumer should run: split each type's bit-exact Holt one-step

@@ -716,6 +716,32 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal strength: in [0,1], equals a direct slot-ANOVA recompute") {
+    val rows = Stats.seasonalStrength(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val hourly = raw.select(col("event_type"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ys = hourly(t).map(x => (x._2 % 24, x._3.toDouble))
+      assert(r.getAs[Long]("n_hours") == ys.length)
+      val mean = ys.map(_._2).sum / ys.length
+      val sst = ys.map(y => (y._2 - mean) * (y._2 - mean)).sum
+      val slotMeans = ys.groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.length)
+      val ssw = ys.map(y => math.pow(y._2 - slotMeans(y._1), 2)).sum
+      val strength = math.max(1.0 - ssw / sst, 0.0)
+      val got = r.getAs[Double]("seasonal_strength")
+      assert(got >= 0 && got <= 1)
+      assert(math.abs(got - strength) < 1e-4, s"$t: $got vs $strength")
+      val peak = slotMeans.maxBy { case (s, m) => (m, -s) }._1
+      assert(r.getAs[Int]("peak_slot") == peak, s"$t peak slot")
+    }
+  }
+
   test("conformal coverage: q_hat is the exact conformal rank, coverage near nominal") {
     val rows = Stats.conformalCoverage(spark, sf).collect()
     assert(rows.nonEmpty)
