@@ -323,9 +323,29 @@ class GraftVtCatalog extends TableCatalog
       requireExists: Boolean, requireAbsent: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val logicalName = ident.name()
-    require(partitions.isEmpty,
-      "staged CREATE OR REPLACE supports unpartitioned tables only; " +
-        "create bucketed layouts with plain CREATE TABLE")
+    // PARTITIONED BY (bucket(n, key)) — the one transform this format
+    // speaks, threaded into the staged write like createTable's path
+    val stagedBucket: Option[(String, Int)] = partitions match {
+      case Array() => None
+      case Array(t) if t.name() == "bucket" =>
+        val args = t.arguments()
+        require(args.length == 2, s"bucket takes (n, key), got ${args.toSeq}")
+        val n = args.head match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bucket count must be a literal, got $other")
+        }
+        val key = args(1) match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames().mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"bucket key must be a column, got $other")
+        }
+        Some((key, n))
+      case other => throw new UnsupportedOperationException(
+        s"staged CREATE supports only PARTITIONED BY (bucket(n, key)), got ${other.toSeq}")
+    }
     require(properties.get("zorder") == null,
       "staged CREATE OR REPLACE does not take TBLPROPERTIES ('zorder')")
     if (requireAbsent) require(!GraftVtCatalog.registry.contains(logicalName),
@@ -336,6 +356,12 @@ class GraftVtCatalog extends TableCatalog
     val stagedCluster = Option(properties.get("cluster"))
     stagedCluster.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c is not in the table schema"))
+    require(stagedCluster.isEmpty || stagedBucket.isEmpty,
+      "a table is clustered OR bucketed, not both")
+    stagedBucket.foreach { case (k, _) =>
+      require(schema.fieldNames.contains(k),
+        s"bucket column $k is not in the table schema")
+    }
     val checkSql = Option(properties.get("check"))
     checkSql.foreach(GraftVtTable.bindCheck(SparkSession.active, schema, _): Unit)
     val stagedRoot = VersionedTable.freshRoot(
@@ -349,6 +375,7 @@ class GraftVtCatalog extends TableCatalog
     new GraftVtTable(s"${logicalName}__staged", stagedRoot, schema, None)
       with org.apache.spark.sql.connector.catalog.StagedTable {
       override private[sources] def clusterCol: Option[String] = stagedCluster
+      override private[sources] def bucketSpec: Option[(String, Int)] = stagedBucket
       override def commitStagedChanges(): Unit = {
         Seq(GraftVtCatalog.clusterCols, GraftVtCatalog.morKeys,
           GraftVtCatalog.statsCols, GraftVtCatalog.checks,
@@ -357,8 +384,12 @@ class GraftVtCatalog extends TableCatalog
         GraftVtCatalog.bucketSince.remove(logicalName): Unit
         GraftVtCatalog.bloomCols.remove(logicalName): Unit
         GraftVtCatalog.colMaps.remove(logicalName): Unit
-        GraftVtCatalog.register(SparkSession.active, logicalName, stagedRoot,
-          schema, stagedCluster)
+        stagedBucket match {
+          case Some((k, n)) => GraftVtCatalog.registerBucketed(
+            SparkSession.active, logicalName, stagedRoot, schema, k, n)
+          case None => GraftVtCatalog.register(SparkSession.active, logicalName,
+            stagedRoot, schema, stagedCluster)
+        }
         checkSql.foreach(GraftVtCatalog.registerCheck(logicalName, _))
       }
       override def abortStagedChanges(): Unit = {
