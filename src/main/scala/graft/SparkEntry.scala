@@ -333,6 +333,7 @@ object SparkEntry {
     "q_sql_constraint_ddl" -> (SqlDml.sqlConstraintDdl(_, _)),
     "q_sql_orphans" -> (SqlDml.sqlOrphanAudit(_, _)),
     "q_sql_replace_table" -> (SqlDml.sqlReplaceTable(_, _)),
+    "q_sql_truncate" -> (SqlDml.sqlTruncate(_, _)),
     "q_sql_merge_evolve" -> (SqlDml.sqlMergeEvolve(_, _)),
     "q_sql_insert" -> (SqlDml.sqlInsert(_, _)),
     "q_sql_vacuum" -> (SqlDml.sqlVacuum(_, _)),
@@ -3501,6 +3502,13 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM u GROUP BY band, tier""".stripMargin,
+    // truncate: empty head, fresh inserts land, the tagged snapshot
+    // stays readable through retention
+    "q_sql_truncate" ->
+      """SELECT CAST(0 AS BIGINT) AS n_after_truncate,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 1) AS n_now,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_tagged
+        |""".stripMargin,
     // atomic replace: both generations reconstruct from documents
     "q_sql_replace_table" ->
       """SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0) AS n_before,

@@ -575,6 +575,38 @@ object SqlDml {
          |FROM graft_vt.ck_docs""".stripMargin)
   }
 
+  /** `TRUNCATE TABLE` ladder — the SupportsTruncate face: truncate
+    * commits a NEW empty version (metadata-only — the old version's
+    * files stay until retention), later INSERTs land on the empty
+    * head, and TIME TRAVEL still reads the pre-truncate content — the
+    * property that separates a versioned truncate from `rm -rf`.
+    */
+  def sqlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    GraftVtCatalog.ensure(spark)
+    docsBase(spark, dir).createOrReplaceTempView("graft_tr_src")
+    spark.sql("DROP TABLE IF EXISTS graft_vt.tr_docs")
+    spark.sql(
+      """CREATE TABLE graft_vt.tr_docs AS
+        |SELECT doc_id, source FROM graft_tr_src WHERE doc_id % 2 = 0""".stripMargin)
+    // tag the loaded snapshot — retention keeps only the trailing two
+    // versions, and the tag is the production pattern for "keep THIS
+    // one readable" (the r11 sweep lesson)
+    val root = GraftVtCatalog.rootOf("tr_docs").get
+    graft.sources.GraftVtTable.tag(root, "pre-truncate",
+      graft.sources.GraftVtTable.latestVersion(root))
+    spark.sql("TRUNCATE TABLE graft_vt.tr_docs")
+    val afterTruncate = spark.table("graft_vt.tr_docs").count()
+    spark.sql(
+      """INSERT INTO graft_vt.tr_docs
+        |SELECT doc_id, 'post' FROM graft_tr_src WHERE doc_id % 4 = 1""".stripMargin)
+    spark.sql(
+      s"""SELECT CAST($afterTruncate AS BIGINT) AS n_after_truncate,
+         |  (SELECT COUNT(*) FROM graft_vt.tr_docs) AS n_now,
+         |  (SELECT COUNT(*) FROM graft_vt.tr_docs VERSION AS OF 'pre-truncate')
+         |    AS n_tagged
+         |""".stripMargin)
+  }
+
   /** ATOMIC `CREATE OR REPLACE TABLE ... AS` ladder — the staged-root
     * swap ([[graft.sources.GraftVtCatalog.stageCreateOrReplace]]):
     * the replacement CTAS builds in a private root and the binding

@@ -1638,6 +1638,25 @@ class GraftVtTable(tableName: String, val root: String, tableSchema: StructType,
     plan.isDefined
   }
 
+  /** `TRUNCATE TABLE` — ALWAYS metadata-only in this format: commit a
+    * new EMPTY manifest (CREATE_NEW = the same optimistic-concurrency
+    * check every writer uses). The default SupportsDelete.truncateTable
+    * routes through canDeleteWhere(AlwaysTrue), which only accepts on
+    * zone-mapped layouts — and Spark treats its `false` as a SILENT
+    * no-op, the worst possible truncate. Old versions stay readable
+    * under retention/tags; files are collected by the ordinary
+    * retention pass, never here.
+    */
+  override def truncateTable(): Boolean = {
+    require(morKey.isEmpty,
+      s"TRUNCATE TABLE on merge-on-read table $tableName is not supported")
+    val v = currentVersion
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_manifest_v${v + 1}.txt"), "",
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    true
+  }
+
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val kept = plannedDelete.collect {
       case (fs, plan) if fs == filters.toSeq => plan

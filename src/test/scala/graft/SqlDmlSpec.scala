@@ -278,6 +278,21 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rb.getMessage.contains("removed files"), rb.getMessage)
   }
 
+  test("TRUNCATE: empty metadata-only commit, never a silent no-op, tag survives") {
+    graft.operators.SqlDml.sqlTruncate(spark, dir).collect()
+    // the truncate committed a NEW empty version (metadata-only): the
+    // default SupportsDelete route silently no-ops on unclustered
+    // tables — this pin exists to keep the override honest
+    val root = graft.sources.GraftVtCatalog.rootOf("tr_docs").get
+    assert(manifests(root).size >= 2, "truncate must commit a version")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_vt.tr_docs VERSION AS OF 'pre-truncate'")
+      .collect().head.getLong(0) > 0, "tagged snapshot must stay readable")
+    spark.sql("TRUNCATE TABLE graft_vt.tr_docs")
+    assert(spark.table("graft_vt.tr_docs").count() == 0,
+      "a second truncate must also empty the head")
+  }
+
   test("CREATE TABLE keeps column DEFAULTs: omission, explicit, and DEFAULT keyword") {
     spark.sql("DROP TABLE IF EXISTS graft_vt.cd_docs")
     spark.sql(
