@@ -251,6 +251,7 @@ object SparkEntry {
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
     "q_conformal" -> ((s, d) => Stats.conformalCoverage(s, d)),
     "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
+    "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
@@ -1848,6 +1849,60 @@ object SparkEntry {
         |    THEN GREATEST(1.0 - ssw / sst_c, 0.0) END, 6) AS seasonal_strength,
         |  peak_slot, peak_mean
         |FROM e JOIN pk ON pk.event_type = e.event_type""".stripMargin,
+    // Ljung-Box: bit-exact residuals, round-9 DECIMAL lag-product
+    // sums, closed-form even-df chi2 survival
+    "q_ljung_box" -> (holtCoreSql() +
+      """,
+        |b AS (SELECT event_type, hr, n,
+        |    LAG(level + trend) OVER (PARTITION BY event_type ORDER BY hr) AS f
+        |  FROM r),
+        |res AS (SELECT event_type, hr, CAST(n AS DOUBLE) - f AS e
+        |  FROM b WHERE f IS NOT NULL),
+        |mm AS (SELECT event_type,
+        |    CAST(SUM(CAST(ROUND(e, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS ebar
+        |  FROM res GROUP BY 1),
+        |dd AS (SELECT res.event_type, hr, e - ebar AS d
+        |  FROM res JOIN mm USING (event_type)),
+        |lg AS (SELECT event_type, hr, d,
+        |    LAG(d, 1) OVER w AS d1, LAG(d, 2) OVER w AS d2,
+        |    LAG(d, 3) OVER w AS d3, LAG(d, 4) OVER w AS d4,
+        |    LAG(d, 5) OVER w AS d5, LAG(d, 6) OVER w AS d6
+        |  FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(d * d, 9) AS DECIMAL(38,9))) AS den,
+        |    SUM(CASE WHEN d1 IS NOT NULL THEN CAST(ROUND(d * d1, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num1,
+        |    SUM(CASE WHEN d2 IS NOT NULL THEN CAST(ROUND(d * d2, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num2,
+        |    SUM(CASE WHEN d3 IS NOT NULL THEN CAST(ROUND(d * d3, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num3,
+        |    SUM(CASE WHEN d4 IS NOT NULL THEN CAST(ROUND(d * d4, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num4,
+        |    SUM(CASE WHEN d5 IS NOT NULL THEN CAST(ROUND(d * d5, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num5,
+        |    SUM(CASE WHEN d6 IS NOT NULL THEN CAST(ROUND(d * d6, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num6
+        |  FROM lg GROUP BY 1),
+        |e2 AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(den AS DOUBLE) AS dend,
+        |    CAST(num1 AS DOUBLE) AS n1, CAST(num2 AS DOUBLE) AS n2,
+        |    CAST(num3 AS DOUBLE) AS n3, CAST(num4 AS DOUBLE) AS n4,
+        |    CAST(num5 AS DOUBLE) AS n5, CAST(num6 AS DOUBLE) AS n6
+        |  FROM a WHERE n > 6),
+        |q AS (SELECT event_type, n, n1 / dend AS rho1,
+        |    (n1 / dend * (n1 / dend) / (nd - 1.0)
+        |      + n2 / dend * (n2 / dend) / (nd - 2.0)
+        |      + n3 / dend * (n3 / dend) / (nd - 3.0)
+        |      + n4 / dend * (n4 / dend) / (nd - 4.0)
+        |      + n5 / dend * (n5 / dend) / (nd - 5.0)
+        |      + n6 / dend * (n6 / dend) / (nd - 6.0)) * nd * (nd + 2.0) AS q
+        |  FROM e2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_resid,
+        |  ROUND(rho1, 6) AS rho1, ROUND(q, 6) AS q_stat,
+        |  ROUND(exp(-(q / 2.0)) * (1.0 + q / 2.0
+        |    + (q / 2.0) * (q / 2.0) / 2.0), 6) AS p_value
+        |FROM q""".stripMargin),
     // split conformal: bit-exact Holt residuals, integer-arithmetic
     // conformal rank, coverage on the held-out half
     "q_conformal" -> (holtCoreSql() +

@@ -682,6 +682,59 @@ object Stats {
           count(lit(1)), 6).as("mape"))
   }
 
+  /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978) on the Holt
+    * one-step residuals — "is there structure the forecaster missed":
+    * Q = n(n+2)·Σ_{k=1..6} ρ̂_k²/(n−k) over the first six residual
+    * autocorrelations; under white-noise residuals Q ~ χ²₆, and the
+    * even-df survival has the CLOSED FORM e^{−Q/2}(1+y+y²/2), y=Q/2 —
+    * one mirrored `exp`, no incomplete-gamma machinery. The adequacy
+    * check that belongs beside [[holtBacktest]]'s MAPE and
+    * [[conformalCoverage]]'s calibration.
+    *
+    * EXACTNESS: residuals are the bit-exact [[holtLinear]] doubles;
+    * the mean and every lag-product sum ride the round-9
+    * DECIMAL(38,9) channel, so ρ̂_k and Q assemble from identical
+    * exact sums on both engines.
+    */
+  def ljungBox(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val res = holtLinear(spark, dir, alpha, beta)
+      .withColumn("f_prev", lag(col("forecast_next"), 1).over(w))
+      .filter(col("f_prev").isNotNull)
+      .select(col("event_type"), col("hr"), (dd(col("n")) - col("f_prev")).as("e"))
+    val m = res.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("e"), 9).cast(b9)).as("se"))
+      .select(col("event_type"), col("n"),
+        (dd(col("se")) / dd(col("n"))).as("ebar"))
+    val d = res.join(broadcast(m), Seq("event_type"))
+      .withColumn("d", col("e") - col("ebar"))
+    val lagged = (1 to 6).foldLeft(d) { (df, k) =>
+      df.withColumn(s"d$k", lag(col("d"), k).over(w))
+    }
+    val aggCols = sum(round(col("d") * col("d"), 9).cast(b9)).as("den") +:
+      (1 to 6).map(k => sum(when(col(s"d$k").isNotNull,
+        round(col("d") * col(s"d$k"), 9).cast(b9))
+        .otherwise(lit(0).cast(b9))).as(s"num$k"))
+    val agg = lagged.groupBy(col("event_type"), col("n"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nD = dd(col("n"))
+    val q = (1 to 6).map { k =>
+      val rho = dd(col(s"num$k")) / dd(col("den"))
+      rho * rho / (nD - lit(k.toDouble))
+    }.reduce(_ + _) * nD * (nD + 2.0)
+    agg.filter(col("n") > 6)
+      .withColumn("q", q)
+      .withColumn("y", col("q") / 2.0)
+      .select(col("event_type"), col("n").as("n_resid"),
+        round(dd(col("num1")) / dd(col("den")), 6).as("rho1"),
+        round(col("q"), 6).as("q_stat"),
+        round(exp(-col("y")) * (lit(1.0) + col("y")
+          + col("y") * col("y") / 2.0), 6).as("p_value"))
+  }
+
   /** SEASONAL STRENGTH per event type (Hyndman's tsfeatures
     * `seasonal_strength`, in its hour-of-day ANOVA form): over the
     * hourly activity series, 1 − SS_within-slot / SS_total for the 24

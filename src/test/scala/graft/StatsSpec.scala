@@ -716,6 +716,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ljung-box: Q recomputes from the residual autocorrelations") {
+    val rows = Stats.ljungBox(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fc = Stats.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = fc(t).sortBy(_._2)
+      val e = series.zip(series.drop(1)).map { case (p, c) => c._3.toDouble - p._4 }
+      val n = e.length
+      assert(r.getAs[Long]("n_resid") == n)
+      val ebar = e.sum / n
+      val d = e.map(_ - ebar)
+      val den = d.map(x => x * x).sum
+      def rho(k: Int) = d.drop(k).zip(d).map { case (a, b) => a * b }.sum / den
+      val q = (1 to 6).map(k => math.pow(rho(k), 2) / (n - k)).sum * n * (n + 2)
+      assert(math.abs(r.getAs[Double]("rho1") - rho(1)) < 1e-4, s"$t rho1")
+      assert(math.abs(r.getAs[Double]("q_stat") - q) / q < 1e-3, s"$t Q")
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0 && p <= 1)
+      // chi2_6 survival identity at the published Q
+      val y = r.getAs[Double]("q_stat") / 2
+      assert(math.abs(p - math.exp(-y) * (1 + y + y * y / 2)) < 1e-5)
+    }
+  }
+
   test("seasonal strength: in [0,1], equals a direct slot-ANOVA recompute") {
     val rows = Stats.seasonalStrength(spark, sf).collect()
     assert(rows.nonEmpty)
