@@ -253,7 +253,18 @@ object SparkEntry {
     "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
     "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
+    "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
+    "q_mutual_info" -> ((s, d) => Stats.mutualInfo(s, d)),
+    "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
+    "q_friedman" -> ((s, d) => Stats.friedmanTest(s, d)),
+    "q_icc" -> ((s, d) => Stats.iccOneWay(s, d)),
+    "q_cronbach" -> ((s, d) => Stats.cronbachAlpha(s, d)),
+    "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
+    "q_feature_hashing" -> ((s, d) => TextAnalysis.featureHashing(s, d)),
     "q_pagerank" -> ((s, d) => Analytics.pagerankEventTypes(s, d)),
+    "q_hits" -> ((s, d) => Analytics.hitsEventTypes(s, d)),
+    "q_assortativity" -> ((s, d) => Analytics.degreeAssortativity(s, d)),
+    "q_item_cosine" -> ((s, d) => Analytics.itemCosine(s, d)),
     "q_interval_union" -> ((s, d) => Analytics.intervalUnion(s, d)),
     "q_interval_join" -> ((s, d) => Analytics.intervalOverlapJoin(s, d)),
     "q_triangles" -> ((s, d) => Analytics.triangleCounts(s, d)),
@@ -1903,6 +1914,253 @@ object SparkEntry {
         |  ROUND(exp(-(q / 2.0)) * (1.0 + q / 2.0
         |    + (q / 2.0) * (q / 2.0) / 2.0), 6) AS p_value
         |FROM q""".stripMargin),
+    // Durbin-Watson: exact-integer OLS normal equations on the rebased
+    // hour axis, fixed-order double fit, round-9 decimal quadratic sums
+    "q_durbin_watson" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, MIN(hr) AS hr0 FROM hourly GROUP BY 1),
+        |xy AS (SELECT h.event_type, hr, hr - hr0 AS x, n AS y
+        |  FROM hourly h JOIN base b ON h.event_type = b.event_type),
+        |fit AS (SELECT event_type, COUNT(*) AS cnt,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY 1),
+        |f2 AS (SELECT *,
+        |    CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM fit),
+        |f3 AS (SELECT *, CASE WHEN den > 0 THEN
+        |    (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END AS b FROM f2),
+        |f4 AS (SELECT event_type, cnt, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(cnt AS DOUBLE) AS a FROM f3),
+        |res AS (SELECT xy.event_type, hr, cnt,
+        |    CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS e
+        |  FROM xy JOIN f4 ON xy.event_type = f4.event_type),
+        |lg AS (SELECT event_type, cnt, e,
+        |    LAG(e) OVER (PARTITION BY event_type ORDER BY hr) AS ep FROM res),
+        |ag AS (SELECT event_type, MAX(cnt) AS n_hours,
+        |    SUM(CAST(ROUND(e * e, 9) AS DECIMAL(38,9))) AS se2,
+        |    SUM(CASE WHEN ep IS NOT NULL THEN
+        |      CAST(ROUND((e - ep) * (e - ep), 9) AS DECIMAL(38,9)) END) AS sd2
+        |  FROM lg GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  ROUND(CASE WHEN CAST(se2 AS DOUBLE) > 0
+        |    THEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) END, 6) AS dw
+        |FROM ag""".stripMargin,
+    // mutual information: one contingency aggregate; cell/marginal ln
+    // terms round-9 decimal-bridged; grid-sized transcendental cost
+    "q_mutual_info" ->
+      """WITH grid AS (SELECT lang, source, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |lx AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cx FROM grid GROUP BY 1),
+        |sy AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cy FROM grid GROUP BY 1),
+        |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells FROM grid),
+        |mi AS (SELECT SUM(CAST(ROUND(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+        |      AS DECIMAL(38,9))) AS mi9
+        |  FROM grid JOIN lx USING (lang) JOIN sy USING (source) CROSS JOIN nr),
+        |hx AS (SELECT SUM(CAST(ROUND(
+        |      (CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) * (-1.0) *
+        |      ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS hx9
+        |  FROM lx CROSS JOIN (SELECT n FROM nr) q),
+        |hy AS (SELECT SUM(CAST(ROUND(
+        |      (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * (-1.0) *
+        |      ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS hy9
+        |  FROM sy CROSS JOIN (SELECT n FROM nr) q)
+        |SELECT n, n_cells,
+        |  ROUND(CAST(mi9 AS DOUBLE), 6) AS mi_nats,
+        |  ROUND(CAST(hx9 AS DOUBLE), 6) AS h_lang,
+        |  ROUND(CAST(hy9 AS DOUBLE), 6) AS h_source,
+        |  ROUND(CASE WHEN CAST(hx9 AS DOUBLE) > 0 AND CAST(hy9 AS DOUBLE) > 0
+        |    THEN CAST(mi9 AS DOUBLE)
+        |      / (sqrt(CAST(hx9 AS DOUBLE)) * sqrt(CAST(hy9 AS DOUBLE))) END, 6)
+        |    AS nmi
+        |FROM nr CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    // WoE/IV: integer 4-hour day-slot buckets, exact good/bad integers,
+    // guarded ln, 6 decimal-bridged IV terms
+    "q_woe_iv" ->
+      """WITH ev AS (SELECT
+        |    (epoch_us(ts) // 3600000000) % 24 // 4 AS slot,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+        |  FROM events),
+        |bk AS (SELECT slot, COUNT(*) AS n, CAST(SUM(good) AS BIGINT) AS goods
+        |  FROM ev GROUP BY 1),
+        |b2 AS (SELECT slot, n, goods, n - goods AS bads FROM bk),
+        |t AS (SELECT CAST(SUM(goods) AS BIGINT) AS gt,
+        |    CAST(SUM(bads) AS BIGINT) AS bt FROM b2),
+        |w AS (SELECT slot, n, goods, bads, gt, bt,
+        |    CASE WHEN goods > 0 AND bads > 0 AND gt > 0 AND bt > 0 THEN
+        |      ln((CAST(goods AS DOUBLE) / CAST(gt AS DOUBLE))
+        |        / (CAST(bads AS DOUBLE) / CAST(bt AS DOUBLE))) END AS woe_raw
+        |  FROM b2 CROSS JOIN t),
+        |w2 AS (SELECT *, CASE WHEN woe_raw IS NOT NULL THEN CAST(ROUND(
+        |    (CAST(goods AS DOUBLE) / CAST(gt AS DOUBLE)
+        |      - CAST(bads AS DOUBLE) / CAST(bt AS DOUBLE)) * woe_raw, 9)
+        |    AS DECIMAL(38,9)) END AS iv_term FROM w),
+        |iv AS (SELECT SUM(iv_term) AS iv9 FROM w2)
+        |SELECT slot, n AS n_events, goods, bads,
+        |  ROUND(woe_raw, 6) AS woe,
+        |  ROUND(CAST(iv9 AS DOUBLE), 6) AS iv_total
+        |FROM w2 CROSS JOIN iv""".stripMargin,
+    // Friedman: complete blocks only, doubled midranks stay BIGINT,
+    // k-term rank-square sum decimal-bridged, closed-form df=4 survival
+    "q_friedman" ->
+      """WITH cell AS (SELECT user_id, event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c2 AS (SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM cell),
+        |k AS (SELECT COUNT(DISTINCT event_type) AS k FROM c2),
+        |c3 AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS nt FROM c2),
+        |comp AS (SELECT c3.*, k FROM c3 CROSS JOIN k WHERE nt = k),
+        |rk AS (SELECT *,
+        |    2 * RANK() OVER (PARTITION BY user_id ORDER BY m)
+        |      + COUNT(*) OVER (PARTITION BY user_id, m) - 1 AS r2 FROM comp),
+        |cs AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS sr2,
+        |    COUNT(*) AS b, MAX(k) AS k FROM rk GROUP BY 1),
+        |ag AS (SELECT b, k, SUM(CAST(ROUND(
+        |    (CAST(sr2 AS DOUBLE) / 2.0) * (CAST(sr2 AS DOUBLE) / 2.0), 9)
+        |    AS DECIMAL(38,9))) AS srj2 FROM cs GROUP BY 1, 2),
+        |ch AS (SELECT b, k, CASE WHEN b > 0 THEN
+        |    12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0)) * CAST(srj2 AS DOUBLE)
+        |    - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) END AS chi2
+        |  FROM ag)
+        |SELECT b AS n_blocks, CAST(k AS INTEGER) AS k_treatments,
+        |  ROUND(chi2, 6) AS chi2,
+        |  ROUND(CASE WHEN k = 5 AND chi2 >= 0 THEN
+        |    exp(chi2 / -2.0) * (1.0 + chi2 / 2.0) END, 6) AS p_value
+        |FROM ch""".stripMargin,
+    // ICC(1): users as groups; per-group terms decimal-bridged; the
+    // unbalanced n0 correction from an exact BIGINT sum of n^2
+    "q_icc" ->
+      """WITH g AS (SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+        |        AS DECIMAL(38,4))) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT n, s, n * n AS n2,
+        |    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |      AS DECIMAL(38,9)) AS g2n,
+        |    CAST(ROUND(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS w
+        |  FROM g),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(n2) AS BIGINT) AS sn2, SUM(s) AS s_all,
+        |    SUM(g2n) AS sum_g2n, SUM(w) AS ssw9 FROM t),
+        |e AS (SELECT k, nt,
+        |    (CAST(sum_g2n AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |      / CAST(nt AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) AS msb,
+        |    CAST(ssw9 AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |    (CAST(nt AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS n0
+        |  FROM a)
+        |SELECT k AS k_users, nt AS n_obs,
+        |  ROUND(msb, 6) AS ms_between, ROUND(msw, 6) AS ms_within,
+        |  ROUND(n0, 6) AS n0,
+        |  ROUND(CASE WHEN k > 1 AND nt > k AND msb + (n0 - 1.0) * msw > 0
+        |    THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END, 6) AS icc1
+        |FROM e""".stripMargin,
+    // Cronbach alpha: 10 decimal sums in one pass; variances fixed-order
+    // doubles; 4-term item-variance total adds left-to-right
+    "q_cronbach" ->
+      """WITH li AS (SELECT
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS i0,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS i1,
+        |    CAST(l_discount AS DECIMAL(12,2)) AS i2,
+        |    CAST(l_tax AS DECIMAL(12,2)) AS i3,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(l_extendedprice AS DECIMAL(12,2))
+        |      + CAST(l_discount AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))
+        |      AS DECIMAL(16,2)) AS t
+        |  FROM lineitem),
+        |a AS (SELECT COUNT(*) AS n,
+        |    SUM(i0) AS s0, SUM(CAST(i0 * i0 AS DECIMAL(38,4))) AS ss0,
+        |    SUM(i1) AS s1, SUM(CAST(i1 * i1 AS DECIMAL(38,4))) AS ss1,
+        |    SUM(i2) AS s2, SUM(CAST(i2 * i2 AS DECIMAL(38,4))) AS ss2,
+        |    SUM(i3) AS s3, SUM(CAST(i3 * i3 AS DECIMAL(38,4))) AS ss3,
+        |    SUM(t) AS st, SUM(CAST(t * t AS DECIMAL(38,4))) AS sst
+        |  FROM li),
+        |v AS (SELECT n,
+        |    (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (CAST(ss3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vsum,
+        |    (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vtot
+        |  FROM a)
+        |SELECT n AS n_rows, 4 AS k_items,
+        |  ROUND(vsum, 6) AS sum_item_var,
+        |  ROUND(vtot, 6) AS total_var,
+        |  ROUND(CASE WHEN vtot > 0 THEN (4.0 / 3.0) * (1.0 - vsum / vtot) END, 6)
+        |    AS alpha
+        |FROM v""".stripMargin,
+    // decision stump: one Expand scan, exact cell integers, round-9
+    // decimal conditional-entropy terms, argmax on the ROUNDED gain
+    "q_decision_stump" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST((epoch_us(ts) // 3600000000) % 24 // 4 AS VARCHAR) AS slot,
+        |    CAST(user_id % 2 AS VARCHAR) AS parity,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |lng AS (
+        |  SELECT 'event_type' AS feature, event_type AS v, y FROM base
+        |  UNION ALL SELECT 'day_slot', slot, y FROM base
+        |  UNION ALL SELECT 'user_parity', parity, y FROM base),
+        |cells AS (SELECT feature, v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS g
+        |  FROM lng GROUP BY 1, 2),
+        |c2 AS (SELECT *, n - g AS b FROM cells),
+        |tot AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(g) AS BIGINT) AS gt, COUNT(*) AS n_values
+        |  FROM c2 GROUP BY 1),
+        |terms AS (SELECT c2.feature, CAST(ROUND(
+        |    (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * (
+        |      CASE WHEN g > 0 THEN (CAST(g AS DOUBLE) / CAST(n AS DOUBLE)) * (-1.0)
+        |        * ln(CAST(g AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |      + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) * (-1.0)
+        |        * ln(CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END), 9)
+        |    AS DECIMAL(38,9)) AS t9
+        |  FROM c2 JOIN tot USING (feature)),
+        |hc AS (SELECT feature, SUM(t9) AS hc9 FROM terms GROUP BY 1),
+        |h0 AS (SELECT feature, n_values, nt,
+        |    CASE WHEN gt > 0 THEN (CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)) * (-1.0)
+        |      * ln(CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN nt - gt > 0 THEN
+        |      (CAST(nt - gt AS DOUBLE) / CAST(nt AS DOUBLE)) * (-1.0)
+        |      * ln(CAST(nt - gt AS DOUBLE) / CAST(nt AS DOUBLE)) ELSE 0.0 END AS h_base
+        |  FROM tot),
+        |g2 AS (SELECT h0.feature, n_values, nt AS n_rows,
+        |    ROUND(h_base, 6) AS h_base, ROUND(CAST(hc9 AS DOUBLE), 6) AS h_cond,
+        |    ROUND(h_base - CAST(hc9 AS DOUBLE), 6) AS info_gain
+        |  FROM h0 JOIN hc ON h0.feature = hc.feature)
+        |SELECT feature, n_values, n_rows, h_base, h_cond, info_gain,
+        |  ROW_NUMBER() OVER (ORDER BY info_gain DESC, feature ASC) = 1 AS is_best
+        |FROM g2""".stripMargin,
+    // feature hashing: per-token md5 dim/sign arithmetic, one (doc,dim)
+    // aggregate — the vocabulary-free vectorizer
+    "q_feature_hashing" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |f AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 64 AS INTEGER) AS dim,
+        |    CASE WHEN CAST('0x' || substr(h, 9, 1) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM hx)
+        |SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight,
+        |  COUNT(*) AS n_terms
+        |FROM f GROUP BY 1, 2""".stripMargin,
     // split conformal: bit-exact Holt residuals, integer-arithmetic
     // conformal rank, coverage on the held-out half
     "q_conformal" -> (holtCoreSql() +
@@ -4837,6 +5095,86 @@ object SparkEntry {
          |$iters
          |SELECT node, round(rank, 4) AS rank FROM r20""".stripMargin
     },
+    "q_hits" -> {
+      // 8 HITS iterations unrolled; every half-step is BIT-exact on both
+      // engines: round-9 products summed as DECIMAL(38,9), decimal L1
+      // total, round-9 normalized score (no drift to contain — unlike
+      // pagerank's round-4 mitigation)
+      val iters = (1 to 8).map { i =>
+        val prev = if (i == 1) "h0" else s"h${i - 1}"
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS gnode,
+           |    SUM(CAST(ROUND(p.s * CAST(e.n AS DOUBLE), 9) AS DECIMAL(38,9))) AS r9
+           |  FROM e JOIN $prev p ON e.src = p.node GROUP BY 1),
+           |at$i AS MATERIALIZED (SELECT SUM(r9) AS t FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT o.node, ROUND(COALESCE(CAST(r9 AS DOUBLE), 0.0)
+           |    / CAST(t AS DOUBLE), 9) AS s
+           |  FROM nodes o LEFT JOIN ar$i ON o.node = ar$i.gnode CROSS JOIN at$i),
+           |hr$i AS MATERIALIZED (SELECT e.src AS gnode,
+           |    SUM(CAST(ROUND(p.s * CAST(e.n AS DOUBLE), 9) AS DECIMAL(38,9))) AS r9
+           |  FROM e JOIN a$i p ON e.dst = p.node GROUP BY 1),
+           |ht$i AS MATERIALIZED (SELECT SUM(r9) AS t FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT o.node, ROUND(COALESCE(CAST(r9 AS DOUBLE), 0.0)
+           |    / CAST(t AS DOUBLE), 9) AS s
+           |  FROM nodes o LEFT JOIN hr$i ON o.node = hr$i.gnode CROSS JOIN ht$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT event_type AS dst,
+         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS n FROM s
+         |  WHERE src IS NOT NULL GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS s FROM nodes),
+         |$iters
+         |SELECT h8.node, ROUND(h8.s, 6) AS hub, ROUND(a8.s, 6) AS authority
+         |FROM h8 JOIN a8 ON h8.node = a8.node""".stripMargin
+    },
+    // degree assortativity: exact BIGINT degree sums over the DISTINCT
+    // incidence relation; Pearson from six integer moments
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |dx AS (SELECT ok, COUNT(*) AS x FROM li GROUP BY 1),
+        |dy AS (SELECT pk, COUNT(*) AS y FROM li GROUP BY 1),
+        |a AS (SELECT COUNT(*) AS cnt,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM li JOIN dx USING (ok) JOIN dy USING (pk)),
+        |v AS (SELECT *,
+        |    CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM a)
+        |SELECT cnt AS n_edges,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS mean_basket_width,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS mean_part_popularity,
+        |  ROUND(CASE WHEN vx > 0 AND vy > 0 THEN
+        |    (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(vx) * sqrt(vy)) END, 6) AS assortativity
+        |FROM v""".stripMargin,
+    // item-item cosine/jaccard: same pruned pair join as q_assoc_rules,
+    // similarities one double expression over three exact integers
+    "q_item_cosine" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |it AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY 1
+        |  HAVING COUNT(*) >= 3),
+        |f AS (SELECT li.ok, li.pk, n_item FROM li JOIN it USING (pk)),
+        |p AS (SELECT x.pk AS a, y.pk AS b, x.n_item AS n_a, y.n_item AS n_b,
+        |    COUNT(*) AS n_ab
+        |  FROM f x JOIN f y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3)
+        |SELECT a, b, n_a, n_b, n_ab,
+        |  ROUND(CAST(n_ab AS DOUBLE)
+        |    / (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE))), 6) AS cosine,
+        |  ROUND(CAST(n_ab AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+        |    - CAST(n_ab AS DOUBLE)), 6) AS jaccard
+        |FROM p""".stripMargin,
     "q_pit_join" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

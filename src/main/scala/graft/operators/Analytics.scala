@@ -299,6 +299,60 @@ object Analytics {
     ranks.select(col("node"), round(col("rank"), 4).as("rank"))
   }
 
+  /** HITS hubs-and-authorities over the event-type transition graph —
+    * Kleinberg's dual centrality on the [[markovTransitions]] edges,
+    * weighted by exact integer transition counts: a(v) ← Σ_{u→v} h(u)·n,
+    * h(u) ← Σ_{u→v} a(v)·n, each L1-normalized per half-step. The
+    * companion readout to [[pagerankEventTypes]]: PageRank scores where
+    * flows settle; HITS separates the DISPATCHING types (hubs — types
+    * whose outflow feeds important destinations) from the ABSORBING
+    * ones (authorities).
+    *
+    * Unlike pagerank's round-4 drift containment, every iteration here
+    * is BIT-exact cross-engine: each product rounds to 9 dp and sums as
+    * DECIMAL(38,9) (order-independent), the L1 total is the decimal sum
+    * of those same terms, and the normalized score re-rounds to 9 dp —
+    * so both engines compound the identical doubles through all 8
+    * iterations and the oracle replays them verbatim. The loop is the
+    * generic edges⋈scores shape (scores broadcast while |nodes| ≪
+    * |edges|); per-round lineage truncation via localCheckpoint.
+    */
+  def hitsEventTypes(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val edges = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    var hub = nodes.withColumn("s", lit(1.0))
+    var auth = nodes.withColumn("s", lit(1.0))
+    def halfStep(scores: DataFrame, joinKey: String, groupKey: String): DataFrame = {
+      val raw = edges.join(broadcast(scores), col(joinKey) === col("node"))
+        .groupBy(col(groupKey).as("gnode"))
+        .agg(sum(round(col("s") * dd(col("n")), 9).cast(b9)).as("r9"))
+      val tot = raw.agg(sum(col("r9")).as("t"))
+      nodes.join(raw, col("node") === col("gnode"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(dd(col("r9")), lit(0.0)) / dd(col("t")), 9).as("s"))
+        .localCheckpoint()
+    }
+    (1 to iters).foreach { _ =>
+      auth = halfStep(hub, "src", "dst")   // a(v) = Σ h(u)·n(u,v)
+      hub = halfStep(auth, "dst", "src")   // h(u) = Σ a(v)·n(u,v)
+    }
+    hub.select(col("node"), col("s").as("hub"))
+      .join(auth.select(col("node"), col("s").as("authority")), Seq("node"))
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * each user's events in (ts, event_id) order yield (previous type →
     * current type) bigrams; counts normalize to P(cur | prev) within
@@ -581,6 +635,84 @@ object Analytics {
       round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
       round(col("n_ab").cast("double") * col("n_orders") /
         (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the order–part incidence graph — the
+    * Newman-2002 mixing coefficient answering "do big baskets carry
+    * popular parts, or niche ones?": the Pearson correlation between
+    * endpoint degrees (basket width, part popularity) taken over every
+    * incidence edge. Negative r = disassortative (broad baskets pick
+    * long-tail parts) — the structural bias every co-occurrence
+    * recommender must correct for before reading lift.
+    *
+    * Degrees are exact integers from two map-side-combined counts over
+    * the DISTINCT incidence relation; each degree joins back on its own
+    * key (never a pair join), and the correlation reduces from six
+    * exact BIGINT sums in one aggregate — at 100 TB the cost is the
+    * distinct pass plus two |edges|-row key joins.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val degO = li.groupBy(col("ok")).agg(count(lit(1)).as("x"))
+    val degP = li.groupBy(col("pk")).agg(count(lit(1)).as("y"))
+    li.join(degO, Seq("ok")).join(degP, Seq("pk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("cnt").as("n_edges"),
+        round(col("sx").cast("double") / col("cnt").cast("double"), 6)
+          .as("mean_basket_width"),
+        round(col("sy").cast("double") / col("cnt").cast("double"), 6)
+          .as("mean_part_popularity"),
+        pearsonFromSums(col("cnt"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy")).as("assortativity"))
+  }
+
+  /** Six exact-integer-sum Pearson assembly shared with the Stats tier
+    * (duplicated guard contract: NULL on zero variance — ANSI-safe).
+    */
+  private def pearsonFromSums(cnt: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column): Column = {
+    def d(c: Column): Column = c.cast("double")
+    val vx = d(cnt) * d(sxx) - d(sx) * d(sx)
+    val vy = d(cnt) * d(syy) - d(sy) * d(sy)
+    round(when(vx > 0 && vy > 0,
+      (d(cnt) * d(sxy) - d(sx) * d(sy)) / (sqrt(vx) * sqrt(vy))), 6)
+  }
+
+  /** ITEM–ITEM COSINE / JACCARD similarity over co-order incidence —
+    * the symmetric, popularity-normalized complement of
+    * [[associationRules]]' directional confidence (confidence inflates
+    * toward popular consequents; cosine co/√(nₐ·n_b) and Jaccard
+    * co/(nₐ+n_b−co) are the neighborhood weights an item-based
+    * collaborative-filtering recommender actually stores). Same
+    * Apriori-style pruned pair join: only items above `minItemSupport`
+    * enter, pairs materialize once in a<b order bounded by basket
+    * width, and both similarities are one double expression over three
+    * exact integers.
+    */
+  def itemCosine(spark: SparkSession, dir: String,
+      minItemSupport: Int = 3, minPairSupport: Int = 3): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val frequent = li.join(items, Seq("pk"))
+    frequent.as("x").join(frequent.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"),
+        col("x.n_item").as("n_a"), col("y.n_item").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(dd(col("n_ab")) / (sqrt(dd(col("n_a"))) * sqrt(dd(col("n_b")))), 6)
+          .as("cosine"),
+        round(dd(col("n_ab")) /
+          (dd(col("n_a")) + dd(col("n_b")) - dd(col("n_ab"))), 6).as("jaccard"))
   }
 
   /** BFS shortest-path distances (≤ `maxHops`) from the lowest-id node

@@ -2039,4 +2039,340 @@ object Stats {
       round(when(col("k") > 1 && col("n_total") > col("k") && ssw > 0, f), 6)
         .as("bf_stat"))
   }
+
+  /** DURBIN–WATSON on the residuals of an hourly-count OLS trend, per
+    * event type — "is what the trend line leaves behind serially
+    * correlated?", the companion diagnostic to [[ljungBox]] (which reads
+    * the Holt forecast's residuals; this one reads the OLS fit the
+    * Theil–Sen slope robustifies). DW = Σ(e_t − e_{t−1})² / Σe_t² ∈
+    * [0, 4], 2 = no autocorrelation.
+    *
+    * Exactness: the series axis is CALENDAR-BOUNDED hourly counts; the
+    * OLS normal equations run on exact BIGINT sums of the REBASED hour
+    * index (x = hr − min hr, so Σx² stays far inside long range at any
+    * corpus age); slope/intercept are one fixed-order double expression;
+    * each residual is one double; and the two quadratic sums bridge
+    * through the house round-9 → DECIMAL(38,9) channel so neither
+    * engine's summation order matters. The corpus-scale cost is the one
+    * map-side-combined hourly aggregate — everything after runs on
+    * |types × hours| rows.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val base = hourly.groupBy(col("event_type")).agg(min(col("hr")).as("hr0"))
+    val xy = hourly.join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), col("hr"),
+        (col("hr") - col("hr0")).as("x"), col("n").as("y"))
+    val fit = xy.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("den",
+        dd(col("cnt")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))
+      .withColumn("b", when(col("den") > 0,
+        (dd(col("cnt")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) / col("den")))
+      .withColumn("a", (dd(col("sy")) - col("b") * dd(col("sx"))) / dd(col("cnt")))
+      .select(col("event_type"), col("cnt"), col("a"), col("b"))
+    val resid = xy.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e", dd(col("y")) - (col("a") + col("b") * dd(col("x"))))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    resid
+      .withColumn("ep", lag(col("e"), 1).over(w))
+      .select(col("event_type"), col("cnt"),
+        round(col("e") * col("e"), 9).cast(b9).as("e2"),
+        when(col("ep").isNotNull,
+          round((col("e") - col("ep")) * (col("e") - col("ep")), 9).cast(b9))
+          .as("d2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_hours"),
+        sum(col("e2")).as("se2"), sum(col("d2")).as("sd2"))
+      .select(col("event_type"), col("n_hours"),
+        round(when(dd(col("se2")) > 0, dd(col("sd2")) / dd(col("se2"))), 6)
+          .as("dw"))
+  }
+
+  /** MUTUAL INFORMATION between a document's language and its source —
+    * "does the source distribution leak the language?" (the dependence
+    * screen behind every stratified mixture decision; the continuous
+    * counterpart of [[q_cramers_v]]'s effect size). Reports MI in nats
+    * and the normalized MI / sqrt(H(lang)·H(source)).
+    *
+    * One |langs × sources| contingency aggregate is the only corpus
+    * pass; marginals and the three entropy/MI sums run on the tiny grid
+    * with every ln term rounded to 9 dp and summed as DECIMAL(38,9) —
+    * the order-independent bridge [[anovaF]] established. Cells, not
+    * rows, pay the transcendental.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val grid = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val lx = grid.groupBy(col("lang")).agg(sum(col("c")).as("cx"))
+    val sy = grid.groupBy(col("source")).agg(sum(col("c")).as("cy"))
+    val nr = grid.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = grid.join(broadcast(lx), Seq("lang")).join(broadcast(sy), Seq("source"))
+      .crossJoin(broadcast(nr))
+      .select(round((dd(col("c")) / dd(col("n"))) *
+        log(dd(col("c")) * dd(col("n")) / (dd(col("cx")) * dd(col("cy")))), 9)
+        .cast(b9).as("t"))
+      .agg(sum(col("t")).as("mi9"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = m
+      .crossJoin(broadcast(nr.select(col("n"))))
+      .select(round((dd(col(cnt)) / dd(col("n"))) * lit(-1.0) *
+        log(dd(col(cnt)) / dd(col("n"))), 9).cast(b9).as("t"))
+      .agg(sum(col("t")).as("h9"))
+    val hx = entropy(lx, "cx").select(col("h9").as("hx9"))
+    val hy = entropy(sy, "cy").select(col("h9").as("hy9"))
+    nr.crossJoin(broadcast(mi)).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        round(dd(col("mi9")), 6).as("mi_nats"),
+        round(dd(col("hx9")), 6).as("h_lang"),
+        round(dd(col("hy9")), 6).as("h_source"),
+        round(when(dd(col("hx9")) > 0 && dd(col("hy9")) > 0,
+          dd(col("mi9")) / (sqrt(dd(col("hx9"))) * sqrt(dd(col("hy9"))))), 6)
+          .as("nmi"))
+  }
+
+  /** WEIGHT OF EVIDENCE + INFORMATION VALUE of the hour-of-day slot
+    * against the purchase outcome — the credit-scoring encoding every
+    * risk/churn feature pipeline tabulates before binning a feature:
+    * per bucket WoE = ln((good_i/G)/(bad_i/B)) and the feature-level
+    * IV = Σ(good_i/G − bad_i/B)·WoE_i. Buckets are six 4-hour
+    * day-slots (pure integer arithmetic on the µs epoch — no
+    * transcendental bucketing, no timezone surface); good = purchase
+    * events, bad = everything else, both exact integers from ONE
+    * map-side-combined scan; the IV sum runs over 6 decimal-bridged
+    * terms. Guarded: a bucket with zero goods or zero bads has
+    * undefined WoE and contributes NULL (standard practice is to
+    * re-bin; the readout makes that visible instead of fabricating a
+    * smoothed value).
+    */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val buckets = raw
+      .select(
+        expr(s"pmod((${Tables.tsMicrosSql(raw.schema)}) div 3600000000, 24) div 4")
+          .as("slot"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n"), sum(col("good")).as("goods"))
+      .withColumn("bads", col("n") - col("goods"))
+    val tot = buckets.agg(sum(col("goods")).as("gt"), sum(col("bads")).as("bt"))
+    val woe = buckets.crossJoin(broadcast(tot))
+      .withColumn("woe_raw",
+        when(col("goods") > 0 && col("bads") > 0 && col("gt") > 0 && col("bt") > 0,
+          log((dd(col("goods")) / dd(col("gt"))) / (dd(col("bads")) / dd(col("bt"))))))
+      .withColumn("iv_term",
+        when(col("woe_raw").isNotNull,
+          round((dd(col("goods")) / dd(col("gt")) - dd(col("bads")) / dd(col("bt"))) *
+            col("woe_raw"), 9).cast(b9)))
+    val iv = woe.agg(sum(col("iv_term")).as("iv9"))
+    woe.crossJoin(broadcast(iv))
+      .select(col("slot"), col("n").as("n_events"), col("goods"), col("bads"),
+        round(col("woe_raw"), 6).as("woe"),
+        round(dd(col("iv9")), 6).as("iv_total"))
+  }
+
+  /** FRIEDMAN TEST — the nonparametric repeated-measures ANOVA: do the
+    * k event types differ in typical per-user value once each user is
+    * their own control? Blocks = users observed under ALL k treatments
+    * (complete blocks only, the classical design), the response is the
+    * user×type mean value, ranks are within-block MIDRANKS (average rank
+    * under ties, kept integer-exact by the doubled form 2·rank+cnt−1),
+    * and χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1) with df = k−1.
+    *
+    * Per-block work is a k-row window (k = |event types|, a constant);
+    * the column sums ΣR_j are exact BIGINTs of doubled midranks; the
+    * k-term ΣR_j² bridges through round-9 decimals. The p-value uses the
+    * closed-form even-df chi-square survival e^{−x/2}(1 + x/2) — exact
+    * for df=4, emitted only when the data's k makes that df apply (the
+    * [[ljungBox]] contract: closed forms over special-function
+    * approximations, NULL over a silently wrong formula).
+    */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val cell = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("s"))
+      .withColumn("m", dd(col("s")) / dd(col("n")))
+    val k = cell.agg(countDistinct(col("event_type")).as("k"))
+    val complete = cell
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .crossJoin(broadcast(k))
+      .filter(col("nt") === col("k"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("m"))
+    val wt = Window.partitionBy(col("user_id"), col("m"))
+    val ranked = complete
+      .withColumn("r2", lit(2L) * rank().over(wr) + count(lit(1)).over(wt) - 1L)
+    val colSums = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("sr2"), count(lit(1)).as("b"), max(col("k")).as("k"))
+    val agg = colSums
+      .select(col("b"), col("k"),
+        round((dd(col("sr2")) / 2.0) * (dd(col("sr2")) / 2.0), 9).cast(b9).as("rj2"))
+      .groupBy(col("b"), col("k"))
+      .agg(sum(col("rj2")).as("srj2"))
+    val chi = lit(12.0) / (dd(col("b")) * dd(col("k")) * (dd(col("k")) + 1.0)) *
+      dd(col("srj2")) - lit(3.0) * dd(col("b")) * (dd(col("k")) + 1.0)
+    agg
+      .withColumn("chi2", when(col("b") > 0, chi))
+      .select(col("b").as("n_blocks"), col("k").cast("int").as("k_treatments"),
+        round(col("chi2"), 6).as("chi2"),
+        round(when(col("k") === 5 && col("chi2") >= 0,
+          exp(col("chi2") / lit(-2.0)) * (lit(1.0) + col("chi2") / lit(2.0))), 6)
+          .as("p_value"))
+  }
+
+  /** ONE-WAY INTRACLASS CORRELATION ICC(1) with users as the grouping
+    * factor — "how much of event-value variance is BETWEEN users?", the
+    * repeated-measures reliability number behind cluster-randomized
+    * experiment design (design effect = 1 + (m̄−1)·ICC governs how many
+    * users a cluster-randomized test needs). Unbalanced-design form:
+    * n₀ = (N − Σnᵢ²/N)/(k−1), ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW).
+    *
+    * Same sufficient-statistic discipline as [[anovaF]] but the groups
+    * axis is USERS (unbounded): per-group (n, Σv, Σv², n²) reduce in one
+    * map-side-combined aggregate, per-group double terms bridge through
+    * round-9 DECIMAL(38,9) sums, and the final assembly runs on one row.
+    * Nothing materializes per group after the 24-byte term rows.
+    */
+  def iccOneWay(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val g = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("s"),
+        sum((dec(col("value")) * dec(col("value"))).cast(sq)).as("ss"))
+    val terms = g.select(col("n"), col("s"),
+      (col("n") * col("n")).as("n2"),
+      round(dd(col("s")) * dd(col("s")) / dd(col("n")), 9).cast(b9).as("g2n"),
+      round(dd(col("ss")) - dd(col("s")) * dd(col("s")) / dd(col("n")), 9).cast(b9).as("w"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+      sum(col("n2")).as("sn2"), sum(col("s")).as("s_all"),
+      sum(col("g2n")).as("sum_g2n"), sum(col("w")).as("ssw9"))
+    val ssb = dd(col("sum_g2n")) - dd(col("s_all")) * dd(col("s_all")) / dd(col("nt"))
+    val msb = ssb / (dd(col("k")) - 1.0)
+    val msw = dd(col("ssw9")) / (dd(col("nt")) - dd(col("k")))
+    val n0 = (dd(col("nt")) - dd(col("sn2")) / dd(col("nt"))) / (dd(col("k")) - 1.0)
+    agg.select(col("k").as("k_users"), col("nt").as("n_obs"),
+      round(msb, 6).as("ms_between"), round(msw, 6).as("ms_within"),
+      round(n0, 6).as("n0"),
+      round(when(col("k") > 1 && col("nt") > col("k") &&
+        msb + (n0 - 1.0) * msw > 0,
+        (msb - msw) / (msb + (n0 - 1.0) * msw)), 6).as("icc1"))
+  }
+
+  /** CRONBACH'S ALPHA over the four lineitem amount components
+    * (quantity, extended price, discount, tax) treated as a k=4 item
+    * battery — the internal-consistency coefficient
+    * α = k/(k−1) · (1 − Σ var(itemᵢ) / var(Σ items)). The operator
+    * contract (one pass, exact sufficient statistics for k items plus
+    * their row total) is what a survey/feature-battery reliability job
+    * runs at any width; the item set is fixed so the aggregate stays a
+    * single codegen'd scan.
+    *
+    * All 10 sums are DECIMAL (items are 2-dp money; squares at
+    * DECIMAL(38,4)); each sample variance is one fixed-order double
+    * expression; the 4-term variance total adds left-to-right in the
+    * same literal order in both engines.
+    */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    def dd(c: Column) = c.cast("double")
+    val items = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables(spark, dir, "lineitem")
+      .select(items.map(c => dec(col(c)).as(c)) :+
+        items.map(c => dec(col(c))).reduce(_ + _).cast(DecimalType(16, 2)).as("t"): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        items.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(col(c)).as(s"s$i"),
+            sum((col(c) * col(c)).cast(sq)).as(s"ss$i"))
+        } ++
+        Seq(sum(col("t")).as("st"), sum((col("t") * col("t")).cast(sq)).as("sst"))
+    val a = li.agg(aggs.head, aggs.tail: _*)
+    def sv(s: Column, ss: Column) =
+      (dd(ss) - dd(s) * dd(s) / dd(col("n"))) / (dd(col("n")) - 1.0)
+    val varSum = items.indices.map(i => sv(col(s"s$i"), col(s"ss$i"))).reduce(_ + _)
+    val varTot = sv(col("st"), col("sst"))
+    a.select(col("n").as("n_rows"), lit(4).as("k_items"),
+      round(varSum, 6).as("sum_item_var"),
+      round(varTot, 6).as("total_var"),
+      round(when(varTot > 0,
+        (lit(4.0) / 3.0) * (lit(1.0) - varSum / varTot)), 6).as("alpha"))
+  }
+
+  /** DECISION STUMP by information gain — the one-split feature ranking
+    * every tree/boosting pipeline runs first ("which single feature
+    * tells me most about the label?"): for three candidate categorical
+    * features (event type, 4-hour day-slot, user parity) against the
+    * high-value label (value > 50), gain = H(y) − Σ_v (n_v/N)·H(y|v).
+    *
+    * One scan: the per-feature long relation is a 3-way `stack`
+    * (Expand — a row multiplier INSIDE the pass, the q_profile shape,
+    * never three scans); good/bad counts are exact integers per
+    * (feature, value) cell; conditional-entropy terms round to 9 dp and
+    * sum as DECIMAL(38,9); the winner ranks on the ROUNDED gain (the
+    * hash-compared value, so the cross-engine argmax can't flip on a
+    * last-ulp tie), feature name ascending as tie-break.
+    */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val base = raw.filter(col("value").isNotNull).select(
+      col("event_type"),
+      expr(s"cast(pmod((${Tables.tsMicrosSql(raw.schema)}) div 3600000000, 24) div 4 as string)")
+        .as("slot"),
+      pmod(col("user_id"), lit(2L)).cast("string").as("parity"),
+      when(col("value") > 50.0, 1L).otherwise(0L).as("y"))
+    val long = base.selectExpr(
+      "stack(3, 'event_type', event_type, 'day_slot', slot, 'user_parity', parity) AS (feature, v)",
+      "y")
+    val cells = long.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("g"))
+      .withColumn("b", col("n") - col("g"))
+    // per-cell conditional entropy contribution (n_v/N)·H(y|v), each
+    // class term guarded (0·ln 0 = 0 by omission)
+    val tot = cells.groupBy(col("feature"))
+      .agg(sum(col("n")).as("nt"), sum(col("g")).as("gt"),
+        count(lit(1)).as("n_values"))
+    val terms = cells.join(broadcast(tot), Seq("feature"))
+      .select(col("feature"),
+        round((dd(col("n")) / dd(col("nt"))) *
+          (when(col("g") > 0, (dd(col("g")) / dd(col("n"))) * lit(-1.0) *
+            log(dd(col("g")) / dd(col("n")))).otherwise(lit(0.0)) +
+           when(col("b") > 0, (dd(col("b")) / dd(col("n"))) * lit(-1.0) *
+            log(dd(col("b")) / dd(col("n")))).otherwise(lit(0.0))), 9)
+          .cast(b9).as("t9"))
+      .groupBy(col("feature")).agg(sum(col("t9")).as("hc9"))
+    val h0 = tot.withColumn("bt", col("nt") - col("gt"))
+      .select(col("feature"), col("n_values"), col("nt"),
+        (when(col("gt") > 0, (dd(col("gt")) / dd(col("nt"))) * lit(-1.0) *
+          log(dd(col("gt")) / dd(col("nt")))).otherwise(lit(0.0)) +
+         when(col("bt") > 0, (dd(col("bt")) / dd(col("nt"))) * lit(-1.0) *
+          log(dd(col("bt")) / dd(col("nt")))).otherwise(lit(0.0))).as("h_base"))
+    val gains = h0.join(terms, Seq("feature"))
+      .select(col("feature"), col("n_values"), col("nt").as("n_rows"),
+        round(col("h_base"), 6).as("h_base"),
+        round(dd(col("hc9")), 6).as("h_cond"),
+        round(col("h_base") - dd(col("hc9")), 6).as("info_gain"))
+    val wBest = Window.orderBy(col("info_gain").desc, col("feature").asc)
+    gains.withColumn("rk", row_number().over(wBest))
+      .select(col("feature"), col("n_values"), col("n_rows"),
+        col("h_base"), col("h_cond"), col("info_gain"),
+        (col("rk") === 1).as("is_best"))
+  }
 }

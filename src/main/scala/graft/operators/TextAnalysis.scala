@@ -1574,4 +1574,35 @@ object TextAnalysis {
       .groupBy(col("lang_true"), col("lang").as("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** FEATURE HASHING (the hashing trick, Weinberger et al. 2009 /
+    * Vowpal Wabbit): project bag-of-words onto a fixed `dims`-wide
+    * vector space with NO vocabulary pass — dim = h(token) mod dims,
+    * sign = second hash bit, weight = Σ±1 per occurrence. The
+    * vectorizer a streaming/low-memory featurization pipeline uses when
+    * a vocabulary table is operationally unaffordable; collisions are
+    * unbiased because the sign hash cancels them in expectation.
+    *
+    * Pure per-row projection + one map-side-combined (doc, dim)
+    * aggregate — zero joins, no vocabulary state, the linear-scaling
+    * word-count shape. Hashes are the house md5 arithmetic (first 8 hex
+    * chars → dim, 9th char parity → sign), so the DuckDB oracle
+    * computes the identical vectors; the `doc_id < docLimit` slice
+    * bounds the demo output, not the plan.
+    */
+  def featureHashing(spark: SparkSession, dir: String, dims: Int = 64,
+      docLimit: Int = 200): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .filter(col("doc_id") < docLimit)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+    val h = md5(col("tok").cast("binary"))
+    toks
+      .withColumn("dim",
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dims).cast("int"))
+      .withColumn("sign",
+        when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"), count(lit(1)).as("n_terms"))
+  }
 }

@@ -420,4 +420,85 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranked.head.getString(1) == top._1, "top path mismatch")
     assert(ranked.head.getAs[Long]("n_users") == top._2)
   }
+
+  test("hits: L1-normalized halves, driver replay of the exact decimal fold") {
+    val got = Analytics.hitsEventTypes(TestSpark.spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (h, a) => h >= 0 && a >= 0 })
+    // both score vectors are L1-normalized per half-step (sum ~1 up to
+    // the round-9 sites)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-5, "hub mass")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5, "authority mass")
+    // driver replay of the identical round-9 decimal fold
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val edges = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", org.apache.spark.sql.functions.lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def half(scores: Map[String, Double], bySrc: Boolean): Map[String, Double] = {
+      val raw = edges.groupBy(e => if (bySrc) e._2 else e._1).view.mapValues { es =>
+        es.map { case (s, d, n) =>
+          r9(scores(if (bySrc) s else d) * n.toDouble)
+        }.sum
+      }.toMap
+      val t = raw.values.sum.toDouble
+      nodes.map(n => n -> r9(raw.get(n).map(_.toDouble).getOrElse(0.0) / t).toDouble).toMap
+    }
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    (1 to 8).foreach { _ =>
+      auth = half(hub, bySrc = true)
+      hub = half(auth, bySrc = false)
+    }
+    got.foreach { case (n, (h, a)) =>
+      assert(math.abs(h - hub(n)) < 1e-6, s"hub $n: $h vs ${hub(n)}")
+      assert(math.abs(a - auth(n)) < 1e-6, s"auth $n: $a vs ${auth(n)}")
+    }
+  }
+
+  test("assortativity: |r| <= 1 and matches a driver Pearson over edges") {
+    val r = Analytics.degreeAssortativity(TestSpark.spark, TestSpark.sf0001)
+      .collect().head
+    val li = graft.sources.Tables(TestSpark.spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val dOk = li.groupBy(_._1).view.mapValues(_.length).toMap
+    val dPk = li.groupBy(_._2).view.mapValues(_.length).toMap
+    val xs = li.map(e => dOk(e._1).toDouble)
+    val ys = li.map(e => dPk(e._2).toDouble)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(r.getAs[Long]("n_edges") == li.length)
+    val got = r.getAs[Double]("assortativity")
+    assert(math.abs(got) <= 1.0 + 1e-9)
+    assert(math.abs(got - expect) < 1e-4, s"assortativity: $got vs $expect")
+  }
+
+  test("item cosine: bounded similarities, jaccard <= cosine, counts agree with assoc rules") {
+    val rows = Analytics.itemCosine(TestSpark.spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cos, jac) = (r.getAs[Double]("cosine"), r.getAs[Double]("jaccard"))
+      assert(cos > 0 && cos <= 1.0 + 1e-9, s"cosine out of range: $r")
+      assert(jac > 0 && jac <= cos + 1e-9, s"jaccard must not exceed cosine: $r")
+      val (na, nb, nab) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"))
+      assert(nab <= math.min(na, nb), s"co-count exceeds a marginal: $r")
+    }
+    // the pair relation is the assoc-rules one (same prune thresholds)
+    val ar = Analytics.associationRules(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_ab")).toMap
+    val ic = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_ab")).toMap
+    assert(ic == ar, "pair counts diverge from association rules")
+  }
 }

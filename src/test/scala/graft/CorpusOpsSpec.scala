@@ -526,4 +526,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(c12(key) == r.getLong(2) && c1(key._1) == r.getLong(3), s"counts differ at $key")
     }
   }
+  test("feature hashing: md5 dim/sign replay, collision-free totals preserved") {
+    val rows = TextAnalysis.featureHashing(TestSpark.spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 64, s"dim out of range: $r")
+      assert(math.abs(r.getAs[Long]("weight")) <= r.getAs[Long]("n_terms"),
+        s"|weight| cannot exceed term count: $r")
+    }
+    // driver replay of the identical md5 arithmetic
+    val docs = graft.sources.Tables(TestSpark.spark, sf, "documents")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val expect = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val h = hex(tok)
+        val dim = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 64).toInt
+        val sign = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+        ((id, dim), sign)
+      }
+    }.groupBy(_._1).view.mapValues(ss => (ss.map(_._2).sum, ss.length.toLong)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getInt(1))
+      val (w, n) = expect(k)
+      assert(r.getAs[Long]("weight") == w && r.getAs[Long]("n_terms") == n,
+        s"vector mismatch at $k")
+    }
+    // sum of n_terms equals the total token count of the slice
+    val totalToks = docs.map(_._2.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum
+    assert(rows.map(_.getAs[Long]("n_terms")).sum == totalToks)
+  }
 }

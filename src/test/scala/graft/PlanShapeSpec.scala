@@ -62,7 +62,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_calinski", // |labels| centroid rows × 1-row global centroid / totals
     "q_entropy_rate", // 1-row transition total against the |types|² term grid
     "q_process_edges", // 1-row grand total against the |types|² edge medians
-    "q_quantile_norm") // value-domain-bounded pooled histogram interval lookup
+    "q_quantile_norm", // value-domain-bounded pooled histogram interval lookup
+    "q_mutual_info", // 1-row N + three 1-row entropy/MI sums against the grid
+    "q_woe_iv", // 1-row good/bad totals + 1-row IV against the 6 slot rows
+    "q_friedman") // 1-row treatment count against the per-(user,type) cells
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
