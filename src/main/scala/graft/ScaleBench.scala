@@ -509,7 +509,21 @@ object ScaleBench {
     // stickiness's ×30 presence projection and the process graph's
     // per-edge gap histograms are the event-scan class
     "q_stickiness" -> ((s, d) => Analytics.stickiness(s, d)),
-    "q_process_edges" -> ((s, d) => Analytics.processEdges(s, d)))
+    "q_process_edges" -> ((s, d) => Analytics.processEdges(s, d)),
+    // round-12 second-session batch: durbin/icc/friedman/cronbach/
+    // decision_stump are one-or-two-scan sufficient-statistic verbs;
+    // assortativity adds two |edges|-row degree joins over the distinct
+    // incidence; item_cosine is the assoc_rules pair-join class (the
+    // superlinear-risk one to watch); hits is a scan plus 16 fixed
+    // |types|-sized half-steps
+    "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
+    "q_icc" -> ((s, d) => Stats.iccOneWay(s, d)),
+    "q_friedman" -> ((s, d) => Stats.friedmanTest(s, d)),
+    "q_cronbach" -> ((s, d) => Stats.cronbachAlpha(s, d)),
+    "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
+    "q_assortativity" -> ((s, d) => Analytics.degreeAssortativity(s, d)),
+    "q_item_cosine" -> ((s, d) => Analytics.itemCosine(s, d)),
+    "q_hits" -> ((s, d) => Analytics.hitsEventTypes(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -400,6 +400,7 @@ object SparkEntry {
     "q_stream_kll" -> (Streaming.streamKllQuantiles(_, _)),
     "q_stream_cusum" -> (Streaming.streamCusum(_, _)),
     "q_stream_hll" -> (Streaming.streamHllDistinct(_, _)),
+    "q_stream_topk" -> ((s, d) => Streaming.streamTopK(s, d)),
     "q_stream_join" -> (Streaming.purchasesWithRecentSignup(_, _)),
     "q_stream_join_outer" -> (Streaming.purchasesWithSignupOuter(_, _)),
     "q_stream_join_semi" -> (Streaming.purchasesWithSignupSemi(_, _)),

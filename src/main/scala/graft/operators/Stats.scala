@@ -2061,11 +2061,16 @@ object Stats {
     val b9 = DecimalType(38, 9)
     def dd(c: Column) = c.cast("double")
     val raw = Tables.raw(spark, dir, "events")
+    // the hourly relation feeds THREE consumers (rebase bounds, the OLS
+    // fit, the residual pass) — materialize the |types × hours| rows
+    // once so the corpus pays ONE scan, not three (pagerank's
+    // localCheckpoint precedent; the relation is calendar-bounded)
     val hourly = raw
       .select(col("event_type"),
         expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val base = hourly.groupBy(col("event_type")).agg(min(col("hr")).as("hr0"))
     val xy = hourly.join(broadcast(base), Seq("event_type"))
       .select(col("event_type"), col("hr"),

@@ -1575,13 +1575,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  /** FEATURE HASHING (the hashing trick, Weinberger et al. 2009 /
-    * Vowpal Wabbit): project bag-of-words onto a fixed `dims`-wide
-    * vector space with NO vocabulary pass — dim = h(token) mod dims,
-    * sign = second hash bit, weight = Σ±1 per occurrence. The
-    * vectorizer a streaming/low-memory featurization pipeline uses when
-    * a vocabulary table is operationally unaffordable; collisions are
-    * unbiased because the sign hash cancels them in expectation.
+  /** SIGNED FEATURE HASHING (the full hashing trick, Weinberger et al.
+    * 2009 / Vowpal Wabbit): project bag-of-words onto a fixed
+    * `dims`-wide vector space with NO vocabulary pass — dim = h(token)
+    * mod dims, sign = SECOND hash bit, weight = Σ±1 per occurrence.
+    * Upgrades [[featureHash]]'s unsigned tf bucketing with the sign
+    * hash that is the theorem's actual content: colliding tokens cancel
+    * in expectation (E[collision contribution] = 0), so the hashed
+    * inner product is an unbiased estimate of the true one — unsigned
+    * tf collisions only ever ADD mass and bias similarity upward.
     *
     * Pure per-row projection + one map-side-combined (doc, dim)
     * aggregate — zero joins, no vocabulary state, the linear-scaling

@@ -701,6 +701,102 @@ object Streaming {
     }
   }
 
+  /** Misra–Gries top-k processor for [[streamTopK]]: ≤ k counters per
+    * key in one ValueState map — O(k) state no matter how many distinct
+    * users flow through (the whole point; [[HllProcessor]] bounds
+    * distinct-COUNT state, this bounds WHO-dominates state). The fold
+    * is the classic: hit → +1, room → insert, full → decrement all,
+    * drop zeros. MG output is arrival-order-dependent, so each batch's
+    * rows fold in canonical (ts, event_id) order — the replay is then
+    * bit-deterministic end to end; the ε-guarantee (any user with true
+    * share > n/(k+1) survives; counters undercount by ≤ n/(k+1)) holds
+    * under ANY batch split, which is what StreamingSpec pins.
+    */
+  private class MgProcessor(k: Int)
+    extends StatefulProcessor[String, (String, Long, Long, Long), (String, Long, Long, Long)] {
+    @transient private var st: ValueState[Map[Long, Long]] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Map[Long, Long]]("mg",
+        org.apache.spark.sql.Encoders.kryo[Map[Long, Long]], TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        eventType: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      if (st.exists()) st.get().toSeq.sortBy(_._1).foreach { case (u, c) => m(u) = c }
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      // canonical fold order: micro-batch shuffle order is arbitrary
+      rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+        n += 1
+        val u = r._2
+        if (m.contains(u)) m(u) += 1
+        else if (m.size < k) m(u) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          m.keysIterator.foreach { key =>
+            val c = m(key) - 1
+            if (c == 0) dead += key else m(key) = c
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      st.update(m.toMap)
+      nSeen.update(n)
+      m.iterator.map { case (u, c) => (eventType, u, c, n) }
+    }
+  }
+
+  /** Always-on "who dominates each event type" dashboard — Misra–Gries
+    * heavy-hitter state through `transformWithState`, candidates
+    * refreshed every micro-batch with O(k) memory per key at ANY
+    * distinct-user cardinality (the batch twin is `q_heavy_hitters`'
+    * two-pass exact verb; a streaming monitor can't take the second
+    * pass, so it reports the sketch counters and their deterministic
+    * error bound instead). Rows-only tier: MG counters are
+    * arrival-order-defined (canonically ordered here, so the replay is
+    * deterministic), not SQL-replayable; StreamingSpec pins the exact
+    * per-type totals, the ε-guarantee against an exact batch recount,
+    * and counter-sum conservation.
+    */
+  def streamTopK(spark: SparkSession, dir: String, k: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val replay = replaySession(spark)
+    replay.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = rawSchema(spark, dir)
+    val reader = replay.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n): Unit)
+    val src = reader
+      .parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        expr(Tables.tsMicrosSql(schema)).as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+    val updated = src
+      .groupByKey(_._1)
+      .transformWithState(new MgProcessor(k), TimeMode.None(), OutputMode.Update())
+    // Update-mode sink holds every batch's refresh; the final candidate
+    // set is the one computed from the fullest state — select by the
+    // monotonic per-type total (the streamCusum max_by pattern applied
+    // to a multi-row snapshot: keep rows carrying the max total)
+    val all = runToTable(updated.toDF("event_type", "user_id", "mg_count", "n_events"),
+      OutputMode.Update())
+    // window over the sink table (batches × types × k rows — tiny; a
+    // self-join of the memory-sink view trips a conflicting-reference
+    // resolver bug in Spark 4.1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    all.withColumn("n_latest", max(col("n_events")).over(w))
+      .filter(col("n_events") === col("n_latest"))
+      .select(col("event_type"), col("user_id"), col("mg_count"), col("n_events"))
+  }
+
   /** Always-on distinct-user dashboard per event type — HLL sketch
     * state through `transformWithState`, estimate refreshed every
     * micro-batch. Rows-only tier (sketch estimates are deterministic

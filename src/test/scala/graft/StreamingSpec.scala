@@ -285,4 +285,40 @@ class StreamingSpec extends AnyFunSuite {
       val _ = alarm
     }
   }
+
+  test("streaming top-k: exact totals, Misra-Gries guarantee vs batch recount") {
+    val k = 8
+    val rows = Streaming.streamTopK(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val exact = graft.sources.Tables(spark, sf, "events")
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    // per-type candidate count bounded by k; totals exact
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.length <= k, s"$t: more than $k candidates")
+      rs.foreach { case (_, _, _, n) => assert(n == totals(t), s"$t: total $n") }
+      // MG count bounds: c <= true <= c + floor(n/(k+1))
+      val slack = totals(t) / (k + 1)
+      rs.foreach { case (_, u, c, _) =>
+        val tru = exact((t, u))
+        assert(c <= tru && tru <= c + slack,
+          s"$t/$u: counter $c outside [true-slack, true] for true=$tru slack=$slack")
+      }
+      // the epsilon guarantee: every user above the n/(k+1) threshold
+      // MUST be among the surviving candidates
+      val survivors = rs.map(_._2).toSet
+      exact.filter(_._1._1 == t).foreach { case ((_, u), tru) =>
+        if (tru > slack)
+          assert(survivors.contains(u),
+            s"$t: true heavy hitter $u (count $tru > $slack) evicted")
+      }
+    }
+    // deterministic replay: canonical in-batch fold order makes the
+    // run a pure function of the staged data
+    val again = Streaming.streamTopK(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq, "replay not deterministic")
+  }
 }
