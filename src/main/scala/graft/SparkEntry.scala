@@ -254,6 +254,7 @@ object SparkEntry {
     "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
+    "q_pacf" -> ((s, d) => Stats.pacf(s, d)),
     "q_mutual_info" -> ((s, d) => Stats.mutualInfo(s, d)),
     "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
     "q_friedman" -> ((s, d) => Stats.friedmanTest(s, d)),
@@ -336,6 +337,7 @@ object SparkEntry {
     "q_sql_update" -> (SqlDml.sqlUpdate(_, _)),
     "q_sql_delete" -> (SqlDml.sqlDelete(_, _)),
     "q_sql_delete_files" -> (SqlDml.sqlDeleteFiles(_, _)),
+    "q_sql_clone" -> (SqlDml.sqlClone(_, _)),
     "q_sql_delete_mor" -> (SqlDml.sqlDeleteMor(_, _)),
     "q_sql_update_mor" -> (SqlDml.sqlUpdateMor(_, _)),
     "q_sql_merge_mor" -> (SqlDml.sqlMergeMor(_, _)),
@@ -1951,6 +1953,69 @@ object SparkEntry {
         |  ROUND(CASE WHEN CAST(se2 AS DOUBLE) > 0
         |    THEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) END, 6) AS dw
         |FROM ag""".stripMargin,
+    // PACF: ljung-box's decimal-bridged lag products for rho1..5, the
+    // Durbin-Levinson recursion unrolled expression-for-expression
+    "q_pacf" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS cnt, CAST(SUM(n) AS BIGINT) AS s
+        |  FROM hourly GROUP BY 1),
+        |m2 AS (SELECT event_type, cnt,
+        |    CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS nbar FROM m),
+        |d AS (SELECT h.event_type, hr, cnt, CAST(n AS DOUBLE) - nbar AS d
+        |  FROM hourly h JOIN m2 ON h.event_type = m2.event_type),
+        |lg AS (SELECT event_type, cnt, hr, d,
+        |    LAG(d, 1) OVER w AS d1, LAG(d, 2) OVER w AS d2,
+        |    LAG(d, 3) OVER w AS d3, LAG(d, 4) OVER w AS d4,
+        |    LAG(d, 5) OVER w AS d5
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type, cnt,
+        |    SUM(CAST(ROUND(d * d, 9) AS DECIMAL(38,9))) AS den,
+        |    SUM(CASE WHEN d1 IS NOT NULL THEN CAST(ROUND(d * d1, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num1,
+        |    SUM(CASE WHEN d2 IS NOT NULL THEN CAST(ROUND(d * d2, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num2,
+        |    SUM(CASE WHEN d3 IS NOT NULL THEN CAST(ROUND(d * d3, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num3,
+        |    SUM(CASE WHEN d4 IS NOT NULL THEN CAST(ROUND(d * d4, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num4,
+        |    SUM(CASE WHEN d5 IS NOT NULL THEN CAST(ROUND(d * d5, 9)
+        |      AS DECIMAL(38,9)) ELSE CAST(0 AS DECIMAL(38,9)) END) AS num5
+        |  FROM lg GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt,
+        |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+        |    CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4,
+        |    CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) AS r5
+        |  FROM a WHERE cnt > 5 AND CAST(den AS DOUBLE) > 0),
+        |dl1 AS (SELECT *, r1 AS p11 FROM r),
+        |dl2 AS (SELECT *, 1.0 - p11 * r1 AS q2 FROM dl1),
+        |dl3 AS (SELECT *, CASE WHEN q2 <> 0.0 THEN (r2 - p11 * r1) / q2 END
+        |  AS p22 FROM dl2),
+        |dl4 AS (SELECT *, p11 - p22 * p11 AS p21 FROM dl3),
+        |dl5 AS (SELECT *, 1.0 - (p21 * r1 + p22 * r2) AS q3 FROM dl4),
+        |dl6 AS (SELECT *, CASE WHEN q3 <> 0.0 THEN
+        |    (r3 - (p21 * r2 + p22 * r1)) / q3 END AS p33 FROM dl5),
+        |dl7 AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32
+        |  FROM dl6),
+        |dl8 AS (SELECT *, 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) AS q4 FROM dl7),
+        |dl9 AS (SELECT *, CASE WHEN q4 <> 0.0 THEN
+        |    (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / q4 END AS p44 FROM dl8),
+        |dl10 AS (SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+        |    p33 - p44 * p31 AS p43 FROM dl9),
+        |dl11 AS (SELECT *, 1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)
+        |  AS q5 FROM dl10),
+        |dl12 AS (SELECT *, CASE WHEN q5 <> 0.0 THEN
+        |    (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1)) / q5 END AS p55
+        |  FROM dl11)
+        |SELECT event_type, cnt AS n_hours, lag, pacf FROM (
+        |  SELECT event_type, cnt, 1 AS lag, ROUND(p11, 6) AS pacf FROM dl12
+        |  UNION ALL SELECT event_type, cnt, 2, ROUND(p22, 6) FROM dl12
+        |  UNION ALL SELECT event_type, cnt, 3, ROUND(p33, 6) FROM dl12
+        |  UNION ALL SELECT event_type, cnt, 4, ROUND(p44, 6) FROM dl12
+        |  UNION ALL SELECT event_type, cnt, 5, ROUND(p55, 6) FROM dl12) u""".stripMargin,
     // mutual information: one contingency aggregate; cell/marginal ln
     // terms round-9 decimal-bridged; grid-sized transcendental cost
     "q_mutual_info" ->
@@ -3897,6 +3962,15 @@ object SparkEntry {
     "q_sql_delete_files" ->
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    // zero-copy clone: src stays the full corpus; the clone diverged by
+    // exactly the two inserted rows — both sides recomputed logically
+    "q_sql_clone" ->
+      """WITH b AS (SELECT doc_id FROM documents)
+        |SELECT 'src' AS side, COUNT(*) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM b
+        |UNION ALL
+        |SELECT 'clone', COUNT(*) + 2,
+        |  CAST(SUM(doc_id) + 1800003 AS BIGINT) FROM b""".stripMargin,
     // INSERT OVERWRITE resets to the %4=0 slice; INSERT INTO appends the
     // shifted %4=1 slice — final state recomputed logically
     "q_sql_insert" ->

@@ -419,6 +419,36 @@ object SqlDml {
          |FROM graft_vt.$name""".stripMargin)
   }
 
+  /** ZERO-COPY CLONE through the procedure surface (Delta's SHALLOW
+    * CLONE verb): `CALL graft_vt.clone(src, dst)` hard-links every data
+    * file of the source's head snapshot into an independent table —
+    * zero data bytes copied, cost ∝ file count — then the two tables
+    * diverge: the INSERT lands only in the clone, and the closing
+    * readout pins both sides' row counts and id sums. Idempotent per
+    * JVM (the clone and its divergence apply once); CloneSpec pins the
+    * inode identity, the independence in both directions, and that
+    * vacuuming the source cannot strand the clone (links are
+    * refcounted).
+    */
+  def sqlClone(spark: SparkSession, dir: String): DataFrame = {
+    val srcName = "dml_clone_src"
+    val dstName = "dml_clone_dst"
+    ensureDocsTable(spark, dir, srcName)
+    if (GraftVtCatalog.rootOf(dstName).isEmpty)
+      spark.sql(s"CALL graft_vt.clone('$srcName', '$dstName')").collect(): Unit
+    if (spark.table(s"graft_vt.$dstName")
+        .filter(col("doc_id") === 900001L).isEmpty)
+      spark.sql(
+        s"""INSERT INTO graft_vt.$dstName VALUES
+           |  (900001, 'cloned extra one', 'clone'),
+           |  (900002, 'cloned extra two', 'clone')""".stripMargin): Unit
+    spark.sql(
+      s"""SELECT 'src' AS side, COUNT(*) AS n_rows, SUM(doc_id) AS id_sum
+         |FROM graft_vt.$srcName
+         |UNION ALL
+         |SELECT 'clone', COUNT(*), SUM(doc_id) FROM graft_vt.$dstName""".stripMargin)
+  }
+
   /** SCHEMA EVOLUTION through the parser: `ALTER TABLE … ADD COLUMNS`
     * is metadata-only (no file rewritten; pre-evolution files read the
     * new column as NULL), and the follow-up UPDATE populates it through

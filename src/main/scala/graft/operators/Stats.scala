@@ -2380,4 +2380,82 @@ object Stats {
         col("h_base"), col("h_cond"), col("info_gain"),
         (col("rk") === 1).as("is_best"))
   }
+
+  /** PARTIAL AUTOCORRELATION (lags 1–5) of the hourly count series per
+    * event type, via the Durbin–Levinson recursion — the AR-order
+    * diagnostic that completes the time-series tier (ACF lives in
+    * [[ljungBox]], trend-residual correlation in [[durbinWatson]]; PACF
+    * is what tells you WHICH AR(p) to fit: it cuts off after the true
+    * order). φ_{k,k} comes from the classic recursion
+    * φ_{k,k} = (ρ_k − Σφ_{k−1,j}ρ_{k−j}) / (1 − Σφ_{k−1,j}ρ_j),
+    * φ_{k,j} = φ_{k−1,j} − φ_{k,k}φ_{k−1,k−j}, unrolled to scalar
+    * expressions (5 lags = 14 φ terms) evaluated on ONE row per type.
+    *
+    * The data-side work is [[ljungBox]]'s shape verbatim: demeaned lag
+    * products over the CALENDAR-BOUNDED hourly axis, round-9
+    * DECIMAL(38,9) sums, so ρ₁..ρ₅ are identical doubles on both
+    * engines — and the recursion, mirrored expression-for-expression,
+    * then compounds identically. Innovation-variance denominators are
+    * guarded ≠ 0 (ANSI): a perfectly predicted series emits NULL
+    * rather than a fabricated coefficient.
+    */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val m = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"))
+      .select(col("event_type"), col("cnt"),
+        (dd(col("s")) / dd(col("cnt"))).as("nbar"))
+    val d = hourly.join(broadcast(m), Seq("event_type"))
+      .withColumn("d", dd(col("n")) - col("nbar"))
+    val lagged = (1 to 5).foldLeft(d) { (df, k) =>
+      df.withColumn(s"d$k", lag(col("d"), k).over(w))
+    }
+    val aggCols = sum(round(col("d") * col("d"), 9).cast(b9)).as("den") +:
+      (1 to 5).map(k => sum(when(col(s"d$k").isNotNull,
+        round(col("d") * col(s"d$k"), 9).cast(b9))
+        .otherwise(lit(0).cast(b9))).as(s"num$k"))
+    val agg = lagged.groupBy(col("event_type"), col("cnt"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(col("cnt") > 5 && dd(col("den")) > 0)
+    val withRho = (1 to 5).foldLeft(agg) { (df, k) =>
+      df.withColumn(s"r$k", dd(col(s"num$k")) / dd(col("den")))
+    }
+    // Durbin–Levinson, unrolled; every Σ written in ascending-j order
+    // so both engines build the identical expression tree
+    val dl = withRho
+      .withColumn("p11", col("r1"))
+      .withColumn("q2", lit(1.0) - col("p11") * col("r1"))
+      .withColumn("p22", when(col("q2") =!= 0.0,
+        (col("r2") - col("p11") * col("r1")) / col("q2")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("q3", lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2")))
+      .withColumn("p33", when(col("q3") =!= 0.0,
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) / col("q3")))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("q4", lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2")
+        + col("p33") * col("r3")))
+      .withColumn("p44", when(col("q4") =!= 0.0,
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2")
+          + col("p33") * col("r1"))) / col("q4")))
+      .withColumn("p41", col("p31") - col("p44") * col("p33"))
+      .withColumn("p42", col("p32") - col("p44") * col("p32"))
+      .withColumn("p43", col("p33") - col("p44") * col("p31"))
+      .withColumn("q5", lit(1.0) - (col("p41") * col("r1") + col("p42") * col("r2")
+        + col("p43") * col("r3") + col("p44") * col("r4")))
+      .withColumn("p55", when(col("q5") =!= 0.0,
+        (col("r5") - (col("p41") * col("r4") + col("p42") * col("r3")
+          + col("p43") * col("r2") + col("p44") * col("r1"))) / col("q5")))
+    dl.selectExpr("event_type", "cnt AS n_hours",
+      "stack(5, 1, round(p11, 6), 2, round(p22, 6), 3, round(p33, 6), " +
+        "4, round(p44, 6), 5, round(p55, 6)) AS (lag, pacf)")
+  }
 }

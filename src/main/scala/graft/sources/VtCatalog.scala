@@ -94,13 +94,14 @@ class GraftVtCatalog extends TableCatalog
       case "rebucket" => GraftVtProcedures.rebucketProc
       case "evolve_partition" => GraftVtProcedures.evolvePartitionProc
       case "cherrypick" => GraftVtProcedures.cherrypickProc
+      case "clone" => GraftVtProcedures.cloneProc
       case other => throw new UnsupportedOperationException(s"no such procedure: $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("vacuum", "optimize", "expire_versions",
       "create_branch", "fast_forward", "drop_branch", "rollback", "rebucket",
-      "evolve_partition", "cherrypick")
+      "evolve_partition", "cherrypick", "clone")
       .map(Identifier.of(Array.empty[String], _))
 
   /** FunctionCatalog face: `bucket` is the one function the catalog
@@ -1164,6 +1165,83 @@ object GraftVtProcedures {
         StructField("added_groups", IntegerType, nullable = false),
         StructField("new_version", IntegerType, nullable = false))),
         Array[Any](v, added.size, newV))
+    })
+
+  /** `CALL graft_vt.clone(src, dst)` — ZERO-COPY clone of the source's
+    * current snapshot as a new, fully independent table (Delta's
+    * `CREATE TABLE … SHALLOW CLONE` verb): the destination gets its own
+    * root, manifest history starting at v1, and copies of the tiny
+    * per-table metadata (cluster column, column mapping, zone-map
+    * sidecar), while every DATA file is HARD-LINKED — same inodes, zero
+    * data bytes moved, cost ∝ number of files. Future commits on
+    * either side are invisible to the other, and because links are
+    * reference-counted by the filesystem, a `vacuum` on the source
+    * that unlinks a shared group leaves the clone's copy intact — the
+    * lifecycle hazard Delta shallow clones document away is structural
+    * here. (At object-store scale the same design reads as
+    * manifest-level absolute-path references; links are the
+    * single-filesystem expression of it.) MOR sources are refused:
+    * their tombstone sidecars carry cross-version sequence state a
+    * fresh v1 history can't preserve — compact first, then clone.
+    */
+  val cloneProc: procedures.UnboundProcedure = simpleProc(
+    "clone", "zero-copy snapshot clone as a new independent table",
+    Array(param("src", StringType), param("dst", StringType)),
+    { input =>
+      val src = input.getUTF8String(0).toString
+      val dst = input.getUTF8String(1).toString
+      require(!GraftVtCatalog.registry.contains(dst),
+        s"graft_vt.$dst already exists")
+      require(!GraftVtCatalog.morKeys.contains(src),
+        s"graft_vt.$src is merge-on-read; CALL graft_vt.optimize first — " +
+          "tombstone sidecars carry sequence state a fresh history can't keep")
+      val (root, schema) = GraftVtCatalog.registry.getOrElse(src,
+        throw new IllegalArgumentException(s"unknown graft_vt table: $src"))
+      val head = GraftVtTable.latestVersion(root)
+      val groups = VersionedTable.manifest(root, head)
+      val dstRoot = new java.io.File(new java.io.File(root).getParentFile,
+        s"vtclone_$dst").getAbsolutePath
+      // an unregistered leftover from a dead JVM is safe to reap
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(dstRoot))
+      var nFiles = 0
+      groups.foreach { g =>
+        val from = java.nio.file.Paths.get(s"$root/$g")
+        val to = java.nio.file.Paths.get(s"$dstRoot/$g")
+        java.nio.file.Files.walk(from).forEach { p =>
+          val rel = from.relativize(p)
+          val target = to.resolve(rel)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(target): Unit
+          else {
+            java.nio.file.Files.createDirectories(target.getParent)
+            java.nio.file.Files.createLink(target, p)
+            nFiles += 1
+          }
+        }
+      }
+      VersionedTable.writeManifest(dstRoot, 1, groups)
+      GraftVtCatalog.clusterCols.get(src).foreach { c =>
+        val sc = java.nio.file.Paths.get(s"$root/_zonemap_v${head}_$c.json")
+        if (java.nio.file.Files.exists(sc))
+          java.nio.file.Files.copy(sc,
+            java.nio.file.Paths.get(s"$dstRoot/_zonemap_v1_$c.json")): Unit
+        GraftVtCatalog.clusterCols.put(dst, c): Unit
+      }
+      GraftVtCatalog.colMaps.get(src)
+        .foreach(m => GraftVtCatalog.colMaps.put(dst, m): Unit)
+      GraftVtCatalog.bucketSpecs.get(src)
+        .foreach(b => GraftVtCatalog.bucketSpecs.put(dst, b): Unit)
+      GraftVtCatalog.checks.get(src)
+        .foreach(c => GraftVtCatalog.checks.put(dst, c): Unit)
+      GraftVtCatalog.registry.put(dst, (dstRoot, schema)): Unit
+      (StructType(Seq(StructField("cloned_version", IntegerType, nullable = false),
+        StructField("groups", IntegerType, nullable = false),
+        StructField("files_linked", IntegerType, nullable = false),
+        StructField("data_bytes_copied", IntegerType, nullable = false))),
+        Array[Any](head, groups.size, nFiles, 0))
     })
 }
 

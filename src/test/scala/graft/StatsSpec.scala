@@ -992,6 +992,43 @@ class StatsSpec extends AnyFunSuite {
     assert(icc <= 1.0 + 1e-9 && icc >= -1.0, s"ICC out of range: $r")
   }
 
+  test("pacf: lag-1 equals acf lag-1, driver Durbin-Levinson replay agrees") {
+    val rows = Stats.pacf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> r.getAs[Double]("pacf")).toMap
+    assert(rows.size == 25, s"expected 5 types x 5 lags, got ${rows.size}")
+    // driver recompute: hourly series -> demeaned acf -> DL recursion
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val hourly = raw.select(col("event_type"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, rs) =>
+      val series = rs.sortBy(_._2).map(_._3.toDouble)
+      val mean = series.sum / series.length
+      val d = series.map(_ - mean)
+      val den = d.map(v => v * v).sum
+      def acf(k: Int) = d.drop(k).zip(d.dropRight(k)).map { case (a, b) => a * b }.sum / den
+      val r5 = (1 to 5).map(acf)
+      // Durbin-Levinson
+      var phi = Array(r5(0))
+      val pacfs = scala.collection.mutable.ArrayBuffer(r5(0))
+      (2 to 5).foreach { k =>
+        val num = r5(k - 1) - (1 until k).map(j => phi(j - 1) * r5(k - 1 - j)).sum
+        val q = 1.0 - (1 until k).map(j => phi(j - 1) * r5(j - 1)).sum
+        val pkk = num / q
+        phi = ((1 until k).map(j => phi(j - 1) - pkk * phi(k - 1 - j)) :+ pkk).toArray
+        pacfs += pkk
+      }
+      (1 to 5).foreach { k =>
+        val got = rows((t, k))
+        assert(math.abs(got - pacfs(k - 1)) < 1e-4,
+          s"$t lag $k: $got vs ${pacfs(k - 1)}")
+      }
+      // lag-1 identity: pacf(1) == acf(1)
+      assert(math.abs(rows((t, 1)) - acf(1)) < 1e-4)
+    }
+  }
+
   test("decision stump: gains nonneg, bounded by base entropy, argmax flagged") {
     val rows = Stats.decisionStump(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
