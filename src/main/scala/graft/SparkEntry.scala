@@ -255,6 +255,7 @@ object SparkEntry {
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
     "q_pacf" -> ((s, d) => Stats.pacf(s, d)),
+    "q_fisher_exact" -> ((s, d) => Stats.fisherExact(s, d)),
     "q_mutual_info" -> ((s, d) => Stats.mutualInfo(s, d)),
     "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
     "q_friedman" -> ((s, d) => Stats.friedmanTest(s, d)),
@@ -2016,6 +2017,52 @@ object SparkEntry {
         |  UNION ALL SELECT event_type, cnt, 3, ROUND(p33, 6) FROM dl12
         |  UNION ALL SELECT event_type, cnt, 4, ROUND(p44, 6) FROM dl12
         |  UNION ALL SELECT event_type, cnt, 5, ROUND(p55, 6) FROM dl12) u""".stripMargin,
+    // Fisher exact: decimal ln-factorial prefix table, chain-of-decimal
+    // lnP, relative-tolerance extreme set, round-15 decimal mass sum
+    "q_fisher_exact" ->
+      """WITH idx AS (SELECT ROW_NUMBER() OVER () AS i FROM documents),
+        |f AS MATERIALIZED (SELECT i,
+        |    SUM(CAST(ROUND(ln(CAST(i AS DOUBLE)), 9) AS DECIMAL(38,9)))
+        |      OVER (ORDER BY i) AS lf
+        |  FROM idx),
+        |m AS (SELECT COUNT(*) AS nn,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS aa
+        |  FROM documents),
+        |m2 AS (SELECT *, GREATEST(0, kk + n1 - nn) AS tmin,
+        |    LEAST(kk, n1) AS tmax FROM m),
+        |pos AS (SELECT SUM(COALESCE(lf, CAST(0 AS DECIMAL(38,9)))) AS pos9
+        |  FROM (SELECT unnest([kk, nn - kk, n1, nn - n1]) AS i FROM m2) x
+        |  LEFT JOIN f USING (i)),
+        |neg AS (SELECT lf AS neg9 FROM f JOIN m2 ON f.i = m2.nn),
+        |ob AS (SELECT SUM(COALESCE(lf, CAST(0 AS DECIMAL(38,9)))) AS obs9
+        |  FROM (SELECT unnest([aa, kk - aa, n1 - aa, nn - kk - n1 + aa]) AS i
+        |    FROM m2) x
+        |  LEFT JOIN f USING (i)),
+        |ts AS (SELECT i AS t FROM f CROSS JOIN m2
+        |    WHERE i >= tmin AND i <= tmax
+        |  UNION ALL SELECT 0 FROM m2 WHERE tmin = 0),
+        |ta AS (SELECT t, unnest([t, kk - t, n1 - t, nn - kk - n1 + t]) AS i
+        |  FROM ts CROSS JOIN m2),
+        |ld AS (SELECT t, SUM(COALESCE(lf, CAST(0 AS DECIMAL(38,9)))) AS lden9
+        |  FROM ta LEFT JOIN f USING (i) GROUP BY t),
+        |pt AS (SELECT t,
+        |    exp(CAST((pos9 - neg9) - lden9 AS DOUBLE)) AS p,
+        |    exp(CAST((pos9 - neg9) - obs9 AS DOUBLE)) AS p_obs
+        |  FROM ld CROSS JOIN pos CROSS JOIN neg CROSS JOIN ob),
+        |ps AS (SELECT SUM(CASE WHEN p <= p_obs * 1.0000001 THEN
+        |    CAST(ROUND(p, 15) AS DECIMAL(38,15)) END) AS p2,
+        |    COUNT(*) AS n_terms FROM pt)
+        |SELECT nn AS n_docs, kk AS n_en, n1 AS n_src0, aa AS a_obs,
+        |  ROUND(CASE WHEN (kk - aa) * (n1 - aa) > 0 THEN
+        |    CAST(aa AS DOUBLE) * CAST(nn - kk - n1 + aa AS DOUBLE)
+        |    / (CAST(kk - aa AS DOUBLE) * CAST(n1 - aa AS DOUBLE)) END, 6)
+        |    AS odds_ratio,
+        |  n_terms,
+        |  ROUND(LEAST(CAST(p2 AS DOUBLE), 1.0), 6) AS p_two_sided
+        |FROM m2 CROSS JOIN ps""".stripMargin,
     // mutual information: one contingency aggregate; cell/marginal ln
     // terms round-9 decimal-bridged; grid-sized transcendental cost
     "q_mutual_info" ->

@@ -2458,4 +2458,93 @@ object Stats {
       "stack(5, 1, round(p11, 6), 2, round(p22, 6), 3, round(p33, 6), " +
         "4, round(p44, 6), 5, round(p55, 6)) AS (lag, pacf)")
   }
+
+  /** FISHER'S EXACT TEST on the lang='en' × source='src0' 2×2 table —
+    * the small-margin independence test chi-square approximations get
+    * wrong (and the one usually written off as "not doable exactly in
+    * SQL"). Two-sided p = Σ over all tables t with P(t) ≤ P(observed)
+    * of the hypergeometric mass, computed EXACTLY the same on both
+    * engines:
+    *
+    *  - ln-factorial prefix table F(i) = Σ_{j≤i} round9(ln j) as a
+    *    DECIMAL(38,9) cumulative sum — order-independent, so Spark
+    *    builds it TWO-PHASE (4096-slice sums + broadcast bases + local
+    *    running sums; no global-order window over the corpus-sized
+    *    relation) while the oracle uses a plain window cumsum, and the
+    *    values are identical by construction;
+    *  - every ln P(t) is a chain of DECIMAL subtractions of F-sums
+    *    (one double conversion at the exp), so the extreme-set
+    *    membership test `p ≤ p_obs·1.0000001` (R's fisher.test relative
+    *    tolerance) selects the same t on both engines;
+    *  - the final mass sums round-15 decimals.
+    *
+    * Scale shape: F is O(N) rows built without a global sort; the term
+    * range is min(row, column) margin — each term is one 4-arg lookup
+    * join against F. Everything else is 1-row broadcasts.
+    */
+  def fisherExact(spark: SparkSession, dir: String, slice: Int = 4096): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    val p15 = DecimalType(38, 15)
+    def dd(c: Column) = c.cast("double")
+    def dz = lit(0).cast(b9)
+    val docs = Tables(spark, dir, "documents")
+    val m = docs.agg(
+      count(lit(1)).as("nn"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("kk"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("lang") === "en" && col("source") === "src0", 1L)
+        .otherwise(0L)).as("aa"))
+      .withColumn("tmin", greatest(lit(0L), col("kk") + col("n1") - col("nn")))
+      .withColumn("tmax", least(col("kk"), col("n1")))
+    val nN = docs.count()
+    val terms = spark.range(1, nN + 1)
+      .select(col("id").as("i"), ((col("id") - 1) / slice).as("s"),
+        round(log(dd(col("id"))), 9).cast(b9).as("l"))
+    val bases = terms.groupBy(col("s")).agg(sum(col("l")).as("ls"))
+      .withColumn("base", coalesce(sum(col("ls")).over(
+        Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)), dz))
+      .select(col("s"), col("base"))
+    val fTab = terms
+      .withColumn("run", sum(col("l")).over(
+        Window.partitionBy(col("s")).orderBy(col("i"))))
+      .join(broadcast(bases), Seq("s"))
+      .select(col("i"), (col("base") + col("run")).as("lf"))
+      .localCheckpoint()
+    val pos = m.select(explode(array(col("kk"), col("nn") - col("kk"),
+        col("n1"), col("nn") - col("n1"))).as("i"))
+      .join(fTab, Seq("i"), "left")
+      .agg(sum(coalesce(col("lf"), dz)).as("pos9"))
+    val neg = m.select(col("nn").as("i")).join(fTab, Seq("i"))
+      .agg(sum(col("lf")).as("neg9"))
+    val obs = m.select(explode(array(col("aa"), col("kk") - col("aa"),
+        col("n1") - col("aa"), col("nn") - col("kk") - col("n1") + col("aa"))).as("i"))
+      .join(fTab, Seq("i"), "left")
+      .agg(sum(coalesce(col("lf"), dz)).as("obs9"))
+    val ts = fTab.select(col("i").as("t"))
+      .crossJoin(broadcast(m.select(col("tmin"), col("tmax"))))
+      .filter(col("t") >= col("tmin") && col("t") <= col("tmax"))
+      .select(col("t"))
+      .unionByName(m.filter(col("tmin") === 0L).select(lit(0L).as("t")))
+    val lden = ts.crossJoin(broadcast(m.select(col("kk"), col("n1"), col("nn"))))
+      .select(col("t"), explode(array(col("t"), col("kk") - col("t"),
+        col("n1") - col("t"), col("nn") - col("kk") - col("n1") + col("t"))).as("i"))
+      .join(fTab, Seq("i"), "left")
+      .groupBy(col("t")).agg(sum(coalesce(col("lf"), dz)).as("lden9"))
+    val ps = lden.crossJoin(broadcast(pos)).crossJoin(broadcast(neg))
+      .crossJoin(broadcast(obs))
+      .withColumn("p", exp(dd((col("pos9") - col("neg9")) - col("lden9"))))
+      .withColumn("p_obs", exp(dd((col("pos9") - col("neg9")) - col("obs9"))))
+      .agg(sum(when(col("p") <= col("p_obs") * lit(1.0000001),
+        round(col("p"), 15).cast(p15))).as("p2"),
+        count(lit(1)).as("n_terms"))
+    m.crossJoin(broadcast(ps))
+      .select(col("nn").as("n_docs"), col("kk").as("n_en"),
+        col("n1").as("n_src0"), col("aa").as("a_obs"),
+        round(when((col("kk") - col("aa")) * (col("n1") - col("aa")) > 0,
+          dd(col("aa")) * dd(col("nn") - col("kk") - col("n1") + col("aa")) /
+            (dd(col("kk") - col("aa")) * dd(col("n1") - col("aa")))), 6)
+          .as("odds_ratio"),
+        col("n_terms"),
+        round(least(dd(col("p2")), lit(1.0)), 6).as("p_two_sided"))
+  }
 }

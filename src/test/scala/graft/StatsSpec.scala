@@ -1029,6 +1029,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("fisher exact: matches an independent lgamma hypergeometric recompute") {
+    val r = Stats.fisherExact(spark, sf).collect().head
+    val (nN, kK, n1, a) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_en"),
+      r.getAs[Long]("n_src0"), r.getAs[Long]("a_obs"))
+    // independent path: lgamma-based hypergeometric masses (the verb
+    // itself uses a decimal ln-factorial prefix sum — different route,
+    // same numbers)
+    def lnC(n: Long, k: Long): Double =
+      org.apache.commons.math3.special.Gamma.logGamma(n + 1.0) -
+        org.apache.commons.math3.special.Gamma.logGamma(k + 1.0) -
+        org.apache.commons.math3.special.Gamma.logGamma(n - k + 1.0)
+    def mass(t: Long): Double =
+      math.exp(lnC(kK, t) + lnC(nN - kK, n1 - t) - lnC(nN, n1))
+    val tmin = math.max(0L, kK + n1 - nN)
+    val tmax = math.min(kK, n1)
+    val pObs = mass(a)
+    val pExpect = (tmin to tmax).map(mass).filter(_ <= pObs * 1.0000001).sum
+    val p = r.getAs[Double]("p_two_sided")
+    assert(p >= 0.0 && p <= 1.0)
+    assert(p >= math.min(pObs, 1.0) - 1e-9, "two-sided p must include P(obs)")
+    assert(math.abs(p - pExpect) < 1e-5, s"p recompute: $p vs $pExpect")
+    assert(r.getAs[Long]("n_terms") == tmax - tmin + 1)
+  }
+
   test("decision stump: gains nonneg, bounded by base entropy, argmax flagged") {
     val rows = Stats.decisionStump(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
