@@ -256,6 +256,10 @@ object SparkEntry {
     "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
     "q_pacf" -> ((s, d) => Stats.pacf(s, d)),
     "q_fisher_exact" -> ((s, d) => Stats.fisherExact(s, d)),
+    "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
+    "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
+    "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
+    "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "q_mutual_info" -> ((s, d) => Stats.mutualInfo(s, d)),
     "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
     "q_friedman" -> ((s, d) => Stats.friedmanTest(s, d)),
@@ -2063,6 +2067,138 @@ object SparkEntry {
         |  n_terms,
         |  ROUND(LEAST(CAST(p2 AS DOUBLE), 1.0), 6) AS p_two_sided
         |FROM m2 CROSS JOIN ps""".stripMargin,
+    // Bartlett: exact integer-cents sufficient stats, round-9 decimal
+    // ln-variance terms, closed-form df=4 survival
+    "q_bartlett" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |    FROM events WHERE value IS NOT NULL) x
+        |  GROUP BY 1 HAVING COUNT(*) > 1),
+        |t AS (SELECT n,
+        |    CAST(ROUND(1.0 / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(38,9)) AS inv9,
+        |    CAST(ROUND((CAST(n AS DOUBLE) - 1.0) *
+        |      ln((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 9)
+        |      AS DECIMAL(38,9)) AS nls9,
+        |    CAST(ROUND(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)) AS w9
+        |  FROM g),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+        |    SUM(inv9) AS sinv, SUM(nls9) AS snls, SUM(w9) AS ssw FROM t),
+        |e AS (SELECT k, nt,
+        |    CASE WHEN k > 1 AND nt > k THEN
+        |      ((CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)) *
+        |        ln(CAST(ssw AS DOUBLE) / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))
+        |        - CAST(snls AS DOUBLE))
+        |      / (1.0 + (CAST(sinv AS DOUBLE)
+        |          - 1.0 / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))
+        |        / (3.0 * (CAST(k AS DOUBLE) - 1.0))) END AS chi2
+        |  FROM a)
+        |SELECT CAST(k AS INTEGER) AS k_groups, nt AS n_total,
+        |  ROUND(chi2, 6) AS bartlett_chi2,
+        |  ROUND(CASE WHEN k = 5 AND chi2 >= 0 THEN
+        |    exp(chi2 / -2.0) * (1.0 + chi2 / 2.0) END, 6) AS p_value
+        |FROM e""".stripMargin,
+    // Mood's median: grand lower median from the cents histogram, k x 2
+    // exact cells, round-9 decimal (O-E)^2/E terms
+    "q_mood_median" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT c, COUNT(*) AS f FROM ev GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM ev),
+        |med AS (SELECT MIN(c) AS med FROM (
+        |  SELECT c, SUM(f) OVER (ORDER BY c) AS cum FROM hist) h CROSS JOIN tot
+        |  WHERE cum >= (n + 1) // 2),
+        |cells AS (SELECT event_type, COUNT(*) AS ni,
+        |    CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT) AS ai
+        |  FROM ev CROSS JOIN med GROUP BY 1),
+        |marg AS (SELECT CAST(SUM(ni) AS BIGINT) AS nt,
+        |    CAST(SUM(ai) AS BIGINT) AS at, COUNT(*) AS k FROM cells),
+        |t AS (SELECT k, nt, CAST(ROUND(
+        |    CASE WHEN CAST(ni AS DOUBLE) * CAST(at AS DOUBLE) / CAST(nt AS DOUBLE) > 0
+        |      THEN (CAST(ai AS DOUBLE) - CAST(ni AS DOUBLE) * CAST(at AS DOUBLE)
+        |          / CAST(nt AS DOUBLE))
+        |        * (CAST(ai AS DOUBLE) - CAST(ni AS DOUBLE) * CAST(at AS DOUBLE)
+        |          / CAST(nt AS DOUBLE))
+        |        / (CAST(ni AS DOUBLE) * CAST(at AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      ELSE 0.0 END
+        |    + CASE WHEN CAST(ni AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE))
+        |        / CAST(nt AS DOUBLE) > 0
+        |      THEN (CAST(ni - ai AS DOUBLE) - CAST(ni AS DOUBLE)
+        |          * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE)) / CAST(nt AS DOUBLE))
+        |        * (CAST(ni - ai AS DOUBLE) - CAST(ni AS DOUBLE)
+        |          * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE)) / CAST(nt AS DOUBLE))
+        |        / (CAST(ni AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE))
+        |          / CAST(nt AS DOUBLE))
+        |      ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS t9
+        |  FROM cells CROSS JOIN marg)
+        |SELECT CAST(k AS INTEGER) AS k_groups, nt AS n_total,
+        |  ROUND(CAST(SUM(t9) AS DOUBLE), 6) AS mood_chi2,
+        |  ROUND(CASE WHEN k = 5 AND CAST(SUM(t9) AS DOUBLE) >= 0 THEN
+        |    exp(CAST(SUM(t9) AS DOUBLE) / -2.0)
+        |      * (1.0 + CAST(SUM(t9) AS DOUBLE) / 2.0) END, 6) AS p_value
+        |FROM t GROUP BY k, nt""".stripMargin,
+    // runs test: per-type hourly median drop-ties signs, lag-window run
+    // count, exact-integer run moments
+    "q_runs_test" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, n, COUNT(*) AS f FROM hourly GROUP BY 1, 2),
+        |tot AS (SELECT event_type, COUNT(*) AS cnt FROM hourly GROUP BY 1),
+        |med AS (SELECT h.event_type, MIN(n) AS med FROM (
+        |    SELECT event_type, n, SUM(f) OVER (PARTITION BY event_type
+        |      ORDER BY n) AS cum FROM hist) h
+        |  JOIN tot ON h.event_type = tot.event_type
+        |  WHERE cum >= (cnt + 1) // 2 GROUP BY 1),
+        |signs AS (SELECT h.event_type, hr, h.n > med AS hi
+        |  FROM hourly h JOIN med ON h.event_type = med.event_type
+        |  WHERE h.n <> med),
+        |lg AS (SELECT event_type, hi,
+        |    LAG(hi) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+        |  FROM signs),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM lg GROUP BY 1 HAVING SUM(CASE WHEN hi THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) > 0)
+        |SELECT event_type, n1, n2, runs,
+        |  ROUND(CASE WHEN 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) > 0 THEN
+        |    (CAST(runs AS DOUBLE)
+        |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+        |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) END, 6) AS z
+        |FROM a""".stripMargin,
+    // fertility: exact integer char/byte/token sums, mirrored ratios
+    "q_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+        |    AS chars_per_token,
+        |  ROUND(CAST(SUM(nb) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+        |    AS bytes_per_token,
+        |  ROUND(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS tokens_per_doc
+        |FROM d GROUP BY lang""".stripMargin,
     // mutual information: one contingency aggregate; cell/marginal ln
     // terms round-9 decimal-bridged; grid-sized transcendental cost
     "q_mutual_info" ->

@@ -2459,6 +2459,145 @@ object Stats {
         "4, round(p44, 6), 5, round(p55, 6)) AS (lag, pacf)")
   }
 
+  /** BARTLETT'S TEST for variance homogeneity across event types — the
+    * likelihood-ratio companion to [[brownForsythe]] (Bartlett is the
+    * more powerful test under normality; Brown–Forsythe the robust
+    * one — a variance pipeline reports both). Statistic
+    * χ² = [(N−k)·ln S²_p − Σ(nᵢ−1)·ln S²ᵢ] / C with the standard
+    * Bartlett correction C; scale-invariance of the ln differences
+    * makes the integer-cents domain exact. Per-group sufficient stats
+    * (n, Σc, Σc²) are exact BIGINTs from one scan; the k ln/1-over
+    * terms bridge through round-9 decimals; df = k−1 = 4 takes the
+    * closed-form even-df survival.
+    */
+  def bartlett(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val g = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("n") > 1)
+    val terms = g.select(
+      col("n"),
+      round((lit(1.0)) / (dd(col("n")) - 1.0), 9).cast(b9).as("inv9"),
+      round((dd(col("n")) - 1.0) *
+        log((dd(col("ss")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          (dd(col("n")) - 1.0)), 9).cast(b9).as("nls9"),
+      round(dd(col("ss")) - dd(col("s")) * dd(col("s")) / dd(col("n")), 9)
+        .cast(b9).as("w9"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+      sum(col("inv9")).as("sinv"), sum(col("nls9")).as("snls"),
+      sum(col("w9")).as("ssw"))
+    val nk = dd(col("nt")) - dd(col("k"))
+    val lnSp = log(dd(col("ssw")) / nk)
+    val corr = lit(1.0) + (dd(col("sinv")) - lit(1.0) / nk) /
+      (lit(3.0) * (dd(col("k")) - 1.0))
+    val chi = (nk * lnSp - dd(col("snls"))) / corr
+    agg
+      .withColumn("chi2", when(col("k") > 1 && col("nt") > col("k"), chi))
+      .select(col("k").cast("int").as("k_groups"), col("nt").as("n_total"),
+        round(col("chi2"), 6).as("bartlett_chi2"),
+        round(when(col("k") === 5 && col("chi2") >= 0,
+          exp(col("chi2") / lit(-2.0)) * (lit(1.0) + col("chi2") / lit(2.0))), 6)
+          .as("p_value"))
+  }
+
+  /** MOOD'S MEDIAN TEST — "do the k event types share a median?": each
+    * value classifies above / not-above the GRAND lower median (the
+    * [[madOutliers]] integer-cents histogram selection, corpus-wide),
+    * and the k×2 contingency takes the ordinary χ² with df = k−1. The
+    * rank-free location test that tolerates wild tails and ties —
+    * the screening companion to [[anovaF]] (means) and
+    * [[brownForsythe]] (spreads). Cost: one histogram aggregate + one
+    * classification scan; cells are exact BIGINTs; (O−E)²/E terms
+    * bridge through round-9 decimals.
+    */
+  def moodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val hist = ev.groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val tot = ev.agg(count(lit(1)).as("n"))
+    val wm = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("f")).over(wm))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("c")).as("med"))
+    val cells = ev.crossJoin(broadcast(med))
+      .select(col("event_type"), (col("c") > col("med")).as("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(when(col("hi"), 1L).otherwise(0L)).as("ai"))
+    val marg = cells.agg(sum(col("ni")).as("nt"), sum(col("ai")).as("at"),
+      count(lit(1)).as("k"))
+    val t = cells.crossJoin(broadcast(marg))
+      .withColumn("e_hi", dd(col("ni")) * dd(col("at")) / dd(col("nt")))
+      .withColumn("e_lo", dd(col("ni")) * (dd(col("nt")) - dd(col("at"))) / dd(col("nt")))
+      .select(col("k"), col("nt"),
+        round(when(col("e_hi") > 0,
+          (dd(col("ai")) - col("e_hi")) * (dd(col("ai")) - col("e_hi")) / col("e_hi"))
+          .otherwise(lit(0.0)) +
+          when(col("e_lo") > 0,
+            (dd(col("ni") - col("ai")) - col("e_lo")) *
+              (dd(col("ni") - col("ai")) - col("e_lo")) / col("e_lo"))
+            .otherwise(lit(0.0)), 9).cast(b9).as("t9"))
+    t.groupBy(col("k"), col("nt")).agg(sum(col("t9")).as("chi9"))
+      .select(col("k").cast("int").as("k_groups"), col("nt").as("n_total"),
+        round(dd(col("chi9")), 6).as("mood_chi2"),
+        round(when(col("k") === 5 && dd(col("chi9")) >= 0,
+          exp(dd(col("chi9")) / lit(-2.0)) *
+            (lit(1.0) + dd(col("chi9")) / lit(2.0))), 6).as("p_value"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST on the hourly count series per event
+    * type — "is the series' above/below-median pattern random, or does
+    * it cluster?": the distribution-free serial-dependence screen that
+    * complements [[durbinWatson]] (linear autocorrelation) with a test
+    * that sees ANY sign clustering. Values equal to the per-type lower
+    * median drop (the standard treatment); R = observed runs of the
+    * binary sequence, z = (R − μ)/σ with the exact-integer run moments.
+    * Everything reduces on the calendar-bounded hourly axis; the runs
+    * count is one lag window over it.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val hist = hourly.groupBy(col("event_type"), col("n")).agg(count(lit(1)).as("f"))
+    val tot = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val wm = Window.partitionBy(col("event_type")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("f")).over(wm))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") >= expr("(cnt + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("n")).as("med"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val signs = hourly.join(broadcast(med), Seq("event_type"))
+      .filter(col("n") =!= col("med"))
+      .withColumn("hi", col("n") > col("med"))
+      .withColumn("prev", lag(col("hi"), 1).over(w))
+    val agg = signs.groupBy(col("event_type"))
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("hi"), 1L).otherwise(0L)).as("n2"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("hi"), 1L)
+          .otherwise(0L))).as("runs"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val nn = dd(col("n1")) + dd(col("n2"))
+    val two = lit(2.0) * dd(col("n1")) * dd(col("n2"))
+    val mu = two / nn + lit(1.0)
+    val sig2 = two * (two - nn) / (nn * nn * (nn - lit(1.0)))
+    agg.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+      round(when(sig2 > 0, (dd(col("runs")) - mu) / sqrt(sig2)), 6).as("z"))
+  }
+
   /** FISHER'S EXACT TEST on the lang='en' × source='src0' 2×2 table —
     * the small-margin independence test chi-square approximations get
     * wrong (and the one usually written off as "not doable exactly in

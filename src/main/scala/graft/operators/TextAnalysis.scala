@@ -1575,6 +1575,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** TOKENIZER FERTILITY by language — chars/token, bytes/token and
+    * tokens/doc per lang: the compression-efficiency readout a
+    * pretraining team tabulates per tokenizer per language (high
+    * fertility = the tokenizer fragments that language, inflating
+    * sequence lengths and training cost; cf. the fertility tables in
+    * the XLM-R / NLLB tokenizer studies). Whitespace tokens here —
+    * the operator contract is the statistic; swap the tokenizer and
+    * the same one-scan aggregate reprices any vocabulary. All sums
+    * exact BIGINTs; three mirrored double ratios.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    Tables(spark, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"), sum(col("nb")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(dd(col("n_chars")) / dd(col("n_tokens")), 6).as("chars_per_token"),
+        round(dd(col("n_bytes")) / dd(col("n_tokens")), 6).as("bytes_per_token"),
+        round(dd(col("n_tokens")) / dd(col("n_docs")), 6).as("tokens_per_doc"))
+  }
+
   /** SIGNED FEATURE HASHING (the full hashing trick, Weinberger et al.
     * 2009 / Vowpal Wabbit): project bag-of-words onto a fixed
     * `dims`-wide vector space with NO vocabulary pass — dim = h(token)

@@ -562,4 +562,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     val totalToks = docs.map(_._2.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum
     assert(rows.map(_.getAs[Long]("n_terms")).sum == totalToks)
   }
+  test("tokenizer fertility: exact integer sums match a driver recompute") {
+    val rows = TextAnalysis.tokenizerFertility(TestSpark.spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("chars_per_token"), r.getAs[Double]("bytes_per_token"))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables(TestSpark.spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val nt = ds.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+      val nc = ds.map(_._2.length.toLong).sum
+      val nb = ds.map(_._2.getBytes("UTF-8").length.toLong).sum
+      val (gd, gt, cpt, bpt) = rows(lang)
+      assert(gd == ds.length && gt == nt, s"$lang counts")
+      assert(math.abs(cpt - nc.toDouble / nt) < 1e-6, s"$lang chars/token")
+      assert(math.abs(bpt - nb.toDouble / nt) < 1e-6, s"$lang bytes/token")
+      assert(bpt >= cpt - 1e-9, "bytes can never undercut chars (UTF-8)")
+    }
+  }
 }

@@ -1029,6 +1029,67 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bartlett: nonneg chi2, matches a driver variance-ratio recompute") {
+    val r = Stats.bartlett(spark, sf).collect().head
+    val chi = r.getAs[Double]("bartlett_chi2")
+    assert(chi >= -1e-9, s"Bartlett chi2 negative: $r")
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = vals.groupBy(_._1).values.map(_.map(_._2.toDouble)).filter(_.length > 1)
+    val k = groups.size
+    val nT = groups.map(_.length).sum
+    def svar(g: Iterable[Double]) = {
+      val n = g.size; val m = g.sum / n
+      g.map(v => (v - m) * (v - m)).sum / (n - 1)
+    }
+    val ssw = groups.map(g => (g.length - 1) * svar(g)).sum
+    val sp2 = ssw / (nT - k)
+    val num = (nT - k) * math.log(sp2) -
+      groups.map(g => (g.length - 1) * math.log(svar(g))).sum
+    val c = 1.0 + (groups.map(g => 1.0 / (g.length - 1)).sum - 1.0 / (nT - k)) /
+      (3.0 * (k - 1))
+    assert(math.abs(chi - num / c) < 1e-3, s"Bartlett recompute: $chi vs ${num / c}")
+  }
+
+  test("mood median: chi2 from exact above/below cells, p in [0,1]") {
+    val r = Stats.moodMedian(spark, sf).collect().head
+    assert(r.getAs[Int]("k_groups") == 5)
+    assert(r.getAs[Double]("mood_chi2") >= 0)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("runs test: counts and z match a driver scan of the sign sequence") {
+    val rows = Stats.runsTest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("z"))).toMap
+    // recompute from the hourly series (median = lower median, ties drop)
+    val raw = graft.sources.Tables.raw(spark, sf, "events")
+    val hourly = raw.select(col("event_type"),
+        expr(s"(${graft.sources.Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, rs) =>
+      val series = rs.sortBy(_._2).map(_._3)
+      val sorted = series.sorted
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      val signs = series.filter(_ != med).map(_ > med)
+      val (n1, n2) = (signs.count(identity).toLong, signs.count(!_).toLong)
+      if (n1 > 0 && n2 > 0) {
+        val runs = 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        val (g1, g2, gr, z) = rows(t)
+        assert((g1, g2, gr) == (n1, n2, runs), s"$t: counts ${(g1, g2, gr)} vs ${(n1, n2, runs)}")
+        val nn = (n1 + n2).toDouble
+        val two = 2.0 * n1 * n2
+        val mu = two / nn + 1.0
+        val s2 = two * (two - nn) / (nn * nn * (nn - 1.0))
+        assert(math.abs(z - (runs - mu) / math.sqrt(s2)) < 1e-4, s"$t z")
+      } else assert(!rows.contains(t), s"$t should be dropped (degenerate signs)")
+    }
+  }
+
   test("fisher exact: matches an independent lgamma hypergeometric recompute") {
     val r = Stats.fisherExact(spark, sf).collect().head
     val (nN, kK, n1, a) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_en"),
