@@ -257,6 +257,7 @@ object SparkEntry {
     "q_pacf" -> ((s, d) => Stats.pacf(s, d)),
     "q_fisher_exact" -> ((s, d) => Stats.fisherExact(s, d)),
     "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
+    "q_hurst" -> ((s, d) => Stats.hurstExponent(s, d)),
     "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
     "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
     "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
@@ -2067,6 +2068,61 @@ object SparkEntry {
         |  n_terms,
         |  ROUND(LEAST(CAST(p2 AS DOUBLE), 1.0), 6) AS p_two_sided
         |FROM m2 CROSS JOIN ps""".stripMargin,
+    // Hurst R/S: exact BIGINT cumulative deviations (cumsum - t*mean),
+    // round-9 decimal ln(R/S) means, decimal-bridged 4-point OLS
+    "q_hurst" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cnts AS (SELECT event_type, COUNT(*) AS cnt FROM hourly GROUP BY 1),
+        |ranked AS (SELECT h.event_type, hr, n, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY hr) AS r
+        |  FROM hourly h JOIN cnts c ON h.event_type = c.event_type),
+        |sc AS (SELECT event_type, hr, n, cnt, r, unnest([16, 32, 64, 128]) AS w
+        |  FROM ranked),
+        |sw AS (SELECT *, (r - 1) // w AS wid FROM sc
+        |  WHERE ((r - 1) // w + 1) * w <= cnt),
+        |dev AS (SELECT event_type, w, wid,
+        |    SUM(n) OVER (PARTITION BY event_type, w, wid ORDER BY r) AS cs,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, w, wid ORDER BY r) AS tloc,
+        |    SUM(n) OVER (PARTITION BY event_type, w, wid) AS tot,
+        |    SUM(n * n) OVER (PARTITION BY event_type, w, wid) AS tot2
+        |  FROM sw),
+        |cd AS (SELECT *, CAST(cs AS DOUBLE)
+        |    - CAST(tloc AS DOUBLE) * (CAST(tot AS DOUBLE) / CAST(w AS DOUBLE))
+        |    AS cumdev FROM dev),
+        |rsw AS (SELECT event_type, w, wid,
+        |    MAX(cumdev) - MIN(cumdev) AS rr,
+        |    MAX(tot) AS s1, MAX(tot2) AS s2
+        |  FROM cd GROUP BY 1, 2, 3),
+        |rs2 AS (SELECT event_type, w,
+        |    CAST(ROUND(ln(rr / sqrt(svar)), 9) AS DECIMAL(38,9)) AS lnrs9
+        |  FROM (SELECT *, CAST(s2 AS DOUBLE) / CAST(w AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(w AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(w AS DOUBLE)) AS svar
+        |    FROM rsw) x
+        |  WHERE svar > 0 AND rr > 0),
+        |ps AS (SELECT event_type, ln(CAST(w AS DOUBLE)) AS x,
+        |    CAST(SUM(lnrs9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS y,
+        |    COUNT(*) AS nw
+        |  FROM rs2 GROUP BY event_type, w),
+        |t AS (SELECT event_type, nw,
+        |    CAST(ROUND(x, 9) AS DECIMAL(38,9)) AS x9,
+        |    CAST(ROUND(y, 9) AS DECIMAL(38,9)) AS y9,
+        |    CAST(ROUND(x * y, 9) AS DECIMAL(38,9)) AS xy9,
+        |    CAST(ROUND(x * x, 9) AS DECIMAL(38,9)) AS xx9
+        |  FROM ps),
+        |a AS (SELECT event_type, COUNT(*) AS m, CAST(SUM(nw) AS BIGINT) AS n_windows,
+        |    SUM(x9) AS sx, SUM(y9) AS sy, SUM(xy9) AS sxy, SUM(xx9) AS sxx
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, CAST(m AS INTEGER) AS n_scales, n_windows,
+        |  ROUND(CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS hurst
+        |FROM a WHERE m >= 2""".stripMargin,
     // Bartlett: exact integer-cents sufficient stats, round-9 decimal
     // ln-variance terms, closed-form df=4 survival
     "q_bartlett" ->

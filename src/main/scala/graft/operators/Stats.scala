@@ -2598,6 +2598,85 @@ object Stats {
       round(when(sig2 > 0, (dd(col("runs")) - mu) / sqrt(sig2)), 6).as("z"))
   }
 
+  /** HURST EXPONENT by rescaled-range (R/S) analysis of the hourly
+    * count series per event type — the long-memory dial (H ≈ 0.5
+    * random walk, > 0.5 persistent/trending, < 0.5 mean-reverting)
+    * behind capacity forecasting and burstiness diagnosis, estimated
+    * the classic Mandelbrot–Wallis way: split the series into
+    * disjoint windows of w ∈ {16, 32, 64, 128}, per window R = range
+    * of cumulative deviations and S = population sd, H = OLS slope of
+    * ln(mean R/S) on ln w.
+    *
+    * Exactness: the cumulative deviation at step t is
+    * `cumsum(n) − t·mean` — the running sum stays in EXACT BIGINTs
+    * (no double accumulation anywhere; the one subtraction per row is
+    * order-free), S comes from exact (Σn, Σn²), per-window ln(R/S)
+    * terms bridge round-9 decimals into the per-scale mean, and the
+    * 4-point regression runs on decimal-bridged sums. Window
+    * partitions are (type, scale, window-id) — hundreds of rows each
+    * on the CALENDAR-BOUNDED axis, never a per-type funnel.
+    */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val raw = Tables.raw(spark, dir, "events")
+    val hourly = raw
+      .select(col("event_type"),
+        expr(s"(${Tables.tsMicrosSql(raw.schema)}) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val perType = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val cnts = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val ranked = hourly
+      .withColumn("r", row_number().over(perType))
+      .join(broadcast(cnts), Seq("event_type"))
+      .withColumn("w", explode(array(lit(16L), lit(32L), lit(64L), lit(128L))))
+      .withColumn("wid", expr("(CAST(r AS BIGINT) - 1) div w"))
+      .filter((col("wid") + 1) * col("w") <= col("cnt"))
+    val win = Window.partitionBy(col("event_type"), col("w"), col("wid"))
+    val ord = win.orderBy(col("r"))
+    val dev = ranked
+      .withColumn("cs", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tloc", row_number().over(ord))
+      .withColumn("tot", sum(col("n")).over(win))
+      .withColumn("tot2", sum(col("n") * col("n")).over(win))
+      .withColumn("cumdev",
+        dd(col("cs")) - dd(col("tloc")) * (dd(col("tot")) / dd(col("w"))))
+    val rsPerWin = dev.groupBy(col("event_type"), col("w"), col("wid"))
+      .agg((max(col("cumdev")) - min(col("cumdev"))).as("rr"),
+        max(col("tot")).as("s1"), max(col("tot2")).as("s2"))
+      .withColumn("svar",
+        dd(col("s2")) / dd(col("w")) -
+          (dd(col("s1")) / dd(col("w"))) * (dd(col("s1")) / dd(col("w"))))
+      .filter(col("svar") > 0 && col("rr") > 0)
+      .select(col("event_type"), col("w"),
+        round(log(col("rr") / sqrt(col("svar"))), 9).cast(b9).as("lnrs9"))
+    val perScale = rsPerWin.groupBy(col("event_type"), col("w"))
+      .agg(sum(col("lnrs9")).as("sy9"), count(lit(1)).as("nw"))
+      .select(col("event_type"),
+        log(dd(col("w"))).as("x"),
+        (dd(col("sy9")) / dd(col("nw"))).as("y"),
+        col("nw"))
+    val reg = perScale
+      .select(col("event_type"), col("nw"),
+        round(col("x"), 9).cast(b9).as("x9"),
+        round(col("y"), 9).cast(b9).as("y9"),
+        round(col("x") * col("y"), 9).cast(b9).as("xy9"),
+        round(col("x") * col("x"), 9).cast(b9).as("xx9"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("nw")).as("n_windows"),
+        sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+        sum(col("xy9")).as("sxy"), sum(col("xx9")).as("sxx"))
+    val den = dd(col("m")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    reg.filter(col("m") >= 2)
+      .select(col("event_type"), col("m").cast("int").as("n_scales"),
+        col("n_windows"),
+        round(when(den > 0,
+          (dd(col("m")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) / den), 6)
+          .as("hurst"))
+  }
+
   /** FISHER'S EXACT TEST on the lang='en' × source='src0' 2×2 table —
     * the small-margin independence test chi-square approximations get
     * wrong (and the one usually written off as "not doable exactly in
