@@ -523,7 +523,20 @@ object ScaleBench {
     "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
     "q_assortativity" -> ((s, d) => Analytics.degreeAssortativity(s, d)),
     "q_item_cosine" -> ((s, d) => Analytics.itemCosine(s, d)),
-    "q_hits" -> ((s, d) => Analytics.hitsEventTypes(s, d)))
+    "q_hits" -> ((s, d) => Analytics.hitsEventTypes(s, d)),
+    // fifth wave: fisher's F table + t-range are corpus-linear; hurst/
+    // pacf/runs ride the calendar-bounded hourly axis; mood pays one
+    // histogram + one classification scan; fertility is the token
+    // explode (data-dominated); stream_topk replays the corpus through
+    // O(k) per-type state
+    "q_fisher_exact" -> ((s, d) => Stats.fisherExact(s, d)),
+    "q_hurst" -> ((s, d) => Stats.hurstExponent(s, d)),
+    "q_pacf" -> ((s, d) => Stats.pacf(s, d)),
+    "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
+    "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
+    "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
+    "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "q_stream_topk" -> ((s, d) => graft.streaming.Streaming.streamTopK(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

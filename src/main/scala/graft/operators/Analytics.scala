@@ -343,6 +343,10 @@ object Analytics {
           round(coalesce(dd(col("r9")), lit(0.0)) / dd(col("t")), 9).as("s"))
         .localCheckpoint()
     }
+    // one checkpoint per HALF-step: `raw` feeds both the per-node rows
+    // and the L1 total, so a lazy half would re-evaluate the previous
+    // half's whole plan twice per reference — measured slower than the
+    // 16 truncation jobs it saves
     (1 to iters).foreach { _ =>
       auth = halfStep(hub, "src", "dst")   // a(v) = Σ h(u)·n(u,v)
       hub = halfStep(auth, "dst", "src")   // h(u) = Σ a(v)·n(u,v)
