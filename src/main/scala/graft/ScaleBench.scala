@@ -536,7 +536,12 @@ object ScaleBench {
     "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
     "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
     "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
-    "q_stream_topk" -> ((s, d) => graft.streaming.Streaming.streamTopK(s, d)))
+    "q_stream_topk" -> ((s, d) => graft.streaming.Streaming.streamTopK(s, d)),
+    // sixth wave: kruskal pays a value-domain histogram + a (group,
+    // value) aggregate; jarque/grubbs are scan-dominated moment verbs
+    "q_kruskal_wallis" -> ((s, d) => Stats.kruskalWallis(s, d)),
+    "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
+    "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -258,6 +258,9 @@ object SparkEntry {
     "q_fisher_exact" -> ((s, d) => Stats.fisherExact(s, d)),
     "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
     "q_hurst" -> ((s, d) => Stats.hurstExponent(s, d)),
+    "q_kruskal_wallis" -> ((s, d) => Stats.kruskalWallis(s, d)),
+    "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
+    "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
     "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
     "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
@@ -2123,6 +2126,98 @@ object SparkEntry {
         |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS hurst
         |FROM a WHERE m >= 2""".stripMargin,
+    // Kruskal-Wallis: doubled midranks from the global cents histogram,
+    // exact BIGINT rank sums, decimal-bridged H terms + tie correction
+    "q_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT c, COUNT(*) AS f FROM ev GROUP BY 1),
+        |ranks AS (SELECT c, f, COALESCE(SUM(f) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM hist),
+        |r2 AS (SELECT c, 2 * below + f + 1 AS r2v, f FROM ranks),
+        |grp AS (SELECT event_type, CAST(SUM(fg) AS BIGINT) AS n,
+        |    CAST(SUM(fg * r2v) AS BIGINT) AS rr2
+        |  FROM (SELECT event_type, c, COUNT(*) AS fg FROM ev GROUP BY 1, 2) g
+        |  JOIN r2 USING (c) GROUP BY 1),
+        |t AS (SELECT n, CAST(ROUND((CAST(rr2 AS DOUBLE) / 2.0)
+        |    * (CAST(rr2 AS DOUBLE) / 2.0) / CAST(n AS DOUBLE), 9)
+        |    AS DECIMAL(38,9)) AS t9 FROM grp),
+        |ties AS (SELECT SUM(CAST(ROUND(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+        |    * CAST(f AS DOUBLE) - CAST(f AS DOUBLE), 9) AS DECIMAL(38,9)))
+        |    AS ties9 FROM r2),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+        |    SUM(t9) AS st9 FROM t),
+        |e AS (SELECT k, nt,
+        |    CASE WHEN nt > 1 THEN 12.0 / (CAST(nt AS DOUBLE)
+        |      * (CAST(nt AS DOUBLE) + 1.0)) * CAST(st9 AS DOUBLE)
+        |      - 3.0 * (CAST(nt AS DOUBLE) + 1.0) END AS h_raw,
+        |    1.0 - CAST(ties9 AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+        |      * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)) AS corr
+        |  FROM a CROSS JOIN ties)
+        |SELECT CAST(k AS INTEGER) AS k_groups, nt AS n_total,
+        |  ROUND(h_raw, 6) AS h_stat,
+        |  ROUND(CASE WHEN corr > 0 THEN h_raw / corr END, 6) AS h_tied,
+        |  ROUND(CASE WHEN k = 5 AND corr > 0 AND h_raw / corr >= 0 THEN
+        |    exp(h_raw / corr / -2.0) * (1.0 + h_raw / corr / 2.0) END, 6)
+        |    AS p_value
+        |FROM e""".stripMargin,
+    // Jarque-Bera: four exact moment sums (cubes/quartics as
+    // DECIMAL(38,0)), fixed-order central-moment expansion, e^{-JB/2}
+    "q_jarque_bera" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2,
+        |    SUM(CAST(c * c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(10,0))) AS s3,
+        |    SUM(CAST(c * c AS DECIMAL(19,0)) * CAST(c * c AS DECIMAL(19,0))) AS s4
+        |  FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |    FROM events WHERE value IS NOT NULL) x
+        |  GROUP BY 1 HAVING COUNT(*) > 3),
+        |e AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM g),
+        |m AS (SELECT event_type, n,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM e),
+        |j AS (SELECT event_type, n, m2,
+        |    m3 / sqrt(m2 * m2 * m2) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS kurt FROM m WHERE m2 > 0),
+        |f AS (SELECT event_type, n, m2, skew, kurt,
+        |    CAST(n AS DOUBLE) / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb
+        |  FROM j)
+        |SELECT event_type, n,
+        |  ROUND(skew, 6) AS skewness,
+        |  ROUND(kurt, 6) AS excess_kurtosis,
+        |  ROUND(jb, 6) AS jb_stat,
+        |  ROUND(CASE WHEN jb >= 0 THEN exp(jb / -2.0) END, 6) AS p_value
+        |FROM f""".stripMargin,
+    // Grubbs: exact integer stats, one deviation pass, argmax named by
+    // lowest event id
+    "q_grubbs" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1 HAVING COUNT(*) > 2),
+        |s2 AS (SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd FROM st),
+        |dev AS (SELECT e.event_type, event_id, c, n, sd,
+        |    ABS(CAST(c AS DOUBLE) - mean) AS d
+        |  FROM ev e JOIN s2 ON e.event_type = s2.event_type),
+        |mx AS (SELECT event_type, MAX(d) AS dmax FROM dev GROUP BY 1)
+        |SELECT dev.event_type, n,
+        |  ROUND(CASE WHEN sd > 0 THEN dmax / sd END, 6) AS g_stat,
+        |  MIN(event_id) AS outlier_event_id,
+        |  arg_min(c, event_id) AS outlier_cents
+        |FROM dev JOIN mx ON dev.event_type = mx.event_type AND dev.d = mx.dmax
+        |GROUP BY dev.event_type, n, sd, dmax""".stripMargin,
     // Bartlett: exact integer-cents sufficient stats, round-9 decimal
     // ln-variance terms, closed-form df=4 survival
     "q_bartlett" ->

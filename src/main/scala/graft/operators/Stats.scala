@@ -2598,6 +2598,138 @@ object Stats {
       round(when(sig2 > 0, (dd(col("runs")) - mu) / sqrt(sig2)), 6).as("z"))
   }
 
+  /** KRUSKAL–WALLIS H — the k-group rank test (the nonparametric
+    * [[anovaF]]: "do the k event types differ in location, judged on
+    * ranks?"), with the tie correction. Midranks come from the GLOBAL
+    * value-cents histogram in doubled-integer form (2·below + f + 1 —
+    * the [[spearmanQuantityPrice]] device), so per-group rank sums are
+    * exact BIGINTs; H assembles from k decimal-bridged R²/n terms; the
+    * tie term Σ(f³−f) bridges round-9 decimals per histogram row
+    * (f³ outgrows BIGINT at corpus scale); df = k−1 = 4 takes the
+    * closed-form even-df survival. Cost: one histogram aggregate over
+    * the value domain + one (group, value) aggregate — no rank window
+    * ever sorts the full relation.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val hist = ev.groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val wm = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("below", coalesce(sum(col("f")).over(wm), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("f") + 1L)
+      .select(col("c"), col("r2"), col("f"))
+    val grp = ev.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("fg"))
+      .join(ranks.select(col("c"), col("r2")), Seq("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("fg")).as("n"), sum(col("fg") * col("r2")).as("rr2"))
+    val terms = grp.select(col("n"),
+      round((dd(col("rr2")) / 2.0) * (dd(col("rr2")) / 2.0) / dd(col("n")), 9)
+        .cast(b9).as("t9"))
+    val ties = ranks.select(
+      round(dd(col("f")) * dd(col("f")) * dd(col("f")) - dd(col("f")), 9)
+        .cast(b9).as("tt9"))
+      .agg(sum(col("tt9")).as("ties9"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+      sum(col("t9")).as("st9"))
+      .crossJoin(broadcast(ties))
+    val nD = dd(col("nt"))
+    val h = lit(12.0) / (nD * (nD + 1.0)) * dd(col("st9")) - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - dd(col("ties9")) / (nD * nD * nD - nD)
+    agg
+      .withColumn("h_raw", when(col("nt") > 1, h))
+      .withColumn("corr", corr)
+      .select(col("k").cast("int").as("k_groups"), col("nt").as("n_total"),
+        round(col("h_raw"), 6).as("h_stat"),
+        round(when(col("corr") > 0, col("h_raw") / col("corr")), 6).as("h_tied"),
+        round(when(col("k") === 5 && col("corr") > 0 && col("h_raw") / col("corr") >= 0,
+          exp(col("h_raw") / col("corr") / lit(-2.0)) *
+            (lit(1.0) + col("h_raw") / col("corr") / lit(2.0))), 6).as("p_value"))
+  }
+
+  /** JARQUE–BERA normality test per event type — skewness and excess
+    * kurtosis from the first four EXACT moment sums of the integer
+    * cents (Σc⁴ outgrows BIGINT, so the cubes/quartics sum as
+    * DECIMAL(38,0) — still exact), central moments by the expansion
+    * formulas in fixed-order doubles, JB = n/6·(S² + K²/4), and the
+    * df=2 chi-square survival is EXACTLY e^{−JB/2} (the one df where
+    * the closed form is a single exponential). The distribution-shape
+    * gate before any test that assumes normal tails ([[anovaF]],
+    * [[bartlett]], [[effectSize]] all lead here).
+    */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    // the cube/quartic leave BIGINT range (the 10× sweep found c⁴ of a
+    // 560-unit value overflowing long by 7%): square in longs (safe to
+    // |c| ≤ 3e9), then multiply in DECIMAL so both engines stay exact —
+    // widths chosen to keep DuckDB's width-additive rule inside 38
+    val c2d = (col("c") * col("c")).cast(DecimalType(19, 0))
+    val cd = col("c").cast(DecimalType(10, 0))
+    val g = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(c2d * cd).as("s3"),
+        sum(c2d * c2d).as("s4"))
+      .filter(col("n") > 3)
+    val nD = dd(col("n"))
+    val mu = dd(col("s1")) / nD
+    val m2 = dd(col("s2")) / nD - mu * mu
+    val m3 = dd(col("s3")) / nD - lit(3.0) * mu * (dd(col("s2")) / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = dd(col("s4")) / nD - lit(4.0) * mu * (dd(col("s3")) / nD) +
+      lit(6.0) * mu * mu * (dd(col("s2")) / nD) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    // a zero-variance type has no defined shape statistics — drop the
+    // row (mirrored WHERE m2 > 0 in the oracle), don't emit NULLs
+    g.withColumn("m2v", m2).filter(col("m2v") > 0)
+      .select(col("event_type"), col("n"),
+        round(skew, 6).as("skewness"),
+        round(kurt, 6).as("excess_kurtosis"),
+        round(jb, 6).as("jb_stat"),
+        round(when(jb >= 0, exp(jb / lit(-2.0))), 6).as("p_value"))
+  }
+
+  /** GRUBBS' STATISTIC per event type — the classic single-outlier
+    * screen G = max|x − x̄| / s, published with the offending event id
+    * (lowest id on deviation ties, so both engines name the same row).
+    * Complements the bulk screens ([[Relational.outlierEvents]] z,
+    * [[madOutliers]] robust z): Grubbs asks about exactly ONE most
+    * extreme point, the form the ESD generalization iterates. Two
+    * map-side-combined aggregates + one broadcast-filtered pass; the
+    * deviation is one double per row off exact integer stats.
+    */
+  def grubbs(spark: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val ev = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val st = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("n") > 2)
+      .withColumn("mean", dd(col("s")) / dd(col("n")))
+      .withColumn("sd", sqrt((dd(col("ss")) - dd(col("s")) * dd(col("s")) /
+        dd(col("n"))) / (dd(col("n")) - 1.0)))
+    val dev = ev.join(broadcast(st), Seq("event_type"))
+      .withColumn("d", abs(dd(col("c")) - col("mean")))
+    val mx = dev.groupBy(col("event_type")).agg(max(col("d")).as("dmax"))
+    dev.join(broadcast(mx), Seq("event_type"))
+      .filter(col("d") === col("dmax"))
+      .groupBy(col("event_type"), col("n"), col("sd"), col("dmax"))
+      .agg(min(col("event_id")).as("outlier_event_id"),
+        min_by(col("c"), col("event_id")).as("outlier_cents"))
+      .select(col("event_type"), col("n"),
+        round(when(col("sd") > 0, col("dmax") / col("sd")), 6).as("g_stat"),
+        col("outlier_event_id"), col("outlier_cents"))
+  }
+
   /** HURST EXPONENT by rescaled-range (R/S) analysis of the hourly
     * count series per event type — the long-memory dial (H ≈ 0.5
     * random walk, > 0.5 persistent/trending, < 0.5 mean-reverting)

@@ -1090,6 +1090,80 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("kruskal-wallis: matches a driver midrank recompute, tie-corrected H >= H") {
+    val r = Stats.kruskalWallis(spark, sf).collect().head
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = vals.length
+    // average ranks over the pooled sample
+    val freq = vals.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val below = {
+      val sorted = freq.keys.toSeq.sorted
+      val cum = sorted.scanLeft(0L) { case (acc, v) => acc + freq(v) }
+      sorted.zip(cum).toMap
+    }
+    def midrank(v: Long): Double = below(v) + (freq(v) + 1) / 2.0
+    val rj = vals.groupBy(_._1).view.mapValues(_.map(x => midrank(x._2)).sum).toMap
+    val nj = vals.groupBy(_._1).view.mapValues(_.length).toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      rj.map { case (g, s) => s * s / nj(g) }.sum - 3.0 * (n + 1)
+    val c = 1.0 - freq.values.map(f => f.toDouble * f * f - f).sum /
+      (n.toDouble * n * n - n)
+    assert(math.abs(r.getAs[Double]("h_stat") - h) < 1e-3,
+      s"H recompute: ${r.getAs[Double]("h_stat")} vs $h")
+    assert(math.abs(r.getAs[Double]("h_tied") - h / c) < 1e-3)
+    assert(r.getAs[Double]("h_tied") >= r.getAs[Double]("h_stat") - 1e-9,
+      "tie correction can only raise H")
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0 && p <= 1)
+  }
+
+  test("jarque-bera: matches driver moment recompute, p = exp(-jb/2)") {
+    val rows = Stats.jarqueBera(spark, sf).collect()
+    assert(rows.length == 5)
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1).toDouble))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = vals.filter(_._1 == t).map(_._2)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      def cm(p: Int) = xs.map(v => math.pow(v - mu, p)).sum / n
+      val skew = cm(3) / math.pow(cm(2), 1.5)
+      val kurt = cm(4) / (cm(2) * cm(2)) - 3.0
+      val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-4, s"$t skew")
+      assert(math.abs(r.getAs[Double]("excess_kurtosis") - kurt) < 1e-4, s"$t kurt")
+      assert(math.abs(r.getAs[Double]("jb_stat") - jb) < 1e-2, s"$t jb")
+      assert(math.abs(r.getAs[Double]("p_value") - math.exp(-jb / 2)) < 1e-4, s"$t p")
+    }
+  }
+
+  test("grubbs: names the true most-extreme event, g matches recompute") {
+    val rows = Stats.grubbs(spark, sf).collect()
+    assert(rows.length == 5)
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = vals.filter(_._1 == t)
+      val n = xs.length.toDouble
+      val mean = xs.map(_._3).sum / n
+      val sd = math.sqrt(xs.map(x => (x._3 - mean) * (x._3 - mean)).sum / (n - 1))
+      val dmax = xs.map(x => math.abs(x._3 - mean)).max
+      val argIds = xs.filter(x => math.abs(x._3 - mean) == dmax).map(_._2)
+      assert(math.abs(r.getAs[Double]("g_stat") - dmax / sd) < 1e-4, s"$t g")
+      assert(r.getAs[Long]("outlier_event_id") == argIds.min, s"$t arg id")
+    }
+  }
+
   test("hurst: H in (0,1), all four scales, one window's R/S replays exactly") {
     val rows = Stats.hurstExponent(spark, sf).collect()
     assert(rows.nonEmpty)
