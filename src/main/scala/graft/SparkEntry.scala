@@ -41,6 +41,7 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotRevenue(_, _)),
     "q_sql_pivot" -> ((s, d) => Relational.sqlPivotRevenue(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotOrderMetrics(s, d)),
+    "q_sql_unpivot" -> ((s, d) => Relational.sqlUnpivotOrderMetrics(s, d)),
     "q_hll_merge" -> ((s, d) => Relational.hllMergedDistinct(s, d)),
     "q_theta_overlap" -> ((s, d) => Relational.thetaSegmentOverlap(s, d)),
     "q_kll_quantiles" -> ((s, d) => Relational.kllQuantileRollup(s, d)),
@@ -4963,6 +4964,17 @@ object SparkEntry {
         |  least(greatest(e.value, s.p5), s.p95) AS value_w
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE e.value IS NOT NULL""".stripMargin,
+    // SQL-text UNPIVOT: same oracle as the DataFrame twin q_unpivot —
+    // one statement, two front-ends
+    "q_sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |    MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -238,6 +238,23 @@ object Relational {
       .toDF("o_orderstatus" +: priorities.map(p => "p" + p.charAt(0)): _*)
   }
 
+  /** SQL-text UNPIVOT — the parser surface of [[unpivotOrderMetrics]]
+    * (`FROM … UNPIVOT (value FOR metric IN (…))`), same oracle, same
+    * narrow Expand plan: melt through either front-end never joins or
+    * re-shuffles beyond the feeding aggregation.
+    */
+  def sqlUnpivotOrderMetrics(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_unpivot_orders")
+    spark.sql(
+      """SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |    MAX(o_totalprice) AS max_price
+        |  FROM graft_unpivot_orders GROUP BY o_orderpriority)
+        |UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))""".stripMargin)
+  }
+
   /** Exact interpolated percentiles per group (both engines implement the
     * same continuous-quantile definition).
     */
