@@ -66,7 +66,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_mutual_info", // 1-row N + three 1-row entropy/MI sums against the grid
     "q_woe_iv", // 1-row good/bad totals + 1-row IV against the 6 slot rows
     "q_friedman", // 1-row treatment count against the per-(user,type) cells
-    "q_fisher_exact") // 1-row margins/lnC/obs terms against the t-range
+    "q_fisher_exact", // 1-row margins/lnC/obs terms against the t-range
+    "q_mood_median", // 1-row grand median + margins against the k cells
+    "q_kruskal_wallis") // 1-row tie-correction total against the k terms
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {
