@@ -250,6 +250,7 @@ object SparkEntry {
     "q_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "q_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_holt_backtest" -> ((s, d) => Stats.holtBacktest(s, d)),
+    "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
     "q_conformal" -> ((s, d) => Stats.conformalCoverage(s, d)),
     "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
     "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
@@ -2601,6 +2602,33 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(round(ABS(CAST(n AS DOUBLE) - f_prev)
         |    / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS mape
         |FROM b WHERE f_prev IS NOT NULL GROUP BY 1""".stripMargin),
+    // Theil's U2: bit-exact Holt forecasts vs naive last-value, round-9
+    // decimal squared-error sums, guarded skill ratio
+    "q_theil_u" -> (holtCoreSql() +
+      """,
+        |b AS (
+        |  SELECT event_type, hr, n,
+        |    LAG(level + trend) OVER w AS f_prev,
+        |    LAG(n) OVER w AS n_prev
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |t AS (SELECT event_type,
+        |    CAST(ROUND((CAST(n AS DOUBLE) - f_prev)
+        |      * (CAST(n AS DOUBLE) - f_prev), 9) AS DECIMAL(38,9)) AS e2,
+        |    CAST(ROUND((CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST(n_prev AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS d2
+        |  FROM b WHERE f_prev IS NOT NULL),
+        |a AS (SELECT event_type, COUNT(*) AS n_points,
+        |    SUM(e2) AS se2, SUM(d2) AS sd2 FROM t GROUP BY 1)
+        |SELECT event_type, n_points,
+        |  ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n_points AS DOUBLE)), 6)
+        |    AS rmse_model,
+        |  ROUND(sqrt(CAST(sd2 AS DOUBLE) / CAST(n_points AS DOUBLE)), 6)
+        |    AS rmse_naive,
+        |  ROUND(CASE WHEN CAST(sd2 AS DOUBLE) > 0 THEN
+        |    sqrt(CAST(se2 AS DOUBLE)) / sqrt(CAST(sd2 AS DOUBLE)) END, 6)
+        |    AS theil_u2
+        |FROM a""".stripMargin),
     // AUC by rank-sum: midrank block algebra p·(2b+c+1) = 2·ΣR₁, three
     // exact integers into one mirrored division
     "q_auc" ->

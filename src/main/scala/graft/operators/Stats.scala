@@ -682,6 +682,39 @@ object Stats {
           count(lit(1)), 6).as("mape"))
   }
 
+  /** THEIL'S U2 — the forecast-SKILL ratio that belongs next to
+    * [[holtBacktest]]'s MAPE: U2 = RMSE(model) / RMSE(naïve
+    * last-value), < 1 means the forecaster beats persistence, > 1
+    * means the model is worse than doing nothing (the readout that
+    * keeps a dashboard honest — MAPE alone can look respectable while
+    * losing to the naïve baseline). Both error series ride the
+    * bit-exact [[holtLinear]] doubles; squared errors bridge round-9
+    * decimals; one guarded ratio of mirrored square roots.
+    */
+  def theilU(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    holtLinear(spark, dir, alpha, beta)
+      .withColumn("f_prev", lag(col("forecast_next"), 1).over(w))
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .filter(col("f_prev").isNotNull)
+      .select(col("event_type"),
+        round((dd(col("n")) - col("f_prev")) * (dd(col("n")) - col("f_prev")), 9)
+          .cast(b9).as("e2"),
+        round((dd(col("n")) - dd(col("n_prev"))) * (dd(col("n")) - dd(col("n_prev"))), 9)
+          .cast(b9).as("d2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"), sum(col("e2")).as("se2"),
+        sum(col("d2")).as("sd2"))
+      .select(col("event_type"), col("n_points"),
+        round(sqrt(dd(col("se2")) / dd(col("n_points"))), 6).as("rmse_model"),
+        round(sqrt(dd(col("sd2")) / dd(col("n_points"))), 6).as("rmse_naive"),
+        round(when(dd(col("sd2")) > 0,
+          sqrt(dd(col("se2"))) / sqrt(dd(col("sd2")))), 6).as("theil_u2"))
+  }
+
   /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978) on the Holt
     * one-step residuals — "is there structure the forecaster missed":
     * Q = n(n+2)·Σ_{k=1..6} ρ̂_k²/(n−k) over the first six residual

@@ -1090,6 +1090,21 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("theil u2: skill ratio equals rmse_model/rmse_naive, positive parts") {
+    val rows = Stats.theilU(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (m, nv, u) = (r.getAs[Double]("rmse_model"),
+        r.getAs[Double]("rmse_naive"), r.getAs[Double]("theil_u2"))
+      assert(m >= 0 && nv > 0 && u > 0, s"degenerate parts: $r")
+      assert(math.abs(u - m / nv) < 1e-4, s"U != rmse ratio: $r")
+    }
+    // the same residual base as holtBacktest: identical point counts
+    val mape = Stats.holtBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_points")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_points") == mape(r.getString(0))))
+  }
+
   test("kruskal-wallis: matches a driver midrank recompute, tie-corrected H >= H") {
     val r = Stats.kruskalWallis(spark, sf).collect().head
     val vals = graft.sources.Tables(spark, sf, "events")
