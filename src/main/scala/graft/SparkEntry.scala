@@ -319,6 +319,7 @@ object SparkEntry {
     "q_frame_sample" -> (Multimodal.frameSampleStub(_, _)),
     "q_video_frames" -> ((s, d) => Multimodal.videoFrames(s, d)),
     "q_phash" -> (Multimodal.imagePhash(_, _)),
+    "q_image_neardups" -> ((s, d) => Multimodal.imageNearDups(s, d)),
     "q_zorder" -> (graft.operators.ZOrder.zValuedEvents(_, _)),
     // --- skew toolkit ----------------------------------------------------
     "q_skew_salted_join" -> (Skew.saltedRevenueBySegment(_, _)),
@@ -526,6 +527,36 @@ object SparkEntry {
   // the same double as decimal-listeral 0.7 cast to double — printing
   // the Scala doubles and letting DuckDB parse them back guarantees the
   // identical coefficient bits on both engines
+  /** Shared dHash-rebuild CTE chain (PNG losslessness lets DuckDB
+    * recompute the 64-bit fingerprint from the text bytes): ends in
+    * `ph(doc_id, phash_hi, phash_lo)` — q_phash selects it verbatim,
+    * q_image_neardups bands and joins it.
+    */
+  private def phashCoreSql(): String =
+    """WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS h
+      |  FROM documents WHERE strlen(text) >= 128),
+      |p AS (SELECT doc_id, h, text || repeat(' ', 16 * h - len) AS padded FROM d),
+      |e AS (SELECT doc_id, h, padded,
+      |    CAST(unnest(range(0, CAST(16 * h AS BIGINT))) AS INTEGER) AS pos FROM p),
+      |px AS (SELECT doc_id, h, pos % 16 AS c, pos // 16 AS r,
+      |    ascii(substr(padded, pos + 1, 1)) AS v FROM e),
+      |cells AS (SELECT doc_id, (c * 9) // 16 AS gx, (r * 8) // h AS gy,
+      |    SUM(v) AS s, COUNT(*) AS n FROM px GROUP BY 1, 2, 3),
+      |bits AS (SELECT a.doc_id, a.gx, a.gy,
+      |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |rb AS (SELECT doc_id, gy,
+      |    SUM(bit * (CAST(1 AS BIGINT) << CAST(gx AS INTEGER))) AS rowbyte
+      |  FROM bits GROUP BY 1, 2),
+      |ph AS MATERIALIZED (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN gy < 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * gy AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |  CAST(SUM(CASE WHEN gy >= 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * (gy - 4) AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+      |FROM rb GROUP BY 1)""".stripMargin
+
   private def holtCoreSql(alpha: Double = 0.5, beta: Double = 0.3): String = {
     val (a, a1, b, b1) = (alpha, 1 - alpha, beta, 1 - beta)
     s"""WITH RECURSIVE o AS (
@@ -3835,30 +3866,27 @@ object SparkEntry {
     // dHash from decoded pixels; PNG losslessness lets the oracle
     // rebuild the 9×8 integer average pool (cross-multiplied compares,
     // no division) from the padded text bytes, bit for bit
-    "q_phash" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, strlen(text) AS len,
-        |    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS h
-        |  FROM documents WHERE strlen(text) >= 128),
-        |p AS (SELECT doc_id, h, text || repeat(' ', 16 * h - len) AS padded FROM d),
-        |e AS (SELECT doc_id, h, padded,
-        |    CAST(unnest(range(0, CAST(16 * h AS BIGINT))) AS INTEGER) AS pos FROM p),
-        |px AS (SELECT doc_id, h, pos % 16 AS c, pos // 16 AS r,
-        |    ascii(substr(padded, pos + 1, 1)) AS v FROM e),
-        |cells AS (SELECT doc_id, (c * 9) // 16 AS gx, (r * 8) // h AS gy,
-        |    SUM(v) AS s, COUNT(*) AS n FROM px GROUP BY 1, 2, 3),
-        |bits AS (SELECT a.doc_id, a.gx, a.gy,
-        |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8),
-        |rb AS (SELECT doc_id, gy,
-        |    SUM(bit * (CAST(1 AS BIGINT) << CAST(gx AS INTEGER))) AS rowbyte
-        |  FROM bits GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN gy < 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * gy AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
-        |  CAST(SUM(CASE WHEN gy >= 4 THEN rowbyte * (CAST(1 AS BIGINT) << CAST(8 * (gy - 4) AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
-        |FROM rb GROUP BY 1""".stripMargin,
+    "q_phash" -> (phashCoreSql() +
+      "\nSELECT doc_id, phash_hi, phash_lo FROM ph"),
+    // image near-dup join: the shared phash core, 4x16-bit bands,
+    // candidate equi-self-join, exact bit_count(xor) distance
+    "q_image_neardups" -> (phashCoreSql() +
+      """,
+        |bands AS (
+        |  SELECT doc_id, phash_hi, phash_lo, band, key FROM (
+        |    SELECT *, unnest([0, 1, 2, 3]) AS band,
+        |      unnest([phash_hi & 65535, (phash_hi >> 16) & 65535,
+        |        phash_lo & 65535, (phash_lo >> 16) & 65535]) AS key
+        |    FROM ph) u),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.phash_hi AS ha, x.phash_lo AS la,
+        |    y.phash_hi AS hb, y.phash_lo AS lb
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER) AS dist
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin),
     // q_audio_decode: WAV PCM round-trip is lossless, so decoded samples
     // equal the text bytes and DuckDB recomputes rate/duration/sha/mean.
     "q_audio_decode" ->

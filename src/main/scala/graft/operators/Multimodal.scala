@@ -638,4 +638,40 @@ object Multimodal {
       }
     }.toDF("doc_id", "phash_hi", "phash_lo")
   }
+
+  /** IMAGE NEAR-DUPLICATE JOIN over the [[imagePhash]] fingerprints —
+    * the media face of SimHash text dedup: the 64-bit dHash splits
+    * into four 16-bit bands, candidates come from the (band, key)
+    * equi-self-join (by pigeonhole, any pair within Hamming distance 3
+    * shares at least one intact band — the banding is LOSSLESS at the
+    * default threshold, pinned differentially against brute force),
+    * and the exact distance is two codegen'd `bit_count(xor)` words on
+    * the surviving pairs. Candidate volume follows band-bucket
+    * collisions, never corpus² — the identical scale contract as
+    * `q_simhash_neardups`, applied to decoded-pixel fingerprints
+    * instead of token hashes.
+    */
+  def imageNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole is only lossless to distance 3")
+    val ph = imagePhash(spark, dir).localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.phash_hi").as("ha"), col("x.phash_lo").as("la"),
+        col("y.phash_hi").as("hb"), col("y.phash_lo").as("lb"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
 }

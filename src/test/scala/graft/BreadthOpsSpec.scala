@@ -189,6 +189,27 @@ class BreadthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("image near-dups: banding is lossless at distance 3 vs brute force") {
+    val got = Multimodal.imageNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    got.foreach { case ((a, b), dist) =>
+      assert(a < b, "pairs must be a<b ordered")
+      assert(dist >= 0 && dist <= 3, s"distance out of contract: $dist")
+    }
+    // brute force over the fingerprints: 4-band pigeonhole guarantees
+    // EVERY pair within distance 3 shares a band, so the candidate
+    // join can't lose one — the result sets must be EQUAL
+    val ph = Multimodal.imagePhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ida, ha, la) <- ph; (idb, hb, lb) <- ph if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (ida, idb) -> d).toMap
+    assert(got == brute,
+      s"banded join diverges from brute force: ${got.size} vs ${brute.size} pairs")
+  }
+
   test("lm score: every multi-token doc scored, scores negative, one doc recomputed") {
     val got = TextAnalysis.lmScore(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
