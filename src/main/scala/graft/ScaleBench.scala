@@ -541,7 +541,12 @@ object ScaleBench {
     // value) aggregate; jarque/grubbs are scan-dominated moment verbs
     "q_kruskal_wallis" -> ((s, d) => Stats.kruskalWallis(s, d)),
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
-    "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)))
+    "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
+    // seventh wave: the image near-dup join pays one decode scan plus
+    // band-bucket collisions (the simhash contract on media);
+    // theil_u rides the calendar-bounded Holt core
+    "q_image_neardups" -> ((s, d) => graft.operators.Multimodal.imageNearDups(s, d)),
+    "q_theil_u" -> ((s, d) => Stats.theilU(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
