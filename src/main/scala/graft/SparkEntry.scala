@@ -261,6 +261,7 @@ object SparkEntry {
     "q_bartlett" -> ((s, d) => Stats.bartlett(s, d)),
     "q_hurst" -> ((s, d) => Stats.hurstExponent(s, d)),
     "q_kruskal_wallis" -> ((s, d) => Stats.kruskalWallis(s, d)),
+    "q_welch_anova" -> ((s, d) => Stats.welchAnova(s, d)),
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
@@ -2196,6 +2197,43 @@ object SparkEntry {
         |    exp(h_raw / corr / -2.0) * (1.0 + h_raw / corr / 2.0) END, 6)
         |    AS p_value
         |FROM e""".stripMargin,
+    // Welch ANOVA: same exact sufficient stats as q_anova; weighted
+    // k-row sums round-9 decimal-bridged; statistic + W-S df2 only
+    "q_welch_anova" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+        |        AS DECIMAL(38,4))) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1),
+        |w AS (SELECT *,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM g),
+        |w2 AS (SELECT *, CAST(n AS DOUBLE) / v AS wi FROM w WHERE v > 0),
+        |t AS (SELECT n, m, wi,
+        |    CAST(ROUND(wi, 9) AS DECIMAL(38,9)) AS w9,
+        |    CAST(ROUND(wi * m, 9) AS DECIMAL(38,9)) AS wm9 FROM w2),
+        |tot AS (SELECT COUNT(*) AS k, SUM(w9) AS sw, SUM(wm9) AS swm FROM t),
+        |wb AS (SELECT k, sw,
+        |    CAST(ROUND(wi * (m - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))
+        |      * (m - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS num9,
+        |    CAST(ROUND((1.0 - wi / CAST(sw AS DOUBLE))
+        |      * (1.0 - wi / CAST(sw AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 9)
+        |      AS DECIMAL(38,9)) AS lam9
+        |  FROM w2 CROSS JOIN tot),
+        |a AS (SELECT k, SUM(num9) AS snum, SUM(lam9) AS slam FROM wb GROUP BY 1)
+        |SELECT CAST(k AS INTEGER) AS k_groups,
+        |  ROUND((CAST(snum AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        |      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |      * CAST(slam AS DOUBLE)), 6) AS welch_f,
+        |  CAST(k - 1 AS INTEGER) AS df1,
+        |  ROUND(CASE WHEN CAST(slam AS DOUBLE) > 0 THEN
+        |    (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |    / (3.0 * CAST(slam AS DOUBLE)) END, 6) AS df2
+        |FROM a WHERE k > 1""".stripMargin,
     // Jarque-Bera: four exact moment sums (cubes/quartics as
     // DECIMAL(38,0)), fixed-order central-moment expansion, e^{-JB/2}
     "q_jarque_bera" ->

@@ -2683,6 +2683,64 @@ object Stats {
             (lit(1.0) + col("h_raw") / col("corr") / lit(2.0))), 6).as("p_value"))
   }
 
+  /** WELCH'S HETEROSCEDASTIC ONE-WAY ANOVA — the k-group mean test
+    * that stays valid when [[bartlett]] REJECTS variance homogeneity
+    * (the k-sample generalization of [[welchTTest]], Welch 1951):
+    * weights w_i = n_i/s_i², weighted grand mean, statistic
+    * W* = Σw_i(m_i−m̄_w)²/(k−1) / (1 + 2(k−2)/(k²−1)·Λ) with
+    * Λ = Σ(1−w_i/Σw)²/(n_i−1), and the Welch–Satterthwaite
+    * denominator df₂ = (k²−1)/(3Λ). The statistic and dfs are the
+    * operator (F-tail critical values are a table lookup, the
+    * [[tukeyHsd]] contract). Same one-scan exact sufficient
+    * statistics as [[anovaF]]; the k-term weighted sums bridge
+    * round-9 decimals so neither engine's reduce order matters.
+    */
+  def welchAnova(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 4)
+    val b9 = DecimalType(38, 9)
+    def d(c: Column) = c.cast("double")
+    val g = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s"),
+        sum((dec(col("value")) * dec(col("value"))).cast(sq)).as("ss"))
+      .filter(col("n") > 1)
+    // per-group: mean, sample variance, weight — one fixed-order
+    // double block, then round-9 decimal terms for the k-row sums
+    val w = g
+      .withColumn("m", d(col("s")) / d(col("n")))
+      .withColumn("v",
+        (d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+          (d(col("n")) - 1.0))
+      .filter(col("v") > 0)
+      .withColumn("wi", d(col("n")) / col("v"))
+    val terms = w.select(col("n"),
+      round(col("wi"), 9).cast(b9).as("w9"),
+      round(col("wi") * col("m"), 9).cast(b9).as("wm9"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum(col("w9")).as("sw"),
+      sum(col("wm9")).as("swm"))
+    val withBar = w.crossJoin(broadcast(tot))
+      .withColumn("mbar", d(col("swm")) / d(col("sw")))
+      .select(col("k"), col("sw"),
+        round(col("wi") * (col("m") - col("mbar")) * (col("m") - col("mbar")), 9)
+          .cast(b9).as("num9"),
+        round((lit(1.0) - col("wi") / d(col("sw"))) *
+          (lit(1.0) - col("wi") / d(col("sw"))) / (d(col("n")) - 1.0), 9)
+          .cast(b9).as("lam9"))
+    val agg = withBar.groupBy(col("k"))
+      .agg(sum(col("num9")).as("snum"), sum(col("lam9")).as("slam"))
+    val kD = d(col("k"))
+    val lam = d(col("slam"))
+    val wStat = (d(col("snum")) / (kD - 1.0)) /
+      (lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) * lam)
+    agg.filter(col("k") > 1)
+      .select(col("k").cast("int").as("k_groups"),
+        round(wStat, 6).as("welch_f"),
+        (col("k") - 1L).cast("int").as("df1"),
+        round(when(lam > 0, (kD * kD - 1.0) / (lit(3.0) * lam)), 6).as("df2"))
+  }
+
   /** JARQUE–BERA normality test per event type — skewness and excess
     * kurtosis from the first four EXACT moment sums of the integer
     * cents (Σc⁴ outgrows BIGINT, so the cubes/quartics sum as

@@ -1105,6 +1105,32 @@ class StatsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_points") == mape(r.getString(0))))
   }
 
+  test("welch anova: matches a driver weighted recompute, df2 <= N-k") {
+    val r = Stats.welchAnova(spark, sf).collect().head
+    val vals = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(2).toDouble))
+    val groups = vals.groupBy(_._1).values.map(_.map(_._2)).filter(_.length > 1).toSeq
+    val stats = groups.map { g =>
+      val n = g.length.toDouble; val m = g.sum / n
+      val v = g.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }.filter(_._3 > 0)
+    val k = stats.length.toDouble
+    val ws = stats.map { case (n, _, v) => n / v }
+    val mbar = stats.zip(ws).map { case ((_, m, _), w) => w * m }.sum / ws.sum
+    val num = stats.zip(ws).map { case ((_, m, _), w) => w * (m - mbar) * (m - mbar) }.sum
+    val lam = stats.zip(ws).map { case ((n, _, _), w) =>
+      (1.0 - w / ws.sum) * (1.0 - w / ws.sum) / (n - 1) }.sum
+    val expect = (num / (k - 1)) / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+    assert(math.abs(r.getAs[Double]("welch_f") - expect) / expect < 1e-4,
+      s"Welch F: ${r.getAs[Double]("welch_f")} vs $expect")
+    val df2 = r.getAs[Double]("df2")
+    assert(math.abs(df2 - (k * k - 1.0) / (3.0 * lam)) / df2 < 1e-4)
+    assert(df2 <= vals.length - k + 1e-6, "Welch df2 cannot exceed N-k")
+  }
+
   test("kruskal-wallis: matches a driver midrank recompute, tie-corrected H >= H") {
     val r = Stats.kruskalWallis(spark, sf).collect().head
     val vals = graft.sources.Tables(spark, sf, "events")
