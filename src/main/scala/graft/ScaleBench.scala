@@ -542,6 +542,7 @@ object ScaleBench {
     "q_kruskal_wallis" -> ((s, d) => Stats.kruskalWallis(s, d)),
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
+    "q_welch_anova" -> ((s, d) => Stats.welchAnova(s, d)),
     // seventh wave: the image near-dup join pays one decode scan plus
     // band-bucket collisions (the simhash contract on media);
     // theil_u rides the calendar-bounded Holt core
