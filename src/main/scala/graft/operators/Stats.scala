@@ -2821,6 +2821,80 @@ object Stats {
         col("outlier_event_id"), col("outlier_cents"))
   }
 
+  /** EXACT POISSON RATE-RATIO TEST (conditional binomial form) on
+    * purchase counts between the two experiment arms — "did arm A's
+    * event RATE move?", answered exactly: conditional on the total
+    * c_A + c_B, the arm-A count is Binomial(n, p₀) with p₀ =
+    * t_A/(t_A+t_B) (exposure = arm user counts), and the two-sided p
+    * sums every outcome with mass ≤ observed (the same relative
+    * tolerance as [[fisherExact]]). The second user of the decimal
+    * ln-factorial prefix table: ln C(n,x) is a chain of decimal
+    * subtractions; x·ln p₀ + (n−x)·ln(1−p₀) adds in fixed-order
+    * doubles; the outcome axis is corpus-linear and distributed.
+    */
+  def exactRateTest(spark: SparkSession, dir: String, slice: Int = 4096): DataFrame = {
+    val b9 = DecimalType(38, 9)
+    val p15 = DecimalType(38, 15)
+    def dd(c: Column) = c.cast("double")
+    def dz = lit(0).cast(b9)
+    val ev = Tables(spark, dir, "events")
+    val m = ev.agg(
+      sum(when(pmod(col("user_id"), lit(2)) === 0 &&
+        col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+      sum(when(pmod(col("user_id"), lit(2)) =!= 0 &&
+        col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"),
+      countDistinct(when(pmod(col("user_id"), lit(2)) === 0, col("user_id"))).as("ta"),
+      countDistinct(when(pmod(col("user_id"), lit(2)) =!= 0, col("user_id"))).as("tb"))
+      .withColumn("n", col("ca") + col("cb"))
+    val nTot = m.select(col("n")).head.getLong(0)
+    val terms = spark.range(1, nTot + 1)
+      .select(col("id").as("i"), ((col("id") - 1) / slice).as("s"),
+        round(log(dd(col("id"))), 9).cast(b9).as("l"))
+    val bases = terms.groupBy(col("s")).agg(sum(col("l")).as("ls"))
+      .withColumn("base", coalesce(sum(col("ls")).over(
+        Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)), dz))
+      .select(col("s"), col("base"))
+    val fTab = terms
+      .withColumn("run", sum(col("l")).over(
+        Window.partitionBy(col("s")).orderBy(col("i"))))
+      .join(broadcast(bases), Seq("s"))
+      .select(col("i"), (col("base") + col("run")).as("lf"))
+      .localCheckpoint()
+    // outcome axis x = 0..n; each mass needs F(n) − F(x) − F(n−x)
+    val xs = fTab.select(col("i").as("x"))
+      .unionByName(spark.range(1).select(lit(0L).as("x")))
+      .crossJoin(broadcast(m))
+      .filter(col("x") <= col("n"))
+    val withF = xs
+      .join(fTab.select(col("i").as("x"), col("lf").as("fx")), Seq("x"), "left")
+      .join(fTab.select((col("i")).as("nx_i"), col("lf").as("fnx")),
+        col("n") - col("x") === col("nx_i"), "left")
+      .join(broadcast(fTab.select(col("i").as("n_i"), col("lf").as("fn"))),
+        col("n") === col("n_i"))
+      .withColumn("lnc",
+        (col("fn") - coalesce(col("fx"), dz)) - coalesce(col("fnx"), dz))
+    val scored = withF
+      .withColumn("p0", dd(col("ta")) / (dd(col("ta")) + dd(col("tb"))))
+      .withColumn("lnp",
+        dd(col("lnc")) + dd(col("x")) * log(col("p0")) +
+          (dd(col("n")) - dd(col("x"))) * log(lit(1.0) - col("p0")))
+      .withColumn("p", exp(col("lnp")))
+    val obs = scored.filter(col("x") === col("ca"))
+      .select(col("p").as("p_obs"))
+    val ps = scored.crossJoin(broadcast(obs))
+      .agg(sum(when(col("p") <= col("p_obs") * lit(1.0000001),
+        round(col("p"), 15).cast(p15))).as("p2"),
+        count(lit(1)).as("n_outcomes"))
+    m.crossJoin(broadcast(ps))
+      .select(col("ca").as("events_a"), col("cb").as("events_b"),
+        col("ta").as("users_a"), col("tb").as("users_b"),
+        round(when(col("cb") > 0 && col("ta") > 0 && col("tb") > 0,
+          (dd(col("ca")) / dd(col("ta"))) /
+            (dd(col("cb")) / dd(col("tb")))), 6).as("rate_ratio"),
+        col("n_outcomes"),
+        round(least(dd(col("p2")), lit(1.0)), 6).as("p_two_sided"))
+  }
+
   /** HURST EXPONENT by rescaled-range (R/S) analysis of the hourly
     * count series per event type — the long-memory dial (H ≈ 0.5
     * random walk, > 0.5 persistent/trending, < 0.5 mean-reverting)
