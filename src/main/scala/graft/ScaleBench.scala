@@ -547,7 +547,10 @@ object ScaleBench {
     // band-bucket collisions (the simhash contract on media);
     // theil_u rides the calendar-bounded Holt core
     "q_image_neardups" -> ((s, d) => graft.operators.Multimodal.imageNearDups(s, d)),
-    "q_theil_u" -> ((s, d) => Stats.theilU(s, d)))
+    "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
+    // eighth wave: exact_rate pays one events scan + a purchase-count-
+    // sized outcome axis (corpus-linear in the conditioned total)
+    "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

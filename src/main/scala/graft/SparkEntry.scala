@@ -264,6 +264,7 @@ object SparkEntry {
     "q_welch_anova" -> ((s, d) => Stats.welchAnova(s, d)),
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
+    "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)),
     "q_mood_median" -> ((s, d) => Stats.moodMedian(s, d)),
     "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
     "q_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
@@ -693,10 +694,164 @@ object SparkEntry {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 
+  /** DuckDB replay of [[graft.operators.Similarity.pcaProject]]: the
+    * q9 floor-scaled-integer sufficient stats, `squarings`
+    * trace-normalized matrix squarings per component (unrolled as
+    * MATERIALIZED CTEs — plain CTE inlining would re-evaluate the
+    * chain exponentially), Rayleigh λ, deflation, and the bridged
+    * per-row projection. Every sum is an order-free exact-integer
+    * reduce of q9(x) = ⌊x·1e9 + 0.5⌋ terms (pure IEEE multiply/add/
+    * floor — identical in any engine, unlike repr-sensitive
+    * ROUND(double, 9)), and every remaining scalar op is IEEE double
+    * in the same order as the driver — a bit-exact replay.
+    */
+  private def pcaOracleSql(squarings: Int = 11): String = {
+    // SUM of q9 terms back to a double value (bounded sums ride BIGINT)
+    def q9sum(term: String) =
+      s"CAST(SUM(CAST(FLOOR($term * 1.0E9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E9"
+    // trace-normalized squarings of the matrix CTE `src` under prefix
+    // `pfx`; final matrix is ${pfx}m$squarings
+    def rounds(src: String, pfx: String): String = (1 to squarings).map { t =>
+      val prev = if (t == 1) src else s"${pfx}m${t - 1}"
+      s"""${pfx}tr$t AS (SELECT ${q9sum("c")} AS t FROM $prev WHERE i = j),
+         |${pfx}n$t AS MATERIALIZED (SELECT i, j,
+         |    c / (SELECT t FROM ${pfx}tr$t) AS c FROM $prev),
+         |${pfx}m$t AS MATERIALIZED (SELECT a.i AS i, b.j AS j,
+         |    ${q9sum("a.c * b.c")} AS c
+         |  FROM ${pfx}n$t a JOIN ${pfx}n$t b ON a.j = b.i GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    // matvec from the uniform start, normalize, Rayleigh λ on the
+    // component's own (possibly deflated) matrix `src`, centering shift
+    def component(src: String, pfx: String): String =
+      rounds(src, pfx) + ",\n" +
+        s"""${pfx}w AS (SELECT i,
+           |    ${q9sum("c * (1.0 / sqrt((SELECT dv FROM dd)))")} AS w
+           |  FROM ${pfx}m$squarings GROUP BY 1),
+           |${pfx}nv AS (SELECT sqrt(${q9sum("w * w")}) AS nv FROM ${pfx}w),
+           |${pfx}v AS MATERIALIZED (SELECT i,
+           |    w / (SELECT nv FROM ${pfx}nv) AS v FROM ${pfx}w),
+           |${pfx}cv AS (SELECT m.i AS i, ${q9sum("m.c * v.v")} AS cv
+           |  FROM $src m JOIN ${pfx}v v ON v.i = m.j GROUP BY 1),
+           |${pfx}lam AS (SELECT ${q9sum("v.v * cv.cv")} AS l
+           |  FROM ${pfx}v v JOIN ${pfx}cv cv ON cv.i = v.i),
+           |${pfx}sh AS (SELECT ${q9sum("mu.m * v.v")} AS s
+           |  FROM mu JOIN ${pfx}v v ON v.i = mu.i)""".stripMargin
+    val evrExpr = (pfx: String) =>
+      s"""(SELECT CASE WHEN (SELECT t FROM tr0) > 0
+         |    THEN GREATEST(l, 0.0) / (SELECT t FROM tr0) ELSE 0.0 END
+         |  FROM ${pfx}lam)""".stripMargin
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, label,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM emb),
+       |dd AS (SELECT CAST(len(v) AS DOUBLE) AS dv FROM emb LIMIT 1),
+       |si AS MATERIALIZED (SELECT u.i AS i,
+       |    SUM(CAST(FLOOR(u.x * 1.0E9 + 0.5) AS DECIMAL(38,0))) AS s FROM (
+       |    SELECT unnest(list_transform(v,
+       |      (x, i) -> struct_pack(i := i - 1, x := x))) AS u FROM emb) z
+       |  GROUP BY 1),
+       |gr AS MATERIALIZED (SELECT u.i AS i, u.j AS j, SUM(u.t) AS g FROM (
+       |    SELECT unnest(flatten(list_transform(v, (xi, i) ->
+       |      list_transform(list_slice(v, i, len(v)), (xj, jj) ->
+       |        struct_pack(i := i - 1, j := i - 1 + jj - 1,
+       |          t := CAST(FLOOR(xi * xj * 1.0E9 + 0.5) AS DECIMAL(38,0)))))))
+       |      AS u
+       |    FROM emb) z
+       |  GROUP BY 1, 2),
+       |mu AS MATERIALIZED (SELECT i,
+       |    (CAST(s AS DOUBLE) / 1.0E9) / (SELECT nd FROM nn) AS m FROM si),
+       |covU AS (SELECT g.i AS i, g.j AS j,
+       |    ((CAST(g.g AS DOUBLE) / 1.0E9) - (SELECT nd FROM nn) * a.m * b.m)
+       |      / ((SELECT nd FROM nn) - 1.0) AS c
+       |  FROM gr g JOIN mu a ON a.i = g.i JOIN mu b ON b.i = g.j),
+       |c0 AS MATERIALIZED (SELECT i, j, c FROM covU
+       |  UNION ALL SELECT j AS i, i AS j, c FROM covU WHERE i <> j),
+       |tr0 AS (SELECT ${q9sum("c")} AS t FROM c0 WHERE i = j),
+       |${component("c0", "x1")},
+       |c1 AS MATERIALIZED (SELECT a.i AS i, a.j AS j,
+       |    a.c - (SELECT l FROM x1lam) * va.v * vb.v AS c
+       |  FROM c0 a JOIN x1v va ON va.i = a.i JOIN x1v vb ON vb.i = a.j),
+       |${component("c1", "x2")},
+       |ux AS MATERIALIZED (SELECT vec_id, label, u.i AS i, u.x AS x FROM (
+       |    SELECT vec_id, label, unnest(list_transform(v,
+       |      (x, i) -> struct_pack(i := i - 1, x := x))) AS u FROM emb) z)
+       |SELECT ux.vec_id, ux.label,
+       |  CAST(SUM(CAST(FLOOR(ux.x * v1.v * 1.0E9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1.0E9 - (SELECT s FROM x1sh) AS pc1,
+       |  CAST(SUM(CAST(FLOOR(ux.x * v2.v * 1.0E9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1.0E9 - (SELECT s FROM x2sh) AS pc2,
+       |  ${evrExpr("x1")} AS evr1,
+       |  ${evrExpr("x2")} AS evr2
+       |FROM ux JOIN x1v v1 ON v1.i = ux.i JOIN x2v v2 ON v2.i = ux.i
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeApply]]: the 8
+    * training rounds unroll as CTE stages over a WRAPPED-STRING symbol
+    * encoding — each symbol as chr(1)‖sym‖chr(1), so SQL `replace`
+    * (left-to-right, non-overlapping, exactly `mergeAdjacent`'s scan)
+    * applies a round's (a,b) rule in one call with no cross-symbol
+    * false matches. Per round: adjacent-pair counts from the split
+    * symbols, argmax rule (count desc, a asc, b asc — the trainer's
+    * tie-break), replace-apply. MATERIALIZED CTEs — each stage is
+    * referenced 3× and plain inlining re-evaluates exponentially.
+    */
+  private def bpeOracleSql(merges: Int = 8): String = {
+    val U = "chr(1)"
+    def wrapped(w: String) =
+      s"$U || array_to_string(list_append(string_split($w, ''), '</w>'), $U || $U) || $U"
+    def rule(r: Int, src: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT w, cnt_or_1, replace(s,
+         |    $U || (SELECT a FROM r$r) || $U || $U || (SELECT b FROM r$r) || $U,
+         |    $U || (SELECT a || b FROM r$r) || $U) AS s FROM $src)""".stripMargin
+    val trainRounds = (1 to merges).map { r =>
+      val prev = s"st${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT u.a AS a, u.b AS b, SUM(cnt_or_1) AS c FROM (
+         |    SELECT cnt_or_1, unnest(list_transform(list_slice(syms, 1, len(syms) - 1),
+         |      (x, i) -> struct_pack(a := x, b := syms[i + 1]))) AS u
+         |    FROM (SELECT cnt_or_1,
+         |      string_split(trim(s, $U), $U || $U) AS syms FROM $prev) z) y
+         |  GROUP BY 1, 2),
+         |r$r AS MATERIALIZED (SELECT a, b FROM p$r
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |${rule(r, prev, s"st$r")}""".stripMargin
+    }.mkString(",\n")
+    val applyRounds = (1 to merges).map(r =>
+      rule(r, s"a${r - 1}", s"a$r")).mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |st0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt_or_1,
+       |    ${wrapped("w")} AS s
+       |  FROM toks GROUP BY 1),
+       |$trainRounds,
+       |docs AS MATERIALIZED (SELECT doc_id, list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '') AS tk FROM documents),
+       |dw AS MATERIALIZED (SELECT doc_id, unnest(tk) AS w FROM docs),
+       |a0 AS MATERIALIZED (SELECT w, CAST(1 AS BIGINT) AS cnt_or_1,
+       |    ${wrapped("w")} AS s
+       |  FROM (SELECT DISTINCT w FROM dw) z),
+       |$applyRounds,
+       |pieces AS (SELECT w, CAST(len(string_split(trim(s, $U),
+       |    $U || $U)) AS BIGINT) AS np FROM a$merges),
+       |perdoc AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces
+       |  FROM dw JOIN pieces USING (w) GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_words,
+       |  COALESCE(p.n_pieces, 0) AS n_pieces,
+       |  ROUND(CAST(COALESCE(p.n_pieces, 0) AS DOUBLE)
+       |    / GREATEST(len(d.tk), 1), 4) AS pieces_per_word
+       |FROM docs d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // PCA: bit-exact replay of the decimal-bridged sufficient stats +
+    // trace-normalized-squaring eigensolve (generated, see pcaOracleSql)
+    "q_pca_project" -> pcaOracleSql(),
+    // BPE apply: the 8 training rounds + segmentation replayed on the
+    // wrapped-string encoding (generated, see bpeOracleSql)
+    "q_bpe_apply" -> bpeOracleSql(),
     // Z-order: layout is an optimization, never a semantic — the oracle
     // pins the min/max gridding + Morton math itself (the layout win is
     // ZOrderLayoutSpec's to prove).
@@ -1764,11 +1919,13 @@ object SparkEntry {
         |    AND (alpha_frac >= 0.8) AND (dup_ratio < 0.5)) AS passes
         |FROM m""".stripMargin,
     // source-pair shingle overlap: pairs explode within a shingle's
-    // source set only, never doc x doc
+    // source set only, never doc x doc; shingles keyed by the first 60
+    // bits of their md5 (same function both engines — collision-identical)
     "q_source_overlap" ->
       """WITH d AS (SELECT source, text FROM documents WHERE strlen(text) >= 15),
         |sh AS (
-        |  SELECT DISTINCT source, substring(text, CAST(i AS INTEGER), 15) AS sh
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(
+        |      substring(text, CAST(i AS INTEGER), 15)), 1, 15)) AS BIGINT) AS sh
         |  FROM (SELECT source, text,
         |    unnest(range(1, strlen(text) - 14 + 1)) AS i FROM d)),
         |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
@@ -2161,7 +2318,7 @@ object SparkEntry {
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS hurst
         |FROM a WHERE m >= 2""".stripMargin,
     // Kruskal-Wallis: doubled midranks from the global cents histogram,
-    // exact BIGINT rank sums, decimal-bridged H terms + tie correction
+    // HUGEINT/DECIMAL(38,0) rank sums, decimal-bridged H terms + ties
     "q_kruskal_wallis" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -2172,7 +2329,7 @@ object SparkEntry {
         |  FROM hist),
         |r2 AS (SELECT c, 2 * below + f + 1 AS r2v, f FROM ranks),
         |grp AS (SELECT event_type, CAST(SUM(fg) AS BIGINT) AS n,
-        |    CAST(SUM(fg * r2v) AS BIGINT) AS rr2
+        |    SUM(CAST(fg AS HUGEINT) * CAST(r2v AS HUGEINT)) AS rr2
         |  FROM (SELECT event_type, c, COUNT(*) AS fg FROM ev GROUP BY 1, 2) g
         |  JOIN r2 USING (c) GROUP BY 1),
         |t AS (SELECT n, CAST(ROUND((CAST(rr2 AS DOUBLE) / 2.0)
@@ -2289,6 +2446,58 @@ object SparkEntry {
         |  arg_min(c, event_id) AS outlier_cents
         |FROM dev JOIN mx ON dev.event_type = mx.event_type AND dev.d = mx.dmax
         |GROUP BY dev.event_type, n, sd, dmax""".stripMargin,
+    // Exact Poisson rate-ratio test: conditional-binomial outcome axis
+    // replayed on the decimal ln-factorial prefix table (row_number
+    // over events supplies the 1..n axis — n = purchase count ≤ |events|)
+    "q_exact_rate" ->
+      """WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS ta,
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 <> 0 THEN user_id END) AS tb
+        |  FROM events),
+        |mm AS (SELECT *, ca + cb AS n FROM m),
+        |ax AS (SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS i FROM events
+        |  QUALIFY i <= (SELECT n FROM mm)),
+        |f AS (SELECT i,
+        |    SUM(CAST(ROUND(ln(CAST(i AS DOUBLE)), 9) AS DECIMAL(38,9))) OVER
+        |      (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS lf
+        |  FROM ax),
+        |xs AS (SELECT i AS x FROM ax UNION ALL SELECT CAST(0 AS BIGINT)),
+        |wf AS (SELECT xs.x, mm.ca, mm.cb, mm.ta, mm.tb, mm.n,
+        |    CAST((fn.lf - COALESCE(fx.lf, 0)) - COALESCE(fnx.lf, 0) AS DOUBLE)
+        |      AS lnc,
+        |    CAST(mm.ta AS DOUBLE) / (CAST(mm.ta AS DOUBLE)
+        |      + CAST(mm.tb AS DOUBLE)) AS p0
+        |  FROM xs CROSS JOIN mm
+        |  LEFT JOIN f fx ON fx.i = xs.x
+        |  LEFT JOIN f fnx ON fnx.i = mm.n - xs.x
+        |  JOIN f fn ON fn.i = mm.n
+        |  WHERE xs.x <= mm.n),
+        |sc AS (SELECT *,
+        |    exp(CASE WHEN p0 > 0 AND p0 < 1 THEN
+        |      lnc + CAST(x AS DOUBLE) * ln(p0)
+        |          + (CAST(n AS DOUBLE) - CAST(x AS DOUBLE)) * ln(1.0 - p0)
+        |      END) AS p
+        |  FROM wf),
+        |obs AS (SELECT p AS p_obs FROM sc WHERE x = ca),
+        |ps AS (SELECT SUM(CASE WHEN sc.p <= obs.p_obs * 1.0000001
+        |      THEN CAST(ROUND(sc.p, 15) AS DECIMAL(38,15)) END) AS p2,
+        |    COUNT(*) AS n_outcomes
+        |  FROM sc CROSS JOIN obs)
+        |SELECT mm.ca AS events_a, mm.cb AS events_b,
+        |  mm.ta AS users_a, mm.tb AS users_b,
+        |  ROUND(CASE WHEN mm.cb > 0 AND mm.ta > 0 AND mm.tb > 0 THEN
+        |    (CAST(mm.ca AS DOUBLE) / CAST(mm.ta AS DOUBLE))
+        |    / (CAST(mm.cb AS DOUBLE) / CAST(mm.tb AS DOUBLE)) END, 6)
+        |    AS rate_ratio,
+        |  ps.n_outcomes,
+        |  CASE WHEN ps.p2 IS NOT NULL THEN
+        |    ROUND(LEAST(CAST(ps.p2 AS DOUBLE), 1.0), 6) END AS p_two_sided
+        |FROM mm CROSS JOIN ps""".stripMargin,
     // Bartlett: exact integer-cents sufficient stats, round-9 decimal
     // ln-variance terms, closed-form df=4 survival
     "q_bartlett" ->

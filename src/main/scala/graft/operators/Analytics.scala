@@ -286,7 +286,7 @@ object Analytics {
     // the oracle's 20 compounding iterations would drift visibly)
     val teleport = (BigDecimal(1) - BigDecimal(d.toString)).toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inflow = edges.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w")).as("inflow"))
@@ -294,7 +294,11 @@ object Analytics {
       ranks = nodes.join(inflow, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(teleport / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // lineage truncation every 4th round, not every round: an eager
+      // localCheckpoint per iteration schedules 20+ jobs whose fixed
+      // overhead dominates this |event-types|-sized state; a 4-deep
+      // lazy plan stays codegen-safe and computes the same doubles
+      if (i % 4 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 4).as("rank"))
   }

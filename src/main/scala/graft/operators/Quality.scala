@@ -200,7 +200,7 @@ object Quality {
     val counts = Tables(spark, dir, "orders")
       .select(digit)
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") / col("total"), 6).as("observed_p"),
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected_p"),

@@ -630,49 +630,117 @@ object Similarity {
   /** PCA PROJECTION of the embedding corpus onto its top principal
     * components — the dimensionality probe every embedding pipeline
     * runs (effective-rank readout, 2-D inspection coordinates,
-    * whitening prep). Distributed exactly like MLlib's PCA but in
-    * DataFrame idiom: ONE scan folds every vector into a
-    * [[graft.functions.GramAggregator]] sufficient-statistics buffer
-    * (n, Σx, upper-tri Σxxᵀ — 2,145 doubles at d = 64, map-side
-    * combined, |partitions| buffers to the driver at ANY corpus size);
-    * the d×d covariance eigensolves on the driver via deterministic
-    * cyclic Jacobi ([[graft.functions.JacobiEigen]]); the projection is
-    * a broadcast map-side pass with the component vectors inlined as
-    * codegen'd dot products. No shuffle touches corpus rows.
+    * whitening prep). ONE scan folds every vector into exact
+    * floor-scaled-integer sufficient statistics (n, Σx_i, upper-tri
+    * Σx_i·x_j — 2,145 order-independent DECIMAL(38,0) sums at d = 64,
+    * map-side combined from a single flattened-struct explode,
+    * |dims|²-sized shuffle at ANY corpus size); the d×d covariance
+    * eigensolves on the DRIVER via `squarings` trace-normalized matrix
+    * squarings (C^2^11 separates a flat spectrum where plain power
+    * iteration needs ~1,500 steps) + one bridged matvec from the
+    * uniform start vector + Rayleigh λ, deflating between components;
+    * the projection is a broadcast map-side pass with the component
+    * vectors inlined as codegen'd zip_with/aggregate dots. No shuffle
+    * touches corpus rows.
     *
-    * Rows-only by design (double accumulation is deterministic only up
-    * to partition merge order — a SQL oracle cannot replay it);
-    * `SimilaritySpec` pins variance-capture identities instead.
+    * HASH-EXACT by construction: every cross-row or cross-term sum
+    * rides the q9 channel — q9(x) = ⌊x·1e9 + 0.5⌋, pure IEEE
+    * multiply/add/floor, summed as exact integers (order-free), value
+    * back as sum/1e9. Unlike ROUND(double, 9), whose BigDecimal path
+    * is repr-sensitive at half-way digit boundaries (Java toString vs
+    * an exact-binary rounder diverges ~1e-7/term, fatal when squaring
+    * amplifies), q9 is bit-identical in ANY IEEE engine. All remaining
+    * driver ops are IEEE +,·,/,√ in a fixed order — so the DuckDB
+    * oracle replays the identical doubles bit-for-bit through the
+    * squarings, the deflation, and the per-row projection
+    * ([[graft.SparkEntry]]'s pcaOracleSql generates the unrolled CTE
+    * chain). `SimilaritySpec` pins the variance-capture identities on
+    * top (centering, decorrelation, EVR-vs-measured).
     */
-  def pcaProject(spark: SparkSession, dir: String, nComponents: Int = 2): DataFrame = {
+  def pcaProject(spark: SparkSession, dir: String, nComponents: Int = 2,
+      squarings: Int = 11): DataFrame = {
     val embRaw = Tables(spark, dir, "embeddings")
     val d = embRaw.select(size(col("embedding"))).head().getInt(0)
     val emb = embRaw.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val gram = udaf(new graft.functions.GramAggregator(d))
-    val buf = emb.agg(gram(col("v"))).head().getSeq[Double](0).toArray
-    val n = buf(0)
-    require(n > 1, "PCA needs at least two vectors")
-    val mean = Array.tabulate(d)(i => buf(1 + i) / n)
-    val cov = Array.ofDim[Double](d, d)
-    var t = 1 + d
-    for (i <- 0 until d; j <- i until d) {
-      val c = (buf(t) - n * mean(i) * mean(j)) / (n - 1.0)
-      cov(i)(j) = c
-      cov(j)(i) = c
-      t += 1
+    // the q9 integer channel, driver side (values bounded ≪ 2^53/1e9,
+    // so the multiply/floor and the final integer→double are exact)
+    def q9(x: Double): Long = math.floor(x * 1.0e9 + 0.5).toLong
+    def dsum(ts: Iterator[Double]): Double = {
+      var acc = 0L
+      ts.foreach(t => acc += q9(t))
+      acc.toDouble / 1.0e9
     }
-    val (vals, vecs) = graft.functions.JacobiEigen(cov)
-    val totalVar = vals.map(math.max(_, 0.0)).sum
-    val comps = vecs.take(nComponents)
-    val evr = vals.take(nComponents).map(v =>
-      if (totalVar > 0) math.max(v, 0.0) / totalVar else 0.0)
-    // project map-side: pc_k = x·v_k − μ·v_k (the centering term is a
-    // driver constant, so the pass is one codegen'd dot per component)
+    // ---- distributed sufficient stats on the q9 integer channel
+    // (DECIMAL(38,0) sums: per-term magnitude ~1e9, corpus-scale safe)
+    val gramTerms = emb.select(explode(expr(
+      """flatten(transform(v, (xi, i) ->
+        |  transform(slice(v, i + 1, size(v) - i), (xj, jj) ->
+        |    named_struct('i', i, 'j', i + jj,
+        |      't', CAST(FLOOR(xi * xj * 1.0E9 + 0.5) AS DECIMAL(38,0))))))""".stripMargin))
+      .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
+      .groupBy(col("i"), col("j")).agg(sum(col("t")).as("g"))
+    val sumTerms = emb.select(posexplode(expr(
+        "transform(v, x -> CAST(FLOOR(x * 1.0E9 + 0.5) AS DECIMAL(38,0)))"))
+        .as(Seq("i", "s")))
+      .groupBy(col("i")).agg(sum(col("s")).as("s"))
+    val n = emb.count()
+    require(n > 1, "PCA needs at least two vectors")
+    val nd = n.toDouble
+    val sArr = new Array[Double](d)
+    sumTerms.collect().foreach(r =>
+      sArr(r.getInt(0)) = r.getDecimal(1).toBigInteger.doubleValue / 1.0e9)
+    val mean = Array.tabulate(d)(i => sArr(i) / nd)
+    val cov = Array.ofDim[Double](d, d)
+    gramTerms.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val g = r.getDecimal(2).toBigInteger.doubleValue / 1.0e9
+      val c = (g - nd * mean(i) * mean(j)) / (nd - 1.0)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // ---- driver eigen: trace-normalized squarings, all sums bridged
+    def topEig(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var p = m.map(_.clone())
+      (1 to squarings).foreach { _ =>
+        val t = dsum((0 until d).iterator.map(i => p(i)(i)))
+        require(t > 0, "degenerate covariance: non-positive trace")
+        val q = p.map(_.map(_ / t))
+        p = Array.tabulate(d, d)((i, j) =>
+          dsum((0 until d).iterator.map(k => q(i)(k) * q(k)(j))))
+      }
+      val u = 1.0 / math.sqrt(d.toDouble)
+      val w = Array.tabulate(d)(i => dsum((0 until d).iterator.map(k => p(i)(k) * u)))
+      val nrm = math.sqrt(dsum(w.iterator.map(x => x * x)))
+      val v = w.map(_ / nrm)
+      val cv = Array.tabulate(d)(i => dsum((0 until d).iterator.map(k => m(i)(k) * v(k))))
+      val lam = dsum((0 until d).iterator.map(i => v(i) * cv(i)))
+      (v, lam)
+    }
+    val comps = new Array[Array[Double]](nComponents)
+    val lams = new Array[Double](nComponents)
+    var cur = cov
+    (0 until nComponents).foreach { k =>
+      val (v, lam) = topEig(cur)
+      comps(k) = v; lams(k) = lam
+      if (k < nComponents - 1) {
+        val prev = cur
+        cur = Array.tabulate(d, d)((i, j) => prev(i)(j) - lam * v(i) * v(j))
+      }
+    }
+    val trace = dsum((0 until d).iterator.map(i => cov(i)(i)))
+    val evr = lams.map(l => if (trace > 0) math.max(l, 0.0) / trace else 0.0)
+    // project map-side: pc_k = x·v_k − μ·v_k, both dots on the q9
+    // channel (the centering term is a driver constant; the per-row dot
+    // is one codegen'd zip_with/aggregate per component; the long
+    // accumulator holds ≤ d·~1e10 ≪ Long.Max)
+    def bridgedDot(vk: Array[Double]): Column =
+      (aggregate(
+        zip_with(col("v"), lit(vk), (a, b) => floor(a * b * lit(1.0e9) + lit(0.5))),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(1.0e9))
     val projected = comps.zipWithIndex.foldLeft(emb) { case (df, (vk, i)) =>
-      val shift = vk.zip(mean).map { case (a, b) => a * b }.sum
-      df.withColumn(s"pc${i + 1}",
-        dot(col("v"), lit(vk).cast("array<double>")) - lit(shift))
+      val shift = dsum(vk.iterator.zip(mean.iterator).map { case (a, b) => a * b })
+      df.withColumn(s"pc${i + 1}", bridgedDot(vk) - lit(shift))
     }
     val withEvr = evr.zipWithIndex.foldLeft(projected) { case (df, (e, i)) =>
       df.withColumn(s"evr${i + 1}", lit(e))

@@ -90,7 +90,7 @@ object Skew {
     val gnum = ranked.crossJoin(broadcast(tot))
       .agg(sum(((lit(2L) * col("i") - col("n_keys") - 1L) * col("cnt"))
         .cast(DecimalType(38, 0))).as("gnum"))
-    tot.crossJoin(gnum).select(
+    tot.crossJoin(broadcast(gnum)).select(
       col("n_rows"), col("n_keys"), col("max_cnt"),
       round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
       round(col("gnum").cast("double") /

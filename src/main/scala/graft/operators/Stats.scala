@@ -2635,8 +2635,10 @@ object Stats {
     * [[anovaF]]: "do the k event types differ in location, judged on
     * ranks?"), with the tie correction. Midranks come from the GLOBAL
     * value-cents histogram in doubled-integer form (2·below + f + 1 —
-    * the [[spearmanQuantityPrice]] device), so per-group rank sums are
-    * exact BIGINTs; H assembles from k decimal-bridged R²/n terms; the
+    * the [[spearmanQuantityPrice]] device); per-group rank sums bridge
+    * DECIMAL(38,0) (fg·r2 ≈ N², past BIGINT near ~3e9 non-null values —
+    * the same overflow class as the tie term, fixed the same way);
+    * H assembles from k decimal-bridged R²/n terms; the
     * tie term Σ(f³−f) bridges round-9 decimals per histogram row
     * (f³ outgrows BIGINT at corpus scale); df = k−1 = 4 takes the
     * closed-form even-df survival. Cost: one histogram aggregate over
@@ -2658,7 +2660,9 @@ object Stats {
     val grp = ev.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("fg"))
       .join(ranks.select(col("c"), col("r2")), Seq("c"))
       .groupBy(col("event_type"))
-      .agg(sum(col("fg")).as("n"), sum(col("fg") * col("r2")).as("rr2"))
+      .agg(sum(col("fg")).as("n"),
+        sum(col("fg").cast(DecimalType(38, 0)) * col("r2").cast(DecimalType(38, 0)))
+          .as("rr2"))
     val terms = grp.select(col("n"),
       round((dd(col("rr2")) / 2.0) * (dd(col("rr2")) / 2.0) / dd(col("n")), 9)
         .cast(b9).as("t9"))
@@ -2875,9 +2879,12 @@ object Stats {
         (col("fn") - coalesce(col("fx"), dz)) - coalesce(col("fnx"), dz))
     val scored = withF
       .withColumn("p0", dd(col("ta")) / (dd(col("ta")) + dd(col("tb"))))
+      // p0 ∈ {0,1} (an empty arm) would send log(p0)/log(1−p0) to −∞;
+      // the mass is degenerate there, so the p-value is left null
       .withColumn("lnp",
-        dd(col("lnc")) + dd(col("x")) * log(col("p0")) +
-          (dd(col("n")) - dd(col("x"))) * log(lit(1.0) - col("p0")))
+        when(col("p0") > 0 && col("p0") < 1,
+          dd(col("lnc")) + dd(col("x")) * log(col("p0")) +
+            (dd(col("n")) - dd(col("x"))) * log(lit(1.0) - col("p0"))))
       .withColumn("p", exp(col("lnp")))
     val obs = scored.filter(col("x") === col("ca"))
       .select(col("p").as("p_obs"))
@@ -2892,7 +2899,10 @@ object Stats {
           (dd(col("ca")) / dd(col("ta"))) /
             (dd(col("cb")) / dd(col("tb")))), 6).as("rate_ratio"),
         col("n_outcomes"),
-        round(least(dd(col("p2")), lit(1.0)), 6).as("p_two_sided"))
+        // explicit null guard: least() skips nulls, so a degenerate-arm
+        // null p2 would otherwise surface as a confident p = 1.0
+        when(col("p2").isNotNull,
+          round(least(dd(col("p2")), lit(1.0)), 6)).as("p_two_sided"))
   }
 
   /** HURST EXPONENT by rescaled-range (R/S) analysis of the hourly

@@ -407,10 +407,14 @@ object TextAnalysis {
     * (and the Jaccard of their shingle sets). THE reading before
     * splitting sources into train/eval: a pair with high overlap
     * cannot sit on opposite sides of the split. Scale shape: shingles
-    * collapse to (shingle, source) DISTINCT rows, each shingle carries
-    * at most |sources| rows (bounded, ~20), pairs explode WITHIN a
-    * shingle's source set only — never doc×doc. Set sizes broadcast
-    * back for the Jaccard.
+    * collapse to (shingle-key, source) DISTINCT rows, each shingle
+    * carries at most |sources| rows (bounded, ~20), pairs explode
+    * WITHIN a shingle's source set only — never doc×doc. Set sizes
+    * broadcast back for the Jaccard. The shuffled key is the first 60
+    * bits of md5(shingle) as a BIGINT — ~2× fewer shuffle bytes than
+    * the raw 15-char string, and ENGINE-REPLICABLE (the oracle casts
+    * the same hex prefix), so even a 60-bit collision would merge the
+    * same shingles on both sides.
     */
   def sourceOverlap(spark: SparkSession, dir: String, w: Int = 15): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -418,7 +422,9 @@ object TextAnalysis {
     val sh = docs
       .select(col("source"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (w - 1))).as("i"))
-      .select(col("source"), expr(s"substring(text, i, $w)").as("sh"))
+      .select(col("source"),
+        expr(s"CAST(conv(substring(md5(substring(text, i, $w)), 1, 15), 16, 10) AS BIGINT)")
+          .as("sh"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.groupBy(col("sh"))

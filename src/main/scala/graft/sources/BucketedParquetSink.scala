@@ -31,8 +31,9 @@ object BucketedParquetSink {
     val dir = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
     if (java.nio.file.Files.exists(dir)) {
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p)))
     }
     val sorts = if (sortKeys.nonEmpty) sortKeys else Seq(bucketKey)
     // Pre-shuffle onto the bucket hash (repartition and bucketBy share

@@ -82,15 +82,16 @@ object JsonlSink {
           Map("ignoreNullFields" -> "false")).as("value"))
     serialized.coalesce(1).write.mode("overwrite").text(tmp)
 
-    val part = Files.list(Paths.get(tmp)).filter(p =>
-      p.getFileName.toString.startsWith("part-")).findFirst()
-      .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+      _.filter(p => p.getFileName.toString.startsWith("part-")).findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no part file in $tmp")))
     Files.createDirectories(Paths.get(outputDir))
     val dest = Paths.get(outputDir, s"$prefix-00000-of-00001.jsonl")
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup of the temp dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    // best-effort cleanup of the temp dir (walk closed — it holds fds)
+    scala.util.Using.resource(Files.walk(Paths.get(tmp)))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
     dest.toString
   }
 }

@@ -1210,15 +1210,19 @@ object GraftVtProcedures {
       groups.foreach { g =>
         val from = java.nio.file.Paths.get(s"$root/$g")
         val to = java.nio.file.Paths.get(s"$dstRoot/$g")
-        java.nio.file.Files.walk(from).forEach { p =>
-          val rel = from.relativize(p)
-          val target = to.resolve(rel)
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(target): Unit
-          else {
-            java.nio.file.Files.createDirectories(target.getParent)
-            java.nio.file.Files.createLink(target, p)
-            nFiles += 1
+        // Files.walk holds directory handles until closed — many-group
+        // clones would otherwise exhaust file descriptors
+        scala.util.Using.resource(java.nio.file.Files.walk(from)) { walk =>
+          walk.forEach { p =>
+            val rel = from.relativize(p)
+            val target = to.resolve(rel)
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(target): Unit
+            else {
+              java.nio.file.Files.createDirectories(target.getParent)
+              java.nio.file.Files.createLink(target, p)
+              nFiles += 1
+            }
           }
         }
       }

@@ -69,7 +69,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_fisher_exact", // 1-row margins/lnC/obs terms against the t-range
     "q_mood_median", // 1-row grand median + margins against the k cells
     "q_kruskal_wallis", // 1-row tie-correction total against the k terms
-    "q_welch_anova") // 1-row weighted-total row against the k group rows
+    "q_welch_anova", // 1-row weighted-total row against the k group rows
+    "q_exact_rate") // 1-row margins + 1-row observed mass against the outcome axis
 
   SparkEntry.queries.filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
     test(s"$name plans without cartesian products") {

@@ -1297,4 +1297,57 @@ class StatsSpec extends AnyFunSuite {
       s"alpha recompute: ${r.getAs[Double]("alpha")} vs $alphaExpect")
     assert(r.getAs[Long]("n_rows") == rows.length)
   }
+
+  test("exact rate test: matches a driver replay of the conditional binomial") {
+    val r = Stats.exactRateTest(spark, sf).collect().head
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .filter(!_.isNullAt(0))
+    val ca = ev.count(x => x.getLong(0) % 2 == 0 && x.getString(1) == "purchase")
+    val cb = ev.count(x => x.getLong(0) % 2 != 0 && x.getString(1) == "purchase")
+    val ta = ev.filter(_.getLong(0) % 2 == 0).map(_.getLong(0)).distinct.length
+    val tb = ev.filter(_.getLong(0) % 2 != 0).map(_.getLong(0)).distinct.length
+    assert(r.getAs[Long]("events_a") == ca && r.getAs[Long]("events_b") == cb)
+    assert(r.getAs[Long]("users_a") == ta && r.getAs[Long]("users_b") == tb)
+    val n = ca + cb
+    assert(r.getAs[Long]("n_outcomes") == n + 1)
+    // replay: decimal ln-factorial prefix, conditional Binomial(n, p0)
+    val lf = new Array[BigDecimal](n + 1)
+    lf(0) = BigDecimal(0)
+    (1 to n).foreach(i => lf(i) = lf(i - 1) +
+      BigDecimal(math.log(i.toDouble)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    val p0 = ta.toDouble / (ta + tb).toDouble
+    def mass(x: Int): Double = math.exp(
+      (lf(n) - lf(x) - lf(n - x)).toDouble +
+        x.toDouble * math.log(p0) + (n - x).toDouble * math.log(1.0 - p0))
+    val pObs = mass(ca)
+    val p2 = (0 to n).map(mass).filter(_ <= pObs * 1.0000001)
+      .map(BigDecimal(_).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum
+    val expect = BigDecimal(math.min(p2.toDouble, 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("p_two_sided") == expect,
+      s"p replay: ${r.getAs[Double]("p_two_sided")} vs $expect")
+    assert(r.getAs[Double]("p_two_sided") > 0 && r.getAs[Double]("p_two_sided") <= 1)
+    val rr = (ca.toDouble / ta) / (cb.toDouble / tb)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - rr) < 1e-6)
+  }
+
+  test("exact rate test: an empty arm yields null p (the p0 in {0,1} guard)") {
+    // a fixture where every user sits in arm A: p0 = 1, log(1-p0) is
+    // undefined — the verb must return the margins with a null p rather
+    // than -Infinity arithmetic
+    val dir = java.nio.file.Files.createTempDirectory("exact_rate_edge").toString
+    val one = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-01-01 00:00:00', 2L, 'purchase', 1.0, '{}'),
+        |  (2L, TIMESTAMP'2024-01-01 00:01:00', 4L, 'purchase', 2.0, '{}'),
+        |  (3L, TIMESTAMP'2024-01-01 00:02:00', 6L, 'view', 3.0, '{}')
+        |AS t(event_id, ts, user_id, event_type, value, props)""".stripMargin)
+    one.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.exactRateTest(spark, dir).collect().head
+    assert(r.getAs[Long]("events_a") == 2 && r.getAs[Long]("events_b") == 0)
+    assert(r.getAs[Long]("users_b") == 0)
+    assert(r.isNullAt(r.fieldIndex("p_two_sided")), s"expected null p: $r")
+    assert(r.isNullAt(r.fieldIndex("rate_ratio")))
+  }
 }
