@@ -149,9 +149,30 @@ object Bench {
       val ts = rawTimes.find(_._1 == k).get._2
       s"${jstr(k)}:[${r4(ts.min)},${r4(ts.max)}]"
     }.mkString("{", ",", "}")
+    // per-query CALIB-NEIGHBORED normalization: each query's median
+    // divided by the mean of its two adjacent calib probes (the probe
+    // before its 16-block and the one after), so a load spike that hits
+    // one stretch of the sweep normalizes out per query instead of
+    // contaminating the whole total (VERDICT r12: the r12 driver bench
+    // was unreadable for exactly this reason). Falls back to the global
+    // calib median if any probe failed (index alignment lost).
+    val nProbesExpected = qseq.indices.count(_ % 16 == 0) + 1
+    val probesAligned = calibTimes.length == nProbesExpected
+    def neighborCalib(i: Int): Double =
+      if (!probesAligned) calib
+      else {
+        val a = calibTimes(i / 16)
+        val b = calibTimes.lift(i / 16 + 1).getOrElse(a)
+        (a + b) / 2.0
+      }
+    val normQJson = results.zipWithIndex.map { case ((k, v), i) =>
+      val c = neighborCalib(i)
+      s"${jstr(k)}:${if (errors.contains(k) || c <= 0) -1.0 else r4(v / c)}"
+    }.mkString("{", ",", "}")
     // long human/detail line first (may be truncated by the driver, which
-    // keeps line TAILS — spread/calib_runs sit at the end to survive)...
-    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"spread_10_slowest":$spreadJson,"calib_runs":${calibTimes.map(r4).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
+    // keeps line TAILS — norm_q/spread/calib_runs sit at the end to
+    // survive)...
+    println(s"""{"metric":"detail","reps":$reps,"queries":$qs,"errors":$errJson,"norm_q":$normQJson,"spread_10_slowest":$spreadJson,"calib_runs":${calibTimes.map(r4).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
     // ...short machine line LAST so tail truncation can't eat it.
     // norm_ratio = total / calib is the load-invariant cross-round trend
     // (the calibration workload is pinned — see `calibration` above).
