@@ -419,16 +419,26 @@ object TextAnalysis {
   def sourceOverlap(spark: SparkSession, dir: String, w: Int = 15): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .filter(length(col("text")) >= w)
-    val sh = docs
+    // ONE explode pass + ONE shuffle (map-side partial collect_set on
+    // the shingle key IS the distinct; both downstream branches read
+    // the same materialization). The explode amplifies ~|text|× per
+    // row, so the input is repartitioned by OUTPUT volume first — a
+    // small corpus arrives as one file-partition and would otherwise
+    // run the whole shingle+md5 pass in a single task (measured: the
+    // entire 5.7 s quiet median was that one serial task at sf0.1)
+    val grouped = docs
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (w - 1))).as("i"))
       .select(col("source"),
         expr(s"CAST(conv(substring(md5(substring(text, i, $w)), 1, 15), 16, 10) AS BIGINT)")
           .as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.groupBy(col("sh"))
+      .groupBy(col("sh"))
       .agg(collect_set(col("source")).as("srcs"))
+      .localCheckpoint()
+    val sizes = grouped.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = grouped
       .filter(size(col("srcs")) >= 2)
       .select(explode(expr(
         "flatten(transform(srcs, (a, i) -> transform(slice(srcs, i + 2, size(srcs)), b -> struct(least(a, b) as sa, greatest(a, b) as sb))))"))
