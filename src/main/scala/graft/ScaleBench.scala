@@ -549,8 +549,10 @@ object ScaleBench {
     "q_image_neardups" -> ((s, d) => graft.operators.Multimodal.imageNearDups(s, d)),
     "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
     // eighth wave: exact_rate pays one events scan + a purchase-count-
-    // sized outcome axis (corpus-linear in the conditioned total)
-    "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)))
+    // sized outcome axis (corpus-linear in the conditioned total);
+    // jpeg_decode is the executor-local encode+decode scan shape
+    "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)),
+    "q_jpeg_decode" -> ((s, d) => graft.operators.Multimodal.jpegDecode(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

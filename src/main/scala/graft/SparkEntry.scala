@@ -313,6 +313,7 @@ object SparkEntry {
     "q_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
+    "q_jpeg_decode" -> (Multimodal.jpegDecode(_, _)),
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
     "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
     "q_audio_spectrum" -> (Multimodal.audioSpectrum(_, _)),
@@ -4110,6 +4111,41 @@ object SparkEntry {
         |       sha256(p.padded) AS pixel_sha256,
         |       CAST(s.pix_sum AS DOUBLE) / s.n AS channel_mean
         |FROM p JOIN s USING (doc_id)""".stripMargin,
+    // q_jpeg_decode: the engine hand-encodes a DC-only baseline JPEG
+    // (two uniform 8x8 blocks per padded byte pair, Q0 = 8) and decodes
+    // it with the pure-JVM SOF0 decoder; the DC-only IDCT is exact, so
+    // the oracle rebuilds the decoded raster from the text alone
+    "q_jpeg_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         strlen(text) + (strlen(text) % 2) AS len2
+        |  FROM documents WHERE strlen(text) >= 1),
+        |p AS (
+        |  SELECT doc_id, len2, text || repeat(' ', len2 - len) AS padded FROM d),
+        |rws AS (
+        |  SELECT doc_id, padded,
+        |    CAST(unnest(range(0, CAST(len2 // 2 AS BIGINT))) AS INTEGER) AS r
+        |  FROM p),
+        |blk AS (
+        |  SELECT doc_id, r,
+        |    repeat(repeat(substr(padded, 2 * r + 1, 1), 8) ||
+        |           repeat(substr(padded, 2 * r + 2, 1), 8), 8) AS rowblock
+        |  FROM rws),
+        |pix AS (
+        |  SELECT doc_id, string_agg(rowblock, '' ORDER BY r) AS pixels
+        |  FROM blk GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, len2, SUM(ascii(substr(padded, i + 1, 1))) AS s
+        |  FROM (SELECT doc_id, len2, padded,
+        |      CAST(unnest(range(0, CAST(len2 AS BIGINT))) AS INTEGER) AS i
+        |    FROM p) z
+        |  GROUP BY doc_id, len2)
+        |SELECT m.doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(4 * m.len2 AS INTEGER) AS height,
+        |  CAST(64 * m.len2 AS INTEGER) AS n_pixels,
+        |  sha256(pix.pixels) AS pixel_sha256,
+        |  CAST(m.s AS DOUBLE) / m.len2 AS channel_mean
+        |FROM m JOIN pix USING (doc_id)""".stripMargin,
     // dHash from decoded pixels; PNG losslessness lets the oracle
     // rebuild the 9×8 integer average pool (cross-multiplied compares,
     // no division) from the padded text bytes, bit for bit

@@ -317,49 +317,55 @@ object Analytics {
     *
     * Unlike pagerank's round-4 drift containment, every iteration here
     * is BIT-exact cross-engine: each product rounds to 9 dp and sums as
-    * DECIMAL(38,9) (order-independent), the L1 total is the decimal sum
-    * of those same terms, and the normalized score re-rounds to 9 dp —
-    * so both engines compound the identical doubles through all 8
-    * iterations and the oracle replays them verbatim. The loop is the
-    * generic edges⋈scores shape (scores broadcast while |nodes| ≪
-    * |edges|); per-round lineage truncation via localCheckpoint.
+    * exact decimals (order-independent), the L1 total is the decimal
+    * sum of those same terms, and the normalized score re-rounds to
+    * 9 dp — so both engines compound the identical doubles through all
+    * 8 iterations and the oracle replays them verbatim. The distributed
+    * work is the one transition-count scan; the 16 half-steps fold on
+    * the driver over the |event-types|²-bounded edge list (the pagerank
+    * bounded-model contract).
     */
   def hitsEventTypes(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val b9 = org.apache.spark.sql.types.DecimalType(38, 9)
-    def dd(c: Column) = c.cast("double")
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // the one distributed pass: exact integer transition counts — the
+    // matrix is |event-types|²-bounded (≤ ~25 rows), so the 16
+    // half-steps fold on the DRIVER (the pagerank bounded-model
+    // contract; the per-round localCheckpoint loop scheduled 16 jobs
+    // for register-file-sized state and was the board's slowest query
+    // at 12.6 s quiet). Every value is BIT-identical to the old
+    // distributed loop: round-9 terms via the same BigDecimal.valueOf
+    // semantics Spark's ROUND uses, decimal sums exact and order-free.
     val edges = Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .filter(col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
-    var hub = nodes.withColumn("s", lit(1.0))
-    var auth = nodes.withColumn("s", lit(1.0))
-    def halfStep(scores: DataFrame, joinKey: String, groupKey: String): DataFrame = {
-      val raw = edges.join(broadcast(scores), col(joinKey) === col("node"))
-        .groupBy(col(groupKey).as("gnode"))
-        .agg(sum(round(col("s") * dd(col("n")), 9).cast(b9)).as("r9"))
-      val tot = raw.agg(sum(col("r9")).as("t"))
-      nodes.join(raw, col("node") === col("gnode"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("node"),
-          round(coalesce(dd(col("r9")), lit(0.0)) / dd(col("t")), 9).as("s"))
-        .localCheckpoint()
+      .as[(String, String, Long)].collect()
+      .sortBy(e => (e._1, e._2))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def bd9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    def halfStep(scores: Map[String, Double], keyIsSrc: Boolean): Map[String, Double] = {
+      val r9 = scala.collection.mutable.Map.empty[String, JBD]
+      edges.foreach { case (src, dst, n) =>
+        val (jk, gk) = if (keyIsSrc) (src, dst) else (dst, src)
+        val term = bd9(scores(jk) * n.toDouble)
+        r9(gk) = r9.getOrElse(gk, JBD.ZERO).add(term)
+      }
+      val t = r9.values.foldLeft(JBD.ZERO)(_ add _).doubleValue
+      nodes.map(node =>
+        node -> bd9(r9.get(node).map(_.doubleValue).getOrElse(0.0) / t).doubleValue)
+        .toMap
     }
-    // one checkpoint per HALF-step: `raw` feeds both the per-node rows
-    // and the L1 total, so a lazy half would re-evaluate the previous
-    // half's whole plan twice per reference — measured slower than the
-    // 16 truncation jobs it saves
     (1 to iters).foreach { _ =>
-      auth = halfStep(hub, "src", "dst")   // a(v) = Σ h(u)·n(u,v)
-      hub = halfStep(auth, "dst", "src")   // h(u) = Σ a(v)·n(u,v)
+      auth = halfStep(hub, keyIsSrc = true)  // a(v) = Σ h(u)·n(u,v)
+      hub = halfStep(auth, keyIsSrc = false) // h(u) = Σ a(v)·n(u,v)
     }
-    hub.select(col("node"), col("s").as("hub"))
-      .join(auth.select(col("node"), col("s").as("authority")), Seq("node"))
+    nodes.toSeq.map(n => (n, hub(n), auth(n))).toDF("node", "hub", "authority")
       .select(col("node"), round(col("hub"), 6).as("hub"),
         round(col("authority"), 6).as("authority"))
   }

