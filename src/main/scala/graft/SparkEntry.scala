@@ -671,6 +671,49 @@ object SparkEntry {
       |  UNION
       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
 
+  /** Shared oracle fragment: the portable MinHash-LSH candidate-pair
+    * chain (60-bit md5 base hash mod the Mersenne prime → the seeded
+    * affine permutation family with its coefficients interpolated as
+    * literals → 16 md5-prefix band keys → candidate equi-join →
+    * per-pair equal-position count in `mm`) — the single source of
+    * truth for `q_minhash_neardups` and the edge set of
+    * `q_dedup_clusters_lsh`.
+    */
+  private lazy val minhashPairsSql = {
+    val (ca, cb) = graft.operators.Dedup.minhashCoefs
+    val p = graft.operators.Dedup.minhashPrime
+    val coefRows = ca.indices.map(j => s"($j, ${ca(j)}, ${cb(j)})").mkString(", ")
+    s"""pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(1, GREATEST(LENGTH(text) - 14, 1) + 1)) AS i
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    substring(text, CAST(i AS INTEGER), 15) AS sh FROM pos),
+      |h AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $p AS h
+      |  FROM sh),
+      |coef AS (SELECT * FROM (VALUES $coefRows) t(j, ca, cb)),
+      |m AS (SELECT doc_id, CAST(coef.j AS INTEGER) AS j,
+      |    MIN((coef.ca * h.h + coef.cb) % $p) AS m
+      |  FROM h CROSS JOIN coef GROUP BY 1, 2),""".stripMargin
+  } +
+    """
+      |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM m GROUP BY 1),
+      |bands AS (SELECT doc_id, b.b AS band,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(sig, 4 * b.b + 1, 4 * b.b + 4), ',')), 1, 15)
+      |      AS BIGINT) AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+      |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      |mm AS (SELECT c.a, c.b,
+      |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS eq
+      |  FROM cand c
+      |  JOIN m ma ON ma.doc_id = c.a
+      |  JOIN m mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared oracle fragment: the document quality score over a relation
     * exposing (text, toks) — the single source of truth for
     * `q_quality_score` and `q_cluster_reps`' argmax key.
@@ -3976,6 +4019,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(k.k AS INTEGER) AS perm,
         |  MIN(h1 + k.k * h2) AS minhash
         |FROM h CROSS JOIN (SELECT unnest(range(16)) AS k) k GROUP BY 1, 2""".stripMargin,
+    // MinHash-LSH near-dup pairs: the portable KM signatures (one md5
+    // per shingle, m_j = min(h1 + j*h2), j<64), 16 four-row bands keyed
+    // by the 60-bit md5 prefix of the comma-joined minima, candidate
+    // equi-join, est = equal-position fraction; eq >= 32 <=> est >= 0.5
+    "q_minhash_neardups" ->
+      s"""WITH $minhashPairsSql
+         |SELECT a, b, CAST(eq AS DOUBLE) / 64 AS est_jaccard
+         |FROM mm WHERE eq >= 32""".stripMargin,
+    // LSH dup clusters: connected components over the same portable
+    // pair set — transitive closure by recursive CTE, min-id label
+    "q_dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |jp AS (SELECT a, b FROM mm WHERE eq >= 32),
+         |edges AS (SELECT a AS u, b AS v FROM jp
+         |  UNION ALL SELECT b AS u, a AS v FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS u, doc_id AS v FROM documents
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""".stripMargin,
     // bigram MLE: pairs by array self-zip, counts exact, probability one
     // mirrored double ratio; the >= 3 cut is on exact integers
     "q_bigram_lm" ->

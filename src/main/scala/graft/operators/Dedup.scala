@@ -245,20 +245,37 @@ object Dedup {
     * sf0.1 — measured 3.9 s vs ~0.1 s — and flat columns keep every
     * downstream comparison inside whole-stage codegen.
     *
-    * The K minima come from ONE [[graft.functions.MinHashSketch]]
-    * aggregate (primitive long[K] buffer, tight JVM loop) rather than K
-    * declarative min() columns — identical values, but no K-buffer
-    * generated aggregate for janino to compile (~3 s one-time cost per
-    * fresh JVM with K=64).
+    * Since r13 the BASE hash is PORTABLE — the 60-bit md5 prefix of the
+    * shingle mod the Mersenne prime, instead of Spark-private xxhash64
+    * — while the K permutations stay the seeded affine family
+    * `(a_j·h + b_j) mod p` (Kirsch–Mitzenmacher double hashing was
+    * tried and REJECTED: its K minima are pairwise correlated, and on
+    * small shingle sets the Jaccard estimate collapsed — 0.25 against
+    * an exact 0.54 on DedupSpec's near-dup fixture, where the affine
+    * family reads 0.55). A DuckDB oracle replays every signature (the
+    * coefficients interpolate into the SQL as literals), band key, and
+    * candidate pair — q_minhash_neardups moved from rows-only to
+    * hash-matched. The K minima still come from ONE
+    * [[graft.functions.MinHashSketch]] aggregate pass (primitive
+    * long[K] buffer — no K-buffer generated aggregate for janino).
     */
   private def minhashFlat(docs: DataFrame): DataFrame = {
     val hashed = shingles(docs, distinct = false)
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(MinhashPrime)).as("h"))
     hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSketch.sketch(col("h"), MinhashPrime, coefA, coefB).as("sig"))
       .select(col("doc_id") +: (0 until MinhashK).map(i =>
         element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
+
+  /** The affine-permutation coefficients, exposed so the DuckDB oracle
+    * can interpolate the identical literals (the seed is fixed; the
+    * arrays are a deterministic constant of the build).
+    */
+  private[graft] def minhashCoefs: (Array[Long], Array[Long]) = (coefA, coefB)
+  private[graft] def minhashPrime: Long = MinhashPrime
 
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashFlat(docs).select(col("doc_id"),
@@ -266,10 +283,13 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard
     * ≥ threshold. Banding: signature split into 16 bands of 4; docs
-    * sharing any band-hash become candidates (equi-join on (band, hash) —
+    * sharing any band-key become candidates (equi-join on (band, key) —
     * never an all-pairs product); estimate = fraction of equal signature
-    * positions. No oracle (depends on xxhash64); validated in ScalaTest
-    * against exact Jaccard.
+    * positions. The band key is the 60-bit md5 prefix of the band's
+    * comma-joined minima — 8 shuffled bytes like the old Spark `hash()`
+    * bucket, but ENGINE-REPLICABLE (a collision merges the same pair on
+    * both sides), so the whole pair set hash-matches the DuckDB oracle;
+    * ScalaTest additionally pins recall against exact Jaccard.
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -279,8 +299,11 @@ object Dedup {
     // the 16× banding blow-up never duplicates the 64-column payload.
     val banded = flat.select(
       col("doc_id"),
-      posexplode(array((0 until LshBands).map(b =>
-        hash((b * LshRows until (b + 1) * LshRows).map(i => col(s"m$i")): _*)): _*)))
+      posexplode(array((0 until LshBands).map { b =>
+        val cat = concat_ws(",",
+          (b * LshRows until (b + 1) * LshRows).map(i => col(s"m$i")): _*)
+        conv(substring(md5(cat.cast("binary")), 1, 15), 16, 10).cast("long")
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band", "bucket"))
@@ -517,12 +540,14 @@ object Dedup {
   def minhashSigExact(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val sh = shingles(Tables(spark, dir, "documents"))
       .withColumn("d", md5(col("sh").cast("binary")))
-      .withColumn("h1", conv(substring(col("d"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("d"), 9, 8), 16, 10).cast("long"))
-    def mh(j: Int): Column = min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")
+      .select(col("doc_id"), struct(
+        conv(substring(col("d"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("d"), 9, 8), 16, 10).cast("long").as("h2")).as("hh"))
+    // ONE MinHashKmSketch aggregate pass instead of k declarative mins
+    // (identical minima; no k-buffer generated aggregate for janino)
     sh.groupBy(col("doc_id"))
-      .agg(mh(0), (1 until k).map(mh): _*)
-      .select(col("doc_id"), posexplode(array((0 until k).map(j => col(s"m$j")): _*)))
+      .agg(graft.functions.MinHashSketch.sketchKm(col("hh"), k).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").as("perm"), col("col").as("minhash"))
   }
 }
