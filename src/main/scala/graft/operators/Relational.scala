@@ -1351,8 +1351,13 @@ object Relational {
     s.conf.set("spark.sql.scripting.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
-    Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
-    s.sql(
+    // the WHILE loop re-counts the same relation ~10× (one scan per
+    // doubling); cache it for the script's lifetime — the loop is the
+    // demonstrated shape, re-reading parquet per iteration is not
+    val ord = Tables(s, dir, "orders")
+    ord.cache()
+    ord.createOrReplaceTempView("graft_orders")
+    val out = s.sql(
       """BEGIN
         |  DECLARE thr DOUBLE DEFAULT 1000.0;
         |  DECLARE doublings INT DEFAULT 0;
@@ -1368,6 +1373,10 @@ object Relational {
         |  SELECT doublings, CAST(thr AS DOUBLE) AS final_threshold,
         |         n_above AS orders_above;
         |END""".stripMargin)
+    // the script ran eagerly and its result is variables-only — the
+    // cached relation is done serving the loop
+    ord.unpersist()
+    out
   }
 
   /** ANSI-mode safe-error family (`try_cast` / `try_divide` /

@@ -78,6 +78,21 @@ class VtLifecycleSpec extends AnyFunSuite {
     // self-contained, so a keep-1 vacuum must not strand any row
     spark.sql(s"CALL graft_vt.vacuum('$name', 1)").collect()
     assertSame(spark.table(s"graft_vt.$name"), expected, "post-vacuum content")
+
+    // bloom seam: the tombstone-aware optimize maintains bloom sidecars
+    // for registered columns, but the MOR SCAN path stays CONSERVATIVE
+    // by design (file skipping would need per-file tombstone
+    // accounting): a point probe must read every file, touch no prune
+    // hook, and stay exact
+    GraftVtCatalog.registerBloomCols(name, Seq("doc_id"))
+    spark.sql(s"CALL graft_vt.optimize('$name')").collect()
+    ZoneMapScanBuilder.lastPrune = (-1, -1)
+    val got = spark.sql(s"SELECT COUNT(*) FROM graft_vt.$name WHERE doc_id = 2")
+      .collect().head.getLong(0)
+    assert(got == expected.filter(col("doc_id") === 2).count(),
+      "post-optimize point probe must stay exact")
+    assert(ZoneMapScanBuilder.lastPrune == ((-1, -1)),
+      "MOR scans must not engage the sidecar prune path (conservative by design)")
   }
 
   test("z-order lifecycle: branch insert+delete, fast-forward, OPTIMIZE layout, " +
