@@ -114,4 +114,75 @@ object VectorFunctions {
 
   /** Squared L2 norm as a self-dot — one fused loop. */
   def sqNorm(a: Column): Column = dot(a, a)
+
+  /** All m PQ sub-codes of a vector in one expression — see [[PqEncode]]. */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), books))
+}
+
+/** All m product-quantization sub-codes of a double vector in ONE
+  * expression: for each subspace, the argmax over the codebook of
+  * `s·c − ‖c‖²/2` (first index wins ties). Bit-identical to the HOF
+  * `transform`/`zip_with`/`aggregate` formulation it replaces — the
+  * per-cell dot folds left-to-right in array order and the half-norm
+  * constants fold the same way at construction — but ~two orders of
+  * magnitude cheaper per row: the HOF tree is CodegenFallback and
+  * walks interpreted expression nodes PER ELEMENT (m×nCodes×subDim×2
+  * per row), where this is one eval call around tight JVM loops. The
+  * codebook rides the expression as plain driver data (the janino rule:
+  * literal DATA, never unrolled CODE).
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val m = books.length
+  private val subDim = if (m > 0 && books(0).nonEmpty) books(0)(0).length else 0
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+
+  // ‖c‖²/2 per (sub, cell), same left-to-right fold as the HOF constant
+  @transient private lazy val halfNorms: Array[Array[Double]] =
+    books.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc / 2
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cents = books(sub)
+      val hn = halfNorms(sub)
+      val base = sub * subDim
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var cell = 0
+      while (cell < cents.length) {
+        val c = cents(cell)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { acc += v.getDouble(base + i) * c(i); i += 1 }
+        val score = acc - hn(cell)
+        if (score > bestScore) { bestScore = score; best = cell }
+        cell += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
 }

