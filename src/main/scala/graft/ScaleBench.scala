@@ -550,9 +550,11 @@ object ScaleBench {
     "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
     // eighth wave: exact_rate pays one events scan + a purchase-count-
     // sized outcome axis (corpus-linear in the conditioned total);
-    // jpeg_decode is the executor-local encode+decode scan shape
+    // jpeg_decode is the executor-local encode+decode scan shape;
+    // simhash rides the md5-packed portable token hashes since r13
     "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)),
-    "q_jpeg_decode" -> ((s, d) => graft.operators.Multimodal.jpegDecode(s, d)))
+    "q_jpeg_decode" -> ((s, d) => graft.operators.Multimodal.jpegDecode(s, d)),
+    "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

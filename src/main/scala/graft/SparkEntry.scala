@@ -839,7 +839,7 @@ object SparkEntry {
     * tie-break), replace-apply. MATERIALIZED CTEs — each stage is
     * referenced 3× and plain inlining re-evaluates exponentially.
     */
-  private def bpeOracleSql(merges: Int = 8): String = {
+  private def bpeOracleSql(merges: Int = 8, trainOnly: Boolean = false): String = {
     val U = "chr(1)"
     def wrapped(w: String) =
       s"$U || array_to_string(list_append(string_split($w, ''), '</w>'), $U || $U) || $U"
@@ -855,19 +855,27 @@ object SparkEntry {
          |    FROM (SELECT cnt_or_1,
          |      string_split(trim(s, $U), $U || $U) AS syms FROM $prev) z) y
          |  GROUP BY 1, 2),
-         |r$r AS MATERIALIZED (SELECT a, b FROM p$r
+         |r$r AS MATERIALIZED (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$r
          |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
          |${rule(r, prev, s"st$r")}""".stripMargin
     }.mkString(",\n")
     val applyRounds = (1 to merges).map(r =>
       rule(r, s"a${r - 1}", s"a$r")).mkString(",\n")
-    s"""WITH toks AS (SELECT unnest(list_filter(
-       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
-       |  FROM documents),
-       |st0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt_or_1,
-       |    ${wrapped("w")} AS s
-       |  FROM toks GROUP BY 1),
-       |$trainRounds,
+    val trainPrefix =
+      s"""WITH toks AS (SELECT unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |st0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt_or_1,
+         |    ${wrapped("w")} AS s
+         |  FROM toks GROUP BY 1),
+         |$trainRounds""".stripMargin
+    // trainOnly: emit the 8 learned rules themselves (q_bpe_train)
+    if (trainOnly)
+      return trainPrefix + "\n" + (1 to merges).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS step, a AS "left", b AS "right",
+           |  a || b AS merged, c AS pair_count FROM r$r""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    trainPrefix + s""",
        |docs AS MATERIALIZED (SELECT doc_id, list_filter(
        |    string_split_regex(text, '\\s+'), x -> x <> '') AS tk FROM documents),
        |dw AS MATERIALIZED (SELECT doc_id, unnest(tk) AS w FROM docs),
@@ -896,6 +904,8 @@ object SparkEntry {
     // BPE apply: the 8 training rounds + segmentation replayed on the
     // wrapped-string encoding (generated, see bpeOracleSql)
     "q_bpe_apply" -> bpeOracleSql(),
+    // BPE train: the same 8 unrolled rounds, emitting the learned rules
+    "q_bpe_train" -> bpeOracleSql(trainOnly = true),
     // Z-order: layout is an optimization, never a semantic — the oracle
     // pins the min/max gridding + Morton math itself (the layout win is
     // ZOrderLayoutSpec's to prove).
@@ -4027,6 +4037,37 @@ object SparkEntry {
       s"""WITH $minhashPairsSql
          |SELECT a, b, CAST(eq AS DOUBLE) / 64 AS est_jaccard
          |FROM mm WHERE eq >= 32""".stripMargin,
+    // SimHash near-dups: fingerprints from md5-packed token hashes
+    // (bit j of Σ±1 per token; bit 63 enters the signed BIGINT as
+    // -2^63), 4×16-bit band candidates, Hamming = bit_count(xor) <= 3
+    "q_simhash_neardups" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h2
+        |  FROM toks),
+        |bits AS (SELECT doc_id, j.j AS j,
+        |    SUM((CASE WHEN j.j < 32 THEN (h2 >> j.j) & 1
+        |      ELSE (h1 >> (j.j - 32)) & 1 END) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
+        |      CASE WHEN j = 63 THEN -9223372036854775808
+        |        ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (SELECT doc_id, simhash, b.b AS band,
+        |    (simhash >> (CAST(b.b AS INTEGER) * 16)) & 65535 AS bucket
+        |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.simhash AS fa, r.simhash AS fb
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
     // LSH dup clusters: connected components over the same portable
     // pair set — transitive closure by recursive CTE, min-id label
     "q_dedup_clusters_lsh" ->

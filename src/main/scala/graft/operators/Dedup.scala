@@ -335,15 +335,23 @@ object Dedup {
       col("doc_id"),
       explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
     // one primitive-buffer aggregate instead of 64 declarative sums —
-    // see functions.SimHashSketch (identical bits, no 64-buffer codegen)
-    tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // see functions.SimHashSketch (identical bits, no 64-buffer codegen).
+    // The 64-bit token hash is PORTABLE since r13: the two 32-bit md5
+    // halves packed as (h1 << 32) | h2 — bit-for-bit replayable by the
+    // DuckDB oracle, which moved q_simhash_neardups to hash-matched.
+    tokens
+      .withColumn("d", md5(col("tok").cast("binary")))
+      .select(col("doc_id"),
+        shiftleft(conv(substring(col("d"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("d"), 9, 8), 16, 10).cast("long")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashSketch.sketch(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
     * 4×16-bit band buckets (a pair within distance 3 must agree on at
-    * least one of 4 bands — pigeonhole). Rows-only check (hash-seeded).
+    * least one of 4 bands — pigeonhole). Oracle-checked since r13 (the
+    * md5-packed token hash above makes every fingerprint replayable).
     */
   def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
