@@ -190,4 +190,34 @@ class EdgeFixtureSpec extends AnyFunSuite {
     val mwu = graft.operators.Stats.mannWhitneyU(spark, oneArm).collect().head
     assert(mwu.getLong(0) == 0 && mwu.isNullAt(3), "empty arm: z must be NULL")
   }
+
+  test("exact rate test: a log with zero purchases reports margins with NULL p, no error") {
+    val t0 = 1700000000L * 1000000000L
+    val noPurchase = writeEvents(Seq(1L, 2L, 3L).zipWithIndex.map { case (u, i) =>
+      (i.toLong + 1, t0 + i, u, "view", Some(1.0), "{}") })
+    // n = ca + cb = 0: the outcome axis is empty and the conditioned
+    // test is undefined — the verb must degrade to the one margins row
+    // (global aggregate over the empty mass) with NULL statistics,
+    // never a range/join error
+    val r = graft.operators.Stats.exactRateTest(spark, noPurchase).collect().head
+    assert(r.getAs[Long]("events_a") == 0 && r.getAs[Long]("events_b") == 0)
+    assert(r.getAs[Long]("n_outcomes") == 0)
+    assert(r.isNullAt(r.fieldIndex("p_two_sided")))
+    assert(r.isNullAt(r.fieldIndex("rate_ratio")))
+  }
+
+  test("pca: a degenerate (constant-embedding) corpus fails loudly, not with NaNs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pca_edge").toString
+    Seq.tabulate(4)(i => (i.toLong, Seq.fill(8)(1.0f), i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // zero covariance everywhere → non-positive trace: the squaring
+    // normalization would divide by zero; the contract is a loud
+    // require, not a silent NaN projection
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Similarity.pcaProject(spark, dir).collect())
+    assert(e.getMessage.contains("trace"), s"wanted the trace guard, got: ${e.getMessage}")
+  }
 }
