@@ -31,10 +31,16 @@ import org.apache.spark.sql.SparkSession
   * code regressions move it, host load largely cancels out of it.
   * `spread_10_slowest` gives per-rep [min,max] for the costliest
   * queries — a spike shows as one wild rep over a normal min, a real
-  * regression moves the min itself. The summary also
-  * splits `batch_subtotal` / `stream_subtotal` (q_stream_* carries
-  * constant-in-data-size micro-batch machinery, ~25 s of any r5-era
-  * total) so the scan-path trend is visible on its own.
+  * regression moves the min itself.
+  *
+  * Tier isolation (r14): the q_stream_* queries run as a DEDICATED
+  * tail pass after every batch query, with their own calibration
+  * probes; the summary carries `calib_batch`/`calib_stream` and
+  * `norm_ratio_batch`/`norm_ratio_stream`. The stream tier is
+  * trigger-clocked micro-batch machinery — wall-clock-bound and
+  * constant in data size (`stream_wall_bound: true`) — so
+  * `norm_ratio_batch` is the scan-path adjudication number and stream
+  * spikes can no longer contaminate it.
   */
 object Bench {
   import JsonText.{quote => jstr}
@@ -107,30 +113,45 @@ object Bench {
     }
     val qseq = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // TIER ISOLATION (VERDICT r13 #2): the ~25 q_stream_* queries are
+    // trigger-clocked micro-batch machinery — constant in data size,
+    // wall-clock-bound — and have contaminated batch adjudication in
+    // three consecutive driver benches. Run ALL batch queries first,
+    // then the stream tier as a dedicated tail pass, each tier with its
+    // own calibration probes and its own norm line in the summary.
+    val (streamQs, batchQs) = qseq.partition(_._1.startsWith("q_stream"))
     // probe host speed every ~16 queries (the probe costs ~0.4 s) so a
     // load spike hitting one query's reps is visible in calib_runs and
     // the calibration median sees the sweep's whole load profile — one
     // start/middle/end triple proved too sparse to attribute per-query
     // anomalies (VERDICT r6 on q_range_join)
-    val rawTimes = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % 16 == 0) runCalib()
-      val times = (1 to reps).flatMap { _ =>
-        if (errors.contains(name)) None // don't re-run a query that already failed
-        else {
-          val t0 = System.nanoTime()
-          try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
-              System.err.println(s"[bench] $name FAILED")
-              e.printStackTrace()
-              None
+    def sweep(tier: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : (Seq[(String, Seq[Double])], Seq[Double]) = {
+      val probesBefore = calibTimes.length
+      val raw = tier.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % 16 == 0) runCalib()
+        val times = (1 to reps).flatMap { _ =>
+          if (errors.contains(name)) None // don't re-run a query that already failed
+          else {
+            val t0 = System.nanoTime()
+            try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case e: Throwable =>
+                errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
+                System.err.println(s"[bench] $name FAILED")
+                e.printStackTrace()
+                None
+            }
           }
         }
+        name -> times
       }
-      name -> times
+      runCalib()
+      (raw, calibTimes.drop(probesBefore).toSeq)
     }
-    runCalib()
+    val (batchRaw, batchProbes) = sweep(batchQs)
+    val (streamRaw, streamProbes) = sweep(streamQs)
+    val rawTimes = batchRaw ++ streamRaw
     val results = rawTimes.map { case (k, ts) => k -> median(ts) }
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${if (errors.contains(k)) -1.0 else v}"
@@ -154,21 +175,26 @@ object Bench {
     // before its 16-block and the one after), so a load spike that hits
     // one stretch of the sweep normalizes out per query instead of
     // contaminating the whole total (VERDICT r12: the r12 driver bench
-    // was unreadable for exactly this reason). Falls back to the global
-    // calib median if any probe failed (index alignment lost).
-    val nProbesExpected = qseq.indices.count(_ % 16 == 0) + 1
-    val probesAligned = calibTimes.length == nProbesExpected
-    def neighborCalib(i: Int): Double =
-      if (!probesAligned) calib
-      else {
-        val a = calibTimes(i / 16)
-        val b = calibTimes.lift(i / 16 + 1).getOrElse(a)
-        (a + b) / 2.0
+    // was unreadable for exactly this reason). Probes are PER TIER now;
+    // falls back to the global calib median if a tier's probe count
+    // doesn't align (a probe failed mid-sweep).
+    def tierNormQ(raw: Seq[(String, Seq[Double])], probes: Seq[Double]): Seq[(String, Double)] = {
+      val expected = raw.indices.count(_ % 16 == 0) + 1
+      val aligned = probes.length == expected
+      raw.zipWithIndex.map { case ((k, ts), i) =>
+        val c =
+          if (!aligned) calib
+          else {
+            val a = probes(i / 16)
+            val b = probes.lift(i / 16 + 1).getOrElse(a)
+            (a + b) / 2.0
+          }
+        val v = median(ts)
+        k -> (if (errors.contains(k) || c <= 0) -1.0 else r4(v / c))
       }
-    val normQJson = results.zipWithIndex.map { case ((k, v), i) =>
-      val c = neighborCalib(i)
-      s"${jstr(k)}:${if (errors.contains(k) || c <= 0) -1.0 else r4(v / c)}"
-    }.mkString("{", ",", "}")
+    }
+    val normQJson = (tierNormQ(batchRaw, batchProbes) ++ tierNormQ(streamRaw, streamProbes))
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // long human/detail line first (may be truncated by the driver, which
     // keeps line TAILS — norm_q/spread/calib_runs sit at the end to
     // survive)...
@@ -176,7 +202,16 @@ object Bench {
     // ...short machine line LAST so tail truncation can't eat it.
     // norm_ratio = total / calib is the load-invariant cross-round trend
     // (the calibration workload is pinned — see `calibration` above).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"batch_subtotal":${r4(batchSub)},"stream_subtotal":${r4(streamSub)},"calib":${r4(calib)},"norm_ratio":${r4(normRatio)},"sf":${jstr(sfDir)}}""")
+    // Per-tier norm lines (VERDICT r13 #2): norm_ratio_batch is THE
+    // scan-path adjudication number; the stream tier is trigger-clocked
+    // (wall-clock-bound, constant in data) and carries its own
+    // norm_ratio_stream + stream_wall_bound flag so it never again
+    // contaminates batch adjudication.
+    val calibBatch = median(batchProbes)
+    val calibStream = median(streamProbes)
+    val normBatch = if (calibBatch > 0) batchSub / calibBatch else -1.0
+    val normStream = if (calibStream > 0) streamSub / calibStream else -1.0
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"batch_subtotal":${r4(batchSub)},"stream_subtotal":${r4(streamSub)},"calib":${r4(calib)},"norm_ratio":${r4(normRatio)},"calib_batch":${r4(calibBatch)},"calib_stream":${r4(calibStream)},"norm_ratio_batch":${r4(normBatch)},"norm_ratio_stream":${r4(normStream)},"stream_wall_bound":true,"sf":${jstr(sfDir)}}""")
     spark.stop()
     // a failed query must fail the RUN: rc=0 with n_errors>0 let the r9
     // DML breakage land looking green (ADVICE r09). Exit AFTER both JSON

@@ -314,6 +314,7 @@ object SparkEntry {
     "q_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     "q_image_decode" -> (Multimodal.imageDecode(_, _)),
     "q_jpeg_decode" -> (Multimodal.jpegDecode(_, _)),
+    "q_jpeg_ac_decode" -> (Multimodal.jpegAcDecode(_, _)),
     "q_audio_decode" -> (Multimodal.audioDecode(_, _)),
     "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
     "q_audio_spectrum" -> (Multimodal.audioSpectrum(_, _)),
@@ -894,6 +895,130 @@ object SparkEntry {
        |FROM docs d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.TextAnalysis.unigramTrain]] /
+    * [[graft.operators.TextAnalysis.unigramApply]] — the hard-EM unigram
+    * tokenizer unrolled like [[bpeOracleSql]]'s rounds, with the Viterbi
+    * E-step as a RECURSIVE-CTE forward DP per word: each iteration
+    * appends `best(i)`/`back(i)` to per-word lists, candidates j ∈
+    * [max(0, i−6), i) scored as `best(j) + lp(substr)` from a model MAP
+    * (piece → logprob) cross-joined into the recursive term (lambdas
+    * can't host subqueries), argmax with the trainer's exact tie-break
+    * (max score, then SMALLEST j — Scala's ascending-j strict `>`); a
+    * second recursive CTE walks the backpointers to the piece multiset.
+    *
+    * Replayability hinges on the round-9 grid: `trainUnigramModel`'s
+    * `normalize` quantizes every model logprob via the q_hits bd9 device
+    * (BigDecimal HALF_UP ↔ DuckDB `round(x, 9)`), so both engines
+    * compare bit-identical doubles at every DP step; an unquantized
+    * `Math.log` vs `ln` last-ulp skew could otherwise flip an argmax.
+    * Missing pieces surface as NULL map hits filtered from the candidate
+    * list — the -inf convention; single chars are model-permanent
+    * (coverage), so every word always segments in both engines.
+    */
+  private def unigramOracleSql(trainOnly: Boolean, vocabSize: Int = 120,
+      seedSize: Int = 400, maxPieceLen: Int = 6, emRounds: Int = 3): String = {
+    // one Viterbi E-step: forward DP + backtrace over `words` with
+    // model map `lpmap$tag`, emitting the piece multiset as seg$tag
+    def viterbi(tag: String): String =
+      s"""vit$tag AS (
+         |  SELECT w, c, 0 AS i, [0.0]::DOUBLE[] AS best, [0]::INTEGER[] AS back FROM words
+         |  UNION ALL
+         |  SELECT w, c, i + 1, list_append(best, mx),
+         |    list_append(back, list_min(list_transform(list_filter(cands, x -> x.sv = mx), x -> x.jv)))
+         |  FROM (
+         |    SELECT w, c, i, best, back, list_max(list_transform(cands, x -> x.sv)) AS mx, cands
+         |    FROM (
+         |      SELECT w, c, i, best, back,
+         |        list_filter(list_transform(range(greatest(0, i + 1 - $maxPieceLen), i + 1),
+         |          j -> struct_pack(sv := best[j + 1] + (m[w[j + 1 : i + 1]])[1], jv := CAST(j AS INTEGER))),
+         |          x -> x.sv IS NOT NULL) AS cands
+         |      FROM vit$tag, lpmap$tag WHERE i < len(w)) z1) z2
+         |),
+         |seg$tag AS (
+         |  SELECT w, c, CAST(len(w) AS INTEGER) AS k, back, CAST(NULL AS VARCHAR) AS piece
+         |  FROM vit$tag WHERE i = len(w)
+         |  UNION ALL
+         |  SELECT w, c, back[k + 1] AS k, back, w[back[k + 1] + 1 : k] AS piece
+         |  FROM seg$tag WHERE k > 0
+         |)""".stripMargin
+    // normalize(cnt$tag) on the portable round-9 grid → model + map
+    def model(tag: String, cnt: String): String =
+      s"""model$tag AS MATERIALIZED (
+         |  SELECT piece, round(ln(CAST(greatest(1, c) AS DOUBLE) /
+         |    (SELECT CAST(greatest(1, SUM(greatest(1, c))) AS DOUBLE) FROM $cnt)), 9) AS lp
+         |  FROM $cnt),
+         |lpmap$tag AS MATERIALIZED (SELECT map(list(piece), list(lp)) AS m FROM model$tag)""".stripMargin
+    // E-step piece counts + char cover (chars never leave the model)
+    def counts(tag: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS c FROM seg$tag WHERE piece IS NOT NULL GROUP BY 1
+         |  UNION ALL
+         |  SELECT ch.piece, CAST(0 AS BIGINT) AS c FROM chars ch
+         |  WHERE ch.piece NOT IN (SELECT piece FROM seg$tag WHERE piece IS NOT NULL))""".stripMargin
+    val emChain = (1 to emRounds).map { r =>
+      s"""${model(s"$r", s"cnt${r - 1}")},
+         |${viterbi(s"$r")},
+         |${counts(s"$r", s"cnt$r")}""".stripMargin
+    }.mkString(",\n")
+    val trainPrefix =
+      s"""WITH RECURSIVE
+         |toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x <> '')) AS w FROM documents),
+         |words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |chars AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS c FROM (
+         |    SELECT w[CAST(i AS INTEGER) + 1 : CAST(i AS INTEGER) + 1] AS piece, c
+         |    FROM (SELECT w, c, unnest(range(0, len(w))) AS i FROM words) z) y
+         |  GROUP BY 1),
+         |mseed AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS c FROM (
+         |    SELECT w[i + 1 : i + l] AS piece, c FROM (
+         |      SELECT w, c, CAST(i AS INTEGER) AS i, CAST(l AS INTEGER) AS l FROM (
+         |        SELECT w, c, i, unnest(range(2, least($maxPieceLen, len(w) - CAST(i AS INTEGER)) + 1)) AS l
+         |        FROM (SELECT w, c, unnest(range(0, len(w))) AS i FROM words) z1) z2) z3) z4
+         |  GROUP BY 1 ORDER BY c DESC, piece ASC LIMIT $seedSize),
+         |cnt0 AS MATERIALIZED (SELECT piece, c FROM chars UNION ALL SELECT piece, c FROM mseed),
+         |$emChain,
+         |kept AS MATERIALIZED (
+         |  SELECT piece, c FROM cnt$emRounds WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM cnt$emRounds WHERE len(piece) > 1
+         |    ORDER BY c DESC, piece ASC
+         |    LIMIT greatest(0, $vocabSize -
+         |      (SELECT COUNT(*) FROM cnt$emRounds WHERE len(piece) = 1))) z),
+         |${model("F", "kept")},
+         |${viterbi("F")},
+         |cntF AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS c FROM segF WHERE piece IS NOT NULL GROUP BY 1),
+         |outv AS MATERIALIZED (
+         |  SELECT k.piece, COALESCE(f.c, 0) AS freq FROM kept k LEFT JOIN cntF f USING (piece)),
+         |totF AS (SELECT CAST(greatest(1, SUM(greatest(1, freq))) AS DOUBLE) AS t FROM outv)""".stripMargin
+    if (trainOnly)
+      return trainPrefix +
+        s"""
+           |SELECT piece, CAST(freq AS BIGINT) AS freq,
+           |  round(ln(CAST(greatest(1, freq) AS DOUBLE) / (SELECT t FROM totF)), 6) AS logprob
+           |FROM outv""".stripMargin
+    trainPrefix +
+      s""",
+         |appmodel AS MATERIALIZED (
+         |  SELECT piece, round(ln(CAST(greatest(1, freq) AS DOUBLE) / (SELECT t FROM totF)), 6) AS lp
+         |  FROM outv),
+         |lpmapA AS MATERIALIZED (SELECT map(list(piece), list(lp)) AS m FROM appmodel),
+         |${viterbi("A")},
+         |wp AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM segA WHERE piece IS NOT NULL GROUP BY 1),
+         |docs AS MATERIALIZED (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
+         |dw AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+         |perdoc AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces FROM dw JOIN wp USING (w) GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.tk) AS INTEGER) AS n_words,
+         |  CAST(COALESCE(p.n_pieces, 0) AS INTEGER) AS n_pieces,
+         |  round(CAST(COALESCE(p.n_pieces, 0) AS DOUBLE) / greatest(len(d.tk), 1), 4) AS pieces_per_word
+         |FROM docs d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
@@ -906,6 +1031,10 @@ object SparkEntry {
     "q_bpe_apply" -> bpeOracleSql(),
     // BPE train: the same 8 unrolled rounds, emitting the learned rules
     "q_bpe_train" -> bpeOracleSql(trainOnly = true),
+    // Unigram-LM tokenizer: hard-EM rounds unrolled, Viterbi as a
+    // recursive-CTE forward DP per word (generated, see unigramOracleSql)
+    "q_unigram_train" -> unigramOracleSql(trainOnly = true),
+    "q_unigram_apply" -> unigramOracleSql(trainOnly = false),
     // Z-order: layout is an optimization, never a semantic — the oracle
     // pins the min/max gridding + Morton math itself (the layout win is
     // ZOrderLayoutSpec's to prove).
@@ -4250,6 +4379,45 @@ object SparkEntry {
         |  sha256(pix.pixels) AS pixel_sha256,
         |  CAST(m.s AS DOUBLE) / m.len2 AS channel_mean
         |FROM m JOIN pix USING (doc_id)""".stripMargin,
+    // q_jpeg_ac_decode: the AC-carrying twin — each block adds one AC
+    // coefficient at natural (u=0, v=4) whose basis is constant over x
+    // and ±√2/2 over y, so pixel(x,y) = clamp(byte + sign(y)·ac) exactly
+    // (sign = + − − + + − − +, ac = byte%5 − 2); the fingerprint is md5
+    // over the HEX-encoded raster (AC shifts pixels past ASCII, where a
+    // VARCHAR would UTF-8-mangle raw bytes)
+    "q_jpeg_ac_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         strlen(text) + (strlen(text) % 2) AS len2
+        |  FROM documents WHERE strlen(text) >= 1),
+        |p AS (
+        |  SELECT doc_id, len2, text || repeat(' ', len2 - len) AS padded FROM d),
+        |brow AS (
+        |  SELECT doc_id, len2, padded,
+        |    CAST(unnest(range(0, CAST(len2 // 2 AS BIGINT))) AS INTEGER) AS by
+        |  FROM p),
+        |rws AS (
+        |  SELECT doc_id, len2, by, CAST(unnest(range(0, 8)) AS INTEGER) AS yy,
+        |    ascii(substr(padded, 2 * by + 1, 1)) AS bl,
+        |    ascii(substr(padded, 2 * by + 2, 1)) AS br
+        |  FROM brow),
+        |px AS (
+        |  SELECT doc_id, len2, by, yy,
+        |    least(255, greatest(0, bl + sgn * (bl % 5 - 2))) AS pl,
+        |    least(255, greatest(0, br + sgn * (br % 5 - 2))) AS pr
+        |  FROM (SELECT *, CASE WHEN yy IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sgn
+        |        FROM rws) z),
+        |hx AS (
+        |  SELECT doc_id, md5(string_agg(
+        |      repeat(printf('%02x', pl), 8) || repeat(printf('%02x', pr), 8),
+        |      '' ORDER BY by, yy)) AS pixel_md5,
+        |    SUM(8 * (pl + pr)) AS s, MAX(len2) AS len2
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(4 * len2 AS INTEGER) AS height,
+        |  CAST(64 * len2 AS INTEGER) AS n_pixels, pixel_md5,
+        |  CAST(s AS DOUBLE) / (64 * len2) AS channel_mean
+        |FROM hx""".stripMargin,
     // dHash from decoded pixels; PNG losslessness lets the oracle
     // rebuild the 9×8 integer average pool (cross-multiplied compares,
     // no division) from the padded text bytes, bit for bit

@@ -60,7 +60,8 @@ object BaselineJpeg {
       while (l < maxLen) {
         code = (code << 1) | br.bit()
         l += 1
-        if (countAt(l) > 0 && code - firstCode(l) < countAt(l))
+        if (countAt(l) > 0 && code >= firstCode(l) &&
+            code - firstCode(l) < countAt(l))
           return symbols(firstIdx(l) + (code - firstCode(l)))
       }
       throw new IllegalArgumentException("invalid Huffman code")
@@ -379,12 +380,98 @@ object BaselineJpeg {
     out.result()
   }
 
+  // AC table for the structured-AC encoder: EOB plus run-9 symbols
+  // (9<<4)|size for size 1..8 — exactly what a lone coefficient at
+  // zigzag k=10 (natural (u=0, v=4)) needs. All 9 symbols at code
+  // length 4 (9 ≤ 2⁴, canonical, prefix-free).
+  private val AcV4Counts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcV4Syms = Array(0x00, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98)
+
+  /** The (u=0, v=4) basis row-sign pattern: cos((2y+1)·4π/16) =
+    * ±√2/2 with signs + − − + + − − + over y — the cancellation that
+    * makes the [[encodeGrayDcV4]] fixture's decode closed-form.
+    */
+  val V4RowSign: Array[Int] = Array(1, -1, -1, 1, 1, -1, -1, 1)
+
+  /** Emit a baseline JPEG of `bw`×`bh` blocks carrying a DC term AND one
+    * AC coefficient at zigzag k=10 — natural position (u=0, v=4) — so the
+    * decode exercises the general AC Huffman + dequant + full-IDCT path
+    * while staying CLOSED-FORM: with Q = 8 at both positions, the (0,4)
+    * basis is constant over x and ±√2/2 over y, so
+    * `pixel(x, y) = clamp(128 + dc + V4RowSign(y%8) · ac)` EXACTLY (the
+    * true value is integral; float IDCT error ~1e-13 never moves
+    * `rint`). `dc` ∈ [−128, 127], `ac` ∈ [−255, 255].
+    */
+  def encodeGrayDcV4(bw: Int, bh: Int, dc: (Int, Int) => Int,
+      ac: (Int, Int) => Int): Array[Byte] = {
+    require(bw > 0 && bh > 0 && bw * 8 <= 65535 && bh * 8 <= 65535,
+      s"image ${bw * 8}x${bh * 8} exceeds the 16-bit SOF0 dimension fields")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(b: Int): Unit = bos.write(b & 0xFF)
+    def w16(v: Int): Unit = { w(v >> 8); w(v) }
+    def marker(m: Int): Unit = { w(0xFF); w(m) }
+    marker(0xD8)
+    marker(0xDB); w16(2 + 1 + 64); w(0x00)
+    w(8) // Q[0] = 8 — the DC exactness contract
+    var zz = 1
+    while (zz < 64) { w(if (ZigZag(zz) == 32) 8 else 16); zz += 1 } // Q[(0,4)] = 8 too
+    marker(0xC0); w16(8 + 3)
+    w(8); w16(bh * 8); w16(bw * 8); w(1); w(1); w(0x11); w(0)
+    def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      marker(0xC4); w16(2 + 1 + 16 + syms.length); w((tc << 4) | 0)
+      counts.foreach(w); syms.foreach(w)
+    }
+    dht(0, DcCounts, DcSyms)
+    dht(1, AcV4Counts, AcV4Syms)
+    marker(0xDA); w16(6 + 2); w(1); w(1); w(0x00); w(0); w(63); w(0)
+    val dcCodes = canonicalCodes(DcCounts, DcSyms)
+    val acCodes = canonicalCodes(AcV4Counts, AcV4Syms)
+    val bw2 = new BitWriter(bos)
+    def mag(v: Int): Int = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMag(v: Int, t: Int): Unit =
+      if (t > 0) bw2.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val v = dc(bx, by)
+        require(v >= -128 && v <= 127, s"dc out of range: $v")
+        val a = ac(bx, by)
+        require(a >= -255 && a <= 255, s"ac out of range: $a")
+        val diff = v - pred
+        pred = v
+        val t = mag(diff)
+        val (code, len) = dcCodes(t)
+        bw2.put(code, len)
+        putMag(diff, t)
+        if (a != 0) {
+          val ta = mag(a) // ≤ 8 for |a| ≤ 255
+          val (acode, alen) = acCodes((9 << 4) | ta)
+          bw2.put(acode, alen)
+          putMag(a, ta)
+          // k=10 consumed; positions 11..63 zero → EOB
+        }
+        val (eobCode, eobLen) = acCodes(0x00)
+        bw2.put(eobCode, eobLen)
+        bx += 1
+      }
+      by += 1
+    }
+    bw2.flush()
+    marker(0xD9)
+    bos.toByteArray
+  }
+
   /** Emit a real single-component baseline JPEG of `bw`×`bh` 8×8 blocks,
-    * each block uniformly `128 + dc(bx, by)` after ANY conformant
+    * each block uniformly `clamp(128 + dc(bx, by))` after ANY conformant
     * decode (Q₀ = 8 makes the DC-only IDCT exact). `dc` must stay in
-    * [−127, 127].
+    * [−128, 127] (the full byte-minus-128 range; −128 decodes to pixel 0).
     */
   def encodeGrayDcOnly(bw: Int, bh: Int, dc: (Int, Int) => Int): Array[Byte] = {
+    // SOF0 height/width are 16-bit fields — reject silently-truncating sizes
+    require(bw > 0 && bh > 0 && bw * 8 <= 65535 && bh * 8 <= 65535,
+      s"image ${bw * 8}x${bh * 8} exceeds the 16-bit SOF0 dimension fields")
     val bos = new java.io.ByteArrayOutputStream()
     def w(b: Int): Unit = bos.write(b & 0xFF)
     def w16(v: Int): Unit = { w(v >> 8); w(v) }
@@ -411,7 +498,7 @@ object BaselineJpeg {
       var bx = 0
       while (bx < bw) {
         val v = dc(bx, by)
-        require(v >= -127 && v <= 127, s"dc out of range: $v")
+        require(v >= -128 && v <= 127, s"dc out of range: $v")
         val diff = v - pred
         pred = v
         val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))

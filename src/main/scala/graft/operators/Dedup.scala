@@ -259,11 +259,25 @@ object Dedup {
     * [[graft.functions.MinHashSketch]] aggregate pass (primitive
     * long[K] buffer — no K-buffer generated aggregate for janino).
     */
-  private def minhashFlat(docs: DataFrame): DataFrame = {
+  private def minhashFlat(docs: DataFrame): DataFrame =
+    minhashFlatBase(docs, md5BaseHash)
+
+  /** The production portable base hash: 60-bit md5 prefix of the shingle. */
+  private[graft] val md5BaseHash: Column => Column =
+    sh => conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** The PRE-r13 base hash (Spark-private xxhash64) — kept only as the
+    * differential baseline for DedupSpec's estimator-quality regression
+    * guard: the portable-hash migration must not degrade near-dup recall
+    * vs the construction it replaced (the Kirsch–Mitzenmacher rejection
+    * shows this family can silently collapse).
+    */
+  private[graft] val xxBaseHash: Column => Column = sh => xxhash64(sh)
+
+  private[graft] def minhashFlatBase(docs: DataFrame, baseHash: Column => Column): DataFrame = {
     val hashed = shingles(docs, distinct = false)
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(MinhashPrime)).as("h"))
+        pmod(baseHash(col("sh")), lit(MinhashPrime)).as("h"))
     hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSketch.sketch(col("h"), MinhashPrime, coefA, coefB).as("sig"))
       .select(col("doc_id") +: (0 until MinhashK).map(i =>
@@ -291,9 +305,18 @@ object Dedup {
     * both sides), so the whole pair set hash-matches the DuckDB oracle;
     * ScalaTest additionally pins recall against exact Jaccard.
     */
-  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val flat = minhashFlat(docs).cache()
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    nearDupPairs(Tables(spark, dir, "documents"), md5BaseHash, threshold)
+
+  /** [[minhashNearDups]] parameterized by the base hash family — the
+    * production path always passes [[md5BaseHash]]; DedupSpec runs the
+    * same pipeline under [[xxBaseHash]] to pin recall parity across the
+    * r13 portable-hash migration. Band keys stay md5 in BOTH variants so
+    * the differential isolates the base-hash family's estimator quality.
+    */
+  private[graft] def nearDupPairs(docs: DataFrame, baseHash: Column => Column,
+      threshold: Double): DataFrame = {
+    val flat = minhashFlatBase(docs, baseHash).cache()
     // Candidate generation over NARROW rows — only (doc_id, band, bucket)
     // travels through the band shuffle; signatures rejoin afterwards, so
     // the 16× banding blow-up never duplicates the 64-column payload.
@@ -325,8 +348,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document from token `xxhash64`s: bit j of the
-    * fingerprint is the sign of Σ_tokens (±1 on bit j of the token hash).
+  /** 64-bit SimHash per document from portable md5-packed token hashes
+    * (two 32-bit md5 halves packed as `(h1 << 32) | h2` since r13 —
+    * bit-for-bit replayable by the SQL oracle, so the query is
+    * hash-matched): bit j of the fingerprint is the sign of
+    * Σ_tokens (±1 on bit j of the token hash).
     * The 64 bit-sums are flat scalar aggregates over one hash column —
     * codegen'd, map-side combined (no per-token array materialization).
     */
@@ -412,9 +438,11 @@ object Dedup {
   /** Full-corpus near-dup clusters: connected components over the
     * MinHash-LSH edge set — the composition a real dedup run needs
     * (unbounded candidate generation feeding the keep-one-per-cluster
-    * decision). Rows-only at the driver gate (edges are xxhash64-seeded);
-    * cluster consistency vs the exact-Jaccard clusters is pinned in
-    * `DedupSpec`.
+    * decision). Hash-matched since r13: the MinHash edges ride the
+    * portable md5-prefix base hashes, so the oracle replays the LSH
+    * candidate set and the min-label propagation exactly; cluster
+    * consistency vs the exact-Jaccard clusters is additionally pinned
+    * in `DedupSpec`.
     */
   def dupClustersLsh(
       spark: SparkSession, dir: String,

@@ -227,6 +227,59 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_pixels", "pixel_sha256", "channel_mean")
   }
 
+  /** JPEG decode over an AC-CARRYING fixture — the general-scan twin of
+    * [[jpegDecode]] (whose blocks are DC-only). Each padded byte pair
+    * becomes two 8×8 blocks per row carrying a DC term (byte − 128) AND
+    * one AC coefficient at natural (u=0, v=4), `ac = byte % 5 − 2`, so
+    * the decode exercises the FULL baseline path: AC Huffman (run-9
+    * symbol), dequant, inverse zigzag, float IDCT. The (0,4) basis is
+    * constant over x and ±√2/2 over y, so with Q = 8 the decoded block
+    * is CLOSED-FORM — `pixel(x, y) = clamp(byte + sign(y) · ac)` with
+    * sign = + − − + + − − + — and the DuckDB oracle rebuilds the raster
+    * from the text alone. The fingerprint is md5 over the HEX-encoded
+    * raster (not sha over raw bytes): AC shifts pixels outside ASCII,
+    * and a DuckDB VARCHAR would UTF-8-mangle bytes ≥ 0x80; hex is the
+    * portable byte-exact encoding both engines hash identically.
+    *
+    * Same 100 TB shape as [[jpegDecode]]: scan → encode → decode →
+    * project; executor-local, embarrassingly parallel, no shuffle.
+    */
+  def jpegAcDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      batch.map { case (docId, payload) =>
+        val len2 = payload.length + (payload.length % 2)
+        val bytes = java.util.Arrays.copyOf(payload, len2)
+        if (len2 > payload.length) bytes(payload.length) = ' '.toByte
+        val bh = len2 / 2
+        val jpeg = graft.functions.BaselineJpeg.encodeGrayDcV4(2, bh,
+          (bx, by) => (bytes(2 * by + bx) & 0xFF) - 128,
+          (bx, by) => (bytes(2 * by + bx) & 0xFF) % 5 - 2)
+        val (w, h, ch, pix) = graft.functions.BaselineJpeg.decode(jpeg)
+        require(ch == 1, s"doc $docId: expected grayscale, got $ch channels")
+        var sum = 0L
+        val hex = new java.lang.StringBuilder(pix.length * 2)
+        var i = 0
+        while (i < pix.length) {
+          val v = pix(i) & 0xFF
+          sum += v
+          if (v < 16) hex.append('0')
+          hex.append(Integer.toHexString(v))
+          i += 1
+        }
+        digest.reset()
+        val md = digest.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
+        (docId, w, h, pix.length, md, sum.toDouble / pix.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_pixels", "pixel_md5", "channel_mean")
+  }
+
   /** Real audio decode through `javax.sound.sampled` (JDK-built-in WAV
     * codec — the audio twin of [[imageDecode]]).
     *

@@ -411,7 +411,7 @@ object Similarity {
     // encode/score half reuses them instead of re-running Lloyd's per
     // query invocation.
     val codebooksTrained = Similarity.pqCodebookCache.getOrElseUpdate(
-      (dir, m, nCodes, dim, sampleSize, iterations), {
+      (Tables.fingerprint(dir, "embeddings"), m, nCodes, dim, sampleSize, iterations), {
     val sampleDf = emb.orderBy(col("vec_id")).limit(sampleSize)
       .select(col("vec_id"), col("v")).cache()
     val seeds = sampleDf.orderBy(col("vec_id")).limit(nCodes)

@@ -1104,7 +1104,8 @@ object TextAnalysis {
 
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     import spark.implicits._
-    val rules = bpeRulesCache.getOrElseUpdate((dir, merges), {
+    val rules = bpeRulesCache.getOrElseUpdate(
+      (Tables.fingerprint(dir, "documents"), merges), {
       val words = Tables(spark, dir, "documents")
         .select(explode(tokens(lower(col("text")))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1380,9 +1381,16 @@ object TextAnalysis {
       val m = counts.toMap
       counts ++ charCounts.keysIterator.filterNot(m.contains).map(_ -> 0L)
     }
+    // Model log-probs live on the PORTABLE round-9 grid (the q_hits bd9
+    // device): every Viterbi comparison then operates on doubles both
+    // engines agree on bit-for-bit, which is what lets the DuckDB oracle
+    // replay the EM rounds exactly (q_unigram_train/apply are
+    // hash-matched since r14).
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
     def normalize(counts: Array[(String, Long)]): Map[String, Double] = {
       val total = math.max(1L, counts.map(c => math.max(1L, c._2)).sum).toDouble
-      counts.map { case (p, c) => p -> math.log(math.max(1L, c) / total) }.toMap
+      counts.map { case (p, c) => p -> r9(math.log(math.max(1L, c) / total)) }.toMap
     }
     def eStep(model: Map[String, Double]): Array[(String, Long)] = {
       val bc = spark.sparkContext.broadcast(model)

@@ -48,6 +48,28 @@ object Tables {
     if (tsIsLongNanos(schema)) "ts DIV 1000"
     else "unix_micros(CAST(ts AS TIMESTAMP))"
 
+  /** Content fingerprint of `dir/name.parquet` — (path, length, mtime) of
+    * every file under the table dir, hashed. Memoized trained models
+    * (PQ codebooks, BPE merge tables) key on THIS rather than the raw dir
+    * string, so rewriting the parquet in-place within one JVM (a spec
+    * reusing a temp dir with mode=overwrite) invalidates the cache instead
+    * of silently serving a stale model. Falls back to the path string for
+    * non-local URIs (the caches are a local-JVM convenience either way).
+    */
+  def fingerprint(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    if (!root.exists()) s"$dir/$name.parquet"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def walk(f: java.io.File): Unit = {
+        md.update(s"${f.getPath}|${f.length()}|${f.lastModified()};".getBytes("UTF-8"))
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      }
+      walk(root)
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = raw(spark, dir, name)
     if (name == "events")

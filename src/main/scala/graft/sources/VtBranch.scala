@@ -104,11 +104,31 @@ object VtBranch {
 
   /** Commit a new branch head naming exactly `newEntries`. One-winner:
     * the branch manifest is CREATE_NEW, so two writers racing on the
-    * same branch head conflict exactly like main commits do.
+    * same branch head conflict exactly like main commits do. This
+    * overload re-reads the ref — correct for APPEND-shaped commits
+    * whose entry list is resolved at commit time (order-commutative);
+    * REWRITE-shaped commits must pin the head they planned against via
+    * [[commitEntriesAt]] or a fully-finished rival would be silently
+    * overwritten with stale rewrite baselines (lost update).
     */
-  def commitEntries(root: String, name: String, newEntries: Seq[String]): Int = {
+  def commitEntries(root: String, name: String, newEntries: Seq[String]): Int =
+    commitEntriesAt(root, name, ref(root, name).head, newEntries)
+
+  /** [[commitEntries]] pinned to the head the writer PLANNED against:
+    * if the branch moved past `expectedHead` — a rival staged against
+    * the same head and fully won (manifest + ref) — the commit fails
+    * LOUDLY instead of landing as head+2 with a stale baseline. The
+    * CREATE_NEW manifest write still backs up the narrower race where
+    * the rival claimed the manifest but hasn't advanced the ref yet.
+    */
+  def commitEntriesAt(root: String, name: String, expectedHead: Int,
+      newEntries: Seq[String]): Int = {
     val r = ref(root, name)
-    val k = r.head + 1
+    if (r.head != expectedHead)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: branch $name of $root moved from head " +
+          s"$expectedHead to ${r.head} during this write; re-run the statement")
+    val k = expectedHead + 1
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/${manifestFile(name, k)}"),

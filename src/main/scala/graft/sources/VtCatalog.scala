@@ -2314,7 +2314,12 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
     new WriteBuilder {
       override def build(): Write = branch match {
         case Some(b) =>
-          new GraftVtWrite(table.root, VtBranch.ref(table.root, b).head + 1,
+          // REWRITE commit: pin the head this op planned against — a
+          // rival that fully won (manifest + ref) between our plan and
+          // commit must fail us LOUDLY, not let a stale-baseline rewrite
+          // land as head+2 (the MOR delta path prechecks identically)
+          val expectedHead = VtBranch.ref(table.root, b).head
+          new GraftVtWrite(table.root, expectedHead + 1,
             table.physify(info.schema()),
             () => {
               val replaced = boundFiles.getOrElse(allLeafFiles).toSet
@@ -2324,8 +2329,9 @@ class GraftVtRowLevelOperation(table: GraftVtTable, cmd: RowLevelOperation.Comma
             // main-version-keyed (OPTIMIZE after fast-forward restores)
             cluster = None, desc = s"graft_vt branch COW ${cmd.name()} ($b)",
             bucketRoute = None, check = table.boundCheck,
-            branchCommit = Some((b,
-              entries => { VtBranch.commitEntries(table.root, b, entries): Unit })))
+            branchCommit = Some((b, entries => {
+              VtBranch.commitEntriesAt(table.root, b, expectedHead, entries): Unit
+            })))
         case None =>
           new GraftVtWrite(table.root,
             table.currentVersion + 1, table.physify(info.schema()),

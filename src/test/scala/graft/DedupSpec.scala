@@ -218,6 +218,61 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable-hash migration: md5 base recall ≥ the xxhash64 construction's") {
+    // Adversarial cross-check of the r13 md5 migration (VERDICT r13 #6):
+    // run the IDENTICAL LSH pipeline under both base-hash families on a
+    // graded near-dup fixture family (exact Jaccard ~0.4..1.0, incl. the
+    // ~0.54 region where Kirsch–Mitzenmacher collapsed to 0.25) and pin
+    // that the new portable hashes lost no recall or estimator quality.
+    import spark.implicits._
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val base = (words ++ words).mkString(" ") // ~240 chars, 2 passes
+    def mutate(k: Int): String = {
+      // replace the first k distinct words everywhere → graded Jaccard
+      var t = base
+      (0 until k).foreach(i => t = t.replace(words(i), s"subst$i"))
+      t
+    }
+    val docs = (Seq(0 -> base, 1 -> base) ++
+      (2 to 7).map(i => i -> mutate(i - 1)) :+ (8 -> ("zulu yankee xray " * 15)))
+      .map { case (id, t) => (id.toLong, t) }.toDF("doc_id", "text")
+    // driver-exact Jaccard over the same distinct 15-char shingles
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] =
+      (0 until math.max(t.length - 14, 1))
+        .map(i => t.substring(i, math.min(i + 15, t.length))).toSet
+    val exact = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingleSet(texts(a)); sb = shingleSet(texts(b))
+      j = (sa & sb).size.toDouble / (sa | sb).size
+    } yield (a, b) -> j).toMap
+    val truth = exact.filter(_._2 >= 0.5).keySet
+    assert(truth.exists { case (a, b) => exact((a, b)) >= 0.5 && exact((a, b)) <= 0.65 },
+      "fixture must cover the ~0.54 Jaccard region")
+    def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.nearDupPairs(docs, h, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md = run(Dedup.md5BaseHash)
+    val xx = run(Dedup.xxBaseHash)
+    def recall(found: Map[(Long, Long), Double]) =
+      truth.count(found.contains).toDouble / truth.size
+    assert(recall(md) >= recall(xx),
+      s"md5 recall ${recall(md)} < xxhash64 recall ${recall(xx)} — portable migration regressed")
+    // strong pairs (J ≥ 0.7) must be found by the production path outright
+    truth.filter(p => exact(p) >= 0.7).foreach(p =>
+      assert(md.contains(p), s"md5 path missed strong pair $p (J=${exact(p)})"))
+    // estimator quality: mean |est − exact| on found pairs must stay tight
+    // and no worse than the old construction's
+    def mae(found: Map[(Long, Long), Double]) =
+      if (found.isEmpty) 0.0
+      else found.map { case (p, est) => math.abs(est - exact(p)) }.sum / found.size
+    assert(mae(md) <= 0.15, s"md5 estimator MAE ${mae(md)}")
+    assert(mae(md) <= mae(xx) + 0.05,
+      s"md5 MAE ${mae(md)} vs xxhash64 MAE ${mae(xx)} — estimator degraded")
+  }
+
   test("incremental dedup: re-crawled content drops, new content survives") {
     import org.apache.spark.sql.functions.col
     val out = graft.operators.Dedup.incrementalDedup(spark, sf)

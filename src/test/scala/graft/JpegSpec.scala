@@ -93,6 +93,54 @@ class JpegSpec extends AnyFunSuite {
       s"mean diff ${sumd.toDouble / (w * h * 3)}")
   }
 
+  test("DC-V4 AC fixture decodes to the exact closed form (byte ± sign·ac)") {
+    // dc spans the full [-128, 127] byte range (incl. the NUL-byte -128
+    // case that used to crash, ADVICE r13), ac spans [-255, 255] far
+    // enough to clamp at both rails
+    val dc = (bx: Int, by: Int) => ((bx * 37 + by * 11) % 256) - 128
+    val ac = (bx: Int, by: Int) => ((bx * 13 + by * 29) % 91) - 45
+    val jpeg = BaselineJpeg.encodeGrayDcV4(6, 5, dc, ac)
+    val (w, h, ch, pix) = BaselineJpeg.decode(jpeg)
+    assert((w, h, ch) == ((48, 40, 1)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = math.max(0, math.min(255,
+        128 + dc(x / 8, y / 8) + BaselineJpeg.V4RowSign(y % 8) * ac(x / 8, y / 8)))
+      val got = pix(y * w + x) & 0xFF
+      assert(got == want, s"($x,$y): $got vs $want")
+    }
+  }
+
+  test("DC-V4 fixture decodes identically under ImageIO (independent decoder)") {
+    // the closed form is integral with ~1e-13 float noise, so even
+    // libjpeg's integer IDCT lands on the same pixel — a real
+    // cross-decoder pin that the AC Huffman table, quant table, and
+    // entropy stream we emit are conformant, not just self-consistent
+    val dc = (bx: Int, by: Int) => ((bx * 19 + by * 53) % 200) - 100
+    val ac = (bx: Int, by: Int) => (bx + by * 3) % 9 - 4
+    val jpeg = BaselineJpeg.encodeGrayDcV4(4, 4, dc, ac)
+    val (w, h, _, pix) = BaselineJpeg.decode(jpeg)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(ref.getWidth == w && ref.getHeight == h)
+    val refPix = new Array[Byte](w * h)
+    ref.getRaster.getDataElements(0, 0, w, h, refPix)
+    var maxd = 0
+    for (i <- pix.indices)
+      maxd = math.max(maxd, math.abs((pix(i) & 0xFF) - (refPix(i) & 0xFF)))
+    assert(maxd <= 1, s"max per-pixel diff vs ImageIO $maxd")
+  }
+
+  test("SOF0 16-bit dimension guard rejects silently-truncating sizes") {
+    // 8192 blocks * 8 px = 65536 > the 16-bit height field (ADVICE r13)
+    val e = intercept[IllegalArgumentException] {
+      BaselineJpeg.encodeGrayDcOnly(1, 8192, (_, _) => 0)
+    }
+    assert(e.getMessage.contains("SOF0"))
+    // the largest legal size still encodes (8191 * 8 = 65528)
+    val ok = BaselineJpeg.encodeGrayDcOnly(1, 2, (_, _) => -128)
+    val (_, _, _, pix) = BaselineJpeg.decode(ok)
+    assert(pix.forall(b => (b & 0xFF) == 0)) // -128 → pixel 0, exact
+  }
+
   test("restart markers: a DRI stream decodes and resets DC prediction") {
     // hand-assemble: take the DC-only encoder's output and splice a DRI
     // by re-encoding two single-block images — simpler: decode a wide
