@@ -416,6 +416,10 @@ object ScaleBench {
     "q_cuped" -> ((s, d) => Stats.cupedAdjustment(s, d)),
     "q_clustering_coeff" -> ((s, d) => Analytics.clusteringCoefficient(s, d)),
     "q_kcore" -> ((s, d) => Analytics.kcore(s, d)),
+    // k-hop BFS over the densifying co-order graph — the remaining
+    // graph-tier verb with no 100× datapoint before r14 (frontier joins
+    // ride the |edges| front like kcore's rounds)
+    "q_khop" -> ((s, d) => Analytics.khopDistances(s, d)),
     // the closing session-4 verbs: Holt (and its backtest) fold over
     // the CALENDAR-bounded per-type hourly axis — replicas add users,
     // not hours, so only the first aggregate rides the factor; AUC is

@@ -94,10 +94,22 @@ object BaselineJpeg {
       nbits -= 1
       (acc >> nbits) & 1
     }
+    /** Batched read: consumes whole byte-remainders at a time instead of
+      * bit-by-bit (the magnitude-bits fast path — Huffman code walking
+      * still reads single bits through [[bit]]).
+      */
     def bits(n: Int): Int = {
       var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      var need = n
+      while (need > 0) {
+        if (nbits == 0) { v = (v << 1) | bit(); need -= 1 } // refill via bit()
+        else {
+          val take = if (need < nbits) need else nbits
+          v = (v << take) | ((acc >> (nbits - take)) & ((1 << take) - 1))
+          nbits -= take
+          need -= take
+        }
+      }
       v
     }
   }
@@ -210,6 +222,7 @@ object BaselineJpeg {
 
     val br = new BitReader(jpeg, sosAt)
     val coef = new Array[Int](64)
+    val tmp = new Array[Double](64) // row-pass intermediate (separable IDCT)
     val out = new Array[Double](64)
     var mcu = 0
     val totalMcus = mcusX * mcusY
@@ -251,22 +264,46 @@ object BaselineJpeg {
               // the IDCT of a lone DC term is the constant DC/8
               java.util.Arrays.fill(out, coef(0) / 8.0 + 128.0)
             } else {
-              // IDCT (separable would be faster; 64×64 naive is plenty
-              // for fixture-sized rasters and keeps the math auditable)
+              // SEPARABLE IDCT (row pass then column pass — 2·8·8·8
+              // mults instead of the naive 64×64), with libjpeg's
+              // all-zero-row skip: rows of the coefficient grid that are
+              // entirely zero contribute a constant 0 to the row pass,
+              // so sparse blocks (real entropy-coded data is mostly
+              // zeros after quantization) cost near the DC shortcut
+              var v = 0
+              while (v < 8) {
+                var anyRow = false
+                var u = 0
+                while (u < 8 && !anyRow) { anyRow = coef(v * 8 + u) != 0; u += 1 }
+                if (!anyRow) {
+                  var x = 0
+                  while (x < 8) { tmp(v * 8 + x) = 0.0; x += 1 }
+                } else {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var uu = 0
+                    while (uu < 8) {
+                      val cc = coef(v * 8 + uu)
+                      if (cc != 0) s += C(uu) * cc * Cos(x)(uu)
+                      uu += 1
+                    }
+                    tmp(v * 8 + x) = s
+                    x += 1
+                  }
+                }
+                v += 1
+              }
               var y = 0
               while (y < 8) {
                 var x = 0
                 while (x < 8) {
                   var s = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    var u = 0
-                    while (u < 8) {
-                      val cc = coef(v * 8 + u)
-                      if (cc != 0) s += C(u) * C(v) * cc * Cos(x)(u) * Cos(y)(v)
-                      u += 1
-                    }
-                    v += 1
+                  var vv = 0
+                  while (vv < 8) {
+                    val t = tmp(vv * 8 + x)
+                    if (t != 0) s += C(vv) * t * Cos(y)(vv)
+                    vv += 1
                   }
                   out(y * 8 + x) = s / 4.0 + 128.0
                   x += 1
@@ -347,17 +384,18 @@ object BaselineJpeg {
   private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var n = 0
+    /** Batched append: len ≤ 16 and n < 8 on entry, so acc never
+      * exceeds 24 live bits (no Int overflow); whole bytes drain with
+      * 0xFF stuffing per T.81 F.1.2.3.
+      */
     def put(code: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) {
-        acc = (acc << 1) | ((code >> i) & 1)
-        n += 1
-        if (n == 8) {
-          bos.write(acc & 0xFF)
-          if ((acc & 0xFF) == 0xFF) bos.write(0x00) // byte stuffing
-          acc = 0; n = 0
-        }
-        i -= 1
+      acc = (acc << len) | (code & ((1 << len) - 1))
+      n += len
+      while (n >= 8) {
+        val b = (acc >> (n - 8)) & 0xFF
+        bos.write(b)
+        if (b == 0xFF) bos.write(0x00) // byte stuffing
+        n -= 8
       }
     }
     def flush(): Unit = if (n > 0) { put(0x7F, 8 - n); () } // 1-pad, T.81 F.1.2.3
@@ -378,6 +416,16 @@ object BaselineJpeg {
       l += 1
     }
     out.result()
+  }
+
+  /** [[canonicalCodes]] as flat symbol-indexed arrays — the per-block
+    * hot path allocates nothing (the Map form boxes a tuple per lookup).
+    */
+  private def canonicalCodeArrays(counts: Array[Int], syms: Array[Int]): (Array[Int], Array[Int]) = {
+    val codes = new Array[Int](256)
+    val lens = new Array[Int](256)
+    canonicalCodes(counts, syms).foreach { case (s, (c, l)) => codes(s) = c; lens(s) = l }
+    (codes, lens)
   }
 
   // AC table for the structured-AC encoder: EOB plus run-9 symbols
@@ -424,8 +472,8 @@ object BaselineJpeg {
     dht(0, DcCounts, DcSyms)
     dht(1, AcV4Counts, AcV4Syms)
     marker(0xDA); w16(6 + 2); w(1); w(1); w(0x00); w(0); w(63); w(0)
-    val dcCodes = canonicalCodes(DcCounts, DcSyms)
-    val acCodes = canonicalCodes(AcV4Counts, AcV4Syms)
+    val (dcCode, dcLen) = canonicalCodeArrays(DcCounts, DcSyms)
+    val (acCode, acLen) = canonicalCodeArrays(AcV4Counts, AcV4Syms)
     val bw2 = new BitWriter(bos)
     def mag(v: Int): Int = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
     def putMag(v: Int, t: Int): Unit =
@@ -442,18 +490,16 @@ object BaselineJpeg {
         val diff = v - pred
         pred = v
         val t = mag(diff)
-        val (code, len) = dcCodes(t)
-        bw2.put(code, len)
+        bw2.put(dcCode(t), dcLen(t))
         putMag(diff, t)
         if (a != 0) {
           val ta = mag(a) // ≤ 8 for |a| ≤ 255
-          val (acode, alen) = acCodes((9 << 4) | ta)
-          bw2.put(acode, alen)
+          val rs = (9 << 4) | ta
+          bw2.put(acCode(rs), acLen(rs))
           putMag(a, ta)
           // k=10 consumed; positions 11..63 zero → EOB
         }
-        val (eobCode, eobLen) = acCodes(0x00)
-        bw2.put(eobCode, eobLen)
+        bw2.put(acCode(0x00), acLen(0x00))
         bx += 1
       }
       by += 1
@@ -489,7 +535,7 @@ object BaselineJpeg {
     dht(0, DcCounts, DcSyms)
     dht(1, AcCounts, AcSyms)
     marker(0xDA); w16(6 + 2); w(1); w(1); w(0x00); w(0); w(63); w(0) // SOS
-    val dcCodes = canonicalCodes(DcCounts, DcSyms)
+    val (dcCode, dcLen) = canonicalCodeArrays(DcCounts, DcSyms)
     val (eobCode, eobLen) = canonicalCodes(AcCounts, AcSyms)(0)
     val bw2 = new BitWriter(bos)
     var pred = 0
@@ -502,8 +548,7 @@ object BaselineJpeg {
         val diff = v - pred
         pred = v
         val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        val (code, len) = dcCodes(t)
-        bw2.put(code, len)
+        bw2.put(dcCode(t), dcLen(t))
         if (t > 0) bw2.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
         bw2.put(eobCode, eobLen)
         bx += 1
