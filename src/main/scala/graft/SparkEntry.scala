@@ -3974,15 +3974,13 @@ object SparkEntry {
         |    CAST(r.range AS INT) AS j,
         |    md5(CAST(e.event_id AS VARCHAR) || '_' ||
         |      CAST(CAST(r.range AS INT) AS VARCHAR)) AS hex
-        |  FROM events e CROSS JOIN range(0, 25) r),
+        |  FROM events e CROSS JOIN range(0, 13) r),
         |uu AS (
-        |  SELECT cents, j * 2 AS b,
-        |    CAST(CAST(('0x' || substr(hex, 1, 15)) AS BIGINT) AS DOUBLE) / (2.0 ^ 60) AS u
-        |  FROM h
-        |  UNION ALL
-        |  SELECT cents, j * 2 + 1,
-        |    CAST(CAST(('0x' || substr(hex, 17, 15)) AS BIGINT) AS DOUBLE) / (2.0 ^ 60)
-        |  FROM h),
+        |  SELECT cents, j * 4 + CAST(r2.range AS INT) AS b,
+        |    CAST(CAST(('0x' || substr(hex, 1 + 8 * CAST(r2.range AS INT), 8)) AS BIGINT)
+        |      AS DOUBLE) / (2.0 ^ 32) AS u
+        |  FROM h CROSS JOIN range(0, 4) r2
+        |  WHERE j * 4 + CAST(r2.range AS INT) < 50),
         |m AS (
         |  SELECT b, cents,
         |    CASE

@@ -972,26 +972,30 @@ object Stats {
     * either engine.
     */
   def bootstrapMeans(spark: SparkSession, dir: String, b: Int = 50): DataFrame = {
-    require(b % 2 == 0, s"replica count must be even (2 per md5), got $b")
     // P(Poisson(1) ≤ k) for k = 0..5; multiplicity capped at 6
     // (P > 6 ≈ 8e-5 — the cap is part of the spelled-out contract)
     val t = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
       0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
-    def u(lo: Int) = (conv(substring(col("hex"), lo, 15), 16, 10)
-      .cast("long").cast("double") / pow(lit(2d), lit(60d)))
+    // FOUR 32-bit uniforms per digest (was two 60-bit): the md5 per
+    // (event, j) is this query's entire cost — 15M digests at sf0.1 —
+    // and the Poisson inverse-CDF thresholds need ~20 bits, so 32 keeps
+    // the grid bias ≤ 2⁻³² while halving the digest count (6.3 s → the
+    // md5 budget of 13 digests/event instead of 25)
+    def u(lo: Int) = (conv(substring(col("hex"), lo, 8), 16, 10)
+      .cast("long").cast("double") / pow(lit(2d), lit(32d)))
     val m = t.zipWithIndex.foldRight(lit(6): Column) { case ((th, k), rest) =>
       when(col("u") < th, k).otherwise(rest)
     }.cast("long")
     Tables(spark, dir, "events")
       .select(col("event_id"),
         round(col("value") * 100d).cast("long").as("cents"),
-        explode(sequence(lit(0), lit(b / 2 - 1))).as("j"))
+        explode(sequence(lit(0), lit((b + 3) / 4 - 1))).as("j"))
       .withColumn("hex", md5(concat(col("event_id").cast("string"),
         lit("_"), col("j").cast("string")).cast("binary")))
-      .select(col("cents"), explode(array(
-        struct((col("j") * 2).as("b"), u(1).as("u")),
-        struct((col("j") * 2 + 1).as("b"), u(17).as("u")))).as("e"))
+      .select(col("cents"), explode(array((0 until 4).map(r =>
+        struct((col("j") * 4 + r).as("b"), u(1 + 8 * r).as("u"))): _*)).as("e"))
       .select(col("cents"), col("e.b").as("b"), col("e.u").as("u"))
+      .filter(col("b") < b)
       .withColumn("m", m)
       .groupBy(col("b"))
       .agg(sum(col("m")).as("n_eff"), sum(col("m") * col("cents")).as("sum_cents"))
