@@ -558,6 +558,9 @@ object ScaleBench {
     // simhash rides the md5-packed portable token hashes since r13
     "q_exact_rate" -> ((s, d) => Stats.exactRateTest(s, d)),
     "q_jpeg_decode" -> ((s, d) => graft.operators.Multimodal.jpegDecode(s, d)),
+    // the AC-carrying twin (r14): same executor-local scan shape, plus
+    // the separable-IDCT sparse path this sweep exists to keep honest
+    "q_jpeg_ac_decode" -> ((s, d) => graft.operators.Multimodal.jpegAcDecode(s, d)),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(s, d)))
 
   def main(args: Array[String]): Unit = {

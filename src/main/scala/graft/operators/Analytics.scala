@@ -755,7 +755,7 @@ object Analytics {
     val edges = undirected.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(undirected.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    val srcRow = edges.agg(min(col("src")).as("s")).head
+    val srcRow = edges.agg(min(col("src")).as("s")).head()
     if (srcRow.isNullAt(0)) // no co-order edges at all: empty graph, empty result
       return spark.range(0).select(col("id").as("part"), lit(0).as("dist"))
     val source = srcRow.getLong(0)

@@ -466,7 +466,7 @@ object Dedup {
     // until fixpoint — comparing sums detects convergence with one tiny
     // aggregate per round instead of a self-join diff
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster"))).head.getLong(0)
+      df.agg(sum(col("cluster"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0

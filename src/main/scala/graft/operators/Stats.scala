@@ -2854,7 +2854,7 @@ object Stats {
       countDistinct(when(pmod(col("user_id"), lit(2)) === 0, col("user_id"))).as("ta"),
       countDistinct(when(pmod(col("user_id"), lit(2)) =!= 0, col("user_id"))).as("tb"))
       .withColumn("n", col("ca") + col("cb"))
-    val nTot = m.select(col("n")).head.getLong(0)
+    val nTot = m.select(col("n")).head().getLong(0)
     val terms = spark.range(1, nTot + 1)
       .select(col("id").as("i"), ((col("id") - 1) / slice).as("s"),
         round(log(dd(col("id"))), 9).cast(b9).as("l"))

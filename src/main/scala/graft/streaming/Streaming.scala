@@ -186,7 +186,7 @@ object Streaming {
     }
     val raw = Tables.raw(spark, dir, "events")
     val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
-      .agg(max(col("us"))).head.getLong(0)
+      .agg(max(col("us"))).head().getLong(0)
     val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
     val sentinelTsCol =
       if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
@@ -396,7 +396,7 @@ object Streaming {
     }
     val raw = Tables.raw(spark, dir, "events")
     val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
-      .agg(max(col("us"))).head.getLong(0)
+      .agg(max(col("us"))).head().getLong(0)
     val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
     val sentinelTsCol =
       if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
@@ -943,7 +943,7 @@ object Streaming {
     }
     val raw = Tables.raw(spark, dir, "events")
     val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
-      .agg(max(col("us"))).head.getLong(0)
+      .agg(max(col("us"))).head().getLong(0)
     val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L
     val sentinelTsCol =
       if (Tables.tsIsLongNanos(raw.schema)) lit(sentinelMicros * 1000L)
@@ -1114,7 +1114,7 @@ object Streaming {
     val raw = Tables.raw(spark, dir, "events")
     // max event time as exact micro-epoch, whatever the storage layout
     val maxTsMicros = raw.select(expr(Tables.tsMicrosSql(raw.schema)).as("us"))
-      .agg(max(col("us"))).head.getLong(0)
+      .agg(max(col("us"))).head().getLong(0)
     val sentinelMicros = maxTsMicros + 10L * 24 * 3600 * 1000000L // +10 days
     // sentinel ts in the STORAGE domain so unionByName keeps the schema
     val sentinelTsCol =
