@@ -322,9 +322,24 @@ object Relational {
     val spark = src.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // ONE probe scan for both the exact per-group counts and the
+    // approximate slice bounds (they rode two separate full scans of
+    // src until r14 — the count is exact either way, so merging them is
+    // a free scan saved for every consumer: percentiles_dist, the
+    // quantile grid, winsorize, MAD × 2)
+    val splitPs = (1 until parts).map(_.toDouble / parts)
+    val probe = src.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("v"), array(splitPs.map(lit(_)): _*), lit(100)).as("bs"))
+      .collect()
+
     // target order statistics per (group, p): 1-based lo/hi bracketing
-    // ranks and the interpolation fraction
-    val targets = src.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // ranks and the interpolation fraction — the SAME Column chain as
+    // before, applied to the collected (g, n) rows (|groups| of them),
+    // so the double arithmetic is bit-identical
+    import spark.implicits._
+    val targets = probe.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("g", "n")
       .select(col("g"), col("n"), explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("pos", col("p") * (col("n") - 1))
       .withColumn("lo", floor(col("pos")).cast("long") + 1)
@@ -335,10 +350,8 @@ object Relational {
     // deterministic slice ids: count of split points ≤ v, per group
     // (monotonic in v, so slices are value-ordered and boundary ties
     // land whole in one slice)
-    val splitPs = (1 until parts).map(_.toDouble / parts)
-    val bounds: Map[String, Seq[Double]] = src.groupBy(col("g"))
-      .agg(percentile_approx(col("v"), array(splitPs.map(lit(_)): _*), lit(100)).as("bs"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val bounds: Map[String, Seq[Double]] =
+      probe.map(r => r.getString(0) -> r.getSeq[Double](2).toSeq).toMap
     val pidExpr = bounds.toSeq.sortBy(_._1).foldLeft(lit(-1)) { case (acc, (gv, bs)) =>
       when(col("g") === gv,
         bs.foldLeft(lit(0))((a, b) => a + when(col("v") >= b, 1).otherwise(0)))
