@@ -1019,6 +1019,128 @@ object SparkEntry {
          |FROM docs d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.Similarity.annCosine]] — the
+    * multi-table random-hyperplane LSH, EXACT: the seeded hyperplanes
+    * interpolate as literal double lists (shortest-round-trip repr, so
+    * the parsed values are bit-equal), bucket bits replay as
+    * `list_sum(per-dim products) > 0` (the q_knn_brute device — both
+    * engines sum exact float×literal products sequentially), candidates
+    * as the (table, bucket) equi-join, and the exact-cosine re-rank with
+    * the engine's (cosine DESC, vec_id ASC) tie-break. Moves q_ann_lsh
+    * from rows-only to hash-matched.
+    */
+  private def annLshOracleSql(nQueries: Int = 10, k: Int = 5,
+      nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nTables * bitsPerTable, dim)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |pl(pid, p) AS (VALUES
+       |    $planeRows),
+       |proj AS (
+       |  SELECT e.vec_id, CAST(pl.pid // $bitsPerTable AS INTEGER) AS table_id,
+       |    CASE WHEN list_sum(list_transform(e.embedding,
+       |        (v, i) -> CAST(v AS DOUBLE) * pl.p[i])) > 0
+       |      THEN (1 << (pl.pid % $bitsPerTable)) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl),
+       |banded AS (
+       |  SELECT vec_id, table_id, CAST(SUM(bit) AS INTEGER) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |qband AS (SELECT table_id, bucket, vec_id AS q_id FROM banded
+       |  WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, b.vec_id
+       |  FROM banded b JOIN qband qb USING (table_id, bucket)
+       |  WHERE b.vec_id <> qb.q_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+       |  FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_sum(list_transform(e.embedding,
+       |      (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+       |      / (e.norm * q.q_norm) AS cosine
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id, vec_id AS neighbor_id, rank, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.annSelfJoin]] /
+    * [[graft.operators.Similarity.knnGraph]] — the corpus-wide LSH
+    * self-join on the same devices as [[annLshOracleSql]], plus the two
+    * knobs the bounded query never exercises: the SELF-SCALING bits
+    * (`max(4, round(log2(n/occ(n))))` recomputed in SQL from COUNT(*) —
+    * pow/ln ulp skew can't flip the integer round at any plausible n —
+    * with planes interpolated for bits up to 16, a prefix of the same
+    * seeded stream) and the `maxBucket` skew backstop (a HAVING on the
+    * bucket counts). Pairs score once in (a < b) order and MIRROR the
+    * cosine double exactly as the engine does; top-k replays the
+    * bounded aggregator's (cosine DESC, id ASC) window contract.
+    */
+  private def annSelfJoinCoreSql(nTables: Int = 8, maxBits: Int = 16,
+      dim: Int = 64, maxBucket: Int = 10000, k: Int = 5,
+      recursive: Boolean = false): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nTables * maxBits, dim)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |bv AS (
+       |  SELECT GREATEST(4, CAST(round(
+       |      ln(n / (125.0 * ((500.0 / n) ^ 0.275))) / ln(2.0)) AS INTEGER)) AS bits
+       |  FROM (SELECT CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS n FROM embeddings) z),
+       |pl(pid, p) AS (VALUES
+       |    $planeRows),
+       |proj AS (
+       |  SELECT e.vec_id, CAST(pl.pid // bv.bits AS INTEGER) AS table_id,
+       |    CASE WHEN list_sum(list_transform(e.embedding,
+       |        (v, i) -> CAST(v AS DOUBLE) * pl.p[i])) > 0
+       |      THEN (1 << (pl.pid % bv.bits)) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN bv CROSS JOIN pl
+       |  WHERE pl.pid < $nTables * bv.bits),
+       |banded AS (
+       |  SELECT vec_id, table_id, CAST(SUM(bit) AS INTEGER) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |keep AS (SELECT table_id, bucket FROM banded
+       |  GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucket),
+       |bk AS (SELECT b.vec_id, b.table_id, b.bucket
+       |  FROM banded b JOIN keep USING (table_id, bucket)),
+       |pairs AS (
+       |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+       |  FROM bk l JOIN bk r USING (table_id, bucket)
+       |  WHERE l.vec_id < r.vec_id),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id,
+       |    list_sum(list_transform(ea.embedding,
+       |      (v, i) -> CAST(v AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+       |      / (ea.norm * eb.norm) AS cosine
+       |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id
+       |  JOIN e eb ON eb.vec_id = p.b_id),
+       |sym AS (
+       |  SELECT a_id, b_id, cosine FROM scored
+       |  UNION ALL
+       |  SELECT b_id, a_id, cosine FROM scored),
+       |topk AS (
+       |  SELECT q_id, neighbor_id, rank, cosine FROM (
+       |    SELECT a_id AS q_id, b_id AS neighbor_id, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+       |        ORDER BY cosine DESC, b_id ASC) AS INTEGER) AS rank
+       |    FROM sym) z
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
@@ -1035,6 +1157,36 @@ object SparkEntry {
     // recursive-CTE forward DP per word (generated, see unigramOracleSql)
     "q_unigram_train" -> unigramOracleSql(trainOnly = true),
     "q_unigram_apply" -> unigramOracleSql(trainOnly = false),
+    // Random-hyperplane LSH: seeded planes as literals, bucket signs and
+    // cosine re-rank on the q_knn_brute sequential-double device
+    // (generated, see annLshOracleSql)
+    "q_ann_lsh" -> annLshOracleSql(),
+    // Corpus-wide LSH self-join + kNN graph: self-scaling bits recomputed
+    // in SQL, maxBucket backstop, mirrored-pair scoring (generated, see
+    // annSelfJoinCoreSql)
+    "q_ann_selfjoin" -> (annSelfJoinCoreSql() +
+      "\nSELECT q_id, neighbor_id, rank, cosine FROM topk"),
+    "q_knn_graph" -> (annSelfJoinCoreSql() +
+      """
+        |SELECT t.q_id AS src, t.neighbor_id AS dst, t.rank, t.cosine,
+        |  (r.q_id IS NOT NULL) AS mutual
+        |FROM topk t LEFT JOIN topk r
+        |  ON r.q_id = t.neighbor_id AND r.neighbor_id = t.q_id""".stripMargin),
+    // SemDeDup: the same self-join core, edges at cosine >= 0.999 (the
+    // threshold filter on the identical mirrored double), clusters via
+    // the q_dedup_clusters_lsh transitive-closure min-label replay
+    "q_semantic_dedup" -> (annSelfJoinCoreSql(recursive = true) +
+      """,
+        |sd_edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM scored WHERE cosine >= 0.999
+        |  UNION ALL
+        |  SELECT b_id AS u, a_id AS v FROM scored WHERE cosine >= 0.999),
+        |sd_reach AS (
+        |  SELECT vec_id AS u, vec_id AS v FROM embeddings
+        |  UNION
+        |  SELECT r.u, e2.v FROM sd_reach r JOIN sd_edges e2 ON r.v = e2.u)
+        |SELECT u AS vec_id, MIN(v) AS cluster, (u = MIN(v)) AS keep
+        |FROM sd_reach GROUP BY u""".stripMargin),
     // Z-order: layout is an optimization, never a semantic — the oracle
     // pins the min/max gridding + Morton math itself (the layout win is
     // ZOrderLayoutSpec's to prove).

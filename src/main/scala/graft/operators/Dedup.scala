@@ -510,10 +510,15 @@ object Dedup {
     * label and keep/drop decision — the curation verdict a semantic
     * dedup pass feeds downstream.
     *
-    * ONE approximation, bounded and spec-pinned: LSH banding can miss a
-    * pair — but at 0.999 cosine the per-bit agreement is ≈1−θ/π ≈
-    * 0.9986, so missing all 8 independent tables is ~1e-18, and the
-    * spec asserts 100% pair recall vs the exact bounded computation.
+    * HASH-MATCHED since r14: the DuckDB oracle replays the full chain —
+    * the ANN self-join core (literal seeded hyperplanes, self-scaling
+    * bits, mirrored-pair cosine), the ≥ τ edge filter on the identical
+    * doubles, and min-label clustering as a transitive-closure
+    * recursive CTE (the q_dedup_clusters_lsh device). The banding's ONE
+    * approximation stays bounded and spec-pinned: LSH can miss a pair —
+    * but at 0.999 cosine the per-bit agreement is ≈1−θ/π ≈ 0.9986, so
+    * missing all 8 independent tables is ~1e-18, and the spec asserts
+    * 100% pair recall vs the exact bounded computation.
     * (The first cut routed edges through the top-k self-join, paying an
     * O(n × occupancy) ranking shuffle AND a k-cap approximation for a
     * ranking this verb never uses; the 10× sweep showed that tail

@@ -108,8 +108,13 @@ object Similarity {
         round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
   }
 
-  /** Deterministic random hyperplanes (seeded): nBits × dim. */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+  /** Seeded random hyperplanes — deterministic constants of the build
+    * (seed 1234), exposed `private[graft]` so the DuckDB oracle can
+    * interpolate the IDENTICAL doubles as SQL literals (the minhash-
+    * coefficient device): `Double.toString` is shortest-round-trip, so
+    * the parsed literal is bit-equal on both engines.
+    */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(1234)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -134,9 +139,11 @@ object Similarity {
     * and missing all 8 independent tables is (1−p^4)^8 — high recall
     * with strong pruning on clustered data. Corpus-side cost is L rows
     * per vector in the bucket join (equi-join, shuffle-partitioned by
-    * bucket — no all-pairs product at any scale). Approximate by
-    * construction → rows-only driver check; ScalaTest measures recall
-    * against [[knnBrute]].
+    * bucket — no all-pairs product at any scale). HASH-MATCHED since
+    * r14: the seeded hyperplanes interpolate into the DuckDB oracle as
+    * shortest-round-trip double literals, bucket signs and the cosine
+    * re-rank replay on the q_knn_brute sequential-double device;
+    * ScalaTest additionally measures recall against [[knnBrute]].
     */
   def annCosine(
       spark: SparkSession, dir: String,
@@ -311,9 +318,11 @@ object Similarity {
     * THE 100 TB SHAPE: edges are |V|·k rows; the mutuality check is one
     * self equi-join of that relation on the reversed key pair —
     * shuffle-partitioned by (src, dst), no scoring work repeated, no
-    * new candidate generation. Approximate by construction (hash-seeded
-    * LSH) → rows-only driver check; `SimilaritySpec` pins recall vs
-    * brute force and the mutual-symmetry property.
+    * new candidate generation. HASH-MATCHED since r14 (the self-join
+    * core's oracle replays the self-scaling bits, maxBucket backstop,
+    * mirrored-pair scoring, and the bounded top-k's window contract);
+    * `SimilaritySpec` additionally pins recall vs brute force and the
+    * mutual-symmetry property.
     */
   def knnGraph(
       spark: SparkSession, dir: String,
