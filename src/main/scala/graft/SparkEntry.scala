@@ -1141,6 +1141,196 @@ object SparkEntry {
        |  WHERE rank <= $k)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.Similarity.ivfCosine]] — IVF
+    * ANN with its distributed Lloyd's training UNROLLED (the BPE/unigram
+    * device): each round is an assignment CTE (argmax cell per sample
+    * vector — max sim, then lowest cell, the `array_position` first-max
+    * contract), a stats CTE (per-(cell, dim) q9 integer sums — the
+    * engine's training sums ride the same bridged channel since r14, so
+    * the centroid doubles are BIT-equal on both engines), and a centroid
+    * CTE (empty cells keep their previous centroid). Probe ranking,
+    * candidate join, and the cosine re-rank reuse the sequential-double
+    * device. Moves q_ann_ivf from rows-only to hash-matched.
+    */
+  private def annIvfOracleSql(nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4, sampleSize: Int = 256, iterations: Int = 3): String = {
+    def centWrap(inner: String): String =
+      s"""SELECT cell, cv,
+         |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+         |  FROM ($inner) zc""".stripMargin
+    val rounds = (1 to iterations).map { r =>
+      s"""asg$r AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.v, c.cell,
+         |        list_sum(list_transform(s.v, (x, i) -> x * c.cv[i])) / c.cnrm AS sim
+         |      FROM samp s CROSS JOIN cent${r - 1} c) z1) z2
+         |  WHERE rn = 1),
+         |stats$r AS (
+         |  SELECT cell, CAST(i AS INTEGER) AS pos,
+         |    CAST(SUM(CAST(FLOOR(v[CAST(i AS INTEGER) + 1] * 1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cell, v, unnest(range(0, len(v))) AS i FROM asg$r) z
+         |  GROUP BY 1, 2),
+         |cent$r AS (
+         |  ${centWrap(s"""SELECT c.cell, COALESCE(st.newv, c.cv) AS cv
+         |    FROM cent${r - 1} c LEFT JOIN (
+         |      SELECT cell, list((CAST(s AS DOUBLE) / 1.0E9) / n ORDER BY pos) AS newv
+         |      FROM stats$r GROUP BY cell) st USING (cell)""")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM e ORDER BY vec_id LIMIT $sampleSize),
+       |cent0 AS (
+       |  ${centWrap(s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |    v AS cv FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $nLists) zs""")}),
+       |$rounds,
+       |binned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, c.cell,
+       |        list_sum(list_transform(e.embedding,
+       |          (x, i) -> CAST(x AS DOUBLE) * c.cv[i])) / c.cnrm AS sim
+       |      FROM e CROSS JOIN cent$iterations c) z1) z2
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (list_sum(list_transform(e.embedding,
+       |          (x, i) -> CAST(x AS DOUBLE) * c.cv[i])) * -1) / c.cnrm ASC,
+       |        c.cell ASC) AS rn
+       |    FROM e CROSS JOIN cent$iterations c
+       |    WHERE e.vec_id < $nQueries) z
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, b.vec_id
+       |  FROM binned b JOIN probes p USING (cell)
+       |  WHERE b.vec_id <> p.q_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+       |  FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_sum(list_transform(e.embedding,
+       |      (v, i) -> CAST(v AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+       |      / (e.norm * q.q_norm) AS cosine
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id, vec_id AS neighbor_id, rank, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.pqCosine]] — product
+    * quantization end to end: per-subspace Lloyd's unrolled like
+    * [[annIvfOracleSql]] (q9 centroid sums, argmax `score DESC, code
+    * ASC` matching `array_position` first-max), corpus encoding as the
+    * same argmax under the final codebooks, asymmetric-distance tables
+    * as sequential (a−b)² folds, the per-pair ADC sum on the q9 integer
+    * channel (the engine bridges it identically — a raw double sum of
+    * the m terms is shuffle-order-dependent and would make the `rerank`
+    * cutoff nondeterministic), and the exact-cosine re-rank on
+    * normalized vectors. Moves q_ann_pq from rows-only to hash-matched.
+    */
+  private def annPqOracleSql(nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      nCodes: Int = 16, dim: Int = 64, rerank: Int = 50,
+      sampleSize: Int = 256, iterations: Int = 3): String = {
+    val subDim = dim / m
+    // argmax cell per (vector, sub) under codebook `cb`: the shared
+    // assignment shape for training rounds AND corpus encoding
+    def assign(src: String, vcol: String, cb: String): String =
+      s"""SELECT vec_id, sub, cell, sv FROM (
+         |    SELECT vec_id, sub, cell, sv,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY score DESC, cell ASC) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, c.sub, c.code AS cell,
+         |        s.$vcol[c.sub * $subDim + 1 : c.sub * $subDim + $subDim] AS sv,
+         |        list_sum(list_transform(
+         |            s.$vcol[c.sub * $subDim + 1 : c.sub * $subDim + $subDim],
+         |            (x, i) -> x * c.cv[i]))
+         |          - list_sum(list_transform(c.cv, x -> x * x)) / 2 AS score
+         |      FROM $src s CROSS JOIN $cb c) z1) z2
+         |  WHERE rn = 1""".stripMargin
+    val rounds = (1 to iterations).map { r =>
+      s"""pasg$r AS (
+         |  ${assign("samp", "v", s"cb${r - 1}")}),
+         |pstats$r AS (
+         |  SELECT sub, cell, CAST(i AS INTEGER) AS pos,
+         |    SUM(CAST(FLOOR(sv[CAST(i AS INTEGER) + 1] * 1.0E9 + 0.5) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT sub, cell, sv, unnest(range(0, len(sv))) AS i FROM pasg$r) z
+         |  GROUP BY 1, 2, 3),
+         |cb$r AS (
+         |  SELECT c.sub, c.code, COALESCE(st.newv, c.cv) AS cv
+         |  FROM cb${r - 1} c LEFT JOIN (
+         |    SELECT sub, cell, list((CAST(s AS DOUBLE) / 1.0E9) / n ORDER BY pos) AS newv
+         |    FROM pstats$r GROUP BY sub, cell) st
+         |  ON st.sub = c.sub AND st.cell = c.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN nrm = 0 THEN v0
+       |         ELSE list_transform(v0, x -> x / nrm) END AS v
+       |  FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) z),
+       |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $sampleSize),
+       |cb0 AS (
+       |  SELECT sb.s AS sub, z.code, z.v[sb.s * $subDim + 1 : sb.s * $subDim + $subDim] AS cv
+       |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
+       |        FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $nCodes) zz) z
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, $m)) AS INTEGER) AS s) sb),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, sub, cell AS code FROM (
+       |  ${assign("e", "v", s"cb$iterations")}) za),
+       |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $nQueries),
+       |dtable AS (
+       |  SELECT q.q_id, c.sub, c.code,
+       |    list_sum(list_transform(
+       |      q.q_v[c.sub * $subDim + 1 : c.sub * $subDim + $subDim],
+       |      (a, i) -> (a - c.cv[i]) * (a - c.cv[i]))) AS pdist
+       |  FROM q CROSS JOIN cb$iterations c),
+       |adc AS (
+       |  SELECT d.q_id, cc.vec_id,
+       |    SUM(CAST(FLOOR(d.pdist * 1.0E9 + 0.5) AS BIGINT)) AS adc_dist
+       |  FROM codes cc JOIN dtable d ON d.sub = cc.sub AND d.code = cc.code
+       |  WHERE cc.vec_id <> d.q_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc_dist ASC, vec_id ASC) AS crank
+       |    FROM adc) z WHERE crank <= $rerank),
+       |rescored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_sum(list_transform(ev.v, (a, i) -> a * q.q_v[i])) AS cosine
+       |  FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN q USING (q_id))
+       |SELECT q_id, vec_id AS neighbor_id, rank, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM rescored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
@@ -1172,6 +1362,12 @@ object SparkEntry {
         |  (r.q_id IS NOT NULL) AS mutual
         |FROM topk t LEFT JOIN topk r
         |  ON r.q_id = t.neighbor_id AND r.neighbor_id = t.q_id""".stripMargin),
+    // IVF ANN: Lloyd's training unrolled round by round on the q9
+    // centroid channel (generated, see annIvfOracleSql)
+    "q_ann_ivf" -> annIvfOracleSql(),
+    // PQ ANN: per-subspace Lloyd's + encoding + ADC on the q9 channel
+    // (generated, see annPqOracleSql)
+    "q_ann_pq" -> annPqOracleSql(),
     // SemDeDup: the same self-join core, edges at cosine >= 0.999 (the
     // threshold filter on the identical mirrored double), clusters via
     // the q_dedup_clusters_lsh transitive-closure min-label replay

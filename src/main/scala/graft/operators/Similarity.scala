@@ -377,8 +377,11 @@ object Similarity {
     * distance table is a d×nCodes relation built from the QUERY side
     * (m×nCodes rows per query), so ADC is a broadcast equi-join on
     * (m, code) + one sum per (query, vector) — no all-pairs float work
-    * anywhere. Approximate by construction → rows-only driver check;
-    * the ScalaTest pins recall@k against [[knnBrute]].
+    * anywhere. HASH-MATCHED since r14: training sums and the per-pair
+    * ADC sum ride the q9 integer channel (order-free, so codebooks and
+    * the rerank candidate set are bit-deterministic), and the DuckDB
+    * oracle unrolls the per-subspace Lloyd's rounds + encoding + ADC;
+    * the ScalaTest additionally pins recall@k against [[knnBrute]].
     */
   def pqCosine(
       spark: SparkSession, dir: String,
@@ -433,14 +436,21 @@ object Similarity {
         array((0 until m).map(sub =>
           struct(cellOfSub(sub, codebooks)(subvec(col("v"), sub)).as("cell"),
             subvec(col("v"), sub).as("s"))): _*)))
+      // q9-bridged centroid sums (the IVF device): order-free exact
+      // integers, so the trained codebooks are bit-identical run to run
+      // AND replayable by the DuckDB oracle (q_ann_pq hash-matched
+      // since r14)
       val stats = assigned
         .select(col("pos").as("sub"), col("col.cell").as("cell"), posexplode(col("col.s")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("col") * lit(1.0e9) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = codebooks.map(_.map(_.clone())) // empty cells keep their centroid
       stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getDecimal(3).toBigInteger.doubleValue / 1.0e9) / r.getLong(4)
       }
       codebooks = next
     }
@@ -474,10 +484,15 @@ object Similarity {
     // (q_id, vec_id), keep the best `rerank` candidates per query.
     val corpusCodes = coded.select(col("vec_id"), posexplode(col("codes")))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+    // the per-pair ADC sum rides the q9 integer channel: a raw double
+    // sum of the m per-subspace terms is shuffle-order-dependent, and
+    // the `rerank` cutoff below turns that ulp drift into a DIFFERENT
+    // candidate set run to run — bridged, the ranking is exact and the
+    // DuckDB oracle replays it bit-for-bit
     val adc = corpusCodes.join(broadcast(dtable), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pdist")).as("adc_dist"))
+      .agg(sum(floor(col("pdist") * lit(1.0e9) + lit(0.5)).cast("long")).as("adc_dist"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
     val cand = adc.withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= rerank).select(col("q_id"), col("vec_id"))
@@ -523,6 +538,11 @@ object Similarity {
     * equi-join on cell id, and recall/cost trades via nProbe. Complements
     * [[annCosine]]: IVF adapts to the data distribution (clustered
     * embeddings → tight cells), LSH is oblivious but needs no training.
+    *
+    * HASH-MATCHED since r14: centroid sums ride the q9 integer channel
+    * (order-free, bit-deterministic run to run) and the DuckDB oracle
+    * unrolls each Lloyd's round as assignment/stats/centroid CTEs; the
+    * ScalaTest recall pin stays on top.
     */
   def ivfCosine(
       spark: SparkSession, dir: String,
@@ -545,14 +565,22 @@ object Similarity {
       .orderBy(col("vec_id")).limit(nLists).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iterations) {
+      // per-(cell, dim) sums on the q9 integer channel (DECIMAL final
+      // sum): a raw double SUM is partition-order-dependent — ulp drift
+      // run to run — where the bridged sum is EXACT and order-free,
+      // which is what lets the DuckDB oracle replay every Lloyd's round
+      // bit-identically (q_ann_ivf is hash-matched since r14)
       val stats = sampleDf
         .select(cellOf(centroids)(col("v")).as("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("col") * lit(1.0e9) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone()) // empty cells keep their centroid
       stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getDecimal(2).toBigInteger.doubleValue / 1.0e9) / r.getLong(3)
       }
       centroids = next
     }
