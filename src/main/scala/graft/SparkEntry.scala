@@ -179,8 +179,6 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_url_parse" -> (TextAnalysis.urlParse(_, _)),
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
-    // rows-only by design: Bloom membership bits aren't SQL-expressible;
-    // CorpusOpsSpec pins no-false-negatives + bounded FP excess vs exact
     "q_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "q_substring_dupes" -> ((s, d) => TextAnalysis.substringDupes(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
@@ -5769,6 +5767,40 @@ object SparkEntry {
          |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
          |hits AS (SELECT sh.doc_id, COUNT(*) AS n FROM sh JOIN bench USING (g)
          |         WHERE sh.doc_id % 17 <> 0 GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+         |       COALESCE(h.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+         |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // Bloom decontamination: the filter bits are a DETERMINISTIC function
+    // of the benchmark digest set under the portable construction —
+    // KM positions (h1 + j*h2) % m over the md5 60-bit halves, m = 23*n
+    // integer arithmetic — so DuckDB rebuilds the identical bitmap and
+    // the verdict hash-matches INCLUDING false positives. Membership =
+    // no position missing (an EXCEPT against the missing-position keys,
+    // robust to j-collisions within one key).
+    "q_decontaminate_bloom" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ')) AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, LEN(t) - 6)) AS i
+         |        FROM docs WHERE LEN(t) >= 8)),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+         |m AS (SELECT GREATEST(64, 23 * GREATEST(COUNT(*), 1)) AS m FROM bench),
+         |j AS (SELECT unnest(range(1, 8)) AS j),
+         |bits AS (SELECT DISTINCT
+         |    (CAST('0x' || substr(g, 1, 15) AS BIGINT)
+         |     + j.j * CAST('0x' || substr(g, 16, 15) AS BIGINT)) % m.m AS p
+         |  FROM bench CROSS JOIN j CROSS JOIN m),
+         |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 17 <> 0),
+         |trpos AS (SELECT doc_id, g,
+         |    (CAST('0x' || substr(g, 1, 15) AS BIGINT)
+         |     + j.j * CAST('0x' || substr(g, 16, 15) AS BIGINT)) % m.m AS p
+         |  FROM tr CROSS JOIN j CROSS JOIN m),
+         |miss AS (SELECT DISTINCT doc_id, g FROM trpos
+         |  WHERE NOT EXISTS (SELECT 1 FROM bits WHERE bits.p = trpos.p)),
+         |memb AS (SELECT doc_id, g FROM tr EXCEPT SELECT doc_id, g FROM miss),
+         |hits AS (SELECT doc_id, COUNT(*) AS n FROM memb GROUP BY doc_id)
          |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
          |       COALESCE(h.n, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d

@@ -406,11 +406,39 @@ object Dedup {
     * exact n-gram Jaccard pairs on the bounded oracle slice; singleton
     * docs keep their own id as cluster.
     */
-  def dupClusters(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame =
-    connectedComponents(
-      Tables(spark, dir, "documents").filter(col("doc_id") < 200).select(col("doc_id")),
-      ngramJaccardPairs(spark, dir).select(col("a"), col("b")),
-      maxRounds)
+  def dupClusters(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
+    // Candidate generation stays distributed (the co-shingle join); the
+    // component fold does NOT: this query's node set is the ≤200-doc
+    // oracle slice BY CONSTRUCTION, so the edge list is |slice|²-bounded
+    // and the r13 bounded-model rule applies (q_pagerank/q_hits: when
+    // the iteration's state is schema- or slice-bounded, fold it on the
+    // driver instead of paying a join + localCheckpoint + convergence
+    // aggregate per round — the rounds were pure scheduling cost).
+    // Union-find with min-id relabel produces the identical fixpoint as
+    // min-label propagation (components are unique; the label is the
+    // component min either way — the shared recursive-CTE oracle pins
+    // it). The FULL-corpus cluster queries (dupClustersLsh, semantic)
+    // keep the distributed loop: their edge lists scale with the data.
+    val nodes = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val edges = ngramJaccardPairs(spark, dir).select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = nodes.map(id => (id, find(id)))
+    import spark.implicits._
+    labels.toSeq.toDF("doc_id", "cluster")
+  }
 
   /** Keep-BEST dedup — the decision step a real curation run makes after
     * clustering: per near-dup cluster, keep the member with the highest

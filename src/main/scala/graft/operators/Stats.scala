@@ -240,16 +240,33 @@ object Stats {
     val pairs = union
       .withColumn("y", lag(col("x"), 1).over(ordW))
       .filter(col("y").isNotNull)
-    val f = Window.partitionBy(col("event_type"), col("slice"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(-(frame - 1), Window.currentRow)
-    val withSums = pairs
-      .withColumn("cnt", count(lit(1)).over(f))
-      .withColumn("sx", sum(col("x")).over(f))
-      .withColumn("sy", sum(col("y")).over(f))
-      .withColumn("sxy", sum((col("x") * col("y")).cast(sq)).over(f))
-      .withColumn("sxx", sum((col("x") * col("x")).cast(sq)).over(f))
-      .withColumn("syy", sum((col("y") * col("y")).cast(sq)).over(f))
+    // Frame sums as CUMULATIVE sums minus their `lag(cum, frame)` —
+    // Spark evaluates a bounded sliding frame by REPLAYING the frame
+    // buffer per row (no aggregate retraction), so six direct
+    // `rowsBetween(-(frame-1), current)` sums cost O(frame) per row;
+    // the running-sum + lag formulation is O(1) per row and EXACT for
+    // decimals (decimal addition is associative, so cum(i) −
+    // cum(i−frame) reproduces the frame sum bit-for-bit — StatsSpec
+    // pins bit-identity against the single-partition form). All window
+    // expressions share one (type, slice) partition + sort, so the two
+    // Window nodes ride a single exchange and one partition-local sort.
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = pairs.select(col("*"),
+      row_number().over(ordW).as("rn"),
+      sum(col("x")).over(cumW).as("cx"),
+      sum(col("y")).over(cumW).as("cy"),
+      sum((col("x") * col("y")).cast(sq)).over(cumW).as("cxy"),
+      sum((col("x") * col("x")).cast(sq)).over(cumW).as("cxx"),
+      sum((col("y") * col("y")).cast(sq)).over(cumW).as("cyy"))
+    def frameDiff(c: String) =
+      col(c) - coalesce(lag(col(c), frame).over(ordW), lit(0))
+    val withSums = withCums.select(col("*"),
+      frameDiff("rn").cast("long").as("cnt"),
+      frameDiff("cx").as("sx"),
+      frameDiff("cy").as("sy"),
+      frameDiff("cxy").as("sxy"),
+      frameDiff("cxx").as("sxx"),
+      frameDiff("cyy").as("syy"))
       .filter(col("own") && col("cnt") === frame)
     withSums.select(col("event_type"), col("event_id"),
       pearsonFromSums(col("cnt"), col("sx"), col("sy"),

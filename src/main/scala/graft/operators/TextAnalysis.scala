@@ -940,14 +940,16 @@ object TextAnalysis {
     * `(doc_id, t)` relation — shared by the exact and bloom
     * decontamination paths.
     */
-  private def shingleDigests(df: DataFrame, n: Int): DataFrame = df
+  private def shingleDigestsRaw(df: DataFrame, n: Int): DataFrame = df
     .filter(size(col("t")) >= n)
     .select(col("doc_id"), col("t"),
       explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
     .select(col("doc_id"),
       md5(concat_ws(" ",
         (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).cast("binary")).as("g"))
-    .distinct()
+
+  private def shingleDigests(df: DataFrame, n: Int): DataFrame =
+    shingleDigestsRaw(df, n).distinct()
 
   private def tokenizedDocs(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), tokens(col("text")).as("t"))
@@ -973,43 +975,107 @@ object TextAnalysis {
   /** BLOOM-FILTER decontamination — [[decontaminate]]'s constant-memory
     * twin for when even the benchmark digest SET outgrows comfortable
     * broadcast (a multi-benchmark eval union at 100 TB): the benchmark
-    * shingles collapse into one fixed-size Bloom filter
-    * (`df.stat.bloomFilter` — a tree-aggregated build, driver holds only
-    * the filter bits) and the training side probes it map-side. The
-    * trade is explicit: NO false negatives (every truly contaminated
-    * doc is flagged — the property the scrub actually needs), false
-    * positives flag extra docs for review — conservative in the safe
-    * direction for decontamination. `fpp` is PER PROBE and a document
-    * probes one filter entry per distinct shingle, so the per-DOC flag
-    * rate union-bounds to ≈ shingles × fpp — the first cut at 1%
-    * flagged 39% of clean docs (50-shingle docs: 1−0.99⁵⁰). The 1e-4
-    * default holds per-doc FP under ~1% for ~100-shingle docs at ~19
-    * bits/item (≈2.4 GB per 10⁹ benchmark shingles — vs 16 GB+shuffle
-    * for the exact digest set). The probe is a Scala function over the
-    * broadcast filter: membership in a driver-built Bloom has no Column
-    * builtin (`might_contain` binds only to the optimizer's internal
-    * join-filter aggregate), and the per-row cost is two xxhash passes
-    * over a 32-byte digest.
+    * shingles collapse into one fixed-size Bloom filter (tree-aggregated
+    * build — the driver and each combine task hold only the filter
+    * words) and the training side probes it map-side. The trade is
+    * explicit: NO false negatives (every truly contaminated doc is
+    * flagged — the property the scrub actually needs), false positives
+    * flag extra docs for review — conservative in the safe direction
+    * for decontamination. The per-probe FP rate at k=7 hashes and the
+    * default 23 bits/item is (1−e^(−7/23))⁷ ≈ 8.5e-5, and a document
+    * probes one entry per distinct shingle, so the per-DOC flag rate
+    * union-bounds to ≈ shingles × fpp (an early 1%-fpp cut flagged 39%
+    * of clean 50-shingle docs — 1−0.99⁵⁰; 23 bits/item holds ~100-
+    * shingle docs under ~1%). ≈2.9 GB per 10⁹ benchmark shingles vs
+    * 16 GB + a shuffle for the exact digest set.
     *
+    * The construction is the PORTABLE-hash pattern (the r13 MinHash
+    * device): bit positions are Kirsch–Mitzenmacher double hashing
+    * `(h1 + j·h2) mod m, j ∈ [1, k]` over the two 60-bit halves of the
+    * shingle's md5 digest — the same KM scheme Spark's own
+    * `BloomFilterImpl` uses (there over Murmur3_128), for which KM is
+    * PROVEN fpp-preserving (Kirsch & Mitzenmacher 2006; contrast the
+    * r13 finding that KM correlates MinHash minima — a bloom needs only
+    * per-bit uniformity, not k independent order statistics). With
+    * h < 2^60 and j ≤ 7 the combined hash stays under 2^63: no signed
+    * overflow, so DuckDB replays the EXACT bitmap and the query is
+    * hash-matched INCLUDING its false positives — the filter bits are a
+    * deterministic function of the benchmark set. m = 23·n_items is
+    * integer arithmetic for the same reason (a float bits-per-item
+    * knob could round differently across engines).
+    *
+    * The probe is a Scala function over the broadcast words: membership
+    * in a driver-built bloom has no Column builtin (`might_contain`
+    * binds only to the optimizer's internal join-filter aggregate).
     * Output shape matches [[decontaminate]] (total per-doc verdict);
-    * DecontaminationSpec pins the superset property and the FP excess
-    * bound against the exact path.
+    * CorpusOpsSpec pins the no-false-negative superset property and the
+    * FP excess bound against the exact path.
     */
-  def decontaminateBloom(
-      spark: SparkSession, dir: String, n: Int = 8, fpp: Double = 1e-4): DataFrame = {
+  /** Stage handles for perf iteration (Scratch profiler). */
+  private[graft] class BloomStages(spark: SparkSession, dir: String, n: Int = 8,
+      bitsPerItem: Int = 23, k: Int = 7) {
+    import spark.implicits._
     val docs = tokenizedDocs(Tables(spark, dir, "documents"))
     val bench = shingleDigests(docs.filter(isBenchDoc), n).select(col("g")).distinct()
-    // expectedNumItems from a cheap count of the (already-distinct)
-    // digest set; ~19 bits/item at the 1e-4 default
-    val nItems = bench.count().max(1L)
-    val bloom = bench.stat.bloomFilter("g", nItems, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
-    val train = docs.filter(!isBenchDoc)
-    val hits = shingleDigests(train, n)
-      .filter(mightContain(col("g")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+    lazy val nItems = bench.count().max(1L)
+    lazy val m = math.max(64L, bitsPerItem * nItems)
+    val h1 = conv(substring(col("g"), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(col("g"), 16, 15), 16, 10).cast("long")
+    def positions(h1c: Column, h2c: Column): Seq[Column] =
+      (1 to k).map(j => (h1c + lit(j.toLong) * h2c) % lit(m))
+    lazy val words = {
+      val nWords = ((m + 63) / 64).toInt
+      bench.select(explode(array(positions(h1, h2): _*)).as("p"))
+        .as[Long].rdd.treeAggregate(new Array[Long](nWords))(
+          (w, p) => { w((p >>> 6).toInt) |= 1L << (p & 63).toInt; w },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    }
+    lazy val hits = {
+      val wordsBc = spark.sparkContext.broadcast(words)
+      val mLocal = m
+      val kLocal = k
+      // One UDF over the MATERIALIZED digest string: hex halves parsed
+      // and KM-probed inside the function (Long.parseLong base 16 ==
+      // conv(_, 16, 10) on 15 lowercase hex digits). Marked
+      // nondeterministic as an OPTIMIZER FENCE only — the function is
+      // pure, but a deterministic predicate gets pushed below the
+      // digest Project (and through the distinct), INLINING the
+      // md5(concat_ws(shingle)) subtree once per position×half — 14
+      // md5s per row, measured 11 s vs ~1.3 s for the fenced form.
+      // The probe sits BEFORE the per-doc distinct on purpose: at
+      // scale the shuffle then carries only bloom survivors.
+      val mightContain = udf { (g: String) =>
+        val h1 = java.lang.Long.parseLong(g.substring(0, 15), 16)
+        val h2 = java.lang.Long.parseLong(g.substring(15, 30), 16)
+        val w = wordsBc.value
+        var j = 1
+        var ok = true
+        while (ok && j <= kLocal) {
+          val p = (h1 + j * h2) % mLocal
+          ok = (w((p >>> 6).toInt) & (1L << (p & 63).toInt)) != 0
+          j += 1
+        }
+        ok
+      }.asNondeterministic()
+      shingleDigestsRaw(docs.filter(!isBenchDoc), n)
+        .filter(mightContain(col("g")))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    }
+  }
+
+  private[graft] def bloomStages(spark: SparkSession, dir: String) =
+    new BloomStages(spark, dir)
+
+  def decontaminateBloom(
+      spark: SparkSession, dir: String, n: Int = 8,
+      bitsPerItem: Int = 23, k: Int = 7): DataFrame = {
+    require(k >= 1 && k <= 7, s"k=$k: KM combined hash must stay under 2^63")
+    val st = new BloomStages(spark, dir, n, bitsPerItem, k)
+    require(st.m <= Int.MaxValue.toLong * 64,
+      s"m=${st.m} bits outgrows one long[] filter; shard the filter at this scale")
+    st.docs.filter(!isBenchDoc).select(col("doc_id"))
+      .join(st.hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
