@@ -322,13 +322,21 @@ object Relational {
     val spark = src.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // (A repartition-before-the-passes variant was measured and
+    // REJECTED: each of the three passes re-executes the exchange, so
+    // it costs three extra |src|-row shuffles for map work that is
+    // mostly light projections — q_quantile_grid regressed 3.7 → 6.5 s.
+    // The single-row-group scan serialism is acceptable here; contrast
+    // minhashSigExact, where one scan feeds a 560× explode + md5.)
+    val srcP = src
+
     // ONE probe scan for both the exact per-group counts and the
     // approximate slice bounds (they rode two separate full scans of
     // src until r14 — the count is exact either way, so merging them is
     // a free scan saved for every consumer: percentiles_dist, the
     // quantile grid, winsorize, MAD × 2)
     val splitPs = (1 until parts).map(_.toDouble / parts)
-    val probe = src.groupBy(col("g"))
+    val probe = srcP.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         percentile_approx(col("v"), array(splitPs.map(lit(_)): _*), lit(100)).as("bs"))
       .collect()
@@ -357,14 +365,26 @@ object Relational {
         bs.foldLeft(lit(0))((a, b) => a + when(col("v") >= b, 1).otherwise(0)))
         .otherwise(acc)
     }
-    val withPid = src.withColumn("pid", pidExpr)
+    val withPid = srcP.withColumn("pid", pidExpr)
     // slice sizes from a hash aggregate (no sort), prefix-summed over the
-    // tiny |partitions × groups| relation
-    val bases = withPid.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("base", coalesce(sum(col("c")).over(
-        Window.partitionBy(col("g")).orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("g"), col("base"), col("c"))
+    // tiny |partitions × groups| relation — then COLLECTED: the relation
+    // is |parts × groups|-bounded by construction, and leaving it
+    // distributed made every downstream broadcast subtree (sliceTargets
+    // ×2, sliceKeys) re-run the full src scan + pid projection inside
+    // its own exchange; as a driver-local DataFrame those broadcasts
+    // are free and the whole call runs exactly three src scans (probe,
+    // slice sizes, target-slice ranking). Counts are exact longs —
+    // collect changes nothing numerically.
+    val bases = {
+      val rows = withPid.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("base", coalesce(sum(col("c")).over(
+          Window.partitionBy(col("g")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("g"), col("base"), col("c"))
+        .collect()
+      rows.toSeq.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toDF("pid", "g", "base", "c")
+    }
     // locate each bracketing rank's slice and in-slice position — only
     // those few slices need ranking, so the expensive per-slice sort
     // touches ~|targets| partitions, not the whole relation
