@@ -489,12 +489,22 @@ object Dedup {
     val pairs = pairDf.cache()
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("u", "v").cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    // Iterate over EDGE-TOUCHED nodes only: a singleton has no neighbor,
+    // so its label provably never changes — carrying the full node set
+    // through every round's join/checkpoint/convergence pass paid the
+    // whole corpus per round for rows the loop cannot touch. Touched
+    // nodes are |edges|-bounded (still distributed — at 100 TB the edge
+    // set scales with the data); singletons rejoin once at the end via
+    // a left join + coalesce(label, self). Identical fixpoint.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")).cache()
     // labels only ever decrease, so the label sum is strictly monotone
     // until fixpoint — comparing sums detects convergence with one tiny
     // aggregate per round instead of a self-join diff
+    // coalesce: the touched set can be EMPTY (no pair above threshold —
+    // semantic dedup at a high τ), and sum over zero rows is NULL
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster"))).head().getLong(0)
+      df.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -526,7 +536,10 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxRounds rounds — a component's " +
           "diameter exceeds the bound; raise maxRounds (labels would be wrong, not partial)")
-    labels
+    nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "touched_cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("touched_cluster"), col("doc_id")).as("cluster"))
   }
 
   /** SemDeDup-style semantic dedup at corpus scale: near-duplicate
