@@ -1034,14 +1034,17 @@ object TextAnalysis {
       val wordsBc = spark.sparkContext.broadcast(words)
       val mLocal = m
       val kLocal = k
-      // One UDF over the MATERIALIZED digest string: hex halves parsed
-      // and KM-probed inside the function (Long.parseLong base 16 ==
-      // conv(_, 16, 10) on 15 lowercase hex digits). Marked
-      // nondeterministic as an OPTIMIZER FENCE only — the function is
-      // pure, but a deterministic predicate gets pushed below the
-      // digest Project (and through the distinct), INLINING the
-      // md5(concat_ws(shingle)) subtree once per position×half — 14
-      // md5s per row, measured 11 s vs ~1.3 s for the fenced form.
+      // One UDF taking the digest string as its SINGLE argument: hex
+      // halves parsed and KM-probed inside the function
+      // (Long.parseLong base 16 == conv(_, 16, 10) on 15 lowercase hex
+      // digits). The single reference is load-bearing: predicate
+      // pushdown substitutes the defining expression into the
+      // predicate PER REFERENCE, and the first cut (an expression-side
+      // array of 7 KM positions, each reading two conv(substring(g))
+      // halves) inlined the md5(concat_ws(shingle)) subtree 14 times —
+      // 11 s vs ~1.3 s. With one argument the optimizer still pushes
+      // the probe below the digest projection, but the md5 appears
+      // exactly once (pinned by the plan-shape test in CorpusOpsSpec).
       // The probe sits BEFORE the per-doc distinct on purpose: at
       // scale the shuffle then carries only bloom survivors.
       val mightContain = udf { (g: String) =>
@@ -1056,7 +1059,7 @@ object TextAnalysis {
           j += 1
         }
         ok
-      }.asNondeterministic()
+      }
       shingleDigestsRaw(docs.filter(!isBenchDoc), n)
         .filter(mightContain(col("g")))
         .distinct()

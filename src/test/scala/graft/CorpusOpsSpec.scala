@@ -67,6 +67,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(fpDocs <= math.max(2, cleanExact / 20), s"$fpDocs FP docs of $cleanExact clean")
   }
 
+  test("decontaminate bloom: probe inlines the digest at most once") {
+    // Regression pin for the r14 10× cliff: predicate pushdown
+    // substitutes a derived column's defining expression into the
+    // predicate PER REFERENCE — the first probe cut read the digest 14
+    // times (7 KM positions × 2 conv halves) and pushdown inlined 14
+    // md5(concat_ws(shingle)) subtrees into the Filter. The fix is the
+    // single-argument UDF probe; this pin fails if a refactor ever
+    // multiplies the digest references again. (optimized LOGICAL plan:
+    // pushdown is an optimizer move, and the AQE wrapper hides
+    // physical children from collect().)
+    val plan = TextAnalysis.bloomStages(spark, sf).hits.queryExecution.optimizedPlan
+    val filterConds = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
+    }
+    val overInlined = filterConds.filter(c => "md5".r.findAllIn(c).size > 1)
+    assert(overInlined.isEmpty,
+      s"probe filter re-inlined the digest computation:\n${overInlined.mkString("\n")}")
+    assert(filterConds.exists(_.contains("UDF")), "bloom probe filter missing from plan")
+  }
+
   test("heavy hitters: equals the brute-force grouped count at the same threshold") {
     val k = 256
     val got = MisraGries.heavyHitters(spark, sf, k)
