@@ -275,6 +275,14 @@ object ScaleBench {
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     "q_rolling_autocorr" -> ((s, d) => Stats.rollingAutocorr(s, d)),
     "q_rolling_autocorr_dist" -> ((s, d) => Stats.rollingAutocorrDist(s, d)),
+    // r14 session-2 restructures (the re-sweep-after-restructure rule):
+    // the KM signature pass (one md5 per shingle, no distinct), the
+    // portable bloom (filter size grows with the benchmark slice), the
+    // quantile grid, and full-corpus LSH clusters (touched-node CC loop)
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSigExact(s, d)),
+    "q_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
+    "q_quantile_grid" -> ((s, d) => Relational.quantileGrid(s, d)),
+    "q_dedup_clusters_lsh" -> ((s, d) => Dedup.dupClustersLsh(s, d)),
     "q_cogroup" -> ((s, d) => Analytics.cogroupCustomerActivity(s, d)),
     "q_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     // default -1 = the operator's own self-scaling bits (log2 of corpus

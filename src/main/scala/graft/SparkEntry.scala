@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.SpreadAggregator
-import graft.operators.{Analytics, Cbo, CountMin, Dedup, Drift, Geo, Multimodal, Quality, Quantization, Relational, RetrievalEval, Similarity, Skew, SqlDml, Stats, TextAnalysis}
+import graft.operators.{Analytics, Cbo, CountMin, Dedup, HllPortable, Drift, Geo, Multimodal, Quality, Quantization, Relational, RetrievalEval, Similarity, Skew, SqlDml, Stats, TextAnalysis}
 import graft.pipeline.FanPipeline
 import graft.sources.{CountryLut, Roundtrip}
 import graft.streaming.Streaming
@@ -147,6 +147,7 @@ object SparkEntry {
     "q_quant_error" -> ((s, d) => Quantization.quantError(s, d)),
     "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_countmin" -> ((s, d) => CountMin.heavyKeys(s, d)),
+    "q_hll_portable" -> ((s, d) => HllPortable.distinctUsers(s, d)),
     "q_rand_proj" -> ((s, d) => Quantization.randomProjection(s, d)),
     "q_feature_hash" -> ((s, d) => TextAnalysis.featureHash(s, d)),
     // --- text analysis ---------------------------------------------------
@@ -4399,6 +4400,40 @@ object SparkEntry {
         |    v * CASE WHEN CAST('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
         |          THEN 1 ELSE -1 END)) AS BIGINT) AS proj
         |FROM q8 CROSS JOIN (SELECT unnest(range(8)) AS j) j""".stripMargin,
+    // portable HLL: registers from the md5 60-bit prefix (top 9 bits =
+    // bucket, rank from the highest set bit of the 51-bit suffix —
+    // MAX(rank) == rank(MIN(w)) since rank is non-increasing in w), the
+    // harmonic denominator summed as exact 2^(52-r) longs, and the
+    // estimate a single mirrored double expression. Hash-matches the
+    // estimate INCLUDING false positives of the sketch itself.
+    "q_hll_portable" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |parts AS (SELECT g, h >> 51 AS bkt,
+        |    h & ((CAST(1 AS BIGINT) << 51) - 1) AS w FROM h),
+        |wmin AS (SELECT g, bkt, MIN(w) AS wmin FROM parts GROUP BY 1, 2),
+        |occ AS (SELECT g, bkt,
+        |    CASE WHEN wmin = 0 THEN 52 ELSE
+        |      (SELECT MIN(j.j) FROM (SELECT unnest(range(1, 52)) AS j) j
+        |       WHERE (wmin >> CAST(51 - j.j AS INTEGER)) > 0) END AS r
+        |  FROM wmin),
+        |spine AS (SELECT gs.g, b.b AS bkt FROM (SELECT DISTINCT g FROM h) gs
+        |  CROSS JOIN (SELECT unnest(range(512)) AS b) b),
+        |regs AS (SELECT spine.g, spine.bkt, COALESCE(occ.r, 0) AS r
+        |  FROM spine LEFT JOIN occ ON spine.g = occ.g AND spine.bkt = occ.bkt),
+        |agg AS (SELECT g,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - r AS INTEGER)) AS BIGINT) AS sum_int,
+        |    COUNT(CASE WHEN r = 0 THEN 1 END) AS v_zero
+        |  FROM regs GROUP BY g),
+        |est AS (SELECT g, sum_int, v_zero,
+        |    (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512 * 4503599627370496.0 / sum_int AS raw
+        |  FROM agg)
+        |SELECT g AS event_type,
+        |  ROUND(CASE WHEN raw <= 1280.0 AND v_zero > 0
+        |    THEN 512.0 * ln(512.0 / v_zero) ELSE raw END, 4) AS n_est,
+        |  sum_int, v_zero
+        |FROM est""".stripMargin,
     // the md5 double-hashing family makes the WHOLE sketch reproducible in
     // SQL — build and probe hash-match, unlike the rows-only sketch tier
     "q_countmin" ->

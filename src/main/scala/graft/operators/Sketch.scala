@@ -77,3 +77,40 @@ object CountMin {
       .select(col("user_id"), col("exact_n"), col("cms_est"))
   }
 }
+
+/** The portable-HLL query surface — see
+  * [[graft.functions.PortableHll]] for the construction and the
+  * integer-channel exactness argument.
+  */
+object HllPortable {
+
+  /** Per-event-type distinct-user estimates from the portable HLL
+    * (b = 9 → m = 512 registers, std err ≈ 1.04/√m ≈ 4.6%). One
+    * map-side-combined aggregate pass; per-group state is the m-byte
+    * register array. Output carries the two integer-channel numbers
+    * (`sum_int`, `v_zero`) alongside the rounded estimate, so the
+    * oracle hash-match pins the FULL register state, and the estimate
+    * formula — written with identical literals and parenthesization in
+    * both engines — is pinned on top of it.
+    */
+  def distinctUsers(spark: SparkSession, dir: String, b: Int = 9): DataFrame = {
+    val m = 1 << b
+    val scalePow = math.pow(2.0, (60 - b) + 1)
+    val alpha = graft.functions.PortableHll.alpha(m)
+    val h60 = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), h60.as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.PortableHll.agg(col("h"), b).as("s"))
+      .select(col("event_type"), col("s.sum_int").as("sum_int"), col("s.v_zero").as("v_zero"))
+      .withColumn("raw",
+        lit(alpha) * m * m * lit(scalePow) / col("sum_int"))
+      .withColumn("n_est", round(
+        when(col("raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(col("raw")), 4))
+      .select(col("event_type"), col("n_est"), col("sum_int"), col("v_zero"))
+  }
+}

@@ -174,4 +174,54 @@ class SketchPropertiesSpec extends AnyFunSuite {
     assert(math.abs(interBig - 100000) / 100000.0 <= 0.03, s"intersection est $interBig")
     assert(math.abs(unionBig - 300000) / 300000.0 <= 0.03, s"union est $unionBig")
   }
+
+  // --- portable HLL ---
+
+  private def hllAgg = graft.functions.PortableHll(
+    org.apache.spark.sql.catalyst.expressions.Literal(0L), 9)
+
+  private def hllUpdate(buf: Array[Byte], h: Long): Array[Byte] = {
+    val w = 51
+    val bucket = (h >>> w).toInt
+    val suffix = h & ((1L << w) - 1)
+    val rank = if (suffix == 0L) w + 1
+      else java.lang.Long.numberOfLeadingZeros(suffix) - (64 - w) + 1
+    if (rank > buf(bucket)) buf(bucket) = rank.toByte
+    buf
+  }
+
+  test("portable hll: split-and-merge equals one pass for any partitioning") {
+    val rnd = new scala.util.Random(43)
+    (1 to 200).foreach { _ =>
+      val hs = Array.fill(rnd.nextInt(400) + 1)(math.abs(rnd.nextLong()) & ((1L << 60) - 1))
+      val onePass = hs.foldLeft(hllAgg.createAggregationBuffer())(hllUpdate)
+      val cut = rnd.nextInt(hs.length)
+      val left = hs.take(cut).foldLeft(hllAgg.createAggregationBuffer())(hllUpdate)
+      val right = hs.drop(cut).foldLeft(hllAgg.createAggregationBuffer())(hllUpdate)
+      val merged = hllAgg.merge(left, right)
+      assert(java.util.Arrays.equals(merged, onePass), "registers must be partition-independent")
+    }
+  }
+
+  test("portable hll: estimate within the standard error envelope of exact") {
+    // m = 512 -> relative std err ~ 1.04/sqrt(512) ~ 4.6%; bound at 4 sigma
+    val rnd = new scala.util.Random(44)
+    Seq(100, 1000, 20000).foreach { n =>
+      val keys = (1 to n).map(_ => rnd.nextLong()).distinct
+      val buf = keys.foldLeft(hllAgg.createAggregationBuffer()) { (b, k) =>
+        // the same md5 60-bit prefix channel the query uses
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        hllUpdate(b, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+      }
+      var sumInt = 0L; var v = 0L
+      buf.foreach { r => sumInt += 1L << (52 - r); if (r == 0) v += 1 }
+      val m = 512
+      val raw = (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512 * 4503599627370496.0 / sumInt
+      val est = if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
+      val err = math.abs(est - keys.length) / keys.length
+      assert(err < 4 * 1.04 / math.sqrt(512),
+        s"n=${keys.length}: est $est off by ${err * 100}%%")
+    }
+  }
 }
