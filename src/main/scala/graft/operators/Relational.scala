@@ -517,15 +517,31 @@ object Relational {
   def quantileGrid(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val ps = Seq(0.2, 0.4, 0.6, 0.8)
-    def boundsOf(c: String, prefix: String) = distributedPercentilesOf(
-      li.select(lit("all").as("g"), col(c).as("v")), ps)
-      .select(ps.map(p => col(s"p${(p * 100).round}").as(s"$prefix${(p * 100).round}")): _*)
-    def bucketOf(c: String, prefix: String) = ps.map(p =>
-      when(col(c) > col(s"$prefix${(p * 100).round}"), 1).otherwise(0))
+    // BOTH axes' boundaries from ONE pass through the quantile core:
+    // the two value columns unpivot to (g ∈ {x, y}, v) and the core
+    // computes each group independently, so the boundary doubles are
+    // IDENTICAL to the former two single-axis calls — for half the
+    // machinery (two cores × 3 scans + 2 driver actions each → one
+    // core over the 2-row-per-line relation: 6 scans → 3, 4 actions
+    // → 2; guide §2.4). The ≤ 8 boundary doubles then enter the
+    // bucketing projection as LITERALS — the former per-axis broadcast
+    // subtrees each re-ran the full core lineage at execution.
+    val bothBounds = distributedPercentilesOf(
+      li.select(explode(array(
+        struct(lit("x").as("g"), col("l_extendedprice").as("v")),
+        struct(lit("y").as("g"), col("l_quantity").as("v")))).as("e"))
+        .select(col("e.g").as("g"), col("e.v").as("v")), ps)
+      .collect()
+    def boundLit(axis: String, p: Double): Column = {
+      val row = bothBounds.find(_.getString(0) == axis)
+        .getOrElse(sys.error(s"quantileGrid: no '$axis' bounds row (empty lineitem?)"))
+      val i = row.fieldIndex(s"p${(p * 100).round}")
+      if (row.isNullAt(i)) lit(null).cast("double") else lit(row.getDouble(i))
+    }
+    def bucketOf(c: String, axis: String) = ps.map(p =>
+      when(col(c) > boundLit(axis, p), 1).otherwise(0))
       .reduce(_ + _) + 1
-    li.crossJoin(broadcast(boundsOf("l_extendedprice", "x")))
-      .crossJoin(broadcast(boundsOf("l_quantity", "y")))
-      .withColumn("x_bucket", bucketOf("l_extendedprice", "x"))
+    li.withColumn("x_bucket", bucketOf("l_extendedprice", "x"))
       .withColumn("y_bucket", bucketOf("l_quantity", "y"))
       .groupBy(col("x_bucket"), col("y_bucket"))
       .agg(count(lit(1)).as("n"),

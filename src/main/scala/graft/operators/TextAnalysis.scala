@@ -148,9 +148,15 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
     val c12 = docPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = docPairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = c1.agg(count(lit(1)).as("v"))
-    val model = c12.join(c1, Seq("w1")).crossJoin(broadcast(v))
+    // c1 and V derive from the |vocab|²-bounded c12 relation instead of
+    // re-tokenizing the corpus: c1(w1) = Σ_w2 c12(w1,w2) exactly (every
+    // pair is counted once in each), and V = |distinct w1| = |c1 rows|
+    // via an unpartitioned window over the |vocab|-bounded c1 relation.
+    // Same integers, two fewer corpus scans (4 → 2 in the physical plan;
+    // guide §2.4 — remove redundant passes outright).
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val wAll = Window.partitionBy()
+    val model = c12.join(c1.withColumn("v", count(lit(1)).over(wAll)), Seq("w1"))
       .select(col("w1"), col("w2"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
     docPairs.join(broadcast(model), Seq("w1", "w2"))
@@ -195,10 +201,15 @@ object TextAnalysis {
     val counts = tok.groupBy(col("bucket"))
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
-    val totals = tok.agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"),
-      sum(when(!col("is_target"), 1L).otherwise(0L)).as("nr"))
-    val weights = counts.crossJoin(broadcast(totals))
+    // corpus totals = Σ over the dim-bounded bucket relation (every
+    // token occurrence lands in exactly one bucket), computed as an
+    // unpartitioned window over the ≤ dim rows — the third corpus
+    // tokenize+explode pass the separate `tok.agg(...)` subtree cost is
+    // gone (3 → 2 scans; guide §2.4). Same exact longs.
+    val wAll = Window.partitionBy()
+    val weights = counts
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
       .select(col("bucket"),
         log(((col("ct") + 1).cast("double") / (col("nt") + dim)) /
           ((col("cr") + 1).cast("double") / (col("nr") + dim))).as("lw"))
