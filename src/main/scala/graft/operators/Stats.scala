@@ -998,10 +998,23 @@ object Stats {
     // and the Poisson inverse-CDF thresholds need ~20 bits, so 32 keeps
     // the grid bias ≤ 2⁻³² while halving the digest count (6.3 s → the
     // md5 budget of 13 digests/event instead of 25)
-    def u(lo: Int) = (conv(substring(col("hex"), lo, 8), 16, 10)
-      .cast("long").cast("double") / pow(lit(2d), lit(32d)))
-    val m = t.zipWithIndex.foldRight(lit(6): Column) { case ((th, k), rest) =>
-      when(col("u") < th, k).otherwise(rest)
+    //
+    // The comparison `value/2³² < t` runs DIRECTLY ON THE HEX: value is
+    // an exact 32-bit integer and /2³² is exact in double, so
+    // u < t ⟺ value < t·2³² ⟺ hex8 < hex(⌈t·2³²⌉) — fixed-width
+    // lowercase hex compares lexicographically as numerically, md5()
+    // emits exactly that. This retires the former per-uniform
+    // conv(hex,16,10) radix parse + cast + double divide (~5M of each
+    // per sf0.1 scan) for one string compare per threshold crossed;
+    // multiplicities are bit-identical (BootstrapHexThresholdSpec pins
+    // the boundary values of every threshold).
+    val thex = t.map { th =>
+      val k = (BigDecimal(th) * BigDecimal(2).pow(32))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+      f"$k%08x"
+    }
+    val m = thex.zipWithIndex.foldRight(lit(6): Column) { case ((hx, k), rest) =>
+      when(col("u") < hx, k).otherwise(rest)
     }.cast("long")
     Tables(spark, dir, "events")
       .select(col("event_id"),
@@ -1010,7 +1023,7 @@ object Stats {
       .withColumn("hex", md5(concat(col("event_id").cast("string"),
         lit("_"), col("j").cast("string")).cast("binary")))
       .select(col("cents"), explode(array((0 until 4).map(r =>
-        struct((col("j") * 4 + r).as("b"), u(1 + 8 * r).as("u"))): _*)).as("e"))
+        struct((col("j") * 4 + r).as("b"), substring(col("hex"), 1 + 8 * r, 8).as("u"))): _*)).as("e"))
       .select(col("cents"), col("e.b").as("b"), col("e.u").as("u"))
       .filter(col("b") < b)
       .withColumn("m", m)

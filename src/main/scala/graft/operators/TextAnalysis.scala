@@ -868,11 +868,17 @@ object TextAnalysis {
     // empty docs drop out (no bytes → no entropy row), matching the
     // oracle's empty range(1, 1); a greatest()-style guard would instead
     // fabricate a zero-byte row the oracle doesn't have
+    // one split("") per document instead of the former
+    // sequence-explode + substr(i, 1): substr re-walks the string
+    // prefix per emitted character (O(len²) per doc — ~170k character
+    // steps for a 577-char doc), while the split is one O(len) pass
+    // emitting the same per-position characters. Same (doc_id, b)
+    // multiset — the corpus is single-unit text (FIXTURES ASCII), where
+    // per-UTF-16-unit split ≡ per-character substr.
     val bytes = Tables(spark, dir, "documents")
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), ascii(col("text").substr(col("i"), lit(1))).as("b"))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .select(col("doc_id"), ascii(col("ch")).as("b"))
     bytes
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1410,20 +1416,32 @@ object TextAnalysis {
     * logprob) table, plus hand-built fixtures with known-best
     * segmentations.
     */
+  /** The fitted piece table is a MODEL — deterministic given (corpus,
+    * hyperparameters) — so it memoizes per JVM keyed on the corpus
+    * CONTENT fingerprint exactly like [[bpeRulesCache]] /
+    * `Similarity.pqCodebookCache`: the deploy half ([[unigramApply]])
+    * reuses the trained table the way a real pipeline would instead of
+    * re-running seed + 4 E-steps per query.
+    */
+  private val unigramModelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int), Array[(String, Long, Double)]]
+
   def unigramTrain(spark: SparkSession, dir: String, vocabSize: Int = 120,
       seedSize: Int = 400, maxPieceLen: Int = 6, emRounds: Int = 3): DataFrame = {
     import spark.implicits._
-    val words = Tables(spark, dir, "documents")
-      .select(explode(tokens(lower(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-      .persist()
-    words.count()
-    try {
-      val model = trainUnigramModel(words, vocabSize, seedSize, maxPieceLen, emRounds)
-      model.toSeq.toDF("piece", "freq", "logprob")
-        .select(col("piece"), col("freq"), round(col("logprob"), 6).as("logprob"))
-    } finally { words.unpersist(): Unit }
+    val model = unigramModelCache.getOrElseUpdate(
+      (Tables.fingerprint(dir, "documents"), vocabSize, seedSize, maxPieceLen, emRounds), {
+        val words = Tables(spark, dir, "documents")
+          .select(explode(tokens(lower(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .as[(String, Long)]
+          .persist()
+        words.count()
+        try trainUnigramModel(words, vocabSize, seedSize, maxPieceLen, emRounds)
+        finally { words.unpersist(): Unit }
+      })
+    model.toSeq.toDF("piece", "freq", "logprob")
+      .select(col("piece"), col("freq"), round(col("logprob"), 6).as("logprob"))
   }
 
   /** The trainer's core, shared verbatim with UnigramSpec's driver
@@ -1435,26 +1453,30 @@ object TextAnalysis {
       seedSize: Int, maxPieceLen: Int, emRounds: Int): Array[(String, Long, Double)] = {
     val spark = words.sparkSession
     import spark.implicits._
-    // the alphabet, counted exactly (|alphabet|-bounded): single chars
-    // are coverage-exempt from every cut, or EM could strand a word
-    // with no segmentation at all
-    val charCounts: Map[String, Long] = words
-      .flatMap { case (w, c) => w.map(ch => (ch.toString, c)) }
-      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-      .map { case (p, c) => (p, c) }
-      .collect().toMap
-    // multi-char substring seed: top `seedSize` by occurrence weight
-    val multiSeed = words.flatMap { case (w, c) =>
+    // ONE substring pass for the alphabet AND the multi-char seed (was
+    // two flatMap+reduce jobs over the word list): lengths
+    // 1..maxPieceLen emit together, the len-1 slice IS the exact
+    // alphabet count (single chars stay coverage-exempt from every
+    // cut), and the top-`seedSize` of the len ≥ 2 slice IS the seed —
+    // same counts, same deterministic (count desc, piece asc) cut, one
+    // driver action instead of two and one substring shuffle instead
+    // of two (guide §2.4). Only |alphabet| + seedSize rows ever reach
+    // the driver, exactly as before.
+    val seedCounts = words.flatMap { case (w, c) =>
         for {
           i <- 0 until w.length
-          l <- 2 to math.min(maxPieceLen, w.length - i)
+          l <- 1 to math.min(maxPieceLen, w.length - i)
         } yield (w.substring(i, i + l), c)
       }
       .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (p, c) => (p, c) }
-      .orderBy(col("_2").desc, col("_1").asc)
-      .limit(seedSize)
+    val seedRows = seedCounts.filter(_._1.length == 1)
+      .union(seedCounts.filter(_._1.length > 1)
+        .orderBy(col("_2").desc, col("_1").asc)
+        .limit(seedSize))
       .collect()
+    val charCounts: Map[String, Long] = seedRows.filter(_._1.length == 1).toMap
+    val multiSeed: Array[(String, Long)] = seedRows.filter(_._1.length > 1)
     // every char stays in the model forever (count floored at 1 inside
     // normalize, re-added here if an E-step never used it)
     def cover(counts: Array[(String, Long)]): Array[(String, Long)] = {
