@@ -262,19 +262,24 @@ object Multimodal {
           (bx, by) => (bytes(2 * by + bx) & 0xFF) % 5 - 2)
         val (w, h, ch, pix) = graft.functions.BaselineJpeg.decode(jpeg)
         require(ch == 1, s"doc $docId: expected grayscale, got $ch channels")
+        // hex bytes written straight into one array (same bytes the
+        // former StringBuilder → String → getBytes chain produced, minus
+        // two full-raster copies and the char→byte transcode — the
+        // raster is ~64·len px/doc, so the copies were the dominant
+        // allocation of the query)
         var sum = 0L
-        val hex = new java.lang.StringBuilder(pix.length * 2)
+        val hexDigits = "0123456789abcdef".getBytes
+        val hexBytes = new Array[Byte](pix.length * 2)
         var i = 0
         while (i < pix.length) {
           val v = pix(i) & 0xFF
           sum += v
-          if (v < 16) hex.append('0')
-          hex.append(Integer.toHexString(v))
+          hexBytes(2 * i) = hexDigits(v >>> 4)
+          hexBytes(2 * i + 1) = hexDigits(v & 0x0F)
           i += 1
         }
         digest.reset()
-        val md = digest.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          .map("%02x".format(_)).mkString
+        val md = digest.digest(hexBytes).map("%02x".format(_)).mkString
         (docId, w, h, pix.length, md, sum.toDouble / pix.length)
       }
     }.toDF("doc_id", "width", "height", "n_pixels", "pixel_md5", "channel_mean")
